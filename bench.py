@@ -1,0 +1,77 @@
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries (mapped to BASELINE.md's B1–B10 shapes) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Method mirrors BASELINE.md: one shared SparkSession (startup excluded),
+each query executed twice, the warm (2nd) run reported, timed around
+the full action (``collect`` of the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from morphl_model_user_search_intent_spark import REGISTRY, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set — keep aligned with BASELINE.md B1..B10 shapes as
+# operators land.  Falls back gracefully if a key is not yet registered.
+HEADLINE = [
+    "q_agg_hash",        # B1 pricing summary
+    "q_join_unshipped",  # B2 top unshipped revenue
+    "q_join_multiway",   # B3 revenue by region/nation
+    "q_win_topk",        # B4 top-3 orders per customer
+    "q_agg_distinct",    # B5 distinct counts
+    "q_sessionize",      # B6 30-min-gap sessionization
+    "q_stream_tumbling", # B7 tumbling 1h window
+    "q_sim_knn",         # B8 cosine top-5 for 10 query vectors
+    "q_text_wordcount",  # B9 corpus word-count
+    "q_json_funcs",      # B10 JSON-extract agg
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += sorted(set(os.environ.get("BENCH_EXTRA", "").split(",")) & set(REGISTRY) - set(names))
+    per_query: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        fn(spark, SF_DIR).collect()  # warm-up: plan + file listing + JIT
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,318 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Float discipline: every double sum/avg goes through the exact-decimal
+helpers (:mod:`..functions.exact`) so Spark and DuckDB produce
+bit-identical doubles regardless of accumulation order.  Statistical
+moments (var/stddev/corr) are computed from those exact sums with one
+shared closed-form formula in both engines — again bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, davg, dsum
+from ..io import table
+from ..registry import register
+
+# Flagship cutoff — TPC-H Q1 shape over the fixture lineitem.
+_Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (filter → partial/final
+    hash aggregate).
+
+    Physical plan (verified): FileScan with PushedFilters + 7-of-11
+    ReadSchema → partial HashAggregate → Exchange on the 2 group keys →
+    final HashAggregate, all inside WholeStageCodegen.  At 100 TB the
+    shuffle carries only |groups| × partial-state rows (6 groups here),
+    i.e. the map-side combine does ~all the work — the canonical
+    scalable aggregation shape.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Catalyst expands multi-distinct into an
+    Expand + two-phase aggregate; still one shuffle per distinct set)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_agg_approx", oracle=None)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).
+
+    Rows-only: HLL estimates are engine-specific (SURVEY.md §5.2), so
+    there is no value-parity oracle; the pytest mirror asserts the
+    estimate is within the configured rsd of the exact count instead.
+    Scale: HLL state is a fixed few KB per group vs the unbounded
+    hash-set of an exact distinct — this IS the 100 TB path.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation — SUM(x) FILTER (WHERE …)
+    expressed as the sum-of-CASE Catalyst idiom."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice")
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("sum_finished"),
+        F.count(F.when(F.col("o_totalprice") > 150000.0, 1)).alias("n_big"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (status → priority → grand
+    total), with GROUPING flags distinguishing real NULLs from
+    subtotal rows."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE (flag × status)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_agg_groupingsets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by-status and by-priority in one pass
+    (Catalyst Expand — the input is scanned once, not per set)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect aggregates — per-group sorted distinct lists.
+
+    Determinism trap (SURVEY.md §7.3): collect_set order is
+    partition-dependent, so the list is sorted before it reaches the
+    hash.  Scale note: bounded-cardinality lists only (5 segments);
+    unbounded collect_list at 100 TB is an OOM by design and is not
+    offered.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+# Shared formula text for the deterministic moment statistics:
+#   var_samp = (sxx - sx^2/n) / (n-1)
+#   corr     = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+# computed from exact decimal sums cast to double → bit-identical in
+# both engines (same IEEE ops on identical inputs).
+_STATS_ORACLE = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             ROUND(median(l_quantity), 4) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           median_qty
+    FROM s
+"""
+
+
+@register("q_agg_stats", oracle=_STATS_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance, stddev, correlation, median)
+    via moment sums — deterministic cross-engine (module docstring)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(x * x, "sxx"),
+        dsum(y, "sy"),
+        dsum(y * y, "syy"),
+        dsum(x * y, "sxy"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy = F.col("sy"), F.col("syy")
+    sxy = F.col("sxy")
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    # corr's numerator is a catastrophic cancellation (n·sxy ≈ sx·sy);
+    # a 1-ulp FMA difference between engines surfaces there, so round.
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        9,
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+        "median_qty",
+    )

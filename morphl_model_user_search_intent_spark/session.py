@@ -1,0 +1,66 @@
+"""SparkSession factory with the configuration every operator relies on.
+
+SURVEY.md §7.0: the nanos-timestamp workaround and UTC session timezone
+are load-bearing — without ``spark.sql.legacy.parquet.nanosAsLong`` any
+read of ``events.parquet`` (Parquet TIMESTAMP(NANOS)) fails with
+``PARQUET_TYPE_ILLEGAL`` on Spark 4.x.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to apply to an externally provided
+# session at runtime — all are dynamic SQL confs.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply required dynamic confs to an existing session (e.g. the
+    driver's). Idempotent; ignores confs the session refuses."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — best effort
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "morphl-spark-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local-mode sizing follows the driver env: ``SPARK_GRAFT_CPUS``
+    threads, shuffle partitions ≈ cores (never the 200 default — wrong
+    at both test scale and, via AQE coalescing, harmless to override on
+    a real cluster).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

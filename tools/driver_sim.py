@@ -1,0 +1,102 @@
+"""Simulate the driver's verify pass end-to-end.
+
+Loads ``__spark_entry__.py`` exactly as the driver does (vanilla
+SparkSession, none of the engine's confs pre-applied), runs
+``entry()``, then every ``queries()`` entry at sf0.01 compared against
+``oracle_sql()`` through DuckDB (row-count + sorted-column value
+multiset).  Exit code 0 only if everything matches.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    n = len(e.entry(spark).collect())
+    print(f"entry(): {n} rows  {'OK' if n > 0 else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    fails = 0
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, SF_DIR)
+            cols = sorted(df.columns)
+            srows = Counter(
+                tuple(norm(r[c]) for c in cols) for r in df.collect()
+            )
+            if name not in oracles:
+                status = f"rows-only ({sum(srows.values())} rows)"
+            else:
+                cur = con.execute(oracles[name])
+                dcols = [d[0] for d in cur.description]
+                order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                drows = Counter(
+                    tuple(norm(row[i]) for i in order)
+                    for row in cur.fetchall()
+                )
+                if sorted(dcols) != cols:
+                    status = f"FAIL cols spark={cols} duck={sorted(dcols)}"
+                elif srows != drows:
+                    s_only = list((srows - drows).elements())[:2]
+                    d_only = list((drows - srows).elements())[:2]
+                    status = f"FAIL values s={s_only} d={d_only}"
+                else:
+                    status = f"match ({sum(srows.values())} rows)"
+        except Exception as ex:  # noqa: BLE001
+            status = f"FAIL error {type(ex).__name__}: {ex}"
+        fails += status.startswith("FAIL")
+        print(f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}")
+    print(f"{len(qs)} queries, {fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
