@@ -28,9 +28,12 @@ from .registry import queries, oracle_sql, REGISTRY
 from .operators import (  # noqa: F401
     scans,
     projections,
+    joins,
     aggregates,
+    windows,
     sorts,
     setops,
+    events,
 )
 
 __all__ = ["get_spark", "load", "table", "queries", "oracle_sql", "REGISTRY"]

@@ -1,0 +1,151 @@
+"""Streaming-shaped operators over the batch ``events`` table
+(SURVEY.md §2.9).
+
+These are the batch twins of the Structured Streaming operators in
+:mod:`..streaming` — identical window semantics (`F.window`,
+sessionization) checked against SQL oracles here, with the streaming
+variants covered by rows-only memory-sink tests.  The `events` table
+stands in for the reference's time-series of per-keyword metrics
+(SURVEY.md §1.1: Google Search Console rows keyed by date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window × event_type (B7: 3,600 groups at sf0.1).
+
+    Uses `F.window` — the exact construct the streaming twin uses with
+    a watermark — and unwraps `window.start` for the oracle.  Tumbling
+    aggregation is a plain hash aggregate on (bucket, type): fully
+    partial-aggregated map-side, the canonical streaming-at-scale
+    shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT start AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - k * INTERVAL 15 MINUTE AS start,
+             ts, event_type
+      FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k)
+    )
+    WHERE ts < start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1h length, 15m slide (each event lands in 4
+    windows).  The oracle reconstructs Spark's window set by shifting
+    the 15-minute bucket 0–3 slides back and keeping starts within 1h.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM flags
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (B6).
+
+    Batch algorithm: lag-gap flag + running sum per user — one shuffle
+    on user_id, then two sequential window passes over each user's
+    (bounded) history.  Gap comparison is done in integer microseconds
+    (`unix_micros`) so sub-second timestamps can't straddle the
+    threshold differently across engines.  The streaming twin is
+    `F.session_window(ts, '30 minutes')` (see streaming module).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(run).cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "session_value"),
+        )
+    )

@@ -1,0 +1,426 @@
+"""Join operators (SURVEY.md §2.3).
+
+Join-strategy policy (the 100 TB posture):
+
+* Dimension tables (region/nation/customer at dim scale) are joined
+  with an explicit ``F.broadcast`` hint → BroadcastHashJoin, no
+  shuffle of the fact side.
+* Fact⋈fact equi-joins shuffle on the join key (sort-merge by
+  default); AQE handles skew splitting at runtime.
+* Theta/band joins keep an equi prefix (brand, user) so Catalyst
+  plans a hash join with a non-equi residual — never a raw
+  BroadcastNestedLoopJoin over the full cross product.
+* As-of joins are window-emulated (join candidates → row_number = 1)
+  with fully deterministic tie-breaking, matching DuckDB's ASOF
+  semantics but portable and order-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: 25-row nation dim × customer fact.
+
+    ``F.broadcast(nation)`` pins BroadcastHashJoinExec — the dim ships
+    to every executor once; the fact table never shuffles.  At 100 TB
+    the alternative (sort-merge) would shuffle the entire fact table
+    to co-locate 25 keys.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (sort-merge) join: orders ⋈ lineitem, both sides large.
+
+    The ``merge`` hint documents the intended physical strategy — both
+    sides exchange on the join key and merge sorted runs; this is the
+    scalable fact⋈fact shape (broadcast is impossible, and AQE can
+    still split skewed partitions at runtime).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join (B3): region⋈nation⋈customer⋈orders.
+
+    Both dims broadcast; the only shuffle is customer⋈orders (and the
+    final 25-group aggregate).  Catalyst is free to reorder the
+    broadcast steps.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_unshipped",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 / TPC-H-Q3 shape: top-10 unshipped revenue.
+
+    Filters push to both scans before the joins; the final top-10 is
+    TakeOrderedAndProject (no global sort).
+    """
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer kept, order-less customers get
+    n_orders=0 / total_spent=0."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_outer_full",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_big
+      FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey
+    ), urgent AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(big.k, urgent.k) AS custkey, n_big, n_urgent
+    FROM big FULL OUTER JOIN urgent ON big.k = urgent.k
+    """,
+)
+def q_join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls surviving on both sides."""
+    o = table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 200000.0)
+        .groupBy(F.col("o_custkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return big.join(urgent, big.bk == urgent.uk, "full").select(
+        F.coalesce("bk", "uk").alias("custkey"), "n_big", "n_urgent"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with ≥1 urgent order — no
+    duplication of the left side, right columns never materialize."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT a.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey <> b.p_partkey
+     AND b.p_retailprice >= a.p_retailprice
+     AND b.p_retailprice <= a.p_retailprice * 1.05
+    GROUP BY a.p_brand
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (band) join: parts of the same brand priced within +5%.
+
+    Scale design: the equi prefix (p_brand) keeps this a hash join
+    with a non-equi residual filter.  Dropping the equi key would give
+    BroadcastNestedLoopJoin — O(n²) work that cannot survive 100 TB —
+    so band joins in this engine always carry a bucketing/equi key.
+    """
+    a = table(spark, sf_dir, "part").alias("a")
+    b = table(spark, sf_dir, "part").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") != F.col("b.p_partkey"))
+            & (F.col("b.p_retailprice") >= F.col("a.p_retailprice"))
+            & (
+                F.col("b.p_retailprice")
+                <= F.col("a.p_retailprice") * 1.05
+            ),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_follow,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(27,6))), 0) AS DOUBLE) AS follow_value
+    FROM events s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 1 HOUR
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: activity within 1h after each signup.
+
+    Spark has no native interval join; the equi key (user_id) bounds
+    the candidate set and the range predicate is a join residual.  At
+    100 TB the upgrade is bucketing both sides by time_bucket(1h) and
+    joining on (user, bucket±1) — same semantics, bounded fan-out;
+    kept here as the documented scale path since user_id already
+    bounds candidates in this schema.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    e = ev.alias("e")
+    cond = (
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.ts") >= F.col("s.ts"))
+        & (F.col("e.ts") < F.col("s.ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e.event_id") != F.col("s.event_id"))
+    )
+    return (
+        s.join(e, cond, "left")
+        .groupBy(F.col("s.event_id").alias("signup_id"))
+        .agg(
+            F.count("e.event_id").alias("n_follow"),
+            F.coalesce(dsum(F.col("e.value")), F.lit(0.0)).alias(
+                "follow_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM p LEFT JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click'
+       AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-
+    before it for the same user (left: purchases with no prior click
+    keep a NULL match).
+
+    Emulation: candidate join on the equi key + time bound, then
+    ``row_number() = 1`` ordered by (click_ts DESC, click_id DESC) —
+    the explicit tie-break makes the result deterministic where native
+    ASOF implementations (e.g. DuckDB's) leave equal-timestamp winners
+    unspecified.  Scale path: same plan — the window partitions by the
+    left key, so state is bounded per purchase; for dense histories,
+    pre-bucket clicks by day and join (user, day) first.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(),
+        F.col("click_id").desc_nulls_last(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate Cartesian product (dim × dim only — the engine never
+    cross-joins fact tables; similarity brute-force uses a broadcast
+    side, see llm/similarity.py)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,0 +1,199 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Determinism discipline: every ORDER BY inside a window carries a
+unique-key tie-breaker (row_number/ntile are otherwise partition-order
+dependent), and windowed sums go through the exact-decimal cast so
+Spark's running accumulation and DuckDB's segment-tree evaluation
+produce identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS prnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking suite per nation by account balance."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
+
+
+@register(
+    "q_win_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (B4; 44,953 rows at sf0.1).
+
+    Scale: rank-filter is the distributed top-k-per-group idiom — one
+    shuffle on the group key, then a per-partition sort bounded by the
+    partition; Catalyst pushes the rn<=3 filter into the window sort
+    (WindowGroupLimit) so no partition materializes fully sorted.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(value) OVER w AS next_value,
+           first_value(ts) OVER w AS first_ts,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS final_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions over per-user event sequences (lag/lead/
+    first/last) — the reference's sequential-feature idiom."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("value").over(wfull).alias("final_value"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS near_price_total
+    FROM orders
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame specifications: running sum (unbounded→current), sliding
+    3-row average, and a numeric RANGE frame (±10k price band)."""
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(27,6)")
+    wseq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sliding = wseq.rowsBetween(-2, W.currentRow)
+    # PySpark's rangeBetween only accepts integral boundaries; a
+    # double-valued RANGE frame needs the SQL form.
+    near_price = F.expr(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec).over(running).cast("double").alias("running_total"),
+        (
+            F.sum(dec).over(sliding).cast("double")
+            / F.count(F.lit(1)).over(sliding)
+        ).alias("sliding_avg"),
+        near_price.alias("near_price_total"),
+    )
+
+
+@register(
+    "q_win_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           cume_dist() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal) AS cd,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) OVER (
+             PARTITION BY c_nationkey) AS DOUBLE) AS bal_share
+    FROM customer
+    """,
+)
+def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution + running share of the partition total
+    (both ratios of exact-decimal sums → deterministic doubles)."""
+    c = table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(27,6)")
+    wcd = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wrun = (
+        W.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(wcd).alias("cd"),
+        (
+            F.sum(dec).over(wrun).cast("double")
+            / F.sum(dec).over(wall).cast("double")
+        ).alias("bal_share"),
+    )
