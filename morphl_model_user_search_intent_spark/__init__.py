@@ -35,5 +35,8 @@ from .operators import (  # noqa: F401
     setops,
     events,
 )
+from .functions import scalar  # noqa: F401
+from .text import analysis  # noqa: F401
+from .llm import dedup, multimodal, similarity  # noqa: F401
 
 __all__ = ["get_spark", "load", "table", "queries", "oracle_sql", "REGISTRY"]

@@ -1,0 +1,232 @@
+"""Scalar function suites: string / date / math / array / map / JSON
+(SURVEY.md §2.8).
+
+Dialect bridges handled in the oracle SQL (verified against DuckDB
+1.0.0): ``dayofweek`` origin differs (DuckDB Sunday=0, Spark
+Sunday=1), ``date_diff`` argument order, ``regexp_replace`` needs the
+``'g'`` flag, integer ``//`` vs ``div``, and transcendental functions
+(exp/ln/log10) are rounded to 9 dp since libm implementations may
+differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lo,
+           upper(p_brand) AS up,
+           substr(p_name, 1, 6) AS pre6,
+           concat(p_brand, ':', p_type) AS tag,
+           lpad(p_brand, 12, '*') AS padded,
+           replace(p_name, 'a', '@') AS repl,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist,
+           CAST(length(p_name) AS INT) AS n_chars,
+           CAST(strpos(p_name, ' ') AS INT) AS space_at
+    FROM part
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String suite over part names (the reference's keyword-text
+    manipulation surface: lower/trim/extract feed tokenization)."""
+    p = table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.lower(name).alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.substring(name, 1, 6).alias("pre6"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("padded"),
+        F.replace(name, F.lit("a"), F.lit("@")).alias("repl"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed"),
+        F.regexp_extract(name, "([a-z]+)", 1).alias("first_word"),
+        F.levenshtein("p_brand", "p_type").cast("int").alias("edit_dist"),
+        F.length(name).cast("int").alias("n_chars"),
+        F.instr(name, " ").cast("int").alias("space_at"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INT) AS days_to_98,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(o_orderdate) AS month_end,
+           o_orderdate + INTERVAL 90 DAY AS followup_ts
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite over order dates.
+
+    Oracle bridges: Spark ``datediff(end, start)`` = DuckDB
+    ``date_diff('day', start, end)``; Spark ``dayofweek`` is
+    Sunday=1 while DuckDB's is Sunday=0 (shifted in SQL).
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("timestamp_ntz"), d).alias(
+            "days_to_98"
+        ),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        (d + F.expr("INTERVAL 90 DAY")).alias("followup_ts"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7.0, 2) AS seventh,
+           floor(l_discount * 100) AS disc_pct_floor,
+           ceil(l_discount * 100) AS disc_pct_ceil,
+           abs(l_quantity - 25.0) AS qty_dev,
+           round(ln(l_extendedprice), 9) AS log_price,
+           round(exp(l_discount), 9) AS exp_disc,
+           round(log10(l_extendedprice), 9) AS log10_price,
+           power(l_quantity, 2) AS qty_sq,
+           sqrt(l_quantity) AS qty_root,
+           CAST(sign(l_quantity - 25.0) AS INT) AS qty_sign,
+           l_partkey % 7 AS key_mod,
+           l_partkey // 7 AS key_div
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math suite.  sqrt/power/abs/floor/ceil are IEEE-exact and
+    compare raw; exp/ln/log10 round to 9 dp (libm ulp differences)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price / 7.0, 2).alias("seventh"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(q - 25.0).alias("qty_dev"),
+        F.round(F.log(price), 9).alias("log_price"),
+        F.round(F.exp("l_discount"), 9).alias("exp_disc"),
+        F.round(F.log10(price), 9).alias("log10_price"),
+        F.pow(q, 2).alias("qty_sq"),
+        F.sqrt(q).alias("qty_root"),
+        F.signum(q - 25.0).cast("int").alias("qty_sign"),
+        (F.col("l_partkey") % 7).alias("key_mod"),
+        F.expr("l_partkey div 7").alias("key_div"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_toks,
+           list_contains(string_split(trim(text), ' '), 'spark') AS has_spark,
+           string_split(trim(text), ' ')[1:5] AS first5,
+           list_sort(list_distinct(string_split(trim(text), ' '))) AS vocab,
+           list_sort(list_distinct(list_intersect(
+             string_split(trim(text), ' '),
+             ['spark', 'join', 'filter']))) AS core_terms
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array suite over tokenized documents (split/size/contains/
+    slice/distinct/sort/intersect).
+
+    ``trim`` before ``split`` on both sides: the fixture text carries
+    trailing spaces and the engines disagree on trailing empty tokens.
+    Intersect goes through distinct+sort since element order of
+    array_intersect is engine-specific.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.sort_array(
+            F.array_distinct(
+                F.array_intersect(
+                    toks, F.array(F.lit("spark"), F.lit("join"), F.lit("filter"))
+                )
+            )
+        ).alias("core_terms"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map suite: parse the JSON props column into MapType, read keys
+    and values.  DuckDB has no MAP parity, so the oracle compares the
+    extracted scalars/keys (SURVEY.md §2.8)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        m.getItem("k").alias("k_value"),
+        m.getItem("missing").alias("absent"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON suite (B10): extract a typed value from the JSON payload
+    and aggregate.  ``get_json_object`` stays JVM-side (no UDF)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

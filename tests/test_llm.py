@@ -1,0 +1,79 @@
+"""Semantic gates for the LLM-data-pipeline operators: planted
+near-duplicate recovery (FIXTURES.md: 28 pairs with 3-shingle Jaccard
+> 0.5 at sf0.001), ANN recall/precision vs the exact join, approx
+aggregates' error bounds, and the multimodal binary decode contract."""
+
+from __future__ import annotations
+
+from morphl_model_user_search_intent_spark import REGISTRY
+
+from conftest import SF_DIR
+
+N_PLANTED = 28  # only valid at sf0.001 (FIXTURES.md)
+
+
+def _pairs(spark, name, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in REGISTRY[name].fn(spark, SF_DIR).collect()}
+
+
+def test_jaccard_finds_planted_pairs(spark):
+    got = REGISTRY["q_dedup_jaccard"].fn(spark, SF_DIR).collect()
+    assert len(got) == N_PLANTED
+    assert all(r.jaccard > 0.5 for r in got)
+    assert all(r.doc_a < r.doc_b for r in got)
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    exact = _pairs(spark, "q_dedup_jaccard")
+    approx = _pairs(spark, "q_dedup_minhash")
+    # P(LSH miss) ≈ (1-0.95)^8 per pair; candidates are re-checked
+    # exactly, so the sets must coincide at fixture scale.
+    assert approx == exact
+
+
+def test_simhash_covers_planted_pairs(spark):
+    exact = _pairs(spark, "q_dedup_jaccard")
+    sh = _pairs(spark, "q_dedup_simhash")
+    # SimHash is lossier than MinHash on tiny-vocab bags — require it
+    # to recover most planted pairs (observed: 26/28).
+    assert len(exact & sh) >= 24
+
+
+def test_ann_recall_and_precision(spark):
+    exact = _pairs(spark, "q_sim_threshold", a="vec_a", b="vec_b")
+    ann = _pairs(spark, "q_sim_ann", a="vec_a", b="vec_b")
+    assert ann <= exact  # exact re-rank → no false positives
+    assert len(ann & exact) / len(exact) >= 0.9  # observed 0.98
+
+
+def test_approx_count_distinct_error_bound(spark):
+    rows = REGISTRY["q_agg_approx"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
+        assert rel_err < 0.1, (r.l_returnflag, rel_err)
+
+
+def test_multimodal_binary_decode_contract(spark):
+    df = REGISTRY["q_multimodal_binary"].fn(spark, SF_DIR)
+    assert df.dtypes == [
+        ("doc_id", "bigint"),
+        ("fmt", "string"),
+        ("n_bytes", "int"),
+        ("checksum", "bigint"),
+        ("width", "int"),
+        ("height", "int"),
+    ]
+    rows = {r.doc_id: r for r in df.collect()}
+    # golden: checksum is the byte sum of the utf-8 payload
+    from morphl_model_user_search_intent_spark.io import table
+
+    docs = table(spark, SF_DIR, "documents")
+    for doc in docs.limit(3).collect():
+        payload = doc.text.encode("utf-8")
+        r = rows[doc.doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.checksum == sum(payload)
+        assert r.width == sum(payload) % 640
+        assert r.height == len(payload) % 480
+    assert len(rows) == docs.count()
