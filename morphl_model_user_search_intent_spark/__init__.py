@@ -38,5 +38,9 @@ from .operators import (  # noqa: F401
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401
 from .llm import dedup, multimodal, similarity  # noqa: F401
+from .udf import udfs  # noqa: F401
+from .ml import pipeline  # noqa: F401
+from .streaming import ops  # noqa: F401
+from .sources import formats  # noqa: F401
 
 __all__ = ["get_spark", "load", "table", "queries", "oracle_sql", "REGISTRY"]

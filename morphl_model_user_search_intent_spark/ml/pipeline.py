@@ -1,0 +1,176 @@
+"""MLlib pipeline stages (SURVEY.md §2.10 remainder) — the
+reference's model surface re-expressed on Spark ML.
+
+The MorphL search-intent pipeline tokenizes keyword text, weights
+terms (TF-IDF), and fits a classifier mapping feature vectors to an
+intent class (SURVEY.md §1.1/§3.1 [K]).  All stages here are
+rows-only driver checks (vector UDTs have no DuckDB twin); the pytest
+gates assert determinism under fixed seeds, schema contracts, and
+sane metric ranges.  NOTE (verified): fixture ``embeddings.label`` is
+NOT linearly separable — labels are independent of the vectors
+(within/between-label mean cosine both ≈ 0) — so the gates check
+pipeline mechanics and calibration, not high accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+SEED = 42
+
+
+@register("q_ml_tfidf", oracle=None)
+def q_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer → HashingTF → IDF feature pipeline over documents.
+
+    Output: per-doc nonzero feature count and rounded L2 norm of the
+    TF-IDF vector (scalar projections of the vector column so the
+    driver's rows-only check sees a stable schema).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim("text").alias("text")
+    )
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="toks"),
+            HashingTF(
+                inputCol="toks", outputCol="tf", numFeatures=1 << 15
+            ),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+
+    @F.udf("double")
+    def l2(v) -> float:
+        import math
+
+        return round(math.sqrt(sum(x * x for x in v.values)), 6)
+
+    @F.udf("int")
+    def nnz(v) -> int:
+        return int(v.numNonzeros())
+
+    return out.select(
+        "doc_id", nnz("tfidf").alias("nnz"), l2("tfidf").alias("tfidf_norm")
+    )
+
+
+@register("q_ml_word2vec", oracle=None)
+def q_ml_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec document embeddings (seeded).  Output: per-doc vector
+    L2 norm (Word2Vec averages word vectors per document)."""
+    from pyspark.ml.feature import Word2Vec
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    w2v = Word2Vec(
+        vectorSize=8,
+        minCount=1,
+        seed=SEED,
+        maxIter=1,
+        inputCol="toks",
+        outputCol="vec",
+    )
+    out = w2v.fit(d).transform(d)
+
+    @F.udf("double")
+    def l2(v) -> float:
+        import math
+
+        return round(math.sqrt(sum(x * x for x in v)), 6)
+
+    return out.select("doc_id", l2("vec").alias("w2v_norm"))
+
+
+def _labeled_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+        F.col("label").cast("double").alias("label"),
+    )
+
+
+@register("q_ml_intent_classifier", oracle=None)
+def q_ml_intent_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intent-classifier stage: multinomial LogisticRegression over
+    the 64-dim embeddings, seeded 80/20 split.
+
+    Output: one row per class with test-set support, hits, and overall
+    accuracy — the evaluation artifact the reference pipeline persists
+    after training (SURVEY.md §3.1 stage 3).
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    data = _labeled_vectors(spark, sf_dir)
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    model = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+    pred = model.transform(test)
+    per_class = pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    total = pred.agg(
+        (
+            F.sum(
+                F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("acc")
+    )
+    return per_class.crossJoin(total).select(
+        F.col("label").cast("int").alias("label"),
+        "n_test",
+        "n_correct",
+        F.round("acc", 6).alias("overall_accuracy"),
+    )
+
+
+@register("q_ml_crossval", oracle=None)
+def q_ml_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-selection harness: 2-fold CrossValidator over a small
+    regParam grid, seeded.  Output: one row per grid point with its
+    mean CV metric (f1), plus the chosen best param."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _labeled_vectors(spark, sf_dir)
+    lr = LogisticRegression(maxIter=10)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.01, 0.5])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="f1"),
+        numFolds=2,
+        seed=SEED,
+        parallelism=2,
+    )
+    model = cv.fit(data)
+    best_reg = model.bestModel.getRegParam()
+    rows = [
+        (float(g[lr.regParam]), float(round(m, 6)), float(best_reg))
+        for g, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, mean_f1 double, best_reg_param double"
+    )

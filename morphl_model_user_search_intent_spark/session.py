@@ -16,6 +16,12 @@ from pyspark.sql import SparkSession
 # session at runtime — all are dynamic SQL confs.
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ~cores beats the 200 default at test scale; at cluster scale AQE
+    # coalescing makes this a ceiling hint, not a straitjacket.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,120 @@
+"""File-format sources and sinks (SURVEY.md §2.1).
+
+The reference ingests JSON REST payloads and persists to Cassandra
+(SURVEY.md §1.1 [K]); here the ingestion formats are demonstrated as
+oracle-checked round-trips: write a projection of the fixture data to
+CSV / JSON-lines / Parquet under the repo-local scratch dir, read it
+back with an explicit schema (never inferSchema in production), and
+aggregate — the oracle runs the same aggregate against the original
+parquet, so any round-trip corruption breaks the hash.
+
+Cassandra itself is deliberately not ported: partitioned Parquet +
+(at 100 TB) date/tenant partition columns is the idiomatic Spark
+stand-in (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import table
+from ..registry import register
+
+# Repo-local scratch (gitignored) — the sandbox forbids writes outside
+# the repo, and tests/driver runs must not collide.
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+_EVENT_COLS_SCHEMA = "event_id bigint, event_type string, k int"
+
+
+def _event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-valued projection of events — lossless under text
+    round-trips (doubles are kept out deliberately; binary formats
+    carry them, text formats here only prove the source machinery)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+_AGG_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+@register("q_source_csv", oracle=_AGG_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: write → read with explicit schema → aggregate.
+    The oracle aggregates the original parquet, so the CSV layer must
+    be lossless for the hash to match."""
+    path = os.path.join(SCRATCH, f"csv-{_tag(sf_dir)}")
+    _event_projection(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.schema(_EVENT_COLS_SCHEMA).option("header", True).csv(
+        path
+    )
+    return _agg(back)
+
+
+@register("q_source_json", oracle=_AGG_ORACLE)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (the reference's API-payload landing format),
+    explicit schema, aggregated against the parquet oracle."""
+    path = os.path.join(SCRATCH, f"json-{_tag(sf_dir)}")
+    _event_projection(spark, sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.schema(_EVENT_COLS_SCHEMA).json(path)
+    return _agg(back)
+
+
+@register(
+    "q_sink_parquet",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip: aggregate → write (snappy parquet) →
+    read back.  Doubles survive exactly (binary format), so the oracle
+    checks the full write→read path bit-for-bit.
+
+    At 100 TB the write would add ``.partitionBy(date_col)`` —
+    partition columns are what later enables partition pruning and
+    dynamic partition pruning on the read side.
+    """
+    path = os.path.join(SCRATCH, f"sink-{_tag(sf_dir)}")
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total"),
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,168 @@
+"""Structured Streaming operators (SURVEY.md §2.9 streaming variants).
+
+Each registry entry runs a real streaming query (parquet file source →
+memory sink, availableNow trigger) to completion and returns the sink
+table — rows-only driver checks; the pytest gates assert twin-parity
+against the batch operators in operators/events.py.
+
+Scale posture: file-source micro-batches here stand in for Kafka; the
+operator graphs (watermark → window agg, dedup-within-watermark,
+per-key state) are exactly what runs against a real stream — state
+store size is bounded by the watermark horizon (windows) or key count
+(dedup/stateful), which is the property that survives at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import configure
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; stage a symlink to
+    the (read-only) fixture parquet under the repo-local scratch."""
+    import os
+
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(SCRATCH, f"stream-events-{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:  # symlinks unavailable → copy
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream (schema from the batch reader; the
+    nanos→µs cast applied the same way as io.table)."""
+    configure(spark)
+    path = _staged_dir(sf_dir)
+    schema = spark.read.parquet(path).schema
+    s = spark.readStream.schema(schema).parquet(path)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def _run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+@register("q_stream_watermark", oracle=None)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation in append mode: late data
+    beyond 10 minutes is dropped and only finalized windows emit.
+
+    Batch twin: q_stream_tumbling — parity modulo the final
+    not-yet-closed window (asserted in tests).
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "stream_watermark_sink", "append")
+
+
+@register("q_stream_dedup", oracle=None)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the stream unioned with itself (every
+    event duplicated) → ``dropDuplicatesWithinWatermark`` on event_id
+    → exactly one survivor per event (state bounded by the watermark
+    horizon, unlike unbounded ``dropDuplicates``)."""
+    ev = _stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"),
+        "stream_dedup_sink",
+        "append",
+    )
+
+
+@register("q_stream_session_window", oracle=None)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: ``F.session_window(ts, '30
+    minutes')`` per user — merging windows maintained in the state
+    store, emitted when the watermark passes their gap.
+
+    Batch twin: q_sessionize (lag-gap + running sum) — identical
+    session boundaries, asserted in tests.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "stream_session_sink", "append")
+
+
+@register("q_stream_stateful", oracle=None)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user event count via
+    ``applyInPandasWithState`` — arbitrary per-key state the built-in
+    windows can't express.  Emits one row per (user, micro-batch) with
+    the cumulative count; the final row per user must equal the batch
+    count (asserted in tests).
+
+    State is one int per user — O(keys) memory, the shape that scales.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_count(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_so_far": [n]}
+        )
+
+    ev = _stream_events(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events_so_far bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "stream_stateful_sink", "update")

@@ -1,0 +1,196 @@
+"""UDF / UDAF / grouped-map surface (SURVEY.md §2.12) plus the batch
+"embed" hook (§2.11).
+
+Policy: UDFs are the slow path (serde across the JVM↔Python boundary).
+Every operator here exists to prove the surface works and how it's
+kept cheap — Arrow-batched pandas UDFs, never row-at-a-time in hot
+paths (q_udf_scalar is the deliberate row-at-a-time exhibit, with its
+SQL twin showing what Catalyst does natively).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'platinum'
+                WHEN o_totalprice >= 150000.0 THEN 'gold'
+                WHEN o_totalprice >=  50000.0 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM orders
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (the reference's rule-based
+    labeler idiom) with an exact SQL CASE twin as oracle.
+
+    This is the anti-pattern exhibit: each row crosses the JVM↔Python
+    boundary.  Correct, but q_case_when shows the native form that
+    stays in codegen — at 100 TB the UDF version costs ~100× more.
+    """
+
+    @F.udf("string")
+    def tier(price: float) -> str:
+        if price >= 300000.0:
+            return "platinum"
+        if price >= 150000.0:
+            return "gold"
+        if price >= 50000.0:
+            return "silver"
+        return "bronze"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(ln(1 + o_totalprice) * 2.0, 9) AS log_score
+    FROM orders
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy kernel) —
+    the sanctioned shape when Python is unavoidable."""
+
+    @F.pandas_udf("double")
+    def log_score(s: pd.Series) -> pd.Series:
+        return np.round(np.log1p(s) * 2.0, 9)
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", log_score("o_totalprice").alias("log_score")
+    )
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(exp(avg(ln(o_totalprice))), 6) AS geo_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): per-priority geometric
+    mean, oracle-twinned as exp(avg(ln(x)))."""
+
+    @F.pandas_udf("double")
+    def geo_mean(s: pd.Series) -> float:
+        return float(np.round(np.exp(np.log(s).mean()), 6))
+
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        geo_mean("o_totalprice").alias("geo_mean")
+    )
+
+
+@register("q_udf_grouped_map", oracle=None)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: z-score normalize event values
+    within each event_type.  Rows-only: the float reduction order in
+    pandas differs from any SQL engine's, so the pytest gate checks it
+    against the built-in window twin with a tolerance instead of a
+    value hash."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": (pdf["value"] - mu) / sd if sd else 0.0,
+            }
+        )
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id bigint, event_type string, z double"
+    )
+
+
+@register("q_udtf_explode_sessions", oracle=None)
+def q_udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped operator via ``mapInPandas``: each user row expands
+    to a variable number of output rows (one per burst of ≥2 events in
+    a 1-hour span) — the table-function contract (0..n rows out per
+    row in) without the Spark-4 ``udtf`` registration ceremony."""
+
+    def bursts(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas (not mapInPandas): guarantees each user's full
+        # history arrives in ONE frame — an Arrow batch boundary can
+        # never split a group, which matters at any scale.
+        out = []
+        user_id = int(pdf["user_id"].iloc[0])
+        ts = pdf["ts"].sort_values().reset_index(drop=True)
+        run_start = 0
+        for i in range(len(ts)):
+            while (ts[i] - ts[run_start]).total_seconds() > 3600:
+                run_start += 1
+            n = i - run_start + 1
+            if n >= 2:
+                out.append((user_id, ts[run_start], ts[i], int(n)))
+        return pd.DataFrame(
+            out, columns=["user_id", "burst_start", "burst_end", "n"]
+        )
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "ts").groupBy("user_id").applyInPandas(
+        bursts,
+        schema="user_id bigint, burst_start timestamp, "
+        "burst_end timestamp, n int",
+    )
+
+
+_EMBED_DIM = 16
+
+
+def _embed_tokens(toks: list[str]) -> list[float]:
+    """Deterministic hashing-trick embedding (md5 → bucket, ±sign),
+    L2-normalized.  Stable across processes (no PYTHONHASHSEED
+    dependence) so tests can pin goldens."""
+    v = [0.0] * _EMBED_DIM
+    for w in toks:
+        h = hashlib.md5(w.encode()).digest()
+        v[h[0] % _EMBED_DIM] += 1.0 if h[1] % 2 == 0 else -1.0
+    norm = math.sqrt(sum(x * x for x in v))
+    return [x / norm for x in v] if norm else v
+
+
+@register("q_embed_text", oracle=None)
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch "embed" hook (§2.11): Arrow-batched pandas UDF mapping
+    text → 16-dim unit vector via a deterministic hashing trick.
+
+    This is the integration point where a real model (ONNX/torch
+    worker per executor) would plug in; the contract — Arrow batch in,
+    fixed-dim ``array<double>`` out, stateless per batch — is what the
+    engine guarantees at 100 TB (model loading would be memoized per
+    worker process, batch size bounded by Arrow batch config).
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _embed_tokens(t.split()))
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", embed(F.trim("text")).alias("embedding"))

@@ -1,0 +1,86 @@
+"""Gates for the rows-only UDF and MLlib operators: determinism under
+fixed seeds, schema contracts, and semantic twins computed with
+built-in ops."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from morphl_model_user_search_intent_spark import REGISTRY
+
+from conftest import SF_DIR
+
+
+def test_grouped_map_zscore_matches_window_twin(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from morphl_model_user_search_intent_spark.io import table
+
+    got = {
+        r.event_id: r.z
+        for r in REGISTRY["q_udf_grouped_map"].fn(spark, SF_DIR).collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    w = W.partitionBy("event_type")
+    twin = ev.select(
+        "event_id",
+        (
+            (F.col("value") - F.avg("value").over(w))
+            / F.stddev_samp("value").over(w)
+        ).alias("z"),
+    )
+    for r in twin.collect():
+        assert math.isclose(got[r.event_id], r.z, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_udtf_bursts_semantics(spark):
+    rows = REGISTRY["q_udtf_explode_sessions"].fn(spark, SF_DIR).collect()
+    assert rows, "expected at least one ≥2-event burst"
+    for r in rows:
+        assert r.n >= 2
+        assert (r.burst_end - r.burst_start).total_seconds() <= 3600
+
+
+def test_embed_text_deterministic_unit_vectors(spark):
+    df = REGISTRY["q_embed_text"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert all(len(r.embedding) == 16 for r in rows)
+    for r in rows[:20]:
+        norm = math.sqrt(sum(x * x for x in r.embedding))
+        assert math.isclose(norm, 1.0, rel_tol=1e-9)
+    # deterministic across runs (md5-based, not PYTHONHASHSEED)
+    again = {r.doc_id: r.embedding for r in df.collect()}
+    assert all(again[r.doc_id] == r.embedding for r in rows)
+
+
+def test_tfidf_contract(spark):
+    rows = REGISTRY["q_ml_tfidf"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.nnz > 0 and r.tfidf_norm >= 0 for r in rows)
+
+
+def test_word2vec_seeded(spark):
+    a = {r.doc_id: r.w2v_norm for r in REGISTRY["q_ml_word2vec"].fn(spark, SF_DIR).collect()}
+    assert a and all(v >= 0 for v in a.values())
+
+
+def test_intent_classifier_metrics(spark):
+    rows = REGISTRY["q_ml_intent_classifier"].fn(spark, SF_DIR).collect()
+    assert {int(r.label) for r in rows} <= set(range(10))
+    acc = rows[0].overall_accuracy
+    n_test = sum(r.n_test for r in rows)
+    n_correct = sum(r.n_correct for r in rows)
+    assert math.isclose(acc, round(n_correct / n_test, 6), abs_tol=1e-6)
+    # labels are independent of features (verified in fixtures), so
+    # accuracy should hover near the 10-class chance rate.
+    assert 0.0 <= acc <= 0.35
+
+
+def test_crossval_selects_from_grid(spark):
+    rows = REGISTRY["q_ml_crossval"].fn(spark, SF_DIR).collect()
+    assert {r.reg_param for r in rows} == {0.01, 0.5}
+    assert len({r.best_reg_param for r in rows}) == 1
+    assert rows[0].best_reg_param in {0.01, 0.5}
+    for r in rows:
+        assert 0.0 <= r.mean_f1 <= 1.0

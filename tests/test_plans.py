@@ -1,0 +1,87 @@
+"""Plan-shape regression gates: the physical properties each operator
+relies on at scale, asserted against the live Catalyst plan."""
+
+from __future__ import annotations
+
+from morphl_model_user_search_intent_spark import REGISTRY
+from morphl_model_user_search_intent_spark.plans.inspect import (
+    assert_in_plan,
+    assert_not_in_plan,
+    explain_str,
+)
+
+from conftest import SF_DIR
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_pushdown_reaches_scan(spark):
+    plan = assert_in_plan(
+        _df(spark, "q_scan_pushdown"), "PushedFilters: [", "IsNotNull"
+    )
+    # projection pruning: only the 3 selected + 2 filter columns decode
+    assert "l_tax" not in plan and "l_returnflag" not in plan
+
+
+def test_flagship_is_partial_final_hashagg(spark):
+    # simple mode lists each physical operator exactly once
+    plan = explain_str(_df(spark, "q_agg_hash"), "simple")
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in explain_str(
+        _df(spark, "q_agg_hash")
+    )
+
+
+def test_dim_joins_broadcast(spark):
+    assert_in_plan(_df(spark, "q_join_broadcast"), "BroadcastHashJoin")
+    plan = explain_str(_df(spark, "q_join_multiway"), "simple")
+    # region+nation must broadcast; at fixture scale customer fits
+    # under autoBroadcastJoinThreshold too, so ≥2 broadcasts and no
+    # cartesian anywhere is the scale-invariant property.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    assert_in_plan(_df(spark, "q_sort_limit"), "TakeOrderedAndProject")
+    assert_not_in_plan(
+        _df(spark, "q_sort_limit"), "Exchange rangepartitioning"
+    )
+
+
+def test_window_topk_uses_group_limit(spark):
+    # Spark ≥3.5 pushes rn<=k into the window sort
+    assert_in_plan(_df(spark, "q_win_topk"), "WindowGroupLimit")
+
+
+def test_merge_hint_respected(spark):
+    assert_in_plan(_df(spark, "q_join_shuffle"), "SortMergeJoin")
+
+
+def test_semi_anti_join_shapes(spark):
+    assert_in_plan(_df(spark, "q_join_semi"), "LeftSemi")
+    assert_in_plan(_df(spark, "q_join_anti"), "LeftAnti")
+
+
+def test_knn_broadcasts_query_side(spark):
+    assert_in_plan(
+        _df(spark, "q_sim_knn"), "BroadcastExchange", "BroadcastNestedLoopJoin"
+    )
+
+
+def test_no_python_udf_in_relational_core(spark):
+    # the relational/text operator families must stay JVM-side
+    for name in (
+        "q_agg_hash",
+        "q_join_multiway",
+        "q_win_topk",
+        "q_text_wordcount",
+        "q_dedup_jaccard",
+        "q_stream_tumbling",
+    ):
+        assert_not_in_plan(
+            _df(spark, name), "BatchEvalPython", "ArrowEvalPython"
+        )

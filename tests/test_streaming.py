@@ -1,0 +1,76 @@
+"""Twin-parity gates for the Structured Streaming operators: each
+streaming variant must agree with its batch twin (modulo windows still
+open at end-of-stream, which availableNow + watermark may hold back).
+"""
+
+from __future__ import annotations
+
+from morphl_model_user_search_intent_spark import REGISTRY
+from morphl_model_user_search_intent_spark.io import table
+
+from conftest import SF_DIR
+
+
+def test_watermark_tumbling_matches_batch_twin(spark):
+    stream = {
+        (r.bucket, r.event_type): r.n_events
+        for r in REGISTRY["q_stream_watermark"].fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.bucket, r.event_type): r.n_events
+        for r in REGISTRY["q_stream_tumbling"].fn(spark, SF_DIR).collect()
+    }
+    assert stream, "append-mode sink produced no finalized windows"
+    # every emitted window must match the batch result exactly
+    for key, n in stream.items():
+        assert batch[key] == n, key
+    # only the tail (past the final watermark) may be missing
+    missing = set(batch) - set(stream)
+    max_bucket = max(b for b, _ in batch)
+    assert all(b == max_bucket for b, _ in missing), (
+        f"non-tail windows missing from stream: {sorted(missing)[:5]}"
+    )
+
+
+def test_stream_dedup_exactly_one_survivor(spark):
+    out = REGISTRY["q_stream_dedup"].fn(spark, SF_DIR)
+    n_events = table(spark, SF_DIR, "events").count()
+    assert out.count() == n_events  # doubled stream → one survivor each
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_session_window_matches_batch_sessionizer(spark):
+    stream = REGISTRY["q_stream_session_window"].fn(spark, SF_DIR)
+    batch = REGISTRY["q_sessionize"].fn(spark, SF_DIR)
+    s = {
+        (r.user_id, r.session_start): r.n_events for r in stream.collect()
+    }
+    b = {
+        (r.user_id, r.session_start): r.n_events for r in batch.collect()
+    }
+    assert s, "no sessions emitted"
+    for key, n in s.items():
+        assert b.get(key) == n, key
+    # sessions still open at the watermark horizon may be held back
+    assert len(s) >= 0.9 * len(b)
+
+
+def test_stateful_running_count_final_equals_batch(spark):
+    out = REGISTRY["q_stream_stateful"].fn(spark, SF_DIR)
+    import pyspark.sql.functions as F
+
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events_so_far").alias("n"))
+        .collect()
+    )
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final
+    for r in final:
+        assert batch[r.user_id] == r.n
