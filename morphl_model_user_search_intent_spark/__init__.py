@@ -34,6 +34,7 @@ from .operators import (  # noqa: F401
     sorts,
     setops,
     events,
+    reshape,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401
