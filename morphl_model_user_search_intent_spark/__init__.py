@@ -35,6 +35,7 @@ from .operators import (  # noqa: F401
     setops,
     events,
     reshape,
+    scale,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401

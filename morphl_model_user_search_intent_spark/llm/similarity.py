@@ -222,3 +222,84 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TAU)
     )
+
+
+@register("q_sim_ivf", oracle=None)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the cluster-routed scale path for
+    q_sim_knn.
+
+    1. Train a coarse quantizer: MLlib KMeans (distributed, seeded) on
+       the full corpus — at 100 TB this is the standard one-off index
+       build, itself a Spark job.
+    2. Assign every vector to its nearest centroid (map-only pass;
+       the inverted lists are just a ``cluster_id`` column — on disk
+       they'd be a partition/bucket column, giving partition pruning).
+    3. Route each query to its ``nprobe`` nearest centroids (centroid
+       table is tiny → broadcast) and brute-force ONLY those lists:
+       the O(n²) cross join becomes O(n·nprobe/k) per query.
+    4. Exact cosine re-rank within the probed lists, top-k per query.
+
+    Rows-only (KMeans partitioning is seed-stable but not SQL-
+    expressible); tests/test_llm.py asserts recall vs the exact
+    q_sim_knn top-k.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k, nprobe = 16, 8
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).withColumn("v", array_to_vector("embedding"))
+    km = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cluster_id")
+    model = km.fit(e)
+    assigned = model.transform(e).drop("v")
+
+    # Centroid table: k × 64 floats — inline as a broadcast-joined frame.
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id INT, centroid ARRAY<DOUBLE>",
+    )
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # Rank centroids per query by cosine, keep nprobe nearest lists.
+    cq = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "c_sim",
+        _dot("qv", "centroid")
+        / (F.col("qnorm") * F.sqrt(_dot("centroid", "centroid"))),
+    )
+    probe = (
+        cq.withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("c_sim").desc(), F.col("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("qid", "qv", "qnorm", "cluster_id")
+    )
+    # Probe lists: queries are few → broadcast them against the
+    # cluster-partitioned corpus; only ~nprobe/k of rows join.
+    cand = F.broadcast(probe).join(assigned, "cluster_id").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot("qv", "embedding") / (F.col("qnorm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+    )

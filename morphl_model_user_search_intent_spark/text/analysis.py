@@ -265,3 +265,119 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(en_score, 6).alias("en_score"),
         F.when(en_score >= 0.05, "en").otherwise("other").alias("pred_lang"),
     )
+
+
+# BPE-ish lexer: alpha runs capped at 6 chars (subword splits), each
+# digit its own token, any other non-space char its own token.  POSIX-
+# simple on purpose — identical semantics under Java regex and DuckDB's
+# RE2 (SURVEY.md §5.2 dialect pitfall).
+_BPE_RE = "[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q_text_tokencount",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT)
+             AS n_bpe_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_RE}')), 6)
+             AS chars_per_bpe
+    FROM documents
+    """,
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-corpus budgeting: whitespace tokens plus
+    a BPE-ish subword estimate (alpha runs split every 6 chars, digits
+    and punctuation one token each — the usual pre-tokenizer shape).
+
+    Pure JVM regexp — at 100 TB this is a map-only pass with no
+    shuffle; counts roll up with a plain partial/final aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_RE))
+    return d.select(
+        "doc_id",
+        F.size(tokens()).alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / n_bpe,
+            6,
+        ).alias("chars_per_bpe"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(len(t) - 1, 2)),
+             i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fp
+    FROM toks
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min MD5 over 3-token shingles (a
+    1-permutation MinHash / winnowing-style sketch).  Near-identical
+    documents almost surely share their minimum shingle hash, so
+    grouping by ``fp`` is a shuffle-light first-pass dedup at 100 TB:
+    one map pass + one groupBy on a 32-char key, no pairwise compare.
+
+    MD5 (not xxhash) so the DuckDB oracle computes the identical
+    digest; the hash cost is still per-shingle-linear and JVM-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    shingle_hash = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            )
+        ),
+    )
+    return d.select("doc_id", F.array_min(shingle_hash).alias("fp"))
+
+
+@register(
+    "q_dedup_fingerprint",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               range(1, greatest(len(string_split(trim(text),' ')) - 1, 2)),
+               i -> md5(string_split(trim(text),' ')[i] || ' ' ||
+                        string_split(trim(text),' ')[i+1] || ' ' ||
+                        string_split(trim(text),' ')[i+2]))) AS fp
+      FROM documents
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM fps GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-collision dedup groups: documents sharing a min-
+    shingle fingerprint, with the deterministic survivor (min doc_id).
+    The O(n) companion to the O(candidate-pairs) MinHash-LSH join in
+    llm/dedup.py — run this first at scale, LSH only on survivors.
+    """
+    fp = q_text_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

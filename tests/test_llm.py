@@ -77,3 +77,28 @@ def test_multimodal_binary_decode_contract(spark):
         assert r.width == sum(payload) % 640
         assert r.height == len(payload) % 480
     assert len(rows) == docs.count()
+
+
+def test_ivf_recall_vs_exact_knn(spark):
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.qid, r.neighbor_id)
+        for r in REGISTRY["q_sim_ivf"].fn(spark, SF_DIR).collect()
+    }
+    # nprobe=8 of k=16 lists → we accept modest recall at fixture
+    # scale (near-uniform random vectors are the worst case for IVF).
+    assert ivf <= {(q, n) for q, n in ivf}  # shape sanity
+    assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_fingerprint_groups_cover_planted_pairs(spark):
+    # Near-identical docs share their min-shingle hash w.h.p. —
+    # fingerprint groups must recover most planted near-dup pairs.
+    exact = _pairs(spark, "q_dedup_jaccard")
+    fps = REGISTRY["q_text_fingerprint"].fn(spark, SF_DIR).collect()
+    by_doc = {r.doc_id: r.fp for r in fps}
+    hit = sum(1 for a, b in exact if by_doc[a] == by_doc[b])
+    assert hit >= 0.8 * len(exact)

@@ -85,3 +85,13 @@ def test_no_python_udf_in_relational_core(spark):
         assert_not_in_plan(
             _df(spark, name), "BatchEvalPython", "ArrowEvalPython"
         )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # bucket i joins bucket i: SMJ with zero Exchange on either input,
+    # and the groupBy on the join key rides the same partitioning.
+    df = _df(spark, "q_join_bucketed")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SelectedBucketsCount" in explain_str(df)
