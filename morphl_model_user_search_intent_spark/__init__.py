@@ -36,6 +36,7 @@ from .operators import (  # noqa: F401
     events,
     reshape,
     scale,
+    analytics,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401
@@ -44,5 +45,6 @@ from .udf import udfs  # noqa: F401
 from .ml import pipeline  # noqa: F401
 from .streaming import ops  # noqa: F401
 from .sources import formats  # noqa: F401
+from . import sql_surface  # noqa: F401
 
 __all__ = ["get_spark", "load", "table", "queries", "oracle_sql", "REGISTRY"]

@@ -174,3 +174,56 @@ def q_ml_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "reg_param double, mean_f1 double, best_reg_param double"
     )
+
+
+@register("q_ml_kmeans", oracle=None)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans clustering of the embedding space (k=10, seeded) — the
+    unsupervised twin of the intent classifier, and the router the IVF
+    ANN index (llm/similarity.py q_sim_ivf) builds on: cluster once,
+    then prune candidate sets to the nearest cells.
+
+    Output: one row per cluster with its size and the mean distance of
+    members to their centroid (rounded) — rows-only check; the pytest
+    gate asserts full coverage (sizes sum to N), k clusters, and
+    seeded determinism across runs.
+
+    Scale: MLlib KMeans is the distributed Lloyd's algorithm — each
+    iteration broadcasts k·64 floats and aggregates partial centroid
+    sums map-side; no per-row driver traffic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=10, seed=SEED, maxIter=20).fit(emb)
+    pred = model.transform(emb)  # adds `prediction`
+    centers = model.clusterCenters()
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "prediction int, center array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                vector_to_array(F.col("features")),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pred.join(F.broadcast(centers_df), "prediction")
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(dist), 6).alias("mean_dist"),
+        )
+    )

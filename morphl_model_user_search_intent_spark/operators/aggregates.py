@@ -316,3 +316,73 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("corr_qty_price"),
         "median_qty",
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                              * 10000000 + o_orderkey) AS top_order,
+           min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                              * 10000000 + o_orderkey) AS bottom_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS top_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (``max_by``/``min_by``): per priority
+    class, WHICH order has the highest/lowest total price — the
+    select-the-row-behind-the-extreme pattern that otherwise costs a
+    window + filter pass.
+
+    ``o_totalprice`` has duplicate values (256 tied groups at sf0.1),
+    and both engines leave tied-argmax winners unspecified — so the
+    ordering value is a composite BIGINT ``round(price·100)·1e7 +
+    orderkey``: price in exact cents, orderkey as tiebreak, every
+    intermediate < 2^53.  Deterministic argmax, one ordinary hash
+    aggregate (partial+final, no window, no second pass).
+    """
+    o = table(spark, sf_dir, "orders")
+    ordv = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("top_order"),
+        F.min_by("o_orderkey", ordv).alias("bottom_order"),
+        F.max("o_totalprice").cast("double").alias("top_price"),
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity >= 1)       AS all_qty_positive,
+           bool_or(l_discount > 0.09)      AS any_deep_discount,
+           bool_and(l_shipdate >= TIMESTAMP '1992-01-01') AS all_shipped_modern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (``bool_and``/``bool_or`` a.k.a.
+    every/any): per-group invariant checks — the data-quality
+    assertion shape a pipeline runs on every ingest batch.
+
+    Short-circuit-friendly algebraic aggregates: partial AND/OR
+    map-side, single boolean per group shuffled.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(
+            F.col("l_shipdate") >= F.lit("1992-01-01").cast("timestamp_ntz")
+        ).alias("all_shipped_modern"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

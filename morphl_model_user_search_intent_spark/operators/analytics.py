@@ -1,0 +1,263 @@
+"""User-behavior analytics operators over the events stream.
+
+The reference's domain is predicting user behavior from event-shaped
+data (SURVEY.md §1.1: per-(date, query, page) search metrics feeding
+churn/shopping-stage/search-intent models).  These are the standard
+behavioral queries such a pipeline runs upstream of any model: ordered
+funnels, cohort retention, and gap-filled time series.  All three are
+pure DataFrame compositions — one shuffle on ``user_id`` (funnel,
+retention) or the window bucket (gap-fill), no Python in the loop —
+and all are fully DuckDB-oracle-checked.
+
+Scale notes per operator are in the docstrings; the common property is
+that state is bounded per user / per bucket, so the plans survive a
+100 TB events table as long as ``user_id`` is not pathologically
+skewed (AQE skew splitting covers the join sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts >= u.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN u.s_ts    IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: how many users reach
+    each stage, with stage N+1 required to happen at-or-after the
+    user's first stage-N event.
+
+    Plan: three aggregations on ``user_id`` + two joins, all sharing
+    the same hash partitioning (one logical shuffle re-used); the
+    per-user state is three timestamps.  The per-stage candidate sets
+    shrink monotonically, so each successive join is smaller — at
+    scale the later stages are broadcast-able and AQE does exactly
+    that at runtime.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        )
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u.filter(F.col("s_ts").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .when(F.col("s_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(stage.alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct-user counts per (cohort day, days-since-cohort offset).
+
+    Plan: first-activity agg on ``user_id``, joined back to the fact
+    (both sides partitioned on user_id — AQE elides one exchange),
+    then an exact distinct on (cohort, offset, user) which hash-spreads
+    across all three columns before the final count: no hot reducer
+    even when one cohort day dominates.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q_events_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.bucket, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series: a dense hour × event_type spine
+    with zero-filled counts — the shape every downstream forecasting /
+    anomaly model wants (missing buckets are information, not absence).
+
+    Plan: the spine is generated from a 1-row min/max aggregate via
+    ``sequence`` + ``explode`` (driver never materializes it), cross-
+    joined with the tiny distinct-types side, then a broadcast-able
+    left join against the real hourly aggregate.  Spine size is
+    hours×types — independent of event count, so at 100 TB the spine
+    is still a few-MB broadcast side.
+    """
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_session_window_batch",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                       >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` in BATCH mode — the same operator
+    the streaming twin (q_stream_session_window) runs, oracle-checked
+    here against the independent lag-gap algorithm of q_sessionize.
+
+    Semantics pinned by the oracle: an event extends the session iff
+    it lands strictly inside [prev_ts, prev_ts + 30 min) — a gap of
+    exactly 30:00.000000 starts a NEW session (hence ``>=`` in the
+    oracle's flag, where q_sessionize's convention is ``>``); the
+    emitted session end is last_ts + gap, Spark's definition.
+
+    Two independent implementations (built-in merging-window operator
+    vs window-function algorithm) agreeing cell-for-cell is the
+    strongest correctness statement the engine makes about
+    sessionization.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

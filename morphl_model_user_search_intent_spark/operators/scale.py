@@ -106,6 +106,188 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_quantity,
+             ((l_orderkey % 1000000) * 2654435761
+              + l_linenumber * 7919) % 4294967296 AS hv
+      FROM lineitem
+    )
+    SELECT CASE WHEN hv < 3435973836 THEN 'train'
+                WHEN hv < 3865470565 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM h
+    GROUP BY 1
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) via a
+    Knuth multiplicative hash of the row's natural key — the
+    reproducible-sampling primitive a training-data pipeline needs.
+
+    ``df.sample``/``randomSplit`` are seed-dependent AND
+    partition-layout-dependent: repartition the input and the split
+    membership changes.  Hashing the natural key is stable across
+    engines, runs, partitionings, and incremental re-ingests (a row's
+    split never changes when new data arrives) — which is why the
+    exact same arithmetic runs in DuckDB and hash-matches.  The
+    modulus keeps every intermediate below 2^52, exact in both
+    engines' BIGINT (and even in doubles).
+
+    Thresholds: 0.8 * 2^32 = 3435973836.8 → floor; 0.9 * 2^32 =
+    3865470566.4 → floor.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    hv = (
+        (F.col("l_orderkey") % 1_000_000) * F.lit(2654435761)
+        + F.col("l_linenumber") * 7919
+    ) % F.lit(4294967296)
+    split = (
+        F.when(hv < 3435973836, "train")
+        .when(hv < 3865470565, "val")
+        .otherwise("test")
+    )
+    return (
+        li.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+N_JOIN_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    unique_col: str,
+    n: int = N_JOIN_SALT,
+) -> DataFrame:
+    """Skew-proof equi-join: shard the big side's hot keys n ways and
+    replicate the small side once per shard, so no single task owns a
+    whole hot key.
+
+    Use when the small side is too big to broadcast AND the big side's
+    join key is skewed beyond what AQE's split threshold handles (AQE
+    splits a skewed partition, but every split still re-reads the same
+    unsplittable small-side partition).  The salt is a deterministic
+    hash of ``unique_col`` (not ``rand()``) so speculative/retried
+    tasks route rows identically.  Cost: small side × n.
+    """
+    big_s = big.withColumn(
+        "_jsalt", F.pmod(F.xxhash64(unique_col), F.lit(n)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_jsalt", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+    )
+    return big_s.join(small_s, [key, "_jsalt"]).drop("_jsalt")
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value * w.weight AS DECIMAL(27,6)))
+                AS DOUBLE) AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 0.5), ('view', 0.1), ('purchase', 5.0),
+                 ('signup', 2.0), ('error', 0.0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join demonstrated on the textbook skew shape: a 100k-row
+    fact whose join key has FIVE distinct values (event_type) joined
+    to a per-type weight table.
+
+    A plain shuffle join puts ~20% of the fact table on each of 5
+    reducers no matter how many executors exist; :func:`salted_join`
+    spreads each type over 8 shards (40 evenly-loaded tasks).  The
+    ``merge`` hint forces the shuffle path — at fixture scale Catalyst
+    would broadcast the 5-row side, which is the right plan when the
+    small side fits; salting is the documented fallback when it does
+    not.  Result is bit-identical to the unsalted join (the oracle).
+    """
+    ev = table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(
+        [
+            ("click", 0.5),
+            ("view", 0.1),
+            ("purchase", 5.0),
+            ("signup", 2.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    ).hint("merge")
+    joined = salted_join(ev, weights, "event_type", "event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("weighted_value"),
+    )
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned Parquet sink + partition-pruned read-back —
+    the storage layout the 100 TB events table actually uses
+    (SURVEY.md §4: partition events by date; Cassandra's date-keyed
+    rows re-expressed as Hive-style partitions).
+
+    Writes events once as ``event_date=YYYY-MM-DD/`` directories under
+    scratch, then reads back with a 3-day filter: the filter binds to
+    partition VALUES (directory pruning — ``PartitionFilters`` in the
+    plan, gated in tests/test_plans.py), so the scan touches 3 of 30
+    directories and the other 90% of the data is never opened.  The
+    oracle aggregates the original un-partitioned parquet: the
+    round-trip through the partitioned layout must be lossless.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    path = os.path.join(SCRATCH, f"part-events-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    return back.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
     "q_join_bucketed",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey,

@@ -1,0 +1,63 @@
+"""The SQL-string entry point (``spark.sql``) — proof that the engine's
+surface is not only the DataFrame API.
+
+The reference drives Spark through DataFrame code only (SURVEY.md §3);
+this engine additionally exposes the tables as views and accepts ANSI
+SQL directly.  The two queries below are registered with the SAME text
+as both the Spark query and the DuckDB oracle — one string, two
+engines, hash-identical results — which pins the engine's SQL dialect
+to the portable ANSI subset (explicit CASTs, DATE literals, window
+frames spelled out).
+
+At scale nothing changes: ``spark.sql`` builds the identical Catalyst
+logical plan the DataFrame API would, so every §4 optimization
+(pushdown, AQE, broadcast) applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import table
+from .registry import register
+
+# ANSI-portable: runs verbatim in Spark SQL AND DuckDB.
+_SQL_AGG = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY o_orderpriority
+"""
+
+_SQL_WINDOW = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(rank() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+           ) AS BIGINT) AS bal_rank
+    FROM customer
+    WHERE c_acctbal > 9000.0
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register("q_sql_agg", oracle=_SQL_AGG)
+def q_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregate submitted as a raw SQL string — the text IS
+    the oracle (shared verbatim with DuckDB)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_AGG)
+
+
+@register("q_sql_window", oracle=_SQL_WINDOW)
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank submitted as a raw SQL string (shared verbatim with
+    DuckDB; unique-key tie-break keeps rank deterministic)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_SQL_WINDOW)

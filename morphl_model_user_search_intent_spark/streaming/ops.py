@@ -135,6 +135,54 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_session_sink", "append")
 
 
+@register("q_stream_join", oracle=None)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click joined to the purchases of
+    the same user within the following hour — both sides unbounded
+    streams, both watermarked so the join state (buffered unmatched
+    rows) is evicted once the time-range condition can no longer
+    match.  Without the range condition + watermarks this state grows
+    forever; with them it is bounded by one hour of traffic per side,
+    which is the property that survives a 100 TB/day stream.
+
+    Batch twin: the identical join over the static events table
+    (asserted row-for-row in tests/test_streaming.py).
+    """
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "click_id", "purchase_id", "c_user_id", "click_ts", "purchase_ts"
+    )
+    return _run_to_memory(joined, "stream_join_sink", "append")
+
+
 @register("q_stream_stateful", oracle=None)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user event count via

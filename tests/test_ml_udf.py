@@ -84,3 +84,17 @@ def test_crossval_selects_from_grid(spark):
     assert rows[0].best_reg_param in {0.01, 0.5}
     for r in rows:
         assert 0.0 <= r.mean_f1 <= 1.0
+
+
+def test_kmeans_partitions_space_deterministically(spark):
+    from morphl_model_user_search_intent_spark.io import table as _table
+
+    a = REGISTRY["q_ml_kmeans"].fn(spark, SF_DIR).collect()
+    n_total = _table(spark, SF_DIR, "embeddings").count()
+    assert len(a) == 10  # k clusters, none empty
+    assert sum(r.n_members for r in a) == n_total  # full coverage
+    assert all(r.mean_dist > 0 for r in a)
+    b = REGISTRY["q_ml_kmeans"].fn(spark, SF_DIR).collect()  # seeded rerun
+    assert sorted((r.cluster, r.n_members, r.mean_dist) for r in a) == sorted(
+        (r.cluster, r.n_members, r.mean_dist) for r in b
+    )

@@ -87,6 +87,32 @@ def test_no_python_udf_in_relational_core(spark):
         )
 
 
+def test_partitioned_sink_prunes_partitions(spark):
+    # the 3-day filter must bind to partition VALUES (directory
+    # pruning), not row-level filters: 3 of 30 date dirs scanned.
+    df = _df(spark, "q_sink_partitioned")
+    plan = explain_str(df)
+    assert "PartitionFilters:" in plan and "event_date" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+
+def test_gapfill_spine_broadcasts(spark):
+    # the dense spine side is tiny (hours × types) and must broadcast
+    # into the hourly aggregate, never the other way around.
+    plan = explain_str(_df(spark, "q_events_gapfill"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    # the merge hint + salt must yield a shuffle keyed on BOTH the
+    # join key and the salt shard — that key spread is the point.
+    plan = explain_str(_df(spark, "q_join_salted"))
+    assert "_jsalt" in plan
+    assert "SortMergeJoin" in explain_str(_df(spark, "q_join_salted"), "simple")
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     # bucket i joins bucket i: SMJ with zero Exchange on either input,
     # and the groupBy on the join key rides the same partitioning.

@@ -55,6 +55,32 @@ def test_session_window_matches_batch_sessionizer(spark):
     assert len(s) >= 0.9 * len(b)
 
 
+def test_stream_join_matches_batch_twin(spark):
+    import pyspark.sql.functions as F
+
+    out = REGISTRY["q_stream_join"].fn(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    s = {(r.click_id, r.purchase_id) for r in out.collect()}
+    b = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert s == b  # single availableNow batch: nothing held back
+
+
 def test_stateful_running_count_final_equals_batch(spark):
     out = REGISTRY["q_stream_stateful"].fn(spark, SF_DIR)
     import pyspark.sql.functions as F
