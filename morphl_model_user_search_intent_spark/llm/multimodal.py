@@ -139,3 +139,64 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fake/img").alias("fmt"),
     )
     return binary.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
+
+
+# Frame-sampling contract: 1 payload row in → N sampled-frame rows out.
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset int, frame_bytes int, "
+    "resized_w int, resized_h int"
+)
+
+_FRAME_SIZE = 256  # bytes per pseudo-frame
+_SAMPLE_EVERY = 4  # keep every 4th frame
+_TARGET_W, _TARGET_H = 224, 224  # "resize" target
+
+
+def _frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame-sampler + resizer for opaque video payloads.
+
+    STUB like :func:`_decode_batch` (no ffmpeg in this container): the
+    payload is treated as a fixed-rate byte stream of 256-byte
+    "frames"; every 4th frame is sampled and "resized" to a fixed
+    224×224 target.  The production body swaps byte-slicing for real
+    frame extraction — the Spark contract (fan-out row multiplicity,
+    schema, batch iteration) is exactly what ships.
+    """
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "frame_idx", "frame_offset", "frame_bytes",
+            "resized_w", "resized_h",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // _FRAME_SIZE)
+            for idx in range(0, n_frames, _SAMPLE_EVERY):
+                chunk = payload[idx * _FRAME_SIZE:(idx + 1) * _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_offset"].append(idx * _FRAME_SIZE)
+                out["frame_bytes"].append(len(chunk))
+                out["resized_w"].append(_TARGET_W)
+                out["resized_h"].append(_TARGET_H)
+        yield pd.DataFrame(out)
+
+
+@register("q_multimodal_frames", oracle=None)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over opaque video-like payloads (rows-only): the
+    1-row-in → N-frame-rows-out fan-out via ``mapInPandas``, the shape
+    a video training-data pipeline runs before per-frame featurizers.
+
+    Scale posture: fan-out multiplies row count ×(frames/sample-rate),
+    so this stage must run AFTER any filtering joins and BEFORE
+    repartitioning for the downstream featurizer; the binary column is
+    selected only here (pruned everywhere else), and output batches
+    stay bounded because each input batch contributes ≤
+    batch_rows × max_frames rows streamed through Arrow.
+    """
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(_frame_sample_batch, schema=_FRAME_SCHEMA)

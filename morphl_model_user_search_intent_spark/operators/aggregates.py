@@ -386,3 +386,37 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("all_shipped_modern"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register("q_sketch_hll", oracle=None)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketches as first-class state (Spark 3.5+
+    DataSketches): build one HLL per day over user_id, then MERGE the
+    daily sketches into a month total — the pre-aggregation pattern
+    that answers "distinct users over any date range" from kilobytes
+    of sketch instead of re-scanning 100 TB of raw events.
+
+    Output: per-day approx vs exact distinct counts plus one 'TOTAL'
+    row whose approx comes only from the sketch union.  Rows-only
+    (sketch estimates are engine-specific); the pytest gate bounds the
+    relative error at lgK=12's theoretical ±1.6% (3σ).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "exact_users",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+    ).select(F.lit("TOTAL").alias("day"), "approx_users", "exact_users")
+    return per_day.unionByName(total)

@@ -363,3 +363,124 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_orderpriority,
+             o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'NEW-ROW',
+             o_totalprice * 0.5
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+           CAST(COALESCE(u.new_price, b.o_totalprice) AS DOUBLE) AS price
+    FROM orders b
+    FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (update-matched + insert-unmatched) as a
+    full outer join + COALESCE — the Spark-native stand-in for the
+    reference's Cassandra feature write-back, where every write IS an
+    upsert (SURVEY.md §3.1 stage 2: computed features upserted by
+    key).
+
+    The updates side is derived deterministically from the base (every
+    7th key re-priced, every 1000th key inserted as a new row) so the
+    operator is fully oracle-checked.  Shape: one shuffle on the merge
+    key for each side; at scale the base side keeps its bucketed
+    layout (q_join_bucketed) so only the delta shuffles — the
+    classic incremental-upsert plan.  The single multiply per row is
+    IEEE-deterministic cross-engine (no reassociation), so no decimal
+    discipline is needed.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_key"),
+            F.col("o_orderpriority").alias("u_prio"),
+            (F.col("o_totalprice") * 1.1).alias("new_price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("u_key"),
+                F.lit("NEW-ROW").alias("u_prio"),
+                (F.col("o_totalprice") * 0.5).alias("new_price"),
+            )
+        )
+    )
+    return (
+        o.join(upd, o.o_orderkey == upd.u_key, "full")
+        .select(
+            F.coalesce("u_key", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("u_prio", "o_orderpriority").alias(
+                "o_orderpriority"
+            ),
+            F.coalesce("new_price", "o_totalprice")
+            .cast("double")
+            .alias("price"),
+        )
+    )
+
+
+@register(
+    "q_sink_sorted",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-07-01'
+    GROUP BY 1
+    """,
+)
+def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered Parquet layout: lineitem range-partitioned AND
+    sorted by ship date, then read back with a one-month filter.
+
+    ``repartitionByRange(shipdate).sortWithinPartitions(shipdate)``
+    gives every output file a narrow min/max shipdate span, so the
+    pushed-down filter (verified in PushedFilters) lets the Parquet
+    reader skip whole files/row-groups on footer stats — the
+    time-series clustering that turns a 100 TB scan into a
+    read-only-June scan without Hive partitioning's directory
+    explosion (complementary to q_sink_partitioned's date dirs:
+    cluster WITHIN coarser partitions).  Oracle aggregates the
+    original table — the re-layout must be lossless.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    path = os.path.join(SCRATCH, f"sorted-lineitem-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_shipdate", "l_quantity")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    return back.groupBy(
+        F.col("l_shipdate").cast("date").alias("ship_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -214,3 +214,44 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "stream_stateful_sink", "update")
+
+
+@register("q_stream_foreach_batch", oracle=None)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: the escape hatch that connects streaming
+    to ANY batch writer — here each micro-batch atomically refreshes a
+    parquet "serving table" of per-type event counts (complete-mode
+    aggregate → overwrite), the pattern used in production for sinks
+    with no native streaming connector (JDBC, Cassandra-style upsert
+    stores: the reference's serving layer).
+
+    Batch twin: plain groupBy counts over the static table (asserted
+    in tests).  State: the aggregate is the only state; the sink write
+    is idempotent per batch (overwrite), so replays are safe.
+    """
+    import os
+    import shutil
+
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(SCRATCH, f"fb-counts-{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+    def refresh_serving_table(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(refresh_serving_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(out_dir)

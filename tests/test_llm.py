@@ -102,3 +102,45 @@ def test_fingerprint_groups_cover_planted_pairs(spark):
     by_doc = {r.doc_id: r.fp for r in fps}
     hit = sum(1 for a, b in exact if by_doc[a] == by_doc[b])
     assert hit >= 0.8 * len(exact)
+
+
+def test_hll_sketch_error_bounded(spark):
+    rows = REGISTRY["q_sketch_hll"].fn(spark, SF_DIR).collect()
+    per_day = [r for r in rows if r.day != "TOTAL"]
+    total = [r for r in rows if r.day == "TOTAL"]
+    assert per_day and len(total) == 1
+    for r in per_day:
+        assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users
+    from morphl_model_user_search_intent_spark.io import table as _table
+    import pyspark.sql.functions as F
+
+    exact_total = (
+        _table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert abs(total[0].approx_users - exact_total) <= 0.05 * exact_total
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    import pyspark.sql.functions as F
+    from morphl_model_user_search_intent_spark.io import table as _table
+
+    out = REGISTRY["q_multimodal_frames"].fn(spark, SF_DIR)
+    rows = out.collect()
+    docs = {
+        r.doc_id: r.n
+        for r in _table(spark, SF_DIR, "documents")
+        .select("doc_id", F.length(F.encode("text", "utf-8")).alias("n"))
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)  # every doc sampled
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_offset == r.frame_idx * 256
+        assert r.frame_idx % 4 == 0
+        assert (r.resized_w, r.resized_h) == (224, 224)
+        assert 0 < r.frame_bytes <= 256
+    for doc_id, frames in per_doc.items():
+        n_frames = max(1, docs[doc_id] // 256)
+        expected = len(range(0, n_frames, 4))
+        assert len(frames) == expected, doc_id

@@ -100,3 +100,20 @@ def test_stateful_running_count_final_equals_batch(spark):
     assert final
     for r in final:
         assert batch[r.user_id] == r.n
+
+
+def test_foreach_batch_serving_table_matches_batch(spark):
+    import pyspark.sql.functions as F
+
+    out = {
+        r.event_type: r.n_events
+        for r in REGISTRY["q_stream_foreach_batch"].fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
