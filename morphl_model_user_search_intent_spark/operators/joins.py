@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum
+from ..functions.exact import dsum, lsum, units
 from ..io import table
 from ..registry import register
 
@@ -89,7 +89,7 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+           (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -102,7 +102,8 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both dims broadcast; the only shuffle is customer⋈orders (and the
     final 25-group aggregate).  Catalyst is free to reorder the
-    broadcast steps.
+    broadcast steps.  Revenue sums exact cents (scaled-long fast
+    path).
     """
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
@@ -115,7 +116,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "revenue"),
+            lsum(units("o_totalprice", 100), 100, "revenue"),
         )
     )
 
@@ -124,7 +125,9 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_unshipped",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            / 10000.0) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -141,7 +144,9 @@ def q_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 / TPC-H-Q3 shape: top-10 unshipped revenue.
 
     Filters push to both scans before the joins; the final top-10 is
-    TakeOrderedAndProject (no global sort).
+    TakeOrderedAndProject (no global sort).  Revenue runs on the
+    scaled-long fast path (cents × discount-pct as exact 1e-4-dollar
+    integer units, one division at the end).
     """
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -152,12 +157,12 @@ def q_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = units("l_extendedprice", 100) * (100 - units("l_discount", 100))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(rev, "revenue"))
+        .agg(lsum(rev_u, 10000, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
