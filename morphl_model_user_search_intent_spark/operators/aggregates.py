@@ -438,3 +438,100 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
     ).select(F.lit("TOTAL").alias("day"), "approx_users", "exact_users")
     return per_day.unionByName(total)
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(MIN(floor(o_totalprice / 50000) * 50000) AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the data-profiling primitive): bucket =
+    floor(price / width).  A single hash aggregate over computed
+    buckets — fully partial-aggregated map-side, so profiling a
+    100 TB column costs one scan + a |buckets|-row shuffle."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.min(F.floor(F.col("o_totalprice") / 50000) * 50000)
+        .cast("double")
+        .alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE),
+           CAST(MAX(o_orderkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary (ANALYZE-style): per-column non-null /
+    distinct / min / max in ONE pass over the table — the statistics
+    the optimizer's CBO and a data-quality dashboard both need.
+
+    Spark shape: a single wide aggregate computes all columns' stats
+    together (one scan), then unpivots to the per-column row layout.
+    The exact distincts expand via Catalyst's Expand operator — at
+    100 TB swap `countDistinct` for `approx_count_distinct` (the
+    q_agg_approx path) to keep it one cheap pass.
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("mn_custkey"),
+        F.max("o_custkey").cast("double").alias("mx_custkey"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_totalprice"),
+        F.min("o_totalprice").cast("double").alias("mn_totalprice"),
+        F.max("o_totalprice").cast("double").alias("mx_totalprice"),
+        F.count("o_orderkey").alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").alias("nd_orderkey"),
+        F.min("o_orderkey").cast("double").alias("mn_orderkey"),
+        F.max("o_orderkey").cast("double").alias("mx_orderkey"),
+    )
+    rows = [
+        ("o_custkey", "custkey"),
+        ("o_totalprice", "totalprice"),
+        ("o_orderkey", "orderkey"),
+    ]
+    stacked = wide.selectExpr(
+        "stack({n}, {args}) as (col, n_nonnull, n_distinct, min_val, max_val)".format(
+            n=len(rows),
+            args=", ".join(
+                f"'{name}', nn_{suf}, nd_{suf}, mn_{suf}, mx_{suf}"
+                for name, suf in rows
+            ),
+        )
+    )
+    return stacked

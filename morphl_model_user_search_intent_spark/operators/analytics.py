@@ -261,3 +261,50 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "q_win_trailing_1h",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           (SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            / 100.0) AS trailing_1h_value,
+           CAST(COUNT(*) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_events
+    FROM events
+    WHERE user_id < 20
+    """,
+)
+def q_win_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing window: per event, the value/count of the
+    SAME user's events in the preceding hour (inclusive) — the
+    rolling-feature shape (trailing spend, rolling error rate) a
+    behavior model consumes per event.
+
+    Spark has no interval RANGE frame on timestamps, so the frame
+    orders by exact microsecond longs (`unix_micros`) with a
+    3.6e9-µs preceding bound — semantically identical to an interval
+    frame, and the oracle mirrors it with `epoch_us`.  One shuffle on
+    user_id; per-user state is the hour's peers (bounded by event
+    rate), the property that holds at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vu = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(vu).over(w) / F.lit(100.0)).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )

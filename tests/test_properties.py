@@ -90,3 +90,63 @@ def test_semi_plus_anti_partition_left(spark, rows):
     semi = df.join(right, "k", "left_semi").count()
     anti = df.join(right, "k", "left_anti").count()
     assert semi + anti == df.count()
+
+
+cents_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # group key
+        # a 2-dp fixed-point value, constructed from exact cents
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=cents_strategy)
+@_settings
+def test_scaled_long_sum_equals_decimal_sum(spark, rows):
+    # The two exact-aggregation disciplines (functions/exact.py) must
+    # agree bit-for-bit on any 2-dp fixed-point column.
+    from morphl_model_user_search_intent_spark.functions.exact import (
+        dsum,
+        lsum,
+        units,
+    )
+
+    df = spark.createDataFrame(
+        [(k, c / 100.0) for k, c in rows], "k int, x double"
+    )
+    got = (
+        df.groupBy("k")
+        .agg(
+            lsum(units("x", 100), 100, "fast"),
+            dsum("x", "general"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.fast == r.general, (r.k, r.fast, r.general)
+
+
+@given(rows=cents_strategy)
+@_settings
+def test_salted_join_equals_plain_join(spark, rows):
+    from morphl_model_user_search_intent_spark.operators.scale import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, c, i) for i, (k, c) in enumerate(rows)], "k int, v long, uid long"
+    )
+    small = spark.createDataFrame(
+        [(k, k * 10) for k in range(5)], "k int, w int"
+    )
+    plain = sorted(
+        (r.k, r.v, r.w) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.w)
+        for r in salted_join(big, small, "k", "uid", n=4).collect()
+    )
+    assert salted == plain
