@@ -535,3 +535,107 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked
+
+
+@register(
+    "q_having_in",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           (SUM(CAST(round(l.l_quantity) AS BIGINT)) / 1.0) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 180
+    )
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    """,
+)
+def q_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: orders whose total line quantity exceeds a
+    threshold — HAVING on an aggregate feeding an IN-subquery
+    (aggregate → filter → semi join back to the fact).
+
+    Spark shape: the HAVING subquery is an aggregate + filter whose
+    result semi-joins orders (left_semi — the IN), then the surviving
+    orders re-join lineitem for the final per-order totals.  Both
+    joins and both aggregates share the orderkey hash partitioning, so
+    AQE collapses the exchanges; the HAVING filter shrinks the semi
+    side to a broadcast-able survivor set at any scale where the
+    threshold is selective.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    qty_u = units("l_quantity", 1)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_u).alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(lsum(qty_u, 1, "total_qty"))
+    )
+
+
+@register("q_agg_approx_quantile", oracle=None)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to the
+    exact answers: p50/p95/p99 of order totals per priority class.
+
+    Rows-only (sketch results are engine-specific); the pytest gate
+    bounds |approx − exact| by the sketch's rank-error guarantee.
+    Scale: the GK sketch is O(1/ε · log εN) state per group vs a full
+    sort for exact percentiles — the only viable path at 100 TB, same
+    pattern as q_agg_approx / q_sketch_hll.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 1000
+        ).alias("approx_pcts"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("exact_pcts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_bitmap",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregation (Spark 3.5+
+    ``bitmap_construct_agg``/``bitmap_or_agg``): each 32k-key bucket
+    becomes one fixed-size bitmap, partials OR together — a mergeable,
+    re-aggregatable exact-distinct state (the exact-answer sibling of
+    q_sketch_hll's approximate sketches).
+
+    Two-level plan: per (group, bucket) construct bitmaps from the
+    key's low bits, then OR the buckets and sum popcounts per group.
+    The shuffle carries |groups| × |buckets| fixed 4 KB bitmaps, not
+    per-row keys — at 100 TB that is the difference between shuffling
+    1e12 keys and a few MB of bitmap state.  The oracle is the plain
+    COUNT(DISTINCT): the bitmap pipeline must reproduce it exactly.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucketed = o.select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    per_bucket = bucketed.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_cust")
+    )

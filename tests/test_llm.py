@@ -144,3 +144,13 @@ def test_multimodal_frame_sampling_fanout(spark):
         n_frames = max(1, docs[doc_id] // 256)
         expected = len(range(0, n_frames, 4))
         assert len(frames) == expected, doc_id
+
+
+def test_approx_quantile_error_bounded(spark):
+    rows = REGISTRY["q_agg_approx_quantile"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # GK accuracy=1000 → rank error ≤ n/1000; translate to a loose
+        # value tolerance via the observed spread.
+        for a, e in zip(r.approx_pcts, r.exact_pcts):
+            assert abs(a - e) <= 0.05 * max(abs(e), 1.0), (r.o_orderpriority, a, e)
