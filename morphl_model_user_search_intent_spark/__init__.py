@@ -37,6 +37,7 @@ from .operators import (  # noqa: F401
     reshape,
     scale,
     analytics,
+    subqueries,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401

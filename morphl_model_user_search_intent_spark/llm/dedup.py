@@ -30,25 +30,11 @@ from ..text.analysis import tokens
 
 _JACCARD_TAU = 0.5
 
-
-def _shingles(n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the trimmed text."""
-    t = tokens()
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(t, i + off) for off in range(n)],
-            ),
-        )
-    )
-
-
-@register(
-    "q_dedup_jaccard",
-    oracle=f"""
-    WITH sh AS (
+# Shared DuckDB CTE block: exact 3-shingle Jaccard pairs above τ.
+# q_dedup_jaccard selects from it directly; q_dedup_clusters builds a
+# recursive reachability query on top of the same pair set.
+_PAIRS_CTE = f"""
+    sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(string_split(trim(text), ' ')) - 1),
                i -> string_split(trim(text), ' ')[i] || ' ' ||
@@ -64,25 +50,37 @@ def _shingles(n: int = 3) -> F.Column:
       FROM sh a JOIN sh b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            > {_JACCARD_TAU}
     )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
-          > {_JACCARD_TAU}
-    """,
-)
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard near-dup pairs above τ=0.5.
+"""
 
-    Inverted-index candidate generation: explode distinct shingles,
-    self-join on the shingle, count shared shingles per pair, compute
-    |A∩B| / (|A|+|B|-|A∩B|).  Hot shingles create join skew — AQE
-    splits them at runtime; the unconditional scale path is
-    q_dedup_minhash.
+
+def _shingles(n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the trimmed text."""
+    t = tokens()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(t, i + off) for off in range(n)],
+            ),
+        )
+    )
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs above τ — shared by
+    q_dedup_jaccard (reported as-is) and q_dedup_clusters (edge set).
     """
     d = table(spark, sf_dir, "documents")
     sh = d.select(
@@ -111,6 +109,102 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .filter(jac > _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH {_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs above τ=0.5.
+
+    Inverted-index candidate generation: explode distinct shingles,
+    self-join on the shingle, count shared shingles per pair, compute
+    |A∩B| / (|A|+|B|-|A∩B|).  Hot shingles create join skew — AQE
+    splits them at runtime; the unconditional scale path is
+    q_dedup_minhash.
+    """
+    return jaccard_pairs(spark, sf_dir)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, edges.dst
+      FROM reach JOIN edges ON edges.src = reach.r
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           (node = MIN(r)) AS is_canonical
+    FROM reach
+    GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: connected components over the Jaccard
+    pair graph, labeling every duplicate doc with its cluster's
+    minimum doc_id — the step after pair detection in an LLM dedup
+    pipeline (keep one canonical doc per cluster, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds (cluster diameters here are tiny; the
+    large-star/small-star variant of Kiveris et al. cuts this to
+    O(log n) rounds for adversarial graphs — same join/agg building
+    blocks).  Each round is one shuffle join + one hash aggregate on
+    the EDGE set only (not the corpus); `localCheckpoint` truncates
+    the growing lineage so round N's plan doesn't replay rounds
+    1..N-1.  The driver-side loop only inspects a scalar
+    changed-count; all data stays distributed.  Oracle: recursive
+    reachability CTE computing MIN(reachable id) per node.
+    """
+    pairs = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(50):  # diameter bound; planted clusters converge in ≤3
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("neighbor_min"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                "lbl",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("neighbor_min"), F.col("lbl")),
+                ).alias("new_lbl"),
+            )
+            .localCheckpoint()
+        )
+        if updated.filter(F.col("new_lbl") < F.col("lbl")).isEmpty():
+            break
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+    return updated.select(
+        F.col("node").alias("doc_id"),
+        F.col("new_lbl").alias("cluster_id"),
+        (F.col("node") == F.col("new_lbl")).alias("is_canonical"),
     )
 
 

@@ -308,3 +308,75 @@ def q_win_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(vu).over(w) / F.lit(100.0)).alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, hour, n_events,
+             SUM(n_events) OVER w AS s,
+             SUM(n_events * n_events) OVER w AS ss,
+             CAST(COUNT(*) OVER w AS BIGINT) AS m
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n_events,
+           round((n_events - s / m)
+                 / sqrt((ss - (s * s) / m) / (m - 1)), 6) AS zscore
+    FROM trail
+    WHERE m >= 12 AND (ss - (s * s) / m) / (m - 1) > 0
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the event stream: each
+    (event_type, hour) bucket scored against the trailing 24 hours'
+    mean/stddev — the ops-monitoring query a behavioral pipeline runs
+    over its own ingest (error spikes, traffic cliffs).
+
+    Float discipline: the window carries only exact integer moments
+    (Σx, Σx², m over bigint counts); mean and variance come out of
+    one shared arithmetic expression — `(x−s/m)/√((ss−s²/m)/(m−1))` —
+    written identically in both engines, then rounded to 6 dp, so
+    the hash matches despite being derived statistics.  Scale: the
+    hourly pre-aggregation collapses the raw stream map-side; the
+    window state is 25 rows per event_type — O(1) memory however
+    large the stream.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    x = F.col("n_events")
+    trailing = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.sum(x).over(w).alias("s"),
+        F.sum(x * x).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    s, ss, m = F.col("s"), F.col("ss"), F.col("m")
+    var = (ss - (s * s) / m) / (m - 1)
+    return (
+        trailing.filter((m >= 12) & (var > 0))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round((x - s / m) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )

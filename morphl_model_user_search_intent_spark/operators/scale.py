@@ -12,9 +12,10 @@ DuckDB-oracle-checked against the plain GROUP BY.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import lsum, units
 from ..io import table
 from ..registry import register
 
@@ -483,4 +484,197 @@ def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(27,6)"))
         .cast("double")
         .alias("sum_qty"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, n_chars,
+             (doc_id * 2654435761) % 4294967296 AS hv
+      FROM documents
+    )
+    WHERE hv < CASE lang
+      WHEN 'en' THEN 4294967296
+      WHEN 'de' THEN 2147483648
+      WHEN 'es' THEN 1073741824
+      WHEN 'fr' THEN  536870912
+      ELSE            268435456 END
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data *mixture*
+    primitive: keep 100% of `en`, 50% `de`, 25% `es`, 12.5% `fr`,
+    6.25% `zh` documents.
+
+    ``sampleBy`` uses ``rand()`` (retried tasks resample → flaky at
+    scale); instead the keep/drop decision is a pure function of the
+    row key — Knuth multiplicative hash of ``doc_id`` compared to a
+    per-stratum threshold in [0, 2^32).  Embarrassingly parallel: a
+    scan-local filter, no shuffle, no driver state, reproducible
+    across retries/speculation/engines — which is why the same
+    arithmetic runs verbatim as the DuckDB oracle.
+    """
+    rate_threshold = {
+        "en": 4294967296,
+        "de": 2147483648,
+        "es": 1073741824,
+        "fr": 536870912,
+        "zh": 268435456,
+    }
+    d = table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit(rate_threshold["en"]))
+    for lang in ("de", "es", "fr"):
+        thr = thr.when(F.col("lang") == lang, F.lit(rate_threshold[lang]))
+    thr = thr.otherwise(F.lit(rate_threshold["zh"]))
+    hv = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        d.filter(hv < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log → SCD type-2 dimension: compact each user's event
+    stream to the rows where ``event_type`` actually changed, then
+    emit versioned validity intervals (valid_from / valid_to /
+    version / is_current) — the warehouse pattern for tracking
+    attribute history (the reference family's per-user behavioral
+    state in Cassandra, re-expressed as an auditable interval table).
+
+    Two window passes over the SAME (user_id, ts, event_id)
+    partitioning+ordering: lag() marks changes, lead()+row_number()
+    build intervals over the survivors — one shuffle total, Spark
+    reuses the sort for both windows and the deterministic event_id
+    tie-break keeps both engines identical.  At 100 TB the pattern
+    holds: state per user is one sort run, no driver involvement.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two ``bits``-bit columns.
+
+    Bit i of x lands at position 2i, bit i of y at 2i+1 — pure
+    shift/mask arithmetic that whole-stage codegen compiles to
+    branch-free longs (no UDF).
+    """
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@register(
+    "q_sink_zorder",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey % 16 = 3
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered Parquet layout: orders laid out along a
+    Morton curve over (custkey, order day), then read back with a
+    two-dimensional filter.
+
+    Range-partitioning on ONE key (q_sink_sorted) only prunes filters
+    on that key; interleaving the bits of both keys gives every file
+    a tight min/max box in BOTH dimensions, so customer-slice AND
+    date-slice scans each skip most row groups — the standard
+    multi-dimensional clustering for a 100 TB fact table queried
+    along more than one axis.  The z-value is layout-only (dropped
+    after write); the oracle aggregates the ORIGINAL table, so the
+    re-layout must be lossless.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    path = os.path.join(SCRATCH, f"zorder-orders-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = table(spark, sf_dir, "orders")
+        day = F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint")
+        zval = zorder_key(
+            F.pmod(F.col("o_custkey"), F.lit(65536)),
+            F.pmod(day, F.lit(65536)),
+        )
+        (
+            o.withColumn("_z", zval)
+            .repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.pmod(F.col("o_custkey"), F.lit(16)) == 3)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return back.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        lsum(units("o_totalprice", 100), 100, "sum_price"),
     )

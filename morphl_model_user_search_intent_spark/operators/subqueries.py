@@ -1,0 +1,121 @@
+"""Correlated-subquery shapes (SURVEY.md §2.3/§2.4 tail).
+
+Catalyst decorrelates EXISTS / correlated-scalar subqueries into
+joins; writing the decorrelated form directly in the DataFrame API
+produces the same physical plans the SQL planner would pick, with the
+join keys explicit so the partitioning story at scale is auditable:
+
+* correlated EXISTS  → left-semi hash join on the correlation key
+  (extra non-equi predicates ride along as join conditions);
+* correlated scalar aggregate → aggregate the inner side on the
+  correlation key, then an equi-join back to the outer side — both
+  sides hash-partition on that key, so the agg's shuffle is reused
+  by the join (one Exchange, AQE folds the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import SQL_LSUM, SQL_UNITS, lsum, units
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "q_exists_correlated",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: orders (in a date window) having at least one
+    line shipped more than 60 days after the order date — a correlated
+    EXISTS whose inner predicate references BOTH sides.
+
+    Decorrelated Spark form: left-semi join on the correlation key
+    ``o_orderkey`` with the late-shipment comparison attached to the
+    join condition.  The semi join keeps at most one match per order
+    (no fan-out, no distinct needed) and hash-partitions both fact
+    tables on orderkey — the natural co-partitioning at 100 TB.  The
+    date filter lands on the orders scan (PushedFilters), shrinking
+    the build side before the shuffle.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           {SQL_LSUM(SQL_UNITS("l.l_extendedprice", 100), 100)} AS sum_price
+    FROM lineitem l
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY p.p_brand
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: lines whose quantity is below half the
+    per-part average — a correlated scalar-aggregate subquery
+    (``WHERE l_quantity < 0.5 * (SELECT avg ... WHERE same part)``).
+
+    Decorrelated Spark form: aggregate lineitem by ``l_partkey``, join
+    the 1-row-per-part averages back to lineitem on the same key.  The
+    self-agg and the self-join share the partkey hash partitioning, so
+    the fact table shuffles once and AQE reuses the exchange.  The
+    ``part`` dimension joins after the selective quantity filter (AQE
+    broadcasts it when the post-filter side is small).  The average is
+    decimal-exact then one double division (the engine's davg
+    discipline), so the ``<`` threshold is bit-identical in DuckDB.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            lsum(units("l_extendedprice", 100), 100, "sum_price"),
+        )
+    )

@@ -381,3 +381,68 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q_text_heavyhitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks
+    GROUP BY word
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM toks) / 50.0
+    """,
+)
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (> 1/50 of all tokens) via two-phase
+    Misra-Gries: per-partition streaming summaries propose a small
+    candidate set, then only the candidates are exactly recounted.
+
+    Phase 1 (`mapInPandas`) runs the classic k-counter Misra-Gries
+    sketch over each partition's token stream — O(k) memory, one
+    pass, no shuffle.  The merge guarantee: any word with global
+    count > N/k must exceed n_p/k in at least one partition (else
+    Σ c_p ≤ Σ n_p/k = N/k), and MG(k) always retains such words —
+    so the union of partition candidates is a superset of the true
+    heavy hitters.  Phase 2 recounts ONLY candidate words (left-semi
+    against the broadcast candidate set) and applies the exact
+    threshold, discarding false positives.  At 100 TB the shuffle
+    carries ≤ k·partitions candidate words instead of every token —
+    while the final answer stays exact, which is why the plain
+    GROUP BY ... HAVING is a valid oracle.
+    """
+    import pandas as pd
+
+    K = 50
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.strip().split(" "):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < K:
+                        counters[tok] = 1
+                    else:
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+        yield pd.DataFrame({"word": list(counters)})
+
+    d = table(spark, sf_dir, "documents")
+    cands = d.select("text").mapInPandas(mg_partition, "word string").distinct()
+    toks = d.select(F.explode(tokens()).alias("word"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        toks.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("_total") / F.lit(50.0))
+        .select("word", "n")
+    )
