@@ -303,3 +303,75 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+@register(
+    "q_sim_centroid",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i.i AS pos,
+             CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(0, 64) i(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(val) AS c
+      FROM dims GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+             AS dist_to_centroid
+    FROM embeddings e JOIN cvec c ON c.label = e.label
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid distance: average the 64-dim embeddings per
+    label, then score every vector's Euclidean distance to its own
+    class centroid — the cluster-cohesion / outlier query a labeled
+    embedding corpus gets before training (mislabeled points sit far
+    from their centroid).
+
+    Determinism: centroids use the decimal-exact davg discipline per
+    dimension (order-independent), and the per-vector distance is a
+    sequential left-to-right array fold (zip_with + aggregate) —
+    matching DuckDB's list_distance after 6-dp rounding.  Scale: the
+    posexplode shuffles |rows|·64 (dim, partial) pairs that
+    partial-aggregate map-side to |labels|·64; the centroid table
+    (10×64) broadcasts back — no per-pair cross join anywhere.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("val", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double")
+            / F.count("val")
+        ).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cv",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return e.join(F.broadcast(cvec), "label").select(
+        "vec_id", "label", F.round(dist, 6).alias("dist_to_centroid")
+    )

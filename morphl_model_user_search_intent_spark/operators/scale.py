@@ -678,3 +678,65 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         lsum(units("o_totalprice", 100), 100, "sum_price"),
     )
+
+
+@register(
+    "q_agg_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    a persisted partial-state table for the history (orders before
+    1999) is combined with a freshly-computed delta (1999 onward) —
+    and must equal the full recompute, which is the oracle.
+
+    The state rows are ALGEBRAIC partials (count, exact unit sum) —
+    mergeable by addition, so refresh cost is O(delta + |groups|),
+    never a rescan of history.  This is the 100 TB daily-refresh
+    pattern: yesterday's state + today's partition, with the
+    finalization (one division) applied only at read time.  The
+    scaled-long discipline makes the merge exact: long + long carries
+    no float error regardless of merge order.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+    o = table(spark, sf_dir, "orders")
+    path = os.path.join(SCRATCH, f"aggstate-orders-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.filter(F.col("o_orderdate") < cut)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(units("o_totalprice", 100)).alias("price_units"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    state = spark.read.parquet(path)
+    delta = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(units("o_totalprice", 100)).alias("price_units"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("price_units") / F.lit(100.0)).alias("sum_price"),
+        )
+    )

@@ -446,3 +446,68 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > F.col("_total") / F.lit(50.0))
         .select("word", "n")
     )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT doc_id, word, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf * ln(n.n / df.df), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf * ln(n.n / df.df), 6) DESC, tf.word
+             ) AS BIGINT) AS rank
+      FROM tf JOIN df USING (word) CROSS JOIN n
+      WHERE tf.doc_id < 100
+    ) WHERE rank <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF, pure SQL surface: top-3 terms per document (first
+    100 docs) scored tf·ln(N/df) — the oracle-checked twin of the
+    MLlib HashingTF/IDF stage (q_ml_tfidf), with real words instead of
+    hash buckets.
+
+    Float discipline: tf/df/N are exact integers; the only float ops
+    are one ln, one multiply — identical expression both engines —
+    and ranking happens on the ROUNDED score with a word tie-break,
+    so the top-3 set is engine-stable even when scores collide.
+    Scale: tf and df are partial-aggregated map-side; the df side is
+    |vocab|-sized and broadcasts; nothing shuffles per-token twice.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tfidf = F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", tfidf.alias("tfidf"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )

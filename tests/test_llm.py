@@ -154,3 +154,17 @@ def test_approx_quantile_error_bounded(spark):
         # value tolerance via the observed spread.
         for a, e in zip(r.approx_pcts, r.exact_pcts):
             assert abs(a - e) <= 0.05 * max(abs(e), 1.0), (r.o_orderpriority, a, e)
+
+
+def test_dedup_clusters_group_planted_pairs(spark):
+    pairs = _pairs(spark, "q_dedup_jaccard")
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["q_dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    assert pairs, "fixture should contain planted near-dup pairs"
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    # canonical member is the cluster minimum
+    for doc, cl in labels.items():
+        assert cl <= doc
