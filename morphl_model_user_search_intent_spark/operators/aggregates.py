@@ -639,3 +639,52 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_cust")
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY COUNT(*) DESC, o.o_orderpriority
+             ) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group: the top
+    order priority per market segment, ties broken by priority text —
+    the categorical summary statistic SQL's nondeterministic mode()
+    can't give a stable hash for.
+
+    Count-then-rank: the (segment, priority) counts are a tiny
+    |groups|×|values| frame after map-side partial aggregation, so
+    the ranking window is negligible whatever the fact-table size.
+    The customer dimension broadcasts into the fact scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from pyspark.sql import Window as W
+
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum
+from ..functions.exact import dsum, lsum, units
 from ..io import table
 from ..registry import register
 
@@ -379,4 +379,124 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round((x - s / m) / F.sqrt(var), 6).alias("zscore"),
         )
+    )
+
+
+@register(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p
+    FROM trans
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavior-prediction
+    primitive behind the reference family's next-action models
+    (SURVEY.md §1.1: churn / shopping-stage / search-intent are all
+    next-behavior classifiers over event streams).
+
+    One shuffle on user_id for the lag (sequence order is per-user),
+    then the transition counts collapse map-side to at most
+    |types|² = 25 rows — the matrix normalization is a window over
+    that tiny frame.  Probabilities are integer-count ratios rounded
+    to 6 dp, so both engines hash identically.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq_w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm_w = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(norm_w).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "q_customer_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '2001-08-01') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    canonical churn-model feature table (the reference org's
+    publishers-churning-users model consumes exactly this shape).
+
+    Per-customer base aggregates are one hash agg; the three ntile(5)
+    scores are global windows over the 1-per-customer frame — fine at
+    test scale, and the documented scale path for a global ntile is a
+    2-pass quantile-bucket assignment (percentile_approx thresholds +
+    a broadcast range lookup), same output contract.  Deterministic:
+    every ORDER BY carries the custkey tie-break; monetary uses the
+    exact scaled-long sum.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        lsum(units("o_totalprice", 100), 100, "monetary"),
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
     )

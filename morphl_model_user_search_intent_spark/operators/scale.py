@@ -740,3 +740,39 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("price_units") / F.lit(100.0)).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_sample_pergroup",
+    oracle="""
+    SELECT source, doc_id, lang, n_chars FROM (
+      SELECT source, doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: 3 pseudo-random documents
+    from every source — the eval-set / spot-check primitive (pull a
+    stable handful of examples per corpus slice for human review).
+
+    Ordering by a multiplicative hash of the key gives a uniform
+    shuffle of each group that is reproducible across runs, engines,
+    and partitionings (unlike rand() or a per-partition take).  The
+    rank-k filter uses the same WindowGroupLimit push-down as
+    q_win_topk: each partition keeps ≤ k rows per group before the
+    shuffle, so the window never materializes whole groups at scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    hv = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy("source").orderBy(hv, "doc_id")
+    return (
+        d.select("source", "doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
