@@ -375,3 +375,79 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(cvec), "label").select(
         "vec_id", "label", F.round(dist, 6).alias("dist_to_centroid")
     )
+
+
+@register("q_sim_quantized", oracle=None)
+def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors over INT8-quantized embeddings (rows-only; the
+    pytest gate checks recall vs the exact q_sim_knn top-k).
+
+    Symmetric per-vector scalar quantization: scale = max|vᵢ|/127,
+    qᵢ = round(vᵢ/scale) ∈ [-127, 127] stored as array<tinyint> —
+    4× smaller than float32, the standard memory/IO compression for
+    billion-vector corpora (dot products then run on small integers;
+    here they dequantize on the fly via the same fused fold as the
+    exact path).  Quantization error perturbs cosines by ~1/127
+    per-term worst case, so the top-k set is near-identical on real
+    data — measured recall in tests.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) / F.lit(127.0)
+    q = e.select(
+        "vec_id",
+        F.col("embedding"),
+        scale.alias("scale"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast(
+                "tinyint"
+            ),
+        ).alias("qvec"),
+    )
+    # dequantized dot product: (qa·s_a)·(qb·s_b) = s_a·s_b·Σ qa_i·qb_i —
+    # the integer Σ is the only per-pair loop.
+    qq = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("scale").alias("qscale"),
+        F.col("qvec").alias("qv"),
+    ).filter(F.col("qid") < _N_QUERIES)
+    int_dot = F.aggregate(
+        F.zip_with("qv", "qvec", lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda x: x.cast("int") * x.cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform("qvec", lambda x: x.cast("int") * x.cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(int_dot / (qnorm * vnorm), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+    )

@@ -227,3 +227,47 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dist), 6).alias("mean_dist"),
         )
     )
+
+
+@register("q_ml_user_model", oracle=None)
+def q_ml_user_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end behavioral model on engine-built features: the
+    q_events_user_features table feeds a LogisticRegression predicting
+    purchase propensity (label: user made ≥1 purchase; purchase count
+    itself excluded from the features) — the reference's full
+    stage-2→stage-3 flow (feature engineering → train → evaluate) on
+    the events fixture instead of GSC keywords.
+
+    Rows-only: one metrics row (split sizes, accuracy, base rate),
+    fixed seed.  The feature table never leaves Spark: aggregation,
+    assembly, training, and evaluation are one lineage.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..operators.analytics import q_events_user_features
+
+    feats = q_events_user_features(spark, sf_dir).withColumn(
+        "label", (F.col("n_purchase") > 0).cast("double")
+    )
+    cols = [
+        "n_click",
+        "n_view",
+        "n_signup",
+        "n_error",
+        "total_value",
+        "active_days",
+        "recency_days",
+    ]
+    data = VectorAssembler(inputCols=cols, outputCol="features").transform(
+        feats.na.fill(0)
+    )
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    model = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+    pred = model.transform(test)
+    hit = F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (F.sum(hit) / F.count(F.lit(1))).alias("accuracy"),
+        F.avg("label").alias("purchase_rate"),
+    ).crossJoin(train.agg(F.count(F.lit(1)).alias("n_train")))

@@ -500,3 +500,60 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@register(
+    "q_events_user_features",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0)
+             AS total_value,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-01-31')
+             AS recency_days
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature table: event-type counts (manual
+    pivot), exact total value, active-day count, and recency — the
+    preprocessing output of the reference pipeline (SURVEY.md §3.1
+    stage 2: per-entity feature rows written back to the store, here
+    consumed directly by q_ml_user_model).
+
+    One hash aggregate over the stream; every feature is algebraic or
+    distinct-on-a-bounded-domain (≤31 dates per month per user), so
+    partials collapse map-side and the shuffle carries one row per
+    user — the 100 TB feature-engineering shape.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def n_of(t: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        n_of("click"),
+        n_of("view"),
+        n_of("purchase"),
+        n_of("signup"),
+        n_of("error"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0))
+        .alias("total_value"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.datediff(
+            F.lit("2024-01-31").cast("date"), F.max("ts").cast("date")
+        ).cast("bigint").alias("recency_days"),
+    )

@@ -61,3 +61,26 @@ def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB; unique-key tie-break keeps rank deterministic)."""
     _views(spark, sf_dir, "customer")
     return spark.sql(_SQL_WINDOW)
+
+
+_SQL_CTE = """
+    WITH nation_cust AS (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
+    FROM nation_cust
+    GROUP BY n_name
+"""
+
+
+@register("q_sql_cte", oracle=_SQL_CTE)
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + aggregate submitted as one raw SQL string (shared
+    verbatim with DuckDB) — exercises the parser's WITH-clause path;
+    Catalyst inlines the CTE and plans the same broadcast join the
+    DataFrame form gets."""
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(_SQL_CTE)

@@ -10,6 +10,13 @@ operator graphs (watermark → window agg, dedup-within-watermark,
 per-key state) are exactly what runs against a real stream — state
 store size is bounded by the watermark horizon (windows) or key count
 (dedup/stateful), which is the property that survives at 100 TB/day.
+
+Note: the per-key stateful operator uses applyInPandasWithState.
+Spark 4's newer transformWithStateInPandas API was evaluated and
+works identically in design, but its driver worker requires the
+google.protobuf runtime, which is not importable in this container
+(verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so the
+stable API is used.
 """
 
 from __future__ import annotations

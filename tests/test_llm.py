@@ -168,3 +168,27 @@ def test_dedup_clusters_group_planted_pairs(spark):
     # canonical member is the cluster minimum
     for doc, cl in labels.items():
         assert cl <= doc
+
+
+def test_quantized_knn_recall(spark):
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    quant = {
+        (r.qid, r.neighbor_id)
+        for r in REGISTRY["q_sim_quantized"].fn(spark, SF_DIR).collect()
+    }
+    assert exact and len(quant) == len(exact)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_markov_rows_are_distributions(spark):
+    rows = REGISTRY["q_events_markov"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)

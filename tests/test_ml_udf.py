@@ -98,3 +98,11 @@ def test_kmeans_partitions_space_deterministically(spark):
     assert sorted((r.cluster, r.n_members, r.mean_dist) for r in a) == sorted(
         (r.cluster, r.n_members, r.mean_dist) for r in b
     )
+
+
+def test_user_model_metrics(spark):
+    row = REGISTRY["q_ml_user_model"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_train > 0 and row.n_test > 0
+    # must at least match blind majority-class guessing
+    majority = max(row.purchase_rate, 1.0 - row.purchase_rate)
+    assert row.accuracy >= majority - 0.25
