@@ -557,3 +557,48 @@ def q_events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-01-31").cast("date"), F.max("ts").cast("date")
         ).cast("bigint").alias("recency_days"),
     )
+
+
+@register(
+    "q_trend_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+               AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_change
+    FROM monthly
+    """,
+)
+def q_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: monthly rollup + lag-based
+    growth rate — the KPI time series every behavioral dashboard
+    starts from.
+
+    The monthly rollup shrinks the fact table to ~80 rows before the
+    (unavoidably single-partition, but tiny) global-order lag window;
+    revenue uses the exact scaled-long sum, and the growth ratio is
+    one division of two exact-derived doubles rounded at 6 dp.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        lsum(units("o_totalprice", 100), 100, "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
+    )

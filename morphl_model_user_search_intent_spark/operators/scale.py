@@ -776,3 +776,23 @@ def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register("q_profile_skew", oracle=None)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance diagnostic: row counts per physical partition
+    after hash-repartitioning lineitem 32 ways on its join key —
+    the check run before committing to a partitioning strategy at
+    scale (a hot key shows up as one oversized partition here long
+    before it shows up as a straggler task on the cluster).
+
+    Rows-only (partition layout is engine/config-specific by nature);
+    the pytest gate asserts conservation (counts sum to the table
+    total) and balance (max/min within a small factor for a
+    well-hashed key).
+    """
+    li = table(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")
+    return (
+        li.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

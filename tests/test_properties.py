@@ -150,3 +150,16 @@ def test_salted_join_equals_plain_join(spark, rows):
         for r in salted_join(big, small, "k", "uid", n=4).collect()
     )
     assert salted == plain
+
+
+def test_profile_skew_conserves_and_balances(spark):
+    from morphl_model_user_search_intent_spark import REGISTRY
+    from conftest import SF_DIR
+    from morphl_model_user_search_intent_spark.io import table as load_table
+
+    rows = REGISTRY["q_profile_skew"].fn(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "lineitem").count()
+    counts = [r.n_rows for r in rows]
+    assert sum(counts) == total
+    # well-hashed unique-ish key → no partition dominates
+    assert max(counts) <= 5 * max(1, min(counts))
