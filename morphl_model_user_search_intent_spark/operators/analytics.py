@@ -602,3 +602,72 @@ def q_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
     )
+
+
+@register(
+    "q_stats_chi2",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+               AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.*,
+             SUM(o.o) OVER (PARTITION BY event_type) AS row_total,
+             SUM(o.o) OVER (PARTITION BY weekday) AS col_total,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT round(SUM(
+             (o - CAST(row_total * col_total AS DOUBLE) / n)
+             * (o - CAST(row_total * col_total AS DOUBLE) / n)
+             / (CAST(row_total * col_total AS DOUBLE) / n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT weekday) - 1) AS BIGINT) AS dof
+    FROM margins
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    weekday — the data-drift / feature-relevance check a behavioral
+    pipeline runs before trusting a categorical feature.
+
+    Weekday comes from portable arithmetic (days since a known Monday,
+    mod 7) rather than engine-specific DOW functions.  The χ²
+    statistic derives entirely from integer cell counts and margins —
+    one shared closed-form expression in both engines, rounded at
+    6 dp.  The contingency table is |types|×7 = 35 cells after
+    map-side partial aggregation: the windows and the final sum run
+    on a frame that never grows with the data.
+    """
+    ev = table(spark, sf_dir, "events")
+    weekday = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+        F.lit(7),
+    )
+    obs = ev.groupBy(
+        "event_type", weekday.alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window as W
+
+    m = obs.select(
+        "event_type",
+        "weekday",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_total"),
+        F.sum("o").over(W.partitionBy("weekday")).alias("col_total"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("n")
+    return m.agg(
+        F.round(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("weekday") - 1)
+        ).cast("bigint").alias("dof"),
+    )

@@ -149,3 +149,80 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsum(units("value", 100), 100, "session_value"),
         )
     )
+
+
+@register(
+    "q_events_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1, event_id FROM events
+    ),
+    swept AS (
+      SELECT t,
+             SUM(delta) OVER (ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS concurrency
+      FROM deltas
+    )
+    SELECT date_trunc('hour', t) AS hour,
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
+    FROM swept
+    GROUP BY 1
+    """,
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour via a sweep line: each event opens a
+    5-minute activity interval; +1/−1 boundary deltas accumulate into
+    the number of simultaneously-active intervals — the concurrent-
+    sessions / capacity-planning query that plain windowed counts
+    cannot answer (intervals span bucket boundaries).
+
+    The naive form is one global running sum (a single-partition
+    window).  This implementation is the SCALABLE two-phase form:
+    (1) running sums computed per day-partition in parallel, and
+    (2) each day's carry-in — the sum of ALL previous days' deltas —
+    computed on the tiny per-day aggregate frame and broadcast back.
+    concurrency = carry_in + within-day running sum, exactly equal to
+    the global scan (the oracle computes the naive global form).  The
+    deterministic sweep order (t, delta, id) resolves boundary ties
+    identically in both engines: an interval closing at t ends before
+    one opening at t begins.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    opens = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = opens.unionByName(closes).withColumn(
+        "day", F.col("t").cast("date")
+    )
+    within_w = (
+        W.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = deltas.withColumn("run_in_day", F.sum("delta").over(within_w))
+    day_totals = deltas.groupBy("day").agg(F.sum("delta").alias("day_sum"))
+    carry_w = (
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = day_totals.select(
+        "day",
+        F.coalesce(F.sum("day_sum").over(carry_w), F.lit(0)).alias(
+            "carry_in"
+        ),
+    )
+    swept = within.join(F.broadcast(carry), "day").withColumn(
+        "concurrency", F.col("carry_in") + F.col("run_in_day")
+    )
+    return swept.groupBy(
+        F.date_trunc("hour", "t").alias("hour")
+    ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))

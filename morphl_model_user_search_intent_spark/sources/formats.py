@@ -118,3 +118,71 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)
+             AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: lineitem re-materialized as ORC (zstd), read
+    back, aggregated — the second columnar format a warehouse must
+    speak (Hive/Trino interchange).  ORC carries the same
+    stripe-level min/max statistics and predicate-pushdown contract
+    as Parquet, so the scan-side design rules (§2.1) transfer
+    unchanged.  The oracle aggregates the ORIGINAL parquet table:
+    the format conversion must be lossless.
+    """
+    import os
+
+    path = os.path.join(SCRATCH, f"orc-lineitem-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                "l_returnflag", "l_linestatus", "l_extendedprice"
+            )
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(path)
+        )
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            / F.lit(100.0)
+        ).alias("sum_price"),
+    )
+
+
+@register("q_source_binaryfile", oracle=None)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via the ``binaryFile`` source — the
+    entry point for multimodal corpora (images/audio land as whole
+    files; SURVEY.md §2.11): each file becomes (path, length,
+    content: binary) with no decode on read.
+
+    Rows-only (file metadata isn't a DuckDB view); the pytest gate
+    checks length == os.path.getsize and content prefix == the real
+    bytes.  At scale the reader parallelizes per-file and prunes by
+    pathGlobFilter/modifiedAfter — list-then-fetch, never a
+    driver-side loop.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.reverse(F.split("path", "/")).getItem(0).alias("file_name"),
+        "length",
+        F.substring("content", 1, 4).alias("magic"),
+    )

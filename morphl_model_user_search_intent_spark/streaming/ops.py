@@ -262,3 +262,37 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.read.parquet(out_dir)
+
+
+@register("q_stream_static_join", oracle=None)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer market segment keyed by user_id), then a
+    watermarked hourly count per segment — the canonical streaming
+    enrichment topology (stream ⋈ slowly-changing lookup ⋈ window
+    agg).
+
+    The static side is planned as a regular batch relation inside the
+    streaming query — broadcast per micro-batch, re-read on restart,
+    no state store cost (unlike stream-stream joins, which this
+    complements — q_stream_join).  Twin test: the identical batch
+    join+window must agree on all finalized windows.
+    """
+    from ..io import table as load_table
+
+    ev = _stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket"), "c_mktsegment", "n_events"
+        )
+    )
+    return _run_to_memory(agg, "stream_static_join_sink", "append")

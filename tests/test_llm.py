@@ -192,3 +192,16 @@ def test_markov_rows_are_distributions(spark):
         by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_binaryfile_source_reads_real_bytes(spark):
+    import os
+
+    rows = REGISTRY["q_source_binaryfile"].fn(spark, SF_DIR).collect()
+    by_name = {r.file_name: r for r in rows}
+    assert len(by_name) == 10  # the 10 fixture tables
+    for name, r in by_name.items():
+        path = os.path.join(SF_DIR, name)
+        assert r.length == os.path.getsize(path), name
+        with open(path, "rb") as f:
+            assert bytes(r.magic) == f.read(4) == b"PAR1", name

@@ -117,3 +117,38 @@ def test_foreach_batch_serving_table_matches_batch(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_stream_static_join_matches_batch_twin(spark):
+    import pyspark.sql.functions as F
+
+    stream = {
+        (r.bucket, r.c_mktsegment): r.n_events
+        for r in REGISTRY["q_stream_static_join"].fn(spark, SF_DIR).collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    dim = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r.bucket, r.c_mktsegment): r.n_events
+        for r in (
+            ev.join(dim, "user_id")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("bucket"),
+                "c_mktsegment",
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert stream
+    for key, n in stream.items():
+        assert batch[key] == n, key
+    missing = set(batch) - set(stream)
+    max_bucket = max(b for b, _ in batch)
+    assert all(b == max_bucket for b, _ in missing), sorted(missing)[:5]
