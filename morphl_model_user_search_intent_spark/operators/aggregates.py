@@ -688,3 +688,58 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_feature_binning",
+    oracle="""
+    WITH th AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th
+      FROM orders
+    )
+    SELECT 1 + len(list_filter(th.th, t -> o.o_totalprice >= t)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders o CROSS JOIN th
+    GROUP BY 1
+    """,
+)
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile feature binning by exact global percentiles — the
+    discretization stage of feature engineering, and the documented
+    scale substitute for a global ntile (q_customer_rfm): compute the
+    9 thresholds once (one aggregate), broadcast them, and bucket
+    each row with a scan-local fold — no global sort, no
+    single-partition window.
+
+    Threshold robustness: both engines sort exactly and interpolate
+    between the same neighboring data values, and a data point can
+    only tie a threshold when the percentile lands exactly on it
+    (where both interpolation formulas return that value bit-exactly),
+    so the ≥-comparisons agree.  Bucket populations are ±1-row equal
+    by construction, unlike fixed-width bins on skewed money columns.
+    """
+    o = table(spark, sf_dir, "orders")
+    th = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("th")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        "th",
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.col("o_totalprice") >= t, 1).otherwise(0),
+    )
+    return (
+        o.crossJoin(F.broadcast(th))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -796,3 +796,57 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q_sink_compact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (SUM(CAST(round(l_quantity) AS BIGINT)) / 1.0) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a deliberately over-partitioned copy of
+    lineitem (64 files) is rewritten into a handful of right-sized
+    files, then aggregated — the table-maintenance job every
+    streaming/incremental sink needs (micro-batches produce small
+    files; scans pay per-file open + listing cost until compaction).
+
+    ``coalesce`` (not ``repartition``) does the rewrite without a
+    shuffle: readers merge input splits.  At scale the target file
+    count comes from bytes/target_size; the pytest gate checks the
+    file count actually dropped and the oracle (original table)
+    proves losslessness.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    small = os.path.join(SCRATCH, f"small-files-{_tag(sf_dir)}")
+    compact = os.path.join(SCRATCH, f"compacted-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(small)
+        )
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        (
+            spark.read.parquet(small)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(compact)
+        )
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(units("l_quantity", 1)) / F.lit(1.0)).alias("sum_qty"),
+        )
+    )

@@ -163,3 +163,46 @@ def test_profile_skew_conserves_and_balances(spark):
     assert sum(counts) == total
     # well-hashed unique-ish key → no partition dominates
     assert max(counts) <= 5 * max(1, min(counts))
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+    import os
+
+    from morphl_model_user_search_intent_spark import REGISTRY
+    from morphl_model_user_search_intent_spark.sources.formats import (
+        SCRATCH,
+        _tag,
+    )
+    from conftest import SF_DIR
+
+    REGISTRY["q_sink_compact"].fn(spark, SF_DIR).collect()
+    tag = _tag(SF_DIR)
+    n_small = len(glob.glob(os.path.join(SCRATCH, f"small-files-{tag}", "*.parquet")))
+    n_compact = len(glob.glob(os.path.join(SCRATCH, f"compacted-{tag}", "*.parquet")))
+    assert n_small == 64
+    assert n_compact <= 2
+
+
+def test_zorder_key_is_injective():
+    from morphl_model_user_search_intent_spark.operators.scale import (
+        zorder_key,
+    )
+
+    # pure-python mirror of the bit interleave
+    def z(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    seen = {}
+    for x in range(0, 64, 7):
+        for y in range(0, 64, 5):
+            v = z(x, y)
+            assert v not in seen, (x, y, seen[v])
+            seen[v] = (x, y)
+    # locality: unit steps move the z-value by a bounded amount in the
+    # interleaved low bits
+    assert z(3, 5) != z(5, 3)
