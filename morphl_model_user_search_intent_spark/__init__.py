@@ -38,6 +38,7 @@ from .operators import (  # noqa: F401
     scale,
     analytics,
     subqueries,
+    quality,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401

@@ -194,3 +194,46 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", embed(F.trim("text")).alias("embedding"))
+
+
+@register(
+    "q_udtf_parse_props",
+    oracle="""
+    SELECT event_id, 'k' AS key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+    FROM events
+    """,
+)
+def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Spark-4 Python UDTF (``@F.udtf`` + LATERAL join): a
+    class-based table function exploding each event's JSON props into
+    (key, value) rows — the generic payload-flattening contract for
+    arbitrary-schema JSON that ``from_json`` (fixed schema) can't
+    express.
+
+    The UDTF runs row-at-a-time in the Python worker — fine for a
+    parse-and-emit function, and the LATERAL correlation keeps it
+    streaming (no shuffle added).  The oracle is expressible only
+    because the fixture's props carry exactly one key ('k'); the
+    operator itself handles any object.
+    """
+    from ..io import table as load_table
+
+    @F.udtf(returnType="key string, val bigint")
+    class ParseProps:
+        def eval(self, props: str):
+            import json
+
+            for k, v in json.loads(props).items():
+                yield (k, int(v))
+
+    spark.udtf.register("parse_props", ParseProps)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT e.event_id, p.key, p.val
+        FROM events_for_udtf e, LATERAL parse_props(e.props) p
+        """
+    )
