@@ -671,3 +671,63 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.countDistinct("weekday") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@register(
+    "q_events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM pairs GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+      FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU engagement with the stickiness ratio — the
+    north-star metric family of every behavioral product pipeline
+    (the reference's churn model consumes exactly this decay signal).
+
+    Distinct users over a SLIDING week cannot merge like a sum, so
+    the trailing-distinct is computed by fanning each (day, user)
+    activity pair out to the ≤7 window-days it supports (explode of a
+    0..6 offset sequence), then one exact distinct per window day —
+    shuffle volume 7×|active-pairs|, fully parallel, no range join
+    and no per-day rescan.  The oracle computes the same windows via
+    a DuckDB range join; a semi join against observed days drops the
+    phantom window positions past the last activity.
+    """
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fanned = (
+        pairs.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+        .join(days, "day", "left_semi")
+    )
+    wau = fanned.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
