@@ -731,3 +731,66 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_orders_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS units
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, units,
+             SUM(units) OVER (ORDER BY units DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_units,
+             SUM(units) OVER () AS total_units
+      FROM rev
+    )
+    SELECT o_custkey,
+           (units / 100.0) AS revenue,
+           round(CAST(cum_units AS DOUBLE) / total_units, 6) AS cum_share
+    FROM ranked
+    WHERE cum_units * 10 <= total_units * 8
+    """,
+)
+def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: the top customers who jointly account for the
+    first 80% of revenue — the concentration query behind whale-
+    detection and account-prioritization.
+
+    The 80% cut is decided in EXACT integer arithmetic
+    (``cum_units·10 ≤ total_units·8`` on scaled-long cents), so the
+    selected set is bit-identical across engines — the rounded
+    double share is display-only.  The ranking window is global but
+    runs on the per-customer aggregate (1 row per customer), not the
+    fact table; at extreme customer counts the same cut works on a
+    quantile-bucketed pre-pass (q_feature_binning's machinery).
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(units("o_totalprice", 100)).alias("units")
+    )
+    w_cum = (
+        W.orderBy(F.col("units").desc(), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "units",
+        F.sum("units").over(w_cum).alias("cum_units"),
+        F.sum("units").over(W.partitionBy()).alias("total_units"),
+    )
+    return ranked.filter(
+        F.col("cum_units") * 10 <= F.col("total_units") * 8
+    ).select(
+        "o_custkey",
+        (F.col("units") / F.lit(100.0)).alias("revenue"),
+        F.round(
+            F.col("cum_units").cast("double") / F.col("total_units"), 6
+        ).alias("cum_share"),
+    )
