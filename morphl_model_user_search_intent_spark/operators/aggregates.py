@@ -743,3 +743,33 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "q_agg_countif_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           median(l_quantity) AS median_qty,
+           any_value(l_linestatus ORDER BY l_linestatus) AS a_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_countif_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL aggregate surface: ``count_if``, exact ``median``,
+    and a DETERMINISTIC ``any_value`` (pinned to the ordered minimum —
+    plain any_value is free to return whatever partial arrives first,
+    which can never hash-match across engines).
+
+    median = quantile_cont(0.5): both engines sort exactly and
+    interpolate the same two middle values, so the doubles agree
+    bit-for-bit (same argument as q_feature_binning).  count_if is
+    sugar for SUM(CASE...) — partial-aggregatable, no extra pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.median("l_quantity").alias("median_qty"),
+        F.min("l_linestatus").alias("a_status"),
+    )

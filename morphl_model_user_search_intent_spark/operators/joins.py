@@ -471,3 +471,65 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    cand AS (
+      SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             row_number() OVER (
+               PARTITION BY s.event_id
+               ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+             ) AS rn
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > s.ts
+    )
+    SELECT signup_id, user_id, signup_ts, purchase_id, purchase_ts
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup matched to the user's FIRST
+    purchase strictly after it (time-to-convert attribution — the
+    mirror of q_join_asof's backward lookup, and together they
+    complete the asof direction pair native engines expose).
+
+    Same decorrelated emulation: equi-key + time-bound candidate join,
+    then ``row_number() = 1`` ordered ascending with id tie-break.
+    Left join keeps never-converting signups with NULL matches, so
+    conversion rate falls out of the same result.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    from pyspark.sql import Window as W
+
+    cand = s.join(
+        p,
+        (s.user_id == p.p_user_id) & (F.col("purchase_ts") > F.col("signup_ts")),
+        "left",
+    )
+    w = W.partitionBy("signup_id").orderBy(
+        F.asc_nulls_last("purchase_ts"), F.asc_nulls_last("purchase_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "signup_id", "user_id", "signup_ts", "purchase_id", "purchase_ts"
+        )
+    )

@@ -25,6 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# Optional substring filter: DRIVER_SIM_ONLY=q_foo,q_bar runs just those.
+ONLY = [s for s in os.environ.get("DRIVER_SIM_ONLY", "").split(",") if s]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -63,6 +65,8 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     fails = 0
     for name in sorted(qs):
         t0 = time.perf_counter()
