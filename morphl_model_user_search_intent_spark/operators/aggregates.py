@@ -773,3 +773,46 @@ def q_agg_countif_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("median_qty"),
         F.min("l_linestatus").alias("a_status"),
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    WITH cn AS (
+      SELECT DISTINCT n.n_name, c.c_mktsegment
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM cn GROUP BY n_name
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — the report
+    primitive for 'all distinct values, concatenated'.
+
+    ``collect_list`` is partial-order nondeterministic, so the list is
+    sorted before joining: ``array_join(array_sort(collect_list(x)))``
+    is the deterministic Spark spelling of DuckDB's
+    ``string_agg(x ORDER BY x)``.  Dedup happens pre-aggregation
+    (DISTINCT pair projection), keeping per-group state bounded by
+    domain cardinality, not row count — safe when a nation has 1e9
+    customers but only 5 segments.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cn = (
+        c.join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+        .select("n_name", "c_mktsegment")
+        .distinct()
+    )
+    return cn.groupBy("n_name").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("c_mktsegment")), "|"
+        ).alias("segments"),
+        F.count("*").alias("n_segments"),
+    )

@@ -794,3 +794,172 @@ def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_units").cast("double") / F.col("total_units"), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "q_orders_basket",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM op),
+    ps AS (SELECT l_partkey, COUNT(*) AS part_cnt
+           FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, pair_cnt,
+           ROUND(pair_cnt * n.n_orders / (pa.part_cnt * pb.part_cnt), 6)
+             AS lift
+    FROM pairs
+    JOIN ps pa ON pa.l_partkey = pairs.p1
+    JOIN ps pb ON pb.l_partkey = pairs.p2
+    CROSS JOIN n
+    ORDER BY pair_cnt DESC, p1, p2 LIMIT 20
+    """,
+)
+def q_orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    primitive behind "users who bought X also bought Y" and feature
+    crosses for propensity models.
+
+    Plan shape: dedup (order, part), self-join on ``l_orderkey`` with
+    ``p1 < p2`` to emit each unordered pair once, count pairs, then
+    join per-part support and a broadcast 1-row total.  The self-join
+    is bounded per order (TPC-H orders hold ≤7 distinct parts → ≤21
+    pairs), so the shuffle is ~3× the fact table regardless of total
+    scale — no quadratic blowup.  Top-20 by (count, p1, p2) runs as
+    TakeOrdered, never a global sort.  lift = pair_cnt·N/(cnt₁·cnt₂)
+    divides exact integers, so the double matches DuckDB bit-for-bit.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    ps = op.groupBy("l_partkey").agg(F.count("*").alias("part_cnt"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    return (
+        pairs.join(
+            ps.select(
+                F.col("l_partkey").alias("p1"),
+                F.col("part_cnt").alias("cnt1"),
+            ),
+            "p1",
+        )
+        .join(
+            ps.select(
+                F.col("l_partkey").alias("p2"),
+                F.col("part_cnt").alias("cnt2"),
+            ),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt")
+                * F.col("n_orders")
+                / (F.col("cnt1") * F.col("cnt2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_stats_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6)
+             AS slope,
+           ROUND((sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  * sx / n) / 100.0, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r2
+    FROM s
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity) from exact integer
+    moment sums — the distributed equivalent of ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``.
+
+    Native ``regr_*`` aggregates accumulate doubles, whose partial-sum
+    order differs between engines (and between runs at different
+    parallelism), so they can never value-hash-match.  Instead the five
+    moments are summed as exact BIGINTs (quantity is integral, price is
+    2-dp money → cents), converted to DOUBLE once, and the closed-form
+    slope/intercept/r² arithmetic is written identically in both
+    engines: identical operands + identical IEEE op order ⇒ identical
+    doubles.  One map-side-combinable aggregation, no second pass —
+    the textbook moment-sum trick that makes regression embarrassingly
+    parallel at 100 TB.  Headroom: Σy² of cent-scale values caps at
+    ~1e14·rows; BIGINT holds to ~1e4-row-groups × sf1e4 — promote to
+    DECIMAL(38,0) sums if a single group ever exceeds ~1e4 billion
+    rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(slope / 100.0, 6).alias("slope"),
+        F.round((sy / n - slope * sx / n) / 100.0, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
