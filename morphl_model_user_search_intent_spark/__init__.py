@@ -39,6 +39,7 @@ from .operators import (  # noqa: F401
     analytics,
     subqueries,
     quality,
+    graph,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401

@@ -963,3 +963,68 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding click/view (or 'direct' when none
+    exists) — the standard channel-performance rollup upstream of any
+    bid or propensity model.
+
+    One window pass per user carries the last marketing touch forward
+    (``last(..., ignorenulls)`` over an unbounded-to-1-preceding ROWS
+    frame — ties broken by event_id so both engines walk the same
+    order), then a 3-row aggregate.  Per-user state is a single value,
+    so the window is skew-safe; revenue sums exact cents
+    (functions/exact.py scaled-long discipline).
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("last_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("last_touch", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Iterative graph algorithms on DataFrames (PageRank).
+
+The reference family's behavioral models sit on user/item interaction
+graphs (SURVEY.md §1.1); PageRank over a co-purchase graph is the
+canonical "importance" feature such pipelines feed a ranker.  Spark has
+no built-in PageRank on DataFrames — the idiomatic spelling is a
+driver-side loop of join→groupBy rounds, each one an ordinary shuffle
+Catalyst optimizes like any other (partial aggs, AQE).  At 100 TB the
+loop wants ``.checkpoint()`` every few rounds to truncate lineage and a
+stable hash partitioning on ``src``/``dst`` so every round reuses the
+same exchange; at fixture scale the unrolled 5-round plan is small
+enough to run as one job.
+
+Cross-engine determinism: ranks are fixed-point BIGINT units (1e12 =
+mass 1.0) and every step is integer arithmetic — ``DIV`` for the
+out-degree split and the damping factor 0.85 applied as ``·17 DIV
+20``.  Float summation order can never matter because there are no
+floats until the final display division.  The DuckDB oracle unrolls
+the same five rounds as chained CTEs (recursive CTEs disallow
+aggregation in the recursive term), computing byte-identical BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+SCALE = 1_000_000_000_000  # rank mass 1.0 in integer units
+
+_PR_ITER = """
+    r{k} AS (
+      SELECT e.dst AS node,
+             base.b + (17 * SUM(r{j}.r // deg.outdeg)) // 20 AS r
+      FROM r{j}
+      JOIN e   ON e.src   = r{j}.node
+      JOIN deg ON deg.src = r{j}.node
+      CROSS JOIN base
+      GROUP BY e.dst, base.b
+    )"""
+
+_PR_ORACLE = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    base AS (SELECT (3 * 1000000000000) // (20 * n) AS b FROM nn),
+    r0 AS (SELECT src AS node, 1000000000000 // nn.n AS r
+           FROM deg CROSS JOIN nn),"""
+    + ",".join(_PR_ITER.format(k=k, j=k - 1) for k in range(1, 6))
+    + """
+    SELECT node, r AS rank_units,
+           ROUND(r / 1000000000000.0, 9) AS rank
+    FROM r5 ORDER BY r DESC, node LIMIT 20
+    """
+)
+
+
+@register("q_graph_pagerank", oracle=_PR_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five damped PageRank rounds over the part co-purchase graph.
+
+    Nodes: parts; edges: both directions of "appeared in the same
+    order" (deduped).  Symmetric edges mean every node has out-degree
+    ≥1, so there is no dangling-mass term.  Each round is one
+    edges⋈ranks join (shuffle on the node key, bounded fan-out per
+    order: ≤7 parts → ≤42 directed pairs) plus one partial-aggregated
+    groupBy — the same shuffle key every round, so a pre-partitioned
+    edge table amortizes to a single exchange at scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e2 = e.join(deg, "src").cache()  # reused every round
+    nn = deg.agg(F.count("*").alias("n"))
+    base = nn.select(
+        F.expr(f"(3 * CAST({SCALE} AS BIGINT)) div (20 * n)").alias("b")
+    )
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("r"))
+    )
+    for _ in range(5):
+        ranks = (
+            ranks.join(e2, ranks.node == e2.src)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).alias("s"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("b + (17 * s) div 20").alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            "node",
+            F.col("r").alias("rank_units"),
+            F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+        )
+        .orderBy(F.col("rank_units").desc(), "node")
+        .limit(20)
+    )

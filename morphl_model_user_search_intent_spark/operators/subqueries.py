@@ -119,3 +119,73 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsum(units("l_extendedprice", 100), 100, "sum_price"),
         )
     )
+
+
+@register(
+    "q_exists_anti_combo",
+    oracle="""
+    WITH r1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ),
+    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS num_blamed
+    FROM r1
+    JOIN supplier s ON s.s_suppkey = r1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM allsupp a
+        WHERE a.l_orderkey = r1.l_orderkey
+          AND a.l_suppkey <> r1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM r1 o
+        WHERE o.l_orderkey = r1.l_orderkey
+          AND o.l_suppkey <> r1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY num_blamed DESC, s_name LIMIT 20
+    """,
+)
+def q_exists_anti_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-blame supplier): suppliers who were the
+    ONLY supplier with returned items on a multi-supplier order — a
+    correlated EXISTS and a correlated NOT EXISTS against the same
+    fact table, the hardest decorrelation pattern in the TPC-H suite.
+
+    Spark spelling: the EXISTS becomes a LEFT SEMI join and the NOT
+    EXISTS a LEFT ANTI join, both on ``l_orderkey`` with the
+    ``l_suppkey <>`` residual — Catalyst runs them as two shuffled
+    semi/anti hash joins, each bounded per order (≤7 lines), so no
+    correlated re-execution and no skew risk.  Supplier names arrive
+    via broadcast.  Top-20 by (count, name) runs as TakeOrdered.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    r1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    allsupp = li.select("l_orderkey", "l_suppkey").distinct()
+    a = allsupp.alias("a")
+    o = r1.alias("o")
+    base = r1.alias("r1")
+    semi = base.join(
+        a,
+        (F.col("r1.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("r1.l_suppkey") != F.col("a.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.alias("r1").join(
+        o,
+        (F.col("r1.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("r1.l_suppkey") != F.col("o.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.join(
+            F.broadcast(s), anti.l_suppkey == s.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("num_blamed"))
+        .orderBy(F.col("num_blamed").desc(), "s_name")
+        .limit(20)
+    )
