@@ -1028,3 +1028,180 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_events_paths",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 25
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's full ordered event sequence joined
+    into a path string, then frequency-ranked — sequence mining's
+    first step (what do converting sessions look like?).
+
+    Deterministic ordering inside ``collect_list`` does not exist, so
+    the list is collected as (ts, event_id, type) structs and
+    ``array_sort``-ed — struct comparison is field-ordered, giving the
+    exact ``ORDER BY ts, event_id`` walk DuckDB's ``string_agg`` does.
+    Per-user state is bounded by events-per-user (cap with ``slice``
+    after the sort in production if a power user can log millions of
+    events); the path-frequency rollup is an ordinary partial-agg
+    groupBy and top-25 runs as TakeOrdered.
+    """
+    ev = table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.event_type,
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(25)
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'updated'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(COALESCE(b.o_totalprice, 0) * 100)
+                         AS BIGINT)
+                    - CAST(ROUND(COALESCE(a.o_totalprice, 0) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue_delta
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every key across two table versions
+    as inserted / deleted / updated / unchanged and report row counts
+    plus the exact revenue delta — the audit primitive behind
+    incremental-load validation and late-data reconciliation.
+
+    The two "versions" are deterministic derivations of orders (drop
+    keys ≡0 mod 97 vs mod 89; bump price +1.00 on keys ≡0 mod 13), so
+    both engines diff identical inputs.  One full outer join on the
+    key (shuffle both sides, AQE-safe — keys are unique so no skew),
+    then a 4-row aggregate; deltas sum exact cents.  At 100 TB this
+    is the join to bucket both snapshots on, making the diff
+    exchange-free.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_totalprice").alias("a_price"),
+    )
+    b = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_price"),
+    )
+    cents = lambda c: F.round(F.coalesce(c, F.lit(0)) * 100).cast("bigint")
+    return (
+        a.join(b, a.a_key == b.b_key, "full")
+        .select(
+            F.when(F.col("a_key").isNull(), "inserted")
+            .when(F.col("b_key").isNull(), "deleted")
+            .when(F.col("a_price") != F.col("b_price"), "updated")
+            .otherwise("unchanged")
+            .alias("status"),
+            (cents(F.col("b_price")) - cents(F.col("a_price"))).alias(
+                "delta_cents"
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("delta_cents").cast("double") / 100.0).alias(
+                "revenue_delta"
+            ),
+        )
+    )
+
+
+@register(
+    "q_stats_entropy",
+    oracle="""
+    WITH u AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    c AS (SELECT col, val, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM u GROUP BY col, val),
+    t AS (SELECT col, SUM(cnt) AS total FROM c GROUP BY col)
+    SELECT c.col, CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(-SUM((c.cnt / t.total) * ln(c.cnt / t.total)), 6)
+             AS entropy,
+           ROUND(1 - SUM((c.cnt / t.total) * (c.cnt / t.total)), 6)
+             AS gini
+    FROM c JOIN t ON c.col = t.col
+    GROUP BY c.col
+    """,
+)
+def q_stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity per categorical column — the
+    feature-selection / drift-monitoring statistic a model pipeline
+    computes before trusting a category as a predictor.
+
+    Unpivot via ``stack`` (zero-copy projection, no shuffle), count
+    per (col, value) — state bounded by domain cardinality — then one
+    tiny join against per-column totals.  p·ln p runs on identical
+    exact-integer-derived doubles in both engines; ``ln`` may differ
+    in the last ulp between libm and the JVM, hence the 6-dp round
+    (terms are O(1), so 1e-15 noise is far below the gate).
+    """
+    o = table(spark, sf_dir, "orders")
+    u = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col, val)"
+        )
+    )
+    c = u.groupBy("col", "val").agg(F.count("*").cast("double").alias("cnt"))
+    t = c.groupBy("col").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(F.broadcast(t), "col")
+        .groupBy("col")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(1 - F.sum(p * p), 6).alias("gini"),
+        )
+    )
