@@ -271,3 +271,53 @@ def q_ml_user_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(hit) / F.count(F.lit(1))).alias("accuracy"),
         F.avg("label").alias("purchase_rate"),
     ).crossJoin(train.agg(F.count(F.lit(1)).alias("n_train")))
+
+
+@register("q_ml_als", oracle=None)
+def q_ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS implicit-feedback recommender over the customer×part
+    purchase matrix — the collaborative-filtering stage a
+    user-behavior platform runs beside the intent classifier
+    ("users who bought X…" at model quality, vs q_orders_basket's
+    counting baseline).
+
+    Ratings: purchase counts from orders⋈lineitem (confidence
+    weights, implicitPrefs=True).  Seeded, rank 8, 5 iterations —
+    ALS is a block-wise distributed factorization, so the same code
+    scales to the full matrix by raising ``numBlocks``; the
+    recommend-for-all step is a blocked cross product Spark batches
+    internally.  Output: top-3 parts per customer, exploded to
+    (custkey, rank, partkey) — rows-only check (3·|sampled users|
+    rows); the pytest gate asserts coverage and rank shape.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count("*").cast("float").alias("cnt"))
+    )
+    als = ALS(
+        userCol="o_custkey",
+        itemCol="l_partkey",
+        ratingCol="cnt",
+        implicitPrefs=True,
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        seed=SEED,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        "o_custkey",
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        "o_custkey",
+        (F.col("rec_rank") + 1).alias("rec_rank"),
+        F.col("rec.l_partkey").alias("l_partkey"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )

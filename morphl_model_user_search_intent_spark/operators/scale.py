@@ -850,3 +850,70 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(units("l_quantity", 1)) / F.lit(1.0)).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date
+               FROM events),
+    mondays AS (
+      SELECT event_date FROM d
+      WHERE (date_diff('day', DATE '2024-01-01', event_date) % 7) = 0
+    )
+    SELECT e.event_date, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_value
+    FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+    JOIN mondays m ON e.event_date = m.event_date
+    GROUP BY e.event_date
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact side is the date-partitioned
+    events layout (q_sink_partitioned's directories), dim side is a
+    filtered date dimension (Mondays) joined on the partition column.
+    The filter is only known at runtime through the join, so static
+    pruning can't help — Catalyst instead broadcasts the dim, builds
+    the in-list of surviving dates, and injects it into the fact
+    scan's PartitionFilters (``dynamicpruningexpression`` in the
+    plan, gated in tests/test_plans.py).  At 100 TB this is the
+    difference between scanning 30 days and scanning the 4 the dim
+    selects — the core mechanism behind star-schema date filtering.
+
+    Weekday comes from portable day arithmetic (2024-01-01 is a
+    Monday), not engine locale; the oracle replays the same join on
+    the un-partitioned table, proving the pruned scan is lossless.
+    """
+    import os
+
+    from ..sources.formats import SCRATCH, _tag
+
+    path = os.path.join(SCRATCH, f"part-events-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = (
+        table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .filter(
+            F.datediff(F.col("event_date"), F.lit("2024-01-01")) % 7 == 0
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

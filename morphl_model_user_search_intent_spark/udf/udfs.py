@@ -237,3 +237,65 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_for_udtf e, LATERAL parse_props(e.props) p
         """
     )
+
+
+@register(
+    "q_udf_map_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0 AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy Arrow-native batch API (one step
+    below Pandas UDFs: no pandas conversion, raw RecordBatches).  The
+    Python side computes exact discounted-revenue units with pyarrow
+    compute kernels; Spark finishes with an ordinary partial-agg
+    groupBy, so only the per-batch projection crosses the JVM↔Python
+    boundary.
+
+    Exactness: cents and discount points are recovered by rounding
+    (values sit within 1e-9 of the integer, so pyarrow's half-to-even
+    cannot disagree with SQL's half-up), then all arithmetic is int64
+    — the same scaled-long discipline as the flagship Q1
+    (functions/exact.py), giving bit-identical doubles after the one
+    final division.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    out_schema = "l_returnflag string, rev_units bigint"
+
+    def rev_units(batches):
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                pa.int64(),
+            )
+            pts = pc.cast(
+                pc.round(pc.multiply(b.column("l_discount"), 100.0)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_returnflag"),
+                    pc.multiply(cents, pc.subtract(pa.scalar(100), pts)),
+                ],
+                names=["l_returnflag", "rev_units"],
+            )
+
+    return (
+        li.mapInArrow(rev_units, out_schema)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("rev_units") / F.lit(10000.0)).alias("revenue"),
+        )
+    )

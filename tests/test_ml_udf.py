@@ -106,3 +106,12 @@ def test_user_model_metrics(spark):
     # must at least match blind majority-class guessing
     majority = max(row.purchase_rate, 1.0 - row.purchase_rate)
     assert row.accuracy >= majority - 0.25
+
+
+def test_als_recommendations_shape(spark):
+    df = REGISTRY["q_ml_als"].fn(spark, SF_DIR)
+    rows = df.collect()
+    n_users = len({r.o_custkey for r in rows})
+    assert len(rows) == 3 * n_users  # exactly top-3 per customer
+    assert {r.rec_rank for r in rows} == {1, 2, 3}
+    assert all(r.score is not None for r in rows)

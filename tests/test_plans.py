@@ -121,3 +121,11 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SelectedBucketsCount" in explain_str(df)
+
+
+def test_dpp_join_injects_runtime_filter(spark):
+    # the Monday dim is only known at runtime: the fact scan must carry
+    # a dynamicpruningexpression in its PartitionFilters, proving the
+    # 26 non-Monday date directories are skipped at execution time.
+    plan = explain_str(_df(spark, "q_join_dpp")).lower()
+    assert "dynamicpruning" in plan
