@@ -1205,3 +1205,120 @@ def q_stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.sum(p * p), 6).alias("gini"),
         )
     )
+
+
+@register(
+    "q_events_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT s.h, hourly.v FROM spine s
+      LEFT JOIN hourly ON hourly.h = s.h
+    ), w AS (
+      SELECT h, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS nh
+      FROM j
+    )
+    SELECT h,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                     / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+           END, 6) AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM w
+    """,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: the hourly purchase-value series
+    densified over the full hour spine, holes filled by interpolating
+    between the nearest observed neighbors (edges carry the nearest
+    value) — what a forecasting pipeline wants when zero-fill would
+    lie (q_events_gapfill's counts ARE zeros; averages are NOT).
+
+    Two ignore-nulls window walks (backward carry of last observed
+    value+hour, forward carry of next) turn nearest-neighbor lookup
+    into O(n) sequential scans instead of a self-join.  The fraction
+    uses exact integer hour differences, so both engines interpolate
+    identical doubles.  The demo series is global (one window
+    partition); a per-series version adds the series key to
+    partitionBy and scales linearly.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                / F.count("value")
+            ).alias("v")
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    j = spine.join(hourly, "h", "left")
+    back = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    w = j.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    hours = lambda a, b: (
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("bigint")
+    frac = hours("ph", "h").cast("double") / hours("ph", "nh").cast(
+        "double"
+    )
+    return w.select(
+        "h",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

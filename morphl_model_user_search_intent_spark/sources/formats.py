@@ -186,3 +186,61 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length",
         F.substring("content", 1, 4).alias("magic"),
     )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_price
+    FROM merged GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old parquet batch written before a
+    column existed (even keys: orderkey+price only) merged with a new
+    batch that added ``o_orderpriority`` (odd keys) via
+    ``mergeSchema`` — the lakehouse reality that a 100 TB table is
+    never rewritten when a column lands, readers must union footers.
+
+    The merged scan yields NULL priority for pre-schema files; the
+    aggregate proves the union is lossless (exact cent totals match
+    recomputing from the source table).  mergeSchema costs one footer
+    read per file at planning time — at scale, keep schema in the
+    catalog instead; the read path is identical.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    p1 = os.path.join(SCRATCH, f"evo-v1-{_tag(sf_dir)}")
+    p2 = os.path.join(SCRATCH, f"evo-v2-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(p1, "_SUCCESS")):
+        base.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(p1)
+    if not os.path.exists(os.path.join(p2, "_SUCCESS")):
+        base.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total_price"),
+    )

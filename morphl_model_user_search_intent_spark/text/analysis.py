@@ -511,3 +511,87 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "tfidf", "rank")
     )
+
+
+@register(
+    "q_text_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(len) / COUNT(*) AS avglen
+              FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE word IN ('hash', 'join', 'scan')
+           GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM tf GROUP BY word)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON df.word = tf.word
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 15
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for the query {hash, join, scan} — the lexical
+    retrieval scorer between raw TF-IDF and a learned ranker, i.e.
+    exactly what a search-intent pipeline serves as its candidate
+    generator (k1=1.2, b=0.75).
+
+    All inputs are exact integer counts (tf, df, doc length, N), so
+    both engines evaluate the identical closed form; ``ln`` may differ
+    in the final ulp, hence the 6-dp round before the deterministic
+    (score, doc_id) top-15.  The doc-length side stays |docs|-sized,
+    the tf side |matching terms|-sized — both partial-aggregated
+    before their shuffles, and the corpus stats ride along as a
+    broadcast 1-row cross join.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("len")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len") / F.count("*")).alias("avglen"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin("hash", "join", "scan"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
