@@ -230,3 +230,47 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "q_json_variant",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` turns the
+    raw ``props`` string into the binary VARIANT encoding once, typed
+    fields come out via ``variant_get`` — the open-schema ingestion
+    pattern that replaces rigid ``from_json`` schemas when upstream
+    payloads evolve freely.
+
+    Unlike ``get_json_object`` (string re-parse per access), VARIANT
+    parses once and extracts many times from the binary form — the
+    right trade at 100 TB where props carry dozens of fields.  The
+    extraction, bucketing and exact cent-sum all stay JVM-side; the
+    oracle's ``json_extract`` is DuckDB's equivalent typed path.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k_val",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("k_val div 10").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
+    )

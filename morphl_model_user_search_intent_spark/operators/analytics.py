@@ -1322,3 +1322,154 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "q_events_survival",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, MIN(e.ts) AS p_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY s.user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_ts IS NOT NULL
+                  THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                 CAST(p.p_ts AS DATE))
+                  ELSE date_diff('day', CAST(s.s_ts AS DATE), horizon.h)
+             END AS t,
+             (p.p_ts IS NOT NULL) AS converted
+      FROM s LEFT JOIN p ON p.user_id = s.user_id CROSS JOIN horizon
+    ),
+    daily AS (
+      SELECT t AS day,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY t
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM subj),
+    ar AS (
+      SELECT day, d,
+             n.total
+               - COALESCE(SUM(leaving) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM daily CROSS JOIN n
+    ),
+    km AS (
+      SELECT day, d, at_risk,
+             SUM(CASE WHEN d > 0 AND d < at_risk
+                      THEN ln(1 - CAST(d AS DOUBLE) / at_risk)
+                      ELSE 0 END)
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum,
+             MAX(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hit_zero
+      FROM ar
+    )
+    SELECT day, at_risk, d AS conversions,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(lnsum), 6) END AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: P(still not
+    purchased by day t) over signup cohorts, right-censored at the
+    data horizon — the churn/conversion-timing estimator behavioral
+    platforms chart before fitting any parametric model.
+
+    S(t) = Π(1 − dᵢ/nᵢ) evaluated as exp(Σ ln(·)) in BOTH engines so
+    the float path is identical (window cum-sums may associate
+    differently → ~1e-14 noise, absorbed by the 6-dp round).  At-risk
+    counts come from exact integer window sums.  Everything reduces to
+    |distinct days| rows before the single-partition ordered window —
+    at scale, per-cohort curves add the cohort key to partitionBy.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("s_ts")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(
+                    F.col("p_ts").cast("date"), F.col("s_ts").cast("date")
+                ),
+            )
+            .otherwise(
+                F.datediff(F.col("h"), F.col("s_ts").cast("date"))
+            )
+            .alias("t"),
+            F.col("p_ts").isNotNull().alias("converted"),
+        )
+    )
+    daily = subj.groupBy(F.col("t").alias("day")).agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    n = subj.agg(F.count("*").alias("total"))
+    prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    at_risk = F.col("total") - F.coalesce(
+        F.sum("leaving").over(prev), F.lit(0)
+    )
+    ar = daily.crossJoin(F.broadcast(n)).select(
+        "day", "d", at_risk.alias("at_risk")
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("at_risk")),
+        F.log(1 - F.col("d").cast("double") / F.col("at_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("at_risk"), 1).otherwise(0)
+    ).over(run)
+    return (
+        ar.select(
+            "day",
+            "d",
+            "at_risk",
+            F.sum(term).over(run).alias("lnsum"),
+            hit_zero.alias("hit_zero"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "day",
+            "at_risk",
+            F.col("d").alias("conversions"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("survival"),
+        )
+    )
