@@ -1473,3 +1473,68 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival"),
         )
     )
+
+
+@register(
+    "q_orders_seasonality",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             (date_diff('day', DATE '1995-01-02',
+                        CAST(o_orderdate AS DATE)) % 7) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS units
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(units) AS total_units,
+                   SUM(n_orders) AS total_orders FROM cells)
+    SELECT m, dow, n_orders,
+           CAST(units AS DOUBLE) / 100.0 AS revenue,
+           ROUND((CAST(units AS DOUBLE) / total_units)
+                 / (CAST(n_orders AS DOUBLE) / total_orders), 6)
+             AS seasonality_index
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × weekday seasonality matrix with a revenue-concentration
+    index (cell revenue share ÷ cell order share; >1 = orders in that
+    cell run larger than average) — the calendar-effects profile a
+    demand or propensity model consumes as features.
+
+    Weekday uses portable day arithmetic from a known Monday
+    (1995-01-02), never engine locale.  One partial-aggregated groupBy
+    to 84 cells, totals ride back via a broadcast 1-row cross join,
+    and every ratio divides exact integer units, so the doubles agree
+    bit-for-bit.
+    """
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-02")
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "units"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("units").alias("total_units"),
+        F.sum("n_orders").alias("total_orders"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "m",
+        "dow",
+        "n_orders",
+        (F.col("units").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            (F.col("units").cast("double") / F.col("total_units"))
+            / (F.col("n_orders").cast("double") / F.col("total_orders")),
+            6,
+        ).alias("seasonality_index"),
+    )

@@ -917,3 +917,79 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo FROM events),
+    c AS (
+      SELECT i AS campaign_id,
+             lo + INTERVAL (i * 33) HOUR AS c_start,
+             lo + INTERVAL (i * 33 + 24) HOUR AS c_end
+      FROM b, (SELECT UNNEST(generate_series(0, 19)) AS i)
+    )
+    SELECT c.campaign_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM c JOIN events e
+      ON e.ts >= c.c_start AND e.ts < c.c_end
+    GROUP BY c.campaign_id
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join — the 100 TB spelling of "events within
+    campaign windows".  A pure range predicate forces a nested-loop
+    plan (every event × every campaign); bucketing by day converts it
+    to an equi join: campaigns explode into the day buckets they
+    overlap (≤2 each), events carry their own day, the join runs as a
+    hash join on the bucket, and the original BETWEEN survives as a
+    cheap residual filter.  Work scales with |overlapping pairs|, not
+    |events|·|campaigns| — the plan gate asserts no NestedLoop
+    remains.
+
+    The 20 overlapping 24 h campaign windows derive deterministically
+    from the data's min hour (spaced 33 h), so both engines join
+    identical intervals; the oracle runs the naive theta join,
+    proving bucket+residual is lossless.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"))
+    c = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "lo"
+        )
+        .select(
+            F.col("i").alias("campaign_id"),
+            F.expr("timestampadd(HOUR, i * 33, lo)").alias("c_start"),
+            F.expr("timestampadd(HOUR, i * 33 + 24, lo)").alias("c_end"),
+        )
+    )
+    cb = c.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "c_start"),
+                F.date_trunc(
+                    "day", F.expr("c_end - interval 1 microsecond")
+                ),
+                F.expr("interval 1 day"),
+            )
+        ).alias("bucket"),
+    )
+    eb = ev.select(
+        "ts", "user_id", F.date_trunc("day", "ts").alias("bucket")
+    )
+    return (
+        eb.join(
+            F.broadcast(cb),
+            (eb.bucket == cb.bucket)
+            & (eb.ts >= cb.c_start)
+            & (eb.ts < cb.c_end),
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

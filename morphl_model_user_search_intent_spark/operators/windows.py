@@ -197,3 +197,63 @@ def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(dec).over(wall).cast("double")
         ).alias("bal_share"),
     )
+
+
+@register(
+    "q_win_ratio",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_regionkey, n.n_name,
+             SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS units
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 0
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(units AS DOUBLE) / 100.0 AS balance,
+           ROUND(CAST(units AS DOUBLE)
+                 / SUM(units) OVER (PARTITION BY n_regionkey), 6)
+             AS region_share,
+           ROUND(CAST(units AS DOUBLE) / SUM(units) OVER (), 6)
+             AS global_share
+    FROM nrev
+    """,
+)
+def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows (RATIO_TO_REPORT): each nation's
+    positive customer balance as a share of its region and of the
+    world — the report normalization every BI layer needs, spelled as
+    unpartitioned/partitioned window sums over the pre-aggregated
+    level, never over the fact table.
+
+    The window input is |nations| rows, so the unbounded frames are
+    trivial; shares divide exact integer cent sums (numerator and
+    denominator both order-independent), making the doubles engine-
+    identical with no rounding leap of faith — the 6-dp round only
+    guards the division itself.
+    """
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    nrev = (
+        c.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("units")
+        )
+    )
+    u = F.col("units").cast("double")
+    return nrev.select(
+        "n_name",
+        (u / 100.0).alias("balance"),
+        F.round(
+            u / F.sum("units").over(W.partitionBy("n_regionkey")), 6
+        ).alias("region_share"),
+        F.round(u / F.sum("units").over(W.partitionBy()), 6).alias(
+            "global_share"
+        ),
+    )

@@ -129,3 +129,11 @@ def test_dpp_join_injects_runtime_filter(spark):
     # 26 non-Monday date directories are skipped at execution time.
     plan = explain_str(_df(spark, "q_join_dpp")).lower()
     assert "dynamicpruning" in plan
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    # bucketing must turn the pure range predicate into an equi hash
+    # join with a residual filter — no nested-loop fallback.
+    plan = explain_str(_df(spark, "q_join_range_bucketed")).lower()
+    assert "nestedloop" not in plan
+    assert "hashjoin" in plan
