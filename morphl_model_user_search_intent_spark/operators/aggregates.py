@@ -816,3 +816,61 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("segments"),
         F.count("*").alias("n_segments"),
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CASE WHEN GROUPING(o_orderstatus) = 0
+                THEN o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 0
+                THEN o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with ``grouping_id``/``grouping`` disambiguation: the
+    subtotal lattice where a NULL cell means "rolled up", proven by
+    the grouping bits rather than guessed from NULL-ness — required
+    the moment real data can itself contain NULLs.
+
+    Spark expands CUBE into one aggregate over 4 grouping-set
+    replicas (Expand operator) with partial aggregation below the
+    shuffle — 4× map-side rows, still one exchange.  Revenue sums
+    exact cents; the projected status/priority are masked through the
+    grouping bits so both engines emit identical subtotal rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    gid = F.grouping_id("o_orderstatus", "o_orderpriority")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue"),
+            gid.cast("bigint").alias("gid"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+        )
+        .select(
+            "gid",
+            F.when(F.col("g_status") == 0, F.col("o_orderstatus")).alias(
+                "status"
+            ),
+            F.when(
+                F.col("g_priority") == 0, F.col("o_orderpriority")
+            ).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )

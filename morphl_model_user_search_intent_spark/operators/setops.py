@@ -88,3 +88,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "q_set_bag",
+    oracle="""
+    WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+               WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+          WHERE o_orderkey % 2 = 1)
+    SELECT 'intersect_all' AS op, * FROM
+      (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', * FROM
+      (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def q_set_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-aware overlap between two order partitions — the
+    audit spelling of "how many duplicate shapes does each half
+    contribute" that DISTINCT set ops silently destroy.
+
+    Spark's ``intersectAll``/``exceptAll`` compile to a count-per-
+    tuple aggregate + generate (replicate min/diff counts) — one
+    shuffle on the full row as key, partial-aggregated, no sort.  The
+    two branches share the scan; results are tagged and unioned so
+    one driver check covers both operators.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "*")
+    return tag(a.intersectAll(b), "intersect_all").unionAll(
+        tag(a.exceptAll(b), "except_all")
+    )

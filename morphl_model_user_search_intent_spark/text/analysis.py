@@ -595,3 +595,67 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "q_corpus_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM t
+    )
+    SELECT start_tok // 2048 AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 6) AS fill
+    FROM c GROUP BY 1
+    """,
+)
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents laid end-to-end in
+    deterministic doc_id order and cut into 2048-token bins (each doc
+    assigned to the bin where it starts) — the contiguous-packing
+    pass that turns a ragged corpus into fixed-length training
+    sequences with measurable fill.
+
+    The running offset is one integer window cum-sum; bin assignment
+    is integer division — all exact, both engines identical.  The
+    demo packs one global stream (single window partition); the
+    production layout shards the corpus first (hash(doc_id) % shards)
+    and packs per shard in parallel, same code with one extra
+    partitionBy — packing quality is unchanged because bins never
+    span shards.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+    )
+    run = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(run) - F.col("n_tokens")).alias(
+            "start_tok"
+        ),
+    )
+    return c.groupBy(
+        F.expr("start_tok div 2048").alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / 2048, 6
+        ).alias("fill"),
+    )
