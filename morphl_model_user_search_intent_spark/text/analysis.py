@@ -659,3 +659,158 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / 2048, 6
         ).alias("fill"),
     )
+
+
+@register(
+    "q_corpus_clean",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+               AS n_toks,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  AS DOUBLE) / length(text) AS alpha
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             CASE
+               WHEN n_chars NOT BETWEEN 150 AND 600 THEN 'length'
+               WHEN lang NOT IN {LANG_ALLOW!r} THEN 'lang'
+               WHEN n_toks < 25 THEN 'tokens'
+               WHEN alpha < 0.7 THEN 'alpha'
+               WHEN row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) > 1
+                 THEN 'duplicate'
+               ELSE 'kept'
+             END AS verdict
+      FROM base
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning funnel: every document gets a
+    verdict — first failing stage of the C4-style cascade (length →
+    language → token floor → alphabetic ratio) or 'duplicate' (exact
+    text dedup, min-doc_id survivor) or 'kept' — and the report
+    counts docs and tokens per verdict.  This is the audit table a
+    training-data pipeline publishes with every corpus build: the
+    same filters as q_text_quality/q_dedup_exact, composed, with
+    nothing silently dropped.
+
+    All cascade predicates are scan-side JVM expressions; the only
+    shuffle is the dedup window on ``text`` (hash-partitioned by
+    content — duplicate clusters are tiny, so no skew), then a
+    6-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), "[^a-z]", "")
+    ).cast("double") / F.length("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(tokens()).cast("bigint").alias("n_toks"),
+        alpha.alias("alpha"),
+    )
+    rn = F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+    verdict = (
+        F.when(~F.col("n_chars").between(150, 600), "length")
+        .when(~F.col("lang").isin(*LANG_ALLOW), "lang")
+        .when(F.col("n_toks") < 25, "tokens")
+        .when(F.col("alpha") < 0.7, "alpha")
+        .when(F.col("rn") > 1, "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        base.withColumn("rn", rn)
+        .select(verdict.alias("verdict"), "n_toks")
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_text_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, (doc_id % 20 = 0) AS injected,
+             CASE WHEN doc_id % 20 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, injected,
+             len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+               AS n_found,
+             len(regexp_extract_all(
+                   regexp_replace(t, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS n_left
+      FROM aug
+    )
+    SELECT injected, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_found) AS BIGINT) AS n_emails,
+           CAST(SUM(n_left) AS BIGINT) AS n_leftover
+    FROM red GROUP BY 1
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: find-and-redact email addresses, then PROVE the
+    redaction by re-scanning the output (leftover must be 0) — the
+    compliance gate every training corpus passes before release.
+    Synthetic emails are injected into every 20th document so the
+    operator demonstrably fires on this fixture.
+
+    Pure scan-side regexp work (``regexp_extract_all`` to count,
+    ``regexp_replace`` to redact, re-extract to verify) — no shuffle
+    until the 2-row report; the pattern is dialect-portable (no
+    lookarounds), so Java regex and RE2 agree.
+    """
+    d = table(spark, sf_dir, "documents")
+    pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    aug = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("injected"),
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    red = aug.select(
+        "injected",
+        F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0))).alias(
+            "n_found"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace("t", pat, "<EMAIL>"),
+                F.lit(pat),
+                F.lit(0),
+            )
+        ).alias("n_left"),
+    )
+    return red.groupBy("injected").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_found").alias("n_emails"),
+        F.sum("n_left").alias("n_leftover"),
+    )
