@@ -1538,3 +1538,168 @@ def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_index"),
     )
+
+
+@register(
+    "q_session_features",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                   OR date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts)
+                      >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no
+      FROM w
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(row_number() OVER (PARTITION BY user_id, sess_no
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS idx_in_session,
+           date_diff('microsecond',
+             min(ts) OVER (PARTITION BY user_id, sess_no), ts)
+             // 1000000 AS secs_since_start
+    FROM s
+    """,
+)
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session-relative features: session ordinal, index
+    within session, seconds since session start (30-min inactivity
+    sessions) — exactly the positional features a sequence /
+    next-event model consumes per event, complementing
+    q_sessionize's per-session rollup.
+
+    Three stacked window passes over the same (user, ts, event_id)
+    ordering — Catalyst collapses them into a minimal number of
+    sorts behind one user_id shuffle.  Time arithmetic stays in
+    exact integer microseconds (floor-divided to seconds
+    identically in both engines); per-user state is bounded, so the
+    plan scales with users, not events-per-window.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev_ts)
+            >= 1800000000
+        ),
+        1,
+    ).otherwise(0)
+    w = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        new_sess.alias("new_sess"),
+    )
+    s = w.select(
+        "*",
+        F.sum("new_sess")
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sess_no"),
+    )
+    sess = W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    start = F.min("ts").over(W.partitionBy("user_id", "sess_no"))
+    return s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("sess_no").cast("bigint").alias("sess_no"),
+        F.row_number().over(sess).cast("bigint").alias("idx_in_session"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(start)) / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("secs_since_start"),
+    )
+
+
+@register(
+    "q_events_growth",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM act
+    )
+    SELECT wk,
+           CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_wk = wk - 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN next_wk IS NULL OR next_wk > wk + 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+    FROM w GROUP BY wk
+    """,
+)
+def q_events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified
+    as new / retained / resurrected, plus how many of the week's
+    actives churn immediately after — the MAU-decomposition ledger
+    (new + retained + resurrected = actives) growth teams monitor.
+
+    One distinct to (user, week) granularity — the heavy lift, hash-
+    spread across both columns — then lag/lead over each user's tiny
+    week list and a conditional-sum rollup.  Week truncation is
+    Monday-anchored in both engines and compared as DATEs (timestamp
+    vs date trunc semantics differ — the cast is the portability
+    fix); all outputs are exact integer counts.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).distinct()
+    order = W.partitionBy("user_id").orderBy("wk")
+    w = act.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(order).alias("prev_wk"),
+        F.lead("wk").over(order).alias("next_wk"),
+    )
+    return w.groupBy("wk").agg(
+        F.sum(
+            F.when(F.col("prev_wk").isNull(), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("prev_wk") == F.date_sub("wk", 7), 1
+            ).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.date_sub("wk", 7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.date_add("wk", 7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_churning"),
+    )

@@ -84,3 +84,36 @@ def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame form gets."""
     _views(spark, sf_dir, "customer", "nation")
     return spark.sql(_SQL_CTE)
+
+
+# Parameterized template: Spark binds :minbal/:seg server-side;
+# the oracle is the same text with the literals substituted.
+_SQL_PARAMS = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+             AS total_balance
+    FROM customer
+    WHERE c_acctbal > {minbal} AND c_mktsegment <> {seg}
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "q_sql_params",
+    oracle=_SQL_PARAMS.format(minbal="5000.0", seg="'MACHINERY'"),
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (``spark.sql(query, args=...)``): named
+    placeholders bound server-side — the injection-safe templating
+    surface a multi-tenant platform exposes instead of f-string SQL.
+    Parameter markers survive into the parsed plan, so Catalyst
+    constant-folds them exactly like literals (pushdown included);
+    the oracle runs the same text with the values spelled inline,
+    proving bind-vs-literal equivalence.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        _SQL_PARAMS.format(minbal=":minbal", seg=":seg"),
+        args={"minbal": 5000.0, "seg": "MACHINERY"},
+    )
