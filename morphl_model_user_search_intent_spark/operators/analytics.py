@@ -1703,3 +1703,171 @@ def q_events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_churning"),
     )
+
+
+@register(
+    "q_topn_other",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_name,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS units
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY units DESC, n_name) AS rk
+      FROM nrev
+    )
+    SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'OTHER' END AS nation,
+           CAST(SUM(units) AS DOUBLE) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM r GROUP BY 1
+    """,
+)
+def q_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by revenue with everything else folded into one
+    'OTHER' row — the report primitive that keeps dashboards bounded
+    no matter how wide the dimension grows (the long tail is summed,
+    never dropped).
+
+    The fact table reduces to |nations| rows before the ranking
+    window runs (broadcast dims, partial-agg first), so the global
+    window is trivially cheap; the fold is a CASE over the rank and
+    one more tiny aggregate.  Revenue stays exact integer cents
+    until the final division.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    nrev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("units")
+        )
+    )
+    rk = F.row_number().over(W.orderBy(F.col("units").desc(), "n_name"))
+    return (
+        nrev.withColumn("rk", rk)
+        .groupBy(
+            F.when(F.col("rk") <= 5, F.col("n_name"))
+            .otherwise("OTHER")
+            .alias("nation")
+        )
+        .agg(
+            (F.sum("units").cast("double") / 100.0).alias("revenue"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q_label_forward",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id
+             ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts)
+             RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING
+           ), 0) AS BIGINT) AS purchases_7d,
+           (COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id
+             ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts)
+             RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING
+           ), 0) > 0) AS label
+    FROM events
+    """,
+)
+def q_label_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label generation: for every event, how many
+    purchases the same user makes in the NEXT 7 days (strictly
+    after), plus the boolean conversion label — the leakage-safe
+    target a propensity model trains on, built without a self-join.
+
+    A value-RANGE window over exact epoch microseconds ((1,
+    7d·86400·1e6] FOLLOWING) walks each user's timeline once —
+    O(n) per user vs the O(n²) candidate join, the same trailing-
+    window machinery as q_win_trailing_1h pointed forward.  Empty
+    frames coalesce to 0 in both engines; all arithmetic is integer.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, 604800000000)
+    )
+    cnt = F.coalesce(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        cnt.cast("bigint").alias("purchases_7d"),
+        (cnt > 0).alias("label"),
+    )
+
+
+@register(
+    "q_agg_multigrain",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(date_trunc('week', ts) AS DATE) AS w,
+             CAST(date_trunc('month', ts) AS DATE) AS m
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(d) = 0 THEN 'day'
+                WHEN GROUPING(w) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(d, w, m) AS bucket,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY GROUPING SETS ((d), (w), (m))
+    """,
+)
+def q_agg_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users at day, week, AND month grain from ONE scan:
+    GROUPING SETS over the three derived calendar columns — distinct
+    users do NOT sum across buckets, so each grain genuinely needs
+    its own COUNT(DISTINCT), and the grouping-set expansion shares
+    the scan and the exact-distinct machinery instead of running
+    three jobs.
+
+    Spark's Expand replicates each row 3× map-side (one replica per
+    set) before the two-phase exact distinct — at 100 TB that trades
+    2× extra shuffle input for two whole table scans avoided, a win
+    whenever the scan dominates (it does; events is the fat table).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.date_trunc("week", "ts").cast("date").alias("w"),
+        F.date_trunc("month", "ts").cast("date").alias("m"),
+    )
+    ev.createOrReplaceTempView("_multigrain_events")
+    return table(spark, sf_dir, "events").sparkSession.sql(
+        """
+        SELECT CASE WHEN GROUPING(d) = 0 THEN 'day'
+                    WHEN GROUPING(w) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+               COALESCE(d, w, m) AS bucket,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM _multigrain_events GROUP BY GROUPING SETS ((d), (w), (m))
+        """
+    )
