@@ -321,3 +321,52 @@ def q_ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.l_partkey").alias("l_partkey"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
     )
+
+
+@register("q_ml_pca", oracle=None)
+def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA compression of the 64-dim embedding space to k=8 — the
+    dimensionality-reduction pass an embedding pipeline runs before
+    expensive ANN indexing or storage (8× smaller vectors, most
+    variance kept).
+
+    MLlib computes the principal axes from the Gramian
+    (covariance-eigendecomposition — one distributed pass to build
+    the 64×64 matrix, eigensolve on the driver: the textbook pattern
+    when dims are small and rows are huge, exactly the 100 TB
+    regime).  Output: per-label mean L2 norm of the projected
+    vectors plus retained-variance share — scalar projections, so
+    the rows-only driver check sees a stable schema; the pytest gate
+    asserts the variance ordering/threshold.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.col("embedding").cast("array<double>")
+        ).alias("features"),
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
+    var = float(sum(model.explainedVariance.toArray()))
+    proj = model.transform(e).select(
+        "label", vector_to_array("pc").alias("p")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("p", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        proj.select("label", norm.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("l2"), 4).alias("mean_norm"),
+        )
+        .withColumn("explained_variance", F.round(F.lit(var), 4))
+    )

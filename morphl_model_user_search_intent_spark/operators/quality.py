@@ -121,3 +121,44 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+@register(
+    "q_observe",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+    """,
+)
+def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``observe()`` in-flight metrics: the filter result flows on
+    unchanged while Spark accumulates row count and an exact cent
+    total ON THE SAME PASS — the zero-extra-scan pipeline telemetry
+    (row counts per stage, null ratios, freshness) that production
+    jobs attach to every write instead of re-aggregating after the
+    fact.
+
+    The observation costs one accumulator merge per task — no extra
+    shuffle, no second job (tests/test_ml_udf.py asserts the captured
+    metrics equal an independent aggregate).  The oracle checks the
+    pass-through rows are untouched by the instrumentation.
+    """
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("q_observe_metrics")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 200000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )

@@ -115,3 +115,45 @@ def test_als_recommendations_shape(spark):
     assert len(rows) == 3 * n_users  # exactly top-3 per customer
     assert {r.rec_rank for r in rows} == {1, 2, 3}
     assert all(r.score is not None for r in rows)
+
+
+def test_observe_metrics_match_independent_aggregate(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from morphl_model_user_search_intent_spark.io import table as _t
+
+    o = _t(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 200000.0)
+    )
+    expected_n = o.count()
+    expected_cents = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+
+    obs = Observation("m")
+    df = (
+        o.select("o_orderkey", "o_totalprice")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+    df.collect()  # materialize so the observation fires
+    got = obs.get
+    assert got["n_rows"] == expected_n
+    assert got["total_cents"] == expected_cents
+
+
+def test_pca_retains_reasonable_variance(spark):
+    df = REGISTRY["q_ml_pca"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) >= 2  # one row per label present
+    ev = rows[0].explained_variance
+    # 8 of 64 isotropic-ish dims: retained share must be positive and
+    # a strict subset of total variance
+    assert 0.0 < ev < 1.0
+    assert all(r.mean_norm > 0 for r in rows)
