@@ -874,3 +874,82 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cents * w) AS DOUBLE) / SUM(w) / 100.0
+             AS weighted_mean,
+           MIN(CASE WHEN 2 * cumw >= totw THEN cents END) / 100.0
+             AS weighted_median
+    FROM x GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and median price per return flag — the
+    unit-economics statistics where every line counts as many units,
+    not once (plain avg/median over-weights small orders).
+
+    Weighted mean is one exact integer aggregate (Σ cents·qty /
+    Σ qty — same scaled-long discipline as the flagship).  Weighted
+    median is the smallest price whose running weight reaches half
+    the total — a per-group ordered window with a unique
+    (cents, orderkey, linenumber) sort key so both engines walk one
+    deterministic order.  The demo sorts full groups; at extreme
+    scale the same cut comes from the histogram/quantile-bucket
+    two-pass (q_feature_binning's machinery) without a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    wcol = F.col("l_quantity").cast("bigint")
+    x = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        wcol.alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    run = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = W.partitionBy("l_returnflag")
+    x = x.select(
+        "l_returnflag",
+        "cents",
+        "w",
+        F.sum("w").over(run).alias("cumw"),
+        F.sum("w").over(tot).alias("totw"),
+    )
+    return x.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("cents") * F.col("w")).cast("double")
+            / F.sum("w")
+            / 100.0
+        ).alias("weighted_mean"),
+        (
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
+            )
+            / 100.0
+        ).alias("weighted_median"),
+    )

@@ -189,3 +189,69 @@ def q_exists_anti_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("num_blamed").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_not_exists_scalar",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 100.0 AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0
+             AS idle_balance
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q_not_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (wealthy inactive customers): an uncorrelated
+    scalar-aggregate subquery (global average positive balance) AND a
+    correlated NOT EXISTS against orders, composed — the remaining
+    decorrelation pattern after Q4/Q17/Q18/Q21.
+
+    Spark spelling: the scalar rides in as a broadcast 1-row cross
+    join (evaluated once, never per-row); the NOT EXISTS is a LEFT
+    ANTI join on ``o_custkey``.  The anti join's right side projects
+    a single column pre-shuffle; the average divides exact integer
+    cents, so the threshold double is engine-identical.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+            / 100.0
+        ).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                )
+                / 100.0
+            ).alias("idle_balance"),
+        )
+    )

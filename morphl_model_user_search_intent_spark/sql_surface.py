@@ -117,3 +117,47 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SQL_PARAMS.format(minbal=":minbal", seg=":seg"),
         args={"minbal": 5000.0, "seg": "MACHINERY"},
     )
+
+
+_SQL_FN_BODY = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND({call} * 100) AS BIGINT)) / 100.0
+             AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_sql_function",
+    oracle=_SQL_FN_BODY.format(
+        call="l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+    ),
+)
+def q_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE TEMPORARY
+    FUNCTION … RETURN expr``): business logic named once in the
+    catalog and reused across queries — the governed alternative to
+    copy-pasting the net-price formula into every report.
+
+    A SQL UDF is inlined by the analyzer — the plan is identical to
+    writing the expression by hand (whole-stage codegen, pushdown
+    unaffected), unlike a Python UDF which would break codegen; the
+    oracle runs the expanded expression, proving the inlining is
+    exact.
+    """
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+          price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1 - disc) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        _SQL_FN_BODY.format(
+            call="net_price(l_extendedprice, l_discount, l_tax)"
+        )
+    )
