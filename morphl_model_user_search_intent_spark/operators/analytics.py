@@ -1871,3 +1871,104 @@ def q_agg_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _multigrain_events GROUP BY GROUPING SETS ((d), (w), (m))
         """
     )
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day minus its per-user ordinal is
+    constant exactly within a consecutive run), the engagement
+    feature behind habit scores and streak badges.
+
+    Dedup to (user, day) first — the heavy reduction — then one
+    per-user ordered window and two tiny aggregates; all integer/date
+    arithmetic, exact in both engines.  Per-user state is bounded by
+    active days, so the window never sees a hot partition.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("day")
+    )
+    g = d.select(
+        "user_id", "day", F.date_sub("day", rn).alias("grp")
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@register(
+    "q_events_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, SUM(cnt) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(t.tot AS BIGINT) AS n_events,
+           ROUND(-SUM((cnt / tot) * ln(cnt / tot)), 6) AS type_entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.tot
+    """,
+)
+def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: distinct event types plus the
+    Shannon entropy of the user's type mix — the "explorer vs
+    single-track" feature that separates browsers from buyers in
+    propensity models (same entropy discipline as q_stats_entropy,
+    applied per entity).
+
+    Two aggregations sharing the user_id partitioning and a
+    broadcast-scale join back; counts are exact integers, so only
+    ``ln``'s final ulp needs the 6-dp round.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    t = c.groupBy("user_id").agg(F.sum("cnt").alias("tot"))
+    p = F.col("cnt") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+        )
+        .select(
+            "user_id",
+            "n_types",
+            F.col("tot").cast("bigint").alias("n_events"),
+            "type_entropy",
+        )
+    )

@@ -814,3 +814,53 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_found").alias("n_emails"),
         F.sum("n_left").alias("n_leftover"),
     )
+
+
+_STEM_SQL = """
+    CASE
+      WHEN {w} LIKE '%ies' AND length({w}) > 4
+        THEN substring({w}, 1, length({w}) - 3) || 'y'
+      WHEN {w} LIKE '%ing' AND length({w}) > 5
+        THEN substring({w}, 1, length({w}) - 3)
+      WHEN {w} LIKE '%ed' AND length({w}) > 4
+        THEN substring({w}, 1, length({w}) - 2)
+      WHEN {w} LIKE '%s' AND {w} NOT LIKE '%ss' AND length({w}) > 3
+        THEN substring({w}, 1, length({w}) - 1)
+      ELSE {w}
+    END
+"""
+
+
+@register(
+    "q_text_stem",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    stems AS (SELECT {_STEM_SQL.format(w='w')} AS stem FROM toks)
+    SELECT stem, CAST(COUNT(*) AS BIGINT) AS n
+    FROM stems GROUP BY stem
+    ORDER BY n DESC, stem LIMIT 20
+    """,
+)
+def q_text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based suffix stemming (Porter-lite: -ies/-ing/-ed/-s with
+    length guards) before term counting — the normalization pass that
+    merges 'joins/joined/joining' into one vocabulary entry, shrinking
+    the feature space a keyword model trains on.
+
+    The rule chain is a pure CASE over string primitives (LIKE +
+    substring — no regex dialect to disagree on), applied inside the
+    explode projection, so stemming rides the scan with zero extra
+    passes; the count rollup partial-aggregates per partition
+    vocabulary as usual.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens()).alias("w"))
+    stems = toks.select(F.expr(_STEM_SQL.format(w="w")).alias("stem"))
+    return (
+        stems.groupBy("stem")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "stem")
+        .limit(20)
+    )
