@@ -1972,3 +1972,153 @@ def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_entropy",
         )
     )
+
+
+@register(
+    "q_events_velocity",
+    oracle="""
+    WITH wkly AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, wk, n_events,
+             SUM(n_events) OVER (PARTITION BY user_id ORDER BY wk
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prev4
+      FROM wkly
+    )
+    SELECT user_id, wk, n_events, prev4,
+           ROUND(CAST(4 * n_events AS DOUBLE) / prev4, 6) AS velocity
+    FROM w WHERE prev4 > 0
+    """,
+)
+def q_events_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement velocity: each user-week's event count against the
+    trailing four weeks' average (ratio > 1 = accelerating) — the
+    trend feature churn models weight most, and the input to
+    early-warning alerting.
+
+    NOTE: weeks a user is absent simply don't produce rows, so the
+    4-PRECEDING frame spans the user's last four ACTIVE weeks — the
+    gap-filled variant composes q_events_gapfill's spine when
+    calendar alignment matters.  All counts are exact integers; the
+    single ratio is the only float op.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wkly = ev.groupBy(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("wk")
+        .rowsBetween(-4, -1)
+    )
+    return (
+        wkly.withColumn("prev4", F.sum("n_events").over(w))
+        .filter(F.col("prev4") > 0)
+        .select(
+            "user_id",
+            "wk",
+            "n_events",
+            "prev4",
+            F.round(
+                (4 * F.col("n_events")).cast("double") / F.col("prev4"),
+                6,
+            ).alias("velocity"),
+        )
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+      FROM events GROUP BY 1
+    ),
+    cohort_size AS (
+      SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cw,
+             date_diff('day', f.cw,
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7
+               AS wk_off,
+             SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS cents
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cw, wk_off,
+             SUM(cents) OVER (PARTITION BY cw ORDER BY wk_off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT c.cw AS cohort_week, CAST(c.wk_off AS BIGINT) AS week_offset,
+           s.n_users,
+           ROUND(CAST(cum_cents AS DOUBLE) / s.n_users / 100.0, 6)
+             AS ltv_per_user
+    FROM c JOIN cohort_size s ON s.cw = c.cw
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curves: per signup-cohort revenue per user by
+    week offset — the payback chart unit economics run on (when does
+    a cohort's cumulative spend cross acquisition cost?), built
+    entirely from exact integer cents until the final per-user
+    division.
+
+    The fact table reduces to (cohort, offset) cells before the
+    cumulative window — |cohorts|·|weeks| rows, trivial at any scale;
+    the user→cohort join shares the user_id partitioning with the
+    first-activity aggregate.  Week offsets divide exactly (both
+    sides are Monday-truncated), spelled as floor division in both
+    engines.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    size = first.groupBy("cw").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cw",
+            F.expr(
+                "datediff(CAST(date_trunc('week', ts) AS DATE), cw)"
+                " div 7"
+            ).alias("wk_off"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    run = (
+        W.partitionBy("cw")
+        .orderBy("wk_off")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = rev.select(
+        "cw", "wk_off", F.sum("cents").over(run).alias("cum_cents")
+    )
+    return c.join(F.broadcast(size), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("wk_off").cast("bigint").alias("week_offset"),
+        "n_users",
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("n_users") / 100.0,
+            6,
+        ).alias("ltv_per_user"),
+    )

@@ -162,3 +162,66 @@ def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+@register(
+    "q_impute_missing",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(v) / 100.0 AS mean_v,
+             CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS observed_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_imputed
+      FROM masked GROUP BY 1
+    )
+    SELECT event_type, n_rows, n_imputed,
+           ROUND(mean_v, 6) AS fill_value,
+           ROUND(observed_sum + n_imputed * mean_v, 4)
+             AS imputed_total
+    FROM m
+    """,
+)
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation audit: mask a deterministic 1/17 of values to
+    NULL, fill each gap with its group's observed mean, and report
+    fill values + the post-imputation total — the missing-data repair
+    every feature pipeline runs, with the bookkeeping that makes it
+    auditable (how many cells were invented, at what value).
+
+    The group means come from exact cent sums over the observed
+    subset; the imputed total is reconstructed from scalar aggregates
+    (observed_sum + n·mean) rather than summing imputed doubles row
+    by row — that keeps the whole computation order-independent,
+    hence engine-identical.  One aggregation pass, no second scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 17 != 0, F.col("value"))
+    cents = F.round(v * 100).cast("bigint")
+    m = ev.select("event_type", v.alias("v"), cents.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        (F.sum("c").cast("double") / F.count("v") / 100.0).alias(
+            "mean_v"
+        ),
+        (F.sum("c").cast("double") / 100.0).alias("observed_sum"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("v")).alias("n_imputed"),
+    )
+    return m.select(
+        "event_type",
+        "n_rows",
+        "n_imputed",
+        F.round("mean_v", 6).alias("fill_value"),
+        F.round(
+            F.col("observed_sum") + F.col("n_imputed") * F.col("mean_v"),
+            4,
+        ).alias("imputed_total"),
+    )
