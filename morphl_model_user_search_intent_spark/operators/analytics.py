@@ -2122,3 +2122,193 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             ((user_id * 2654435761) % 4294967296) % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT a.variant, e.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase' AND e.value > 150
+                      THEN 1 ELSE 0 END) AS converted,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                      ELSE 0 END) AS cents
+      FROM events e JOIN assign a ON e.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv,
+             SUM(cents) AS cents
+      FROM conv GROUP BY 1
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+             MAX(CASE WHEN variant = 0 THEN n_conv END) AS c_a,
+             MAX(CASE WHEN variant = 1 THEN n_conv END) AS c_b,
+             MAX(CASE WHEN variant = 0 THEN cents END) AS cents_a,
+             MAX(CASE WHEN variant = 1 THEN cents END) AS cents_b
+      FROM s
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND(CAST(cents_a AS DOUBLE) / 100.0, 2) AS revenue_a,
+           ROUND(CAST(cents_b AS DOUBLE) / 100.0, 2) AS revenue_b,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM p
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 by the engine's
+    deterministic Knuth-hash assignment (the same portable arithmetic
+    as q_split_assign — rerunnable, engine-independent, no rand()),
+    then per-variant high-value conversion (a purchase over
+    150 — the rare outcome; 'any purchase' saturates at 100% in this
+    fixture and degenerates the test), revenue, and the pooled two-
+    proportion z-statistic — the experimentation primitive a
+    behavioral platform runs daily.
+
+    Everything reduces to two rows of exact integers before the
+    closed-form z (identical IEEE expression both engines; sqrt's
+    final ulp absorbed by the 6-dp round).  The per-user conversion
+    rollup shares the user_id shuffle with the assignment join.
+    """
+    ev = table(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                (F.col("user_id") * F.lit(2654435761))
+                % F.lit(4294967296)
+                % 2
+            ).alias("variant"),
+        )
+    )
+    conv = (
+        ev.join(assign, "user_id")
+        .groupBy("variant", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("cents"),
+        )
+    )
+    s = conv.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+        F.sum("cents").alias("cents"),
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))
+    p = s.agg(
+        pick(0, "n_users").alias("n_a"),
+        pick(1, "n_users").alias("n_b"),
+        pick(0, "n_conv").alias("c_a"),
+        pick(1, "n_conv").alias("c_b"),
+        pick(0, "cents").alias("cents_a"),
+        pick(1, "cents").alias("cents_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return p.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(F.col("cents_a").cast("double") / 100.0, 2).alias(
+            "revenue_a"
+        ),
+        F.round(F.col("cents_b").cast("double") / 100.0, 2).alias(
+            "revenue_b"
+        ),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "q_score_decay",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+    x AS (
+      SELECT user_id,
+             exp(-0.1 * (CAST(date_diff('microsecond', ts, horizon.h)
+                              AS DOUBLE) / 86400000000))
+               AS wgt,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS is_purchase
+      FROM events CROSS JOIN horizon
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(wgt), 6) AS engagement_score,
+           ROUND(SUM(wgt * is_purchase), 6) AS purchase_score
+    FROM x GROUP BY user_id
+    """,
+)
+def q_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency-decay engagement score: every event
+    contributes e^(−0.1·days_ago), so yesterday outweighs last month
+    — the standard recency weighting that replaces hard RFM windows
+    with a smooth kernel (λ=0.1/day ≈ one-week half-life).
+
+    Age is exact integer microseconds against the global max
+    timestamp (broadcast 1-row horizon), so both engines exponentiate
+    identical doubles; the per-user sums of ≤dozens of O(1) terms
+    carry ≤1e-15 association noise, absorbed by the 6-dp round —
+    same discipline as BM25/entropy.  One scan, one user_id shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    wgt = F.exp(
+        -0.1
+        * (
+            (F.unix_micros("h") - F.unix_micros("ts")).cast("double")
+            / 86400000000
+        )
+    )
+    x = ev.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        wgt.alias("wgt"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+    )
+    return x.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("wgt"), 6).alias("engagement_score"),
+        F.round(F.sum(F.col("wgt") * F.col("is_purchase")), 6).alias(
+            "purchase_score"
+        ),
+    )
