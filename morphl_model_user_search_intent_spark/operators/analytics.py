@@ -2312,3 +2312,204 @@ def q_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_score"
         ),
     )
+
+
+@register(
+    "q_stats_mad",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.5) AS med_cents
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT b.l_returnflag, b.cents, m.med_cents,
+             abs(b.cents - m.med_cents) AS adev
+      FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad_c
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           ROUND(d.med_cents / 100.0, 6) AS median_price,
+           ROUND(m.mad_c / 100.0, 6) AS mad_price,
+           CAST(SUM(CASE WHEN abs(d.cents - d.med_cents)
+                              > 3 * 1.4826 * m.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag, d.med_cents, m.mad_c
+    """,
+)
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: flag
+    prices beyond 3 scaled MADs (×1.4826 ≈ σ under normality) from
+    the per-group median — the outlier gate that, unlike z-scores
+    (q_events_anomaly), cannot be dragged by the outliers themselves.
+
+    Two exact-median passes (``F.percentile`` / ``quantile_cont``
+    interpolate identically on exact integer cents, the established
+    parity discipline) with the group medians broadcast back between
+    them; the final count is one conditional aggregate.  At 100 TB
+    each pass is a partial-aggregated shuffle on the group key —
+    medians per group, never a global sort.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = base.groupBy("l_returnflag").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = base.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("adev", 0.5).alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med_cents", "mad_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    > 3 * 1.4826 * F.col("mad_c"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("med_cents") / 100.0, 6).alias("median_price"),
+            F.round(F.col("mad_c") / 100.0, 6).alias("mad_price"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "q_stats_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT obs.d AS digit,
+           CAST(obs.n AS BIGINT) AS n_observed,
+           ROUND(obs.n / tot.total, 6) AS observed_share,
+           ROUND(ln(1 + 1.0 / obs.d) / ln(10), 6) AS benford_share,
+           ROUND((obs.n / tot.total - ln(1 + 1.0 / obs.d) / ln(10))
+                 * (obs.n / tot.total - ln(1 + 1.0 / obs.d) / ln(10))
+                 / (ln(1 + 1.0 / obs.d) / ln(10)), 6)
+             AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: observed vs
+    expected log₁₀(1+1/d) shares with per-digit χ² terms — the
+    classic fabricated-data / anomalous-feed detector a data-quality
+    layer runs on money columns.
+
+    The leading digit comes from the exact integer cents rendered as
+    a string (no log10-near-power-of-10 float edge), so the counts
+    are exact; the expected shares are closed-form constants both
+    engines evaluate identically (ln ulp → 6-dp round).  One
+    9-bucket aggregate — scan-bound at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("double").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total")
+    exp_share = F.log(1 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(share, 6).alias("observed_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(
+            (share - exp_share) * (share - exp_share) / exp_share, 6
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "q_orders_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o.o_custkey, c.c_mktsegment,
+             date_diff('day',
+               lag(CAST(o.o_orderdate AS DATE)) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey),
+               CAST(o.o_orderdate AS DATE)) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days), 6)
+             AS mean_gap_days,
+           quantile_cont(gap_days, 0.5) AS median_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order interarrival statistics: days between a customer's
+    consecutive orders, rolled up per market segment — the purchase-
+    cadence feature CLV and replenishment models are built on
+    (mean + exact median of the gap distribution).
+
+    One per-customer lag window (ordered by date with orderkey
+    tiebreak, so both engines difference the same neighbors), then a
+    segment-level aggregate over exact integer day gaps; the median
+    interpolates identically on integers.  Per-customer state is one
+    previous date — no skew exposure.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.round(
+            F.sum("gap_days").cast("double") / F.count("gap_days"), 6
+        ).alias("mean_gap_days"),
+        F.percentile("gap_days", 0.5).alias("median_gap_days"),
+    )
