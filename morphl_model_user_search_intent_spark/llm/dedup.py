@@ -331,3 +331,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 8)
     )
+
+
+@register(
+    "q_dedup_hash",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT doc_id, md5(text) AS content_hash FROM corpus)
+    SELECT content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM h GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable exact dedup: group by MD5 of the document
+    body, emit every hash with >1 copy and its min-id canonical — the
+    first (and cheapest) dedup pass of any corpus build, and the
+    storage key for content-addressed blob stores.  A deterministic
+    re-ingestion (every 10th doc appended under a shifted id) stands
+    in for the double-crawl the pass exists to catch.
+
+    Both engines produce identical MD5 hex, so the digest itself is
+    oracle-checked — at scale this is the point: the 16-byte hash
+    shuffles instead of the document body, making the groupBy
+    key-size-bounded no matter how large documents get (the same
+    reason the production pass hashes before the exchange).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(reingested)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

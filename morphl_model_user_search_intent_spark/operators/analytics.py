@@ -2513,3 +2513,74 @@ def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_days"),
         F.percentile("gap_days", 0.5).alias("median_gap_days"),
     )
+
+
+@register(
+    "q_events_slo",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT h, n_events, n_errors,
+             SUM(n_events) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS ev_6h,
+             SUM(n_errors) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_6h
+      FROM hourly
+    )
+    SELECT h, n_events, n_errors,
+           ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
+           ROUND(CAST(err_6h AS DOUBLE) / ev_6h / 0.25, 6)
+             AS burn_rate_6h,
+           (CAST(err_6h AS DOUBLE) / ev_6h > 0.25) AS breach
+    FROM w
+    """,
+)
+def q_events_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget monitoring: hourly error rate plus the 6-hour
+    sliding burn rate against a 25% error budget, with breach flags —
+    the observability rollup a platform computes over its own event
+    stream (the fixture's uniform type mix sits at ~20%, so breaches
+    mark genuinely anomalous hours, not noise).
+
+    Hourly reduction first (exact integer counts — the only pass over
+    the fat table), then a 6-row sliding window over the tiny hourly
+    series; ratios divide exact integers.  Per-series windows stay
+    single-partition only because there's one global series — per-
+    service SLOs add the service key to partitionBy.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    win = W.orderBy("h").rowsBetween(-5, 0)
+    w = hourly.select(
+        "h",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(win).alias("ev_6h"),
+        F.sum("n_errors").over(win).alias("err_6h"),
+    )
+    rate6 = F.col("err_6h").cast("double") / F.col("ev_6h")
+    return w.select(
+        "h",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events"), 6
+        ).alias("error_rate"),
+        F.round(rate6 / 0.25, 6).alias("burn_rate_6h"),
+        (rate6 > 0.25).alias("breach"),
+    )

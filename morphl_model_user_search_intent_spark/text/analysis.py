@@ -864,3 +864,81 @@ def q_text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "stem")
         .limit(20)
     )
+
+
+@register(
+    "q_text_zipf",
+    oracle="""
+    WITH counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT word, n,
+             CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+               AS rnk
+      FROM counts
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS cnt, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(cnt AS BIGINT) AS n_points,
+           ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6)
+             AS zipf_slope,
+           ROUND((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+                  * sx) / cnt, 6) AS zipf_intercept
+    FROM s
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-100 vocabulary — natural corpora sit near −1, so the slope is
+    a one-number "does this look like real language?" detector for
+    scraped/generated text (synthetic or templated corpora flatten
+    it).
+
+    Term counts reduce to exact integers, the top-100 cut is a
+    deterministic (count, word) TakeOrdered, and the regression uses
+    the same closed-form moment sums as q_stats_regression — the
+    only float noise is ln's ulp and 100-term sum association,
+    absorbed at 6 dp.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("n").desc(), "word")),
+    ).filter(F.col("rnk") <= 100)
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cnt, sx, sy = F.col("cnt"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    return s.select(
+        cnt.cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / cnt, 6).alias("zipf_intercept"),
+    )
