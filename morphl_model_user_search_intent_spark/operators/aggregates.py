@@ -953,3 +953,77 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("weighted_median"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(s1 / n, 6) AS mean_qty,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6)
+             AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3, 6)
+             AS excess_kurtosis
+    FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from exact integer
+    power sums — the distribution-shape monitors a feature-drift
+    detector tracks beyond mean/variance (native ``skewness``/
+    ``kurtosis`` accumulate doubles in engine-specific orders and can
+    never hash-match; the moment-sum route is also one partial-
+    aggregatable pass, the only viable shape at 100 TB).
+
+    Quantities are small integers, so Σx⁴ stays ~1e12·rows — far
+    inside BIGINT.  The closed forms are written token-identically in
+    both engines: same operands, same IEEE order, same doubles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6
+        ).alias("skewness"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2.0)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )

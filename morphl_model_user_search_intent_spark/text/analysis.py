@@ -942,3 +942,118 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / cnt, 6).alias("zipf_intercept"),
     )
+
+
+@register(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+               AS n_toks,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  AS DOUBLE) / length(text) AS alpha
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT *,
+             CASE
+               WHEN n_chars NOT BETWEEN 150 AND 600 THEN 'length'
+               WHEN lang NOT IN {LANG_ALLOW!r} THEN 'lang'
+               WHEN n_toks < 25 THEN 'tokens'
+               WHEN alpha < 0.7 THEN 'alpha'
+               WHEN row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) > 1
+                 THEN 'duplicate'
+               ELSE 'kept'
+             END AS verdict
+      FROM base
+    ),
+    kept AS (
+      SELECT doc_id, n_toks,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 8
+                    THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 8
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM verdicts WHERE verdict = 'kept'
+    )
+    SELECT k.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_embedding,
+           ROUND(CAST(SUM(k.n_toks) AS DOUBLE) / COUNT(*), 6)
+             AS mean_tokens
+    FROM kept k LEFT JOIN embeddings e ON e.vec_id = k.doc_id
+    GROUP BY k.split
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in one plan: quality
+    cascade + exact dedup (q_corpus_clean's verdicts) → survivors
+    only → deterministic 80/10/10 split (q_split_assign's Knuth
+    hash) → embedding-coverage join → the per-split manifest
+    (docs, tokens, embedding coverage) that a training run consumes
+    as its data card.
+
+    Every stage is the already-proven primitive composed
+    declaratively, so Catalyst fuses the cascade into the scan, the
+    dedup window is the only text-keyed shuffle, the split is
+    arithmetic, and the embeddings join hashes on the id — the whole
+    pipeline is 3 shuffles end to end regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), "[^a-z]", "")
+    ).cast("double") / F.length("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(tokens()).cast("bigint").alias("n_toks"),
+        alpha.alias("alpha"),
+    )
+    rn = F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+    verdict = (
+        F.when(~F.col("n_chars").between(150, 600), "length")
+        .when(~F.col("lang").isin(*LANG_ALLOW), "lang")
+        .when(F.col("n_toks") < 25, "tokens")
+        .when(F.col("alpha") < 0.7, "alpha")
+        .when(F.col("rn") > 1, "duplicate")
+        .otherwise("kept")
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % 10
+    kept = (
+        base.withColumn("rn", rn)
+        .withColumn("verdict", verdict)
+        .filter(F.col("verdict") == "kept")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return (
+        kept.join(emb, kept.doc_id == emb.vec_id, "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_embedding"),
+            F.round(
+                F.sum("n_toks").cast("double") / F.count("*"), 6
+            ).alias("mean_tokens"),
+        )
+    )
