@@ -2584,3 +2584,127 @@ def q_events_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate6 / 0.25, 6).alias("burn_rate_6h"),
         (rate6 > 0.25).alias("breach"),
     )
+
+
+@register(
+    "q_session_funnel",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                   OR date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts)
+                      >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no
+      FROM flags
+    ),
+    v AS (
+      SELECT user_id, sess_no, MIN(ts) AS v_ts FROM sess
+      WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s.user_id, s.sess_no, MIN(s.ts) AS c_ts
+      FROM sess s JOIN v ON v.user_id = s.user_id
+                        AND v.sess_no = s.sess_no
+      WHERE s.event_type = 'click' AND s.ts >= v.v_ts
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT s.user_id, s.sess_no, MIN(s.ts) AS p_ts
+      FROM sess s JOIN c ON c.user_id = s.user_id
+                        AND c.sess_no = s.sess_no
+      WHERE s.event_type = 'purchase' AND s.ts >= c.c_ts
+      GROUP BY 1, 2
+    ),
+    all_sessions AS (
+      SELECT DISTINCT user_id, sess_no FROM sess
+    )
+    SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                WHEN c.c_ts IS NOT NULL THEN 2
+                WHEN v.v_ts IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM all_sessions a
+    LEFT JOIN v ON v.user_id = a.user_id AND v.sess_no = a.sess_no
+    LEFT JOIN c ON c.user_id = a.user_id AND c.sess_no = a.sess_no
+    LEFT JOIN p ON p.user_id = a.user_id AND p.sess_no = a.sess_no
+    GROUP BY 1
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session ordered funnel view → click → purchase: how
+    many SESSIONS (30-min inactivity scope) progress through each
+    stage in order — the conversion diagnostic at the granularity
+    product teams actually optimize, vs q_events_funnel's lifetime
+    view.
+
+    Sessionization (the engine's standard lag-gap + cumulative-sum)
+    feeds three stage aggregates keyed (user, session); every join
+    and aggregate shares that composite-key partitioning, and stage
+    candidate sets shrink monotonically, so AQE broadcasts the later
+    stages.  All comparisons are exact timestamps.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) >= 1800000000),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        new_sess.alias("new_sess"),
+    ).select(
+        "*",
+        F.sum("new_sess")
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sess_no"),
+    )
+    key = ["user_id", "sess_no"]
+    v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        sess.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .when(F.col("v_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        sess.select(*key)
+        .distinct()
+        .join(v, key, "left")
+        .join(c, key, "left")
+        .join(p, key, "left")
+        .groupBy(stage.alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

@@ -533,3 +533,76 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_id", "user_id", "signup_ts", "purchase_id", "purchase_ts"
         )
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             abs(date_diff('microsecond', s.ts, p.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY s.event_id
+               ORDER BY abs(date_diff('microsecond', s.ts, p.ts)),
+                        p.event_id
+             ) AS rn
+      FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT signup_id, user_id, purchase_id,
+           CAST(gap_us // 1000000 AS BIGINT) AS gap_seconds,
+           (purchase_ts >= signup_ts) AS is_after
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join: each signup paired with the user's
+    closest purchase in EITHER direction (min |Δt|, event-id
+    tiebreak) — completing the asof family (backward q_join_asof,
+    forward q_join_asof_forward) with the variant sensor-fusion and
+    log-correlation pipelines use.
+
+    Same decorrelated shape: equi-join on the user key, then one
+    rank-1 window over the bounded per-key candidate set; the gap is
+    exact integer microseconds, so ordering and output are engine-
+    identical.  Inner join drops signups from never-purchasing users
+    (the left variant is q_join_asof_forward's).
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    gap = F.abs(
+        F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+    )
+    w = W.partitionBy("signup_id").orderBy(
+        F.col("gap_us"), F.col("purchase_id")
+    )
+    return (
+        s.join(p, s.user_id == p.p_user_id)
+        .withColumn("gap_us", gap)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "signup_id",
+            "user_id",
+            "purchase_id",
+            F.expr("gap_us div 1000000").alias("gap_seconds"),
+            (F.col("purchase_ts") >= F.col("signup_ts")).alias(
+                "is_after"
+            ),
+        )
+    )

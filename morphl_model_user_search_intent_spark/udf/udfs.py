@@ -299,3 +299,41 @@ def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_units") / F.lit(10000.0)).alias("revenue"),
         )
     )
+
+
+@register("q_text_compressibility", oracle=None)
+def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed size over raw
+    size per document, bucketed into a per-source profile — highly
+    compressible text is repetitive/templated (boilerplate, spam,
+    generated filler), so corpus builds threshold on this alongside
+    the C4 filters.  No SQL twin (zlib lives outside both engines) —
+    rows-only driver check; the pytest gate pins determinism and the
+    ratio's (0, ~1.1] range.
+
+    A vectorized Pandas UDF (zlib level 6 — deterministic bytes for
+    a given input across platforms) keeps the Python boundary to one
+    Arrow batch per partition; everything around it is JVM-side.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            / max(len(t.encode("utf-8")), 1)
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("source", comp_ratio("text").alias("ratio"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+    )

@@ -157,3 +157,13 @@ def test_pca_retains_reasonable_variance(spark):
     # a strict subset of total variance
     assert 0.0 < ev < 1.0
     assert all(r.mean_norm > 0 for r in rows)
+
+
+def test_compressibility_deterministic_and_bounded(spark):
+    df = REGISTRY["q_text_compressibility"].fn(spark, SF_DIR)
+    a = {r.source: r for r in df.collect()}
+    b = {r.source: r for r in df.collect()}  # rerun: identical
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k].mean_ratio == b[k].mean_ratio
+        assert 0.0 < a[k].min_ratio <= a[k].max_ratio < 1.2
