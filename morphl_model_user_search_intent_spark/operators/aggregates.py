@@ -1027,3 +1027,41 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "q_agg_cond_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+             AS purchasers,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END) AS BIGINT)
+             AS viewers,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS actives
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_cond_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional exact distincts — monthly purchasers, viewers, and
+    actives from ONE aggregation (COUNT(DISTINCT CASE…)) instead of
+    three filtered jobs, the everyday audience-overlap rollup.
+
+    Spark plans multiple distinct aggregates via a single Expand (one
+    replica per distinct spec) + two-phase exact distinct — 3× map
+    rows for two scans saved, same trade as q_agg_multigrain and the
+    right one while the scan dominates.  Months are compared as
+    DATEs (trunc-type portability).
+    """
+    ev = table(spark, sf_dir, "events")
+    who = lambda t: F.countDistinct(
+        F.when(F.col("event_type") == t, F.col("user_id"))
+    )
+    return ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(
+        who("purchase").alias("purchasers"),
+        who("view").alias("viewers"),
+        F.countDistinct("user_id").alias("actives"),
+    )

@@ -606,3 +606,49 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                      ELSE user_id END AS k FROM u),
+    b AS (SELECT CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE user_id END AS k FROM u)
+    SELECT CASE WHEN a.k IS NULL THEN 'null_pair'
+                ELSE 'value_pair' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — required when NULL
+    is a legitimate key value (unknown-attribution bucket, optional
+    foreign keys) and an inner join would silently drop those rows.
+
+    Spark executes ``<=>`` as an ordinary hash join (NULL hashes to a
+    regular bucket under null-safe semantics — no nested-loop
+    fallback), but the null bucket is by construction a self-cross of
+    all NULL rows: the one hot key this join always has.  At scale,
+    split the NULL partition out (it usually aggregates, not joins)
+    — here it stays to prove the n_null² count is exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    mk = lambda mod: F.when(
+        F.col("user_id") % mod != 0, F.col("user_id")
+    ).alias("k")
+    a = u.select(mk(7))
+    b = u.select(mk(5)).withColumnRenamed("k", "k2")
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("k2")))
+        .groupBy(
+            F.when(F.col("k").isNull(), "null_pair")
+            .otherwise("value_pair")
+            .alias("kind")
+        )
+        .agg(F.count("*").alias("n_matches"))
+    )

@@ -257,3 +257,56 @@ def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_share"
         ),
     )
+
+
+@register(
+    "q_win_nth",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             nth_value(event_type, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS third_type,
+             lead(event_type, 2, 'end-of-stream') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               AS type_after_next,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, third_type, type_after_next
+    FROM w WHERE rn <= 5
+    """,
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` and offset ``lead`` with a default — the
+    remaining analytic-window corners (q_win_analytic covers
+    lag/lead-1/first/last): "what was this user's 3rd-ever event"
+    and "what happens two steps ahead" (default-filled at the
+    stream's edge), both everyday sequence-feature spellings.
+
+    The running frame makes nth_value deterministic (NULL until 3
+    rows exist, then pinned); the (ts, event_id) order key is
+    total, so both engines walk identical sequences.  Output is
+    trimmed to each user's first 5 events to keep the check focused
+    on the edge behavior.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.nth_value("event_type", 3).over(run).alias("third_type"),
+            F.lead("event_type", 2, "end-of-stream")
+            .over(order)
+            .alias("type_after_next"),
+            F.row_number().over(order).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "third_type", "type_after_next")
+    )
