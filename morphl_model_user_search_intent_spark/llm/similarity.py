@@ -451,3 +451,85 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+@register(
+    "q_sim_separation",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(x * 32768) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    n AS (
+      SELECT vec_id, label, q,
+             list_sum(list_transform(q, x -> x * x)) AS nsq
+      FROM sub
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                            p -> p[1] * p[2])) AS DOUBLE)
+                     / sqrt(CAST(a.nsq AS DOUBLE)
+                            * CAST(b.nsq AS DOUBLE)))
+                 / COUNT(*), 6) AS mean_cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q_sim_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space separation diagnostic: mean pairwise cosine
+    within and across label pairs (on a deterministic 1-in-10
+    subsample) — the health check run before trusting labels for
+    contrastive training or the IVF router (this fixture's labels are
+    random, and the matrix SHOWS it: all cells ≈ 0, which is the
+    finding).
+
+    Components are quantized to 15-bit integers FIRST, so dot and
+    norms are exact BIGINTs and every pair cosine is the same double
+    in both engines (raw float folds differ in late ulps, which a
+    mean amplifies across rounding boundaries — quantize-then-
+    compute removes the problem at the source, the same trick as
+    q_sim_quantized).
+    The subsample caps pairs at (n/10)²/2; the production path is the
+    LSH/IVF-pruned variant, not all-pairs.
+    """
+    def _idot(x: str, y: str):  # exact Σ qxᵢ·qyᵢ over BIGINTs
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    q = F.transform(
+        "embedding", lambda x: F.round(x * 32768).cast("bigint")
+    )
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("label_a"),
+        q.alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("label_b"),
+        q.alias("vb"),
+    )
+    cos = F.col("dp").cast("double") / F.sqrt(
+        F.col("nsqa").cast("double") * F.col("nsqb").cast("double")
+    )
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .withColumn("dp", _idot("va", "vb"))
+        .withColumn("nsqa", _idot("va", "va"))
+        .withColumn("nsqb", _idot("vb", "vb"))
+        .select("label_a", "label_b", cos.alias("c"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("c") / F.count("*"), 6).alias("mean_cos"),
+        )
+    )

@@ -2708,3 +2708,169 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(stage.alias("stage"))
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@register(
+    "q_events_episodes",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT h, (CAST(n_errors AS DOUBLE) / n_events > 0.25) AS breach
+      FROM hourly
+    ),
+    runs AS (
+      SELECT h, breach,
+             CAST(row_number() OVER (ORDER BY h) AS BIGINT)
+               - CAST(row_number() OVER (PARTITION BY breach
+                                         ORDER BY h) AS BIGINT) AS grp
+      FROM flagged
+    )
+    SELECT MIN(h) AS episode_start,
+           CAST(COUNT(*) AS BIGINT) AS duration_hours
+    FROM runs WHERE breach GROUP BY grp
+    """,
+)
+def q_events_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert episode collapsing: consecutive breach hours (error rate
+    > 25%) merged into single episodes with start and duration — the
+    flap-suppression step between raw threshold flags (q_events_slo)
+    and a page, spelled as gaps-and-islands on a boolean series (the
+    difference of two row_numbers is constant exactly within a run).
+
+    The fat table reduces to hourly flags first; the double
+    row_number trick is two window passes over that tiny series and
+    needs no lag/lead state.  All arithmetic integer-exact.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    flagged = hourly.select(
+        "h",
+        (
+            F.col("n_errors").cast("double") / F.col("n_events") > 0.25
+        ).alias("breach"),
+    )
+    runs = flagged.select(
+        "h",
+        "breach",
+        (
+            F.row_number().over(W.orderBy("h")).cast("bigint")
+            - F.row_number()
+            .over(W.partitionBy("breach").orderBy("h"))
+            .cast("bigint")
+        ).alias("grp"),
+    )
+    return (
+        runs.filter(F.col("breach"))
+        .groupBy("grp")
+        .agg(
+            F.min("h").alias("episode_start"),
+            F.count("*").alias("duration_hours"),
+        )
+        .select("episode_start", "duration_hours")
+    )
+
+
+@register(
+    "q_funnel_timing",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts >= u.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    ),
+    gaps AS (
+      SELECT u.user_id,
+             date_diff('microsecond', u.s_ts, c.c_ts) // 1000000
+               AS signup_to_click_s,
+             date_diff('microsecond', c.c_ts, p.p_ts) // 1000000
+               AS click_to_purchase_s
+      FROM u JOIN c ON c.user_id = u.user_id
+      LEFT JOIN p ON p.user_id = u.user_id
+      WHERE u.s_ts IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(signup_to_click_s, 0.5) AS median_s2c_s,
+           quantile_cont(click_to_purchase_s, 0.5) AS median_c2p_s,
+           ROUND(CAST(SUM(signup_to_click_s) AS DOUBLE) / COUNT(*), 6)
+             AS mean_s2c_s
+    FROM gaps
+    """,
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage timing: how long users take from signup to first
+    click and from click to first purchase (exact medians + mean
+    seconds) — the latency half of the conversion story
+    q_events_funnel counts, and the input to "where do users stall?"
+    prioritization.
+
+    Reuses the funnel's monotone stage aggregates, then differences
+    exact integer microseconds and floor-divides to seconds
+    identically in both engines; medians interpolate on integers
+    (null click-to-purchase gaps — non-purchasers — are skipped by
+    both engines' quantile over the LEFT-joined column).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u.filter(F.col("s_ts").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    secs = lambda a, b: F.expr(
+        f"(unix_micros({b}) - unix_micros({a})) div 1000000"
+    )
+    gaps = (
+        u.filter(F.col("s_ts").isNotNull())
+        .join(c, "user_id")
+        .join(p, "user_id", "left")
+        .select(
+            secs("s_ts", "c_ts").alias("signup_to_click_s"),
+            secs("c_ts", "p_ts").alias("click_to_purchase_s"),
+        )
+    )
+    return gaps.agg(
+        F.count("*").alias("n_users"),
+        F.percentile("signup_to_click_s", 0.5).alias("median_s2c_s"),
+        F.percentile("click_to_purchase_s", 0.5).alias("median_c2p_s"),
+        F.round(
+            F.sum("signup_to_click_s").cast("double") / F.count("*"), 6
+        ).alias("mean_s2c_s"),
+    )
