@@ -2874,3 +2874,131 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("signup_to_click_s").cast("double") / F.count("*"), 6
         ).alias("mean_s2c_s"),
     )
+
+
+@register(
+    "q_stats_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           CAST(r AS BIGINT) AS n_returned,
+           ROUND(r / n, 6) AS return_rate,
+           ROUND((r / n + 1.9208 / n
+                  - 1.96 * sqrt((r / n) * (1 - r / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lower
+    FROM s
+    ORDER BY wilson_lower DESC, p_brand LIMIT 10
+    """,
+)
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate ranking by Wilson lower confidence bound (z=1.96):
+    the "sort by rating" estimator that stops a brand with 3/3
+    returns outranking one with 290/300 — small samples get pulled
+    toward the prior, exactly what naive rate sorting gets wrong.
+
+    One join + aggregate reduces the fact table to per-brand integer
+    (n, r); the Wilson closed form (z² constants 1.9208/0.9604/3.8416
+    spelled inline so both engines parse identical literals) runs on
+    identical doubles; top-10 is a deterministic TakeOrdered.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("r"),
+        )
+    )
+    n, r = F.col("n"), F.col("r")
+    ph = r / n
+    wilson = (
+        ph
+        + 1.9208 / n
+        - 1.96 * F.sqrt(ph * (1 - ph) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return (
+        s.select(
+            "p_brand",
+            n.cast("bigint").alias("n_lines"),
+            r.cast("bigint").alias("n_returned"),
+            F.round(ph, 6).alias("return_rate"),
+            F.round(wilson, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.col("wilson_lower").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+@register(
+    "q_events_cumulative_users",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    newbies AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first GROUP BY 1
+    ),
+    dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, COALESCE(n.n_new, 0) AS n_new, d.n_active,
+           SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumulative_users
+    FROM dau d LEFT JOIN newbies n ON n.day = d.day
+    """,
+)
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users over time without a running-distinct
+    operator: each user counts once on their FIRST day, and the
+    cumulative sum of first-appearances IS the exact distinct-to-date
+    — the first-seen-flag trick that turns an O(n·days) repeated
+    distinct into two ordinary aggregations (the growth chart on
+    every dashboard).
+
+    One user-level min, one day-level rollup, one tiny window —
+    every count exact.  Paired with daily actives for the
+    new-vs-returning split at a glance.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    newbies = first.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("n_new"))
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dau.join(newbies, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "n_active",
+        )
+        .withColumn(
+            "cumulative_users", F.sum("n_new").over(run)
+        )
+    )

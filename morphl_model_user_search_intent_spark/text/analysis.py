@@ -1057,3 +1057,74 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_tokens"),
         )
     )
+
+
+@register(
+    "q_text_heaps",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    firsts AS (
+      SELECT word, MIN(doc_id) // 50 AS first_bucket
+      FROM toks GROUP BY word
+    ),
+    new_vocab AS (
+      SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    ),
+    tok_counts AS (
+      SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY 1
+    )
+    SELECT t.bucket,
+           SUM(t.n_toks) OVER (ORDER BY t.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS tokens_seen,
+           SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS vocab_size
+    FROM tok_counts t LEFT JOIN new_vocab v ON v.bucket = t.bucket
+    """,
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct vocabulary vs tokens
+    seen as the corpus streams in doc_id order (50-doc buckets) —
+    sublinear growth is the signature of natural text, and the curve
+    sizes tokenizer vocabularies and dedup hash tables before a full
+    pass.
+
+    Same first-seen trick as q_events_cumulative_users, applied to
+    words: a word counts at its MIN(doc_id) bucket, and the running
+    sum of first-appearances is the exact distinct-to-date — no
+    repeated distinct over growing prefixes.  Two aggregations plus
+    a window over ≤|buckets| rows.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    firsts = toks.groupBy("word").agg(
+        F.expr("min(doc_id) div 50").alias("bucket")
+    )
+    new_vocab = firsts.groupBy("bucket").agg(
+        F.count("*").alias("n_new")
+    )
+    tok_counts = toks.groupBy(
+        F.expr("doc_id div 50").alias("bucket")
+    ).agg(F.count("*").alias("n_toks"))
+    run = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        tok_counts.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_toks"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_toks").over(run).alias("tokens_seen"),
+            F.sum("n_new").over(run).alias("vocab_size"),
+        )
+    )
