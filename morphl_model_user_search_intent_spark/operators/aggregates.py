@@ -1065,3 +1065,84 @@ def q_agg_cond_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         who("view").alias("viewers"),
         F.countDistinct("user_id").alias("actives"),
     )
+
+
+@register(
+    "q_bitmap_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                                 AND DATE '2024-01-07'
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                 AND DATE '2024-01-14'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_week1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_week2,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT user_id FROM a UNION
+                  SELECT user_id FROM b)) AS n_union,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM a JOIN b ON a.user_id = b.user_id) AS n_overlap
+    """,
+)
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via mergeable exact bitmaps: week-1 vs week-2
+    purchasers, with the union computed by OR-ing the per-week
+    bitmaps (``bitmap_or_agg``) and the overlap by inclusion-
+    exclusion — no re-scan, no distinct-join.  This is why bitmap
+    state beats raw COUNT(DISTINCT) at scale: any segment
+    combination (union, overlap, added/lost) is bitmap algebra over
+    a few KB per bucket, computed WITHOUT touching the fact table
+    again.
+
+    The oracle derives the same four numbers relationally (distinct
+    sets + join), proving the bitmap algebra exact.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def wk(lo: str, hi: str, tag: int):
+        return (
+            ev.filter(
+                (F.col("event_type") == "purchase")
+                & F.col("ts").cast("date").between(lo, hi)
+            )
+            .select(
+                F.lit(tag).alias("wk"),
+                F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+                F.expr("bitmap_bit_position(user_id)").alias("pos"),
+            )
+        )
+
+    w1 = wk("2024-01-01", "2024-01-07", 1)
+    w2 = wk("2024-01-08", "2024-01-14", 2)
+    both = w1.unionByName(w2)
+    per_bucket = both.groupBy("wk", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    counts = per_bucket.groupBy("wk").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n")
+    )
+    union_bm = per_bucket.groupBy("bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    n_union = union_bm.agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_union")
+    )
+    pick = lambda k: F.max(F.when(F.col("wk") == k, F.col("n")))
+    wide = counts.agg(
+        pick(1).alias("n_week1"), pick(2).alias("n_week2")
+    )
+    return wide.crossJoin(F.broadcast(n_union)).select(
+        "n_week1",
+        "n_week2",
+        "n_union",
+        (
+            F.col("n_week1") + F.col("n_week2") - F.col("n_union")
+        ).alias("n_overlap"),
+    )

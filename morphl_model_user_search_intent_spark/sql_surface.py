@@ -161,3 +161,46 @@ def q_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             call="net_price(l_extendedprice, l_discount, l_tax)"
         )
     )
+
+
+_PIVOT_ORACLE = """
+    SELECT c.c_mktsegment,
+           SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+               THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
+             / 100.0 AS urgent,
+           SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+               THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
+             / 100.0 AS high,
+           SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+               THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
+             / 100.0 AS low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("q_sql_pivot", oracle=_PIVOT_ORACLE)
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` clause (parser-level, vs q_pivot's DataFrame
+    ``groupBy().pivot()``): revenue cents by segment × pinned
+    priority columns.  Spark expands PIVOT into the same
+    CASE-per-column aggregate the oracle spells manually — explicit
+    IN values keep the output schema static (a dynamic pivot would
+    need a pre-pass; never do that in a scheduled job).
+    """
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT c.c_mktsegment,
+                 o.o_orderpriority,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        PIVOT (
+          SUM(cents) / 100.0
+          FOR o_orderpriority
+          IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low)
+        )
+        """
+    )
