@@ -370,3 +370,67 @@ def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("explained_variance", F.round(F.lit(var), 4))
     )
+
+
+@register("q_ml_gbt", oracle=None)
+def q_ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees on the behavioral feature table — the
+    nonlinear sibling of q_ml_user_model's logistic regression (trees
+    capture threshold/interaction effects linear models miss; in
+    production the two are ensembled or the GBT wins outright on
+    tabular behavior).
+
+    Features: per-user event counts + recency (the q_events_user_
+    features shape, rebuilt inline); label: any purchase over 150
+    (the A/B test's high-value outcome).  Seeded, depth-3, 10 trees —
+    MLlib's GBT trains each tree on distributed histograms, the same
+    algorithm family (XGBoost-style) that scales to billions of rows.
+    Output: per-prediction-bucket calibration (mean label vs mean
+    score) — rows-only; the pytest gate asserts AUC-proxy ordering.
+    """
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    ev = table(spark, sf_dir, "events")
+    per_type = (
+        ev.groupBy("user_id")
+        .pivot(
+            "event_type",
+            ["click", "view", "signup", "error", "purchase"],
+        )
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    label = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("label")
+    )
+    data = per_type.join(label, "user_id")
+    feats = ["click", "view", "signup", "error"]
+    assembled = VectorAssembler(
+        inputCols=feats, outputCol="features"
+    ).transform(data)
+    model = GBTClassifier(
+        maxDepth=3, maxIter=10, seed=SEED, labelCol="label"
+    ).fit(assembled)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(assembled)
+    prob = F.round(
+        F.element_at(vector_to_array("probability"), 2), 4
+    )
+    return (
+        scored.select("label", prob.alias("p"))
+        .withColumn("bucket", F.floor(F.col("p") * 10).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("label"), 4).alias("actual_rate"),
+            F.round(F.avg("p"), 4).alias("mean_score"),
+        )
+    )

@@ -296,3 +296,66 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_static_join_sink", "append")
+
+
+@register("q_stream_multi_batch", oracle=None)
+def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental multi-micro-batch processing: the source is
+    re-staged as FOUR files and read with ``maxFilesPerTrigger=1``,
+    so availableNow drains it in ≥4 micro-batches; foreachBatch
+    appends per-batch counts to an accumulator table.  This is the
+    backfill/catch-up shape (process a day of files in bounded
+    batches) — and the proof the engine actually incrementalizes
+    instead of swallowing the directory whole.
+
+    Output: one row per (micro-batch, event_type) with counts; the
+    pytest twin asserts ≥2 batches ran and the per-type totals equal
+    the batch aggregate (exactly-once across batch boundaries).
+    """
+    import os
+
+    from ..io import table as _table
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(SCRATCH, f"stream4-{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            _table(spark, sf_dir, "events")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    configure(spark)
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    rows: list = []
+
+    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for r in (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        ):
+            rows.append((batch_id, r["event_type"], r["n_events"]))
+
+    q = (
+        s.writeStream.foreachBatch(collect_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.createDataFrame(
+        rows, "batch_id bigint, event_type string, n_events bigint"
+    )

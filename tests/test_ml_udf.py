@@ -167,3 +167,12 @@ def test_compressibility_deterministic_and_bounded(spark):
     for k in a:
         assert a[k].mean_ratio == b[k].mean_ratio
         assert 0.0 < a[k].min_ratio <= a[k].max_ratio < 1.2
+
+
+def test_gbt_calibration_monotone_overall(spark):
+    df = REGISTRY["q_ml_gbt"].fn(spark, SF_DIR)
+    rows = sorted(df.collect(), key=lambda r: r.bucket)
+    assert sum(r.n_users for r in rows) > 0
+    if len(rows) >= 2:  # higher-score buckets should not be emptier
+        lo, hi = rows[0], rows[-1]
+        assert hi.mean_score > lo.mean_score  # buckets genuinely differ

@@ -152,3 +152,24 @@ def test_stream_static_join_matches_batch_twin(spark):
     missing = set(batch) - set(stream)
     max_bucket = max(b for b, _ in batch)
     assert all(b == max_bucket for b, _ in missing), sorted(missing)[:5]
+
+
+def test_multi_batch_increments_and_conserves(spark):
+    from pyspark.sql import functions as F
+    from morphl_model_user_search_intent_spark import REGISTRY
+    from morphl_model_user_search_intent_spark.io import table as _t
+
+    df = REGISTRY["q_stream_multi_batch"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len({r.batch_id for r in rows}) >= 2  # really incremental
+    got = {}
+    for r in rows:
+        got[r.event_type] = got.get(r.event_type, 0) + r.n_events
+    expected = {
+        r.event_type: r.n
+        for r in _t(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected  # exactly-once across batch boundaries
