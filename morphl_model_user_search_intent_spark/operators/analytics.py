@@ -3002,3 +3002,62 @@ def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_users", F.sum("n_new").over(run)
         )
     )
+
+
+@register(
+    "q_orders_hhi",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS units
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT c_mktsegment, SUM(units) AS total_units,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cust GROUP BY 1
+    )
+    SELECT cust.c_mktsegment, seg.n_customers,
+           ROUND(SUM((CAST(cust.units AS DOUBLE) / seg.total_units)
+                     * (CAST(cust.units AS DOUBLE) / seg.total_units))
+                 * 10000, 6) AS hhi
+    FROM cust JOIN seg ON cust.c_mktsegment = seg.c_mktsegment
+    GROUP BY cust.c_mktsegment, seg.n_customers
+    """,
+)
+def q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment
+    (Σ share², ×10,000 on the antitrust scale): is segment revenue
+    spread across many customers or captive to a few?  The
+    concentration-risk complement to q_orders_pareto's 80% cut.
+
+    Per-customer shares divide exact integer cents by the segment
+    total (identical doubles); the Σ share² runs over each segment's
+    customer list — association noise ~1e-15 against values ~1e-2,
+    absorbed at 6 dp.  Two aggregations sharing the segment key, one
+    broadcast join back.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("units")
+        )
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.sum("units").alias("total_units"),
+        F.count("*").alias("n_customers"),
+    )
+    share = F.col("units").cast("double") / F.col("total_units")
+    return (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .groupBy("c_mktsegment", "n_customers")
+        .agg(
+            F.round(F.sum(share * share) * 10000, 6).alias("hhi")
+        )
+    )
