@@ -123,3 +123,101 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_units").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "q_graph_twohop",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    seeds AS (SELECT DISTINCT src FROM e WHERE src % 50 = 0),
+    hop1 AS (SELECT e.src, e.dst FROM e JOIN seeds USING (src)),
+    hop2 AS (
+      SELECT h.src, e2.dst
+      FROM hop1 h JOIN e e2 ON e2.src = h.dst
+      WHERE e2.dst <> h.src
+      GROUP BY 1, 2
+    )
+    SELECT s.src AS part,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hop1
+            WHERE hop1.src = s.src) AS n_direct,
+           CAST(COUNT(*) AS BIGINT) AS n_twohop,
+           CAST(SUM(CASE WHEN h1.dst IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_at_2
+    FROM hop2 s
+    LEFT JOIN hop1 h1 ON h1.src = s.src AND h1.dst = s.dst
+    GROUP BY s.src
+    """,
+)
+def q_graph_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhoods on the co-purchase graph for a
+    deterministic seed sample: direct neighbors, distinct 2-hop
+    reach, and how many of those are NEW at hop 2 — the expansion
+    profile behind "customers also bought" candidate generation and
+    graph feature engineering (a flat hop-2 curve means a clustered
+    graph; steep means broad discovery).
+
+    Frontier-expansion spelling: seeds ⋈ edges ⋈ edges with dedup at
+    each hop — the standard BFS-by-joins that scales as |frontier|·
+    avg-degree per hop (seeds are sampled 1-in-50 precisely because
+    hop-2 frontiers grow quadratically; production runs shard seeds
+    the same way).  All counts exact; the anti-membership flag comes
+    from a left join against hop 1.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    hop1 = e.filter(F.col("src") % 50 == 0)
+    n_direct = hop1.groupBy("src").agg(F.count("*").alias("n_direct"))
+    e2 = e.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2")
+    )
+    hop2 = (
+        hop1.join(e2, hop1.dst == e2.mid)
+        .filter(F.col("dst2") != F.col("src"))
+        .select("src", F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    h1m = hop1.select(
+        F.col("src").alias("m_src"),
+        F.col("dst").alias("m_dst"),
+        F.lit(1).alias("direct"),
+    )
+    return (
+        hop2.join(
+            h1m,
+            (hop2.src == h1m.m_src) & (hop2.dst == h1m.m_dst),
+            "left",
+        )
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_twohop"),
+            F.sum(
+                F.when(F.col("direct").isNull(), 1).otherwise(0)
+            ).alias("n_new_at_2"),
+        )
+        .join(n_direct, "src")
+        .select(
+            F.col("src").alias("part"),
+            "n_direct",
+            "n_twohop",
+            "n_new_at_2",
+        )
+    )

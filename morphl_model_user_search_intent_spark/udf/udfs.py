@@ -337,3 +337,64 @@ def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ratio"), 4).alias("max_ratio"),
         )
     )
+
+
+@register(
+    "q_udf_apply_arrow",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_c
+      FROM x GROUP BY 1
+    )
+    SELECT x.event_id,
+           ROUND((x.cents - m.mean_c) / 100.0, 6) AS value_demeaned
+    FROM x JOIN m ON x.event_type = m.event_type
+    """,
+)
+def q_udf_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped-map (Spark 4): per-group demeaning
+    executed as one pyarrow Table in, one Table out per group — the
+    Arrow-native sibling of ``applyInPandas`` (no pandas conversion),
+    for when the per-group logic is itself columnar.
+
+    Demeaning centers each purchase against its group mean — the
+    leave-nothing-behind feature-standardization step.  Exact cents
+    are computed JVM-side BEFORE the boundary, the Python side does
+    only integer-sum/count arithmetic identical to the oracle's, so
+    the group-local result is engine-exact despite crossing Arrow.
+    Per-group state must fit one Arrow table — fine for bounded
+    groups; unbounded groups use the window spelling instead.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def demean(t: pa.Table) -> pa.Table:
+        cents = t.column("cents")
+        mean_c = pc.sum(cents).as_py() / t.num_rows
+        out = pc.round(
+            pc.divide(
+                pc.subtract(pc.cast(cents, pa.float64()), mean_c), 100.0
+            ),
+            ndigits=6,
+        )
+        return pa.Table.from_arrays(
+            [t.column("event_id"), out],
+            names=["event_id", "value_demeaned"],
+        )
+
+    return x.groupBy("event_type").applyInArrow(
+        demean, "event_id bigint, value_demeaned double"
+    )
