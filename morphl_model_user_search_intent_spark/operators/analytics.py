@@ -3061,3 +3061,141 @@ def q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share) * 10000, 6).alias("hhi")
         )
     )
+
+
+@register(
+    "q_events_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT n AS x,
+             lead(n) OVER (ORDER BY day) AS y
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT CAST(cnt AS BIGINT) AS n_pairs,
+           ROUND((cnt * sxy - sx * sy)
+                 / sqrt((cnt * sxx - sx * sx)
+                        * (cnt * syy - sy * sy)), 6) AS lag1_autocorr
+    FROM s
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    one-number "is today predictive of tomorrow?" check that decides
+    whether a forecasting model is worth fitting at all (≈0 here:
+    the fixture's volume is flat by construction, which is the
+    finding).
+
+    The fat table reduces to one row per day; ``lead`` pairs each
+    day with the next, and Pearson r comes from the same exact
+    integer moment sums as q_stats_regression — engine-identical
+    doubles, one tiny window, no float accumulation.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    pairs = daily.select(
+        F.col("n").alias("x"),
+        F.lead("n").over(W.orderBy("day")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = pairs.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    cnt, sx, sy = F.col("cnt"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        cnt.cast("bigint").alias("n_pairs"),
+        F.round(
+            (cnt * sxy - sx * sy)
+            / F.sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)),
+            6,
+        ).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "q_feature_scale",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS lo,
+             MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          - b.lo) AS DOUBLE)
+                 / COUNT(*) / (b.hi - b.lo), 6) AS mean_scaled,
+           ROUND(CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          - b.lo) AS DOUBLE) / (b.hi - b.lo), 6)
+             AS min_scaled,
+           ROUND(CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          - b.lo) AS DOUBLE) / (b.hi - b.lo), 6)
+             AS max_scaled
+    FROM orders CROSS JOIN b
+    GROUP BY o_orderpriority, b.lo, b.hi
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling with a per-group audit: order totals
+    normalized to [0,1] against global bounds, summarized per
+    priority — the standard pre-model normalization, with the
+    mean/min/max-after-scaling profile that catches a stale bounds
+    file the moment new data exceeds it.
+
+    Global bounds ride in as a broadcast 1-row cross join (computed
+    once, never per-row); the scaled statistics are reconstructed
+    from exact integer cent sums — Σ(x−lo) as BIGINT, one double
+    division at the end — so the profile is engine-identical rather
+    than a row-wise float average.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    b = o.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    )
+    span = (F.col("hi") - F.col("lo")).cast("double")
+    shifted = cents - F.col("lo")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(shifted).alias("ssum"),
+            F.min(shifted).alias("smin"),
+            F.max(shifted).alias("smax"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(
+                F.col("ssum").cast("double") / F.col("n_orders") / span,
+                6,
+            ).alias("mean_scaled"),
+            F.round(F.col("smin").cast("double") / span, 6).alias(
+                "min_scaled"
+            ),
+            F.round(F.col("smax").cast("double") / span, 6).alias(
+                "max_scaled"
+            ),
+        )
+    )

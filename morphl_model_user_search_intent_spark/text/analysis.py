@@ -1214,3 +1214,71 @@ def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term) / F.log(F.lit(2.0)), 6).alias("jsd_bits"),
         F.count("*").alias("n_vocab"),
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i + 1] || ' ' ||
+                    string_split(trim(text), ' ')[i + 2])) AS g
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+             AS repetition_ratio
+    FROM per_doc WHERE n_grams >= 20
+    ORDER BY repetition_ratio DESC, doc_id LIMIT 25
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio per document (1 − distinct/total) — the
+    boilerplate/loop detector LLM corpus builds threshold on: spam,
+    templated pages, and degenerate generations repeat 3-grams far
+    above natural prose, and this catches them without any model.
+
+    Trigrams come from the same ``transform(sequence(...))`` shingle
+    machinery as the n-gram/fingerprint ops; per-doc distinct counts
+    are exact and state is bounded by document length.  Top-25 most
+    repetitive docs via deterministic TakeOrdered.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+        ),
+    )
+    grams = d.select("doc_id", F.explode(gram).alias("g"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    return (
+        per_doc.filter(F.col("n_grams") >= 20)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                1
+                - F.col("n_distinct").cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("repetition_ratio"),
+        )
+        .orderBy(F.col("repetition_ratio").desc(), "doc_id")
+        .limit(25)
+    )
