@@ -1146,3 +1146,68 @@ def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_week1") + F.col("n_week2") - F.col("n_union")
         ).alias("n_overlap"),
     )
+
+
+@register(
+    "q_agg_percentile_disc",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, c,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM x
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN c END) / 100.0 AS p50_disc,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN c END) / 100.0 AS p90_disc
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (the value AT rank ⌈p·n⌉, never an
+    interpolated phantom) — required when the percentile must be an
+    actual observed value (a real order to sample, a real latency to
+    inspect), complementing the continuous `percentile`/
+    `quantile_cont` parity used elsewhere.
+
+    Both engines spell the SAME selection rule explicitly
+    (row_number over the value order, pick rank ⌈p·n⌉), sidestepping
+    their differing native quantile_disc conventions — ties in the
+    value don't matter because the selected VALUE at any rank within
+    a tie run is identical.  One sort per group; at scale the
+    binning two-pass replaces the full sort as usual.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    r = x.select(
+        "l_returnflag",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy("c"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    at = lambda p: F.max(
+        F.when(
+            F.col("rn")
+            == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("c"),
+        )
+    )
+    return r.groupBy("l_returnflag").agg(
+        (at(0.5) / 100.0).alias("p50_disc"),
+        (at(0.9) / 100.0).alias("p90_disc"),
+    )

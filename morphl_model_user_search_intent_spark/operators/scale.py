@@ -993,3 +993,96 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_join_pit",
+    oracle="""
+    WITH nonp AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM nonp
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    ),
+    facts AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           SUM(f.cents) / 100.0 AS revenue
+    FROM facts f JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.state
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each purchase looked up against
+    the SCD2 state interval (q_scd2_intervals' machinery over the
+    NON-purchase activity stream — the purchase can't be its own
+    state) that was valid AT THE PURCHASE'S OWN TIMESTAMP — the leakage-free feature
+    lookup ML training pipelines must use instead of joining today's
+    dimension onto yesterday's facts.
+
+    Equi-join on the entity key with the validity window as a
+    residual predicate — each fact matches exactly one version, so
+    the join output equals the fact count (the PIT invariant; the
+    oracle proves it).  Per-user version lists are short, so the
+    residual scan is bounded; at extreme version counts the bucketed
+    range-join machinery (q_join_range_bucketed) applies unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    changes = (
+        nonp.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.d_user)
+            & (facts.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+        )
+        .groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+    )
