@@ -200,3 +200,52 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return payloads.mapInPandas(_frame_sample_batch, schema=_FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_manifest",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+    e AS (SELECT vec_id, len(embedding) AS dims FROM embeddings)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_embedding,
+           CAST(SUM(d.n_chars) AS BIGINT) AS text_bytes,
+           CAST(MAX(e.dims) AS BIGINT) AS embedding_dims
+    FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset manifest across modalities: per language, document
+    counts, embedding coverage, raw text bytes, and vector
+    dimensionality — the data card a multimodal training corpus
+    ships with (and the first thing checked when a modality silently
+    drops out of an ingest).
+
+    One broadcast-able id join between the modality tables and a
+    tiny rollup — the manifest is metadata-only, so at 100 TB it
+    reads footer statistics and id columns, never payloads (the
+    binary modality adds a byte-length column the same way via the
+    binaryFile source, kept out of the oracle because DuckDB's
+    fixture views carry no binary table).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dims")
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_embedding"),
+            F.sum("n_chars").alias("text_bytes"),
+            F.max("dims").cast("bigint").alias("embedding_dims"),
+        )
+    )

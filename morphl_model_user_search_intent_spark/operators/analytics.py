@@ -3199,3 +3199,140 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_events_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n) AS total,
+                 MAX(n) AS peak_n FROM h GROUP BY 1)
+    SELECT h.event_type, h.hour_of_day, h.n,
+           ROUND(CAST(h.n AS DOUBLE) / t.total, 6) AS share,
+           (h.n = t.peak_n) AS is_peak
+    FROM h JOIN t ON h.event_type = t.event_type
+    """,
+)
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type with peak-hour
+    flags — the diurnal fingerprint that separates bot traffic (flat)
+    from human traffic (peaked), and the feature behind send-time
+    optimization.
+
+    One 120-cell aggregate from the fat table, totals and peaks
+    joined back broadcast-size; shares divide exact integers.  Hour
+    extraction is UTC in both engines (fixture timestamps are
+    naive) — timezone-aware profiles localize BEFORE extracting,
+    never after aggregating.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    t = h.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.max("n").alias("peak_n")
+    )
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        (F.col("n") == F.col("peak_n")).alias("is_peak"),
+    )
+
+
+@register(
+    "q_win_rank_change",
+    oracle="""
+    WITH halves AS (
+      SELECT p.p_brand,
+             CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'h1' ELSE 'h2' END AS half,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS units
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, half, units,
+             CAST(row_number() OVER (PARTITION BY half
+               ORDER BY units DESC, p_brand) AS BIGINT) AS rnk
+      FROM halves
+    )
+    SELECT a.p_brand,
+           a.rnk AS rank_h1, b.rnk AS rank_h2,
+           a.rnk - b.rnk AS rank_gain
+    FROM ranked a JOIN ranked b
+      ON a.p_brand = b.p_brand AND a.half = 'h1' AND b.half = 'h2'
+    ORDER BY rank_gain DESC, a.p_brand LIMIT 15
+    """,
+)
+def q_win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: brand revenue rank in the second half of
+    the period vs the first, sorted by rank gain — the
+    period-over-period leaderboard delta behind every "trending"
+    module (rank deltas are robust where raw revenue deltas are
+    skew-dominated).
+
+    The three-way join reduces to |brands|×2 cells before ranking;
+    per-half ranks are deterministic (units, brand) windows over
+    those cells, self-joined on brand — broadcast-scale all the way
+    after the one fact-table aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    halves = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01"), "h1"
+            )
+            .otherwise("h2")
+            .alias("half"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("units")
+        )
+    )
+    ranked = halves.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            W.partitionBy("half").orderBy(
+                F.col("units").desc(), "p_brand"
+            )
+        )
+        .cast("bigint"),
+    )
+    a = ranked.filter(F.col("half") == "h1").select(
+        "p_brand", F.col("rnk").alias("rank_h1")
+    )
+    b = ranked.filter(F.col("half") == "h2").select(
+        F.col("p_brand").alias("brand2"), F.col("rnk").alias("rank_h2")
+    )
+    return (
+        a.join(b, a.p_brand == b.brand2)
+        .select(
+            "p_brand",
+            "rank_h1",
+            "rank_h2",
+            (F.col("rank_h1") - F.col("rank_h2")).alias("rank_gain"),
+        )
+        .orderBy(F.col("rank_gain").desc(), "p_brand")
+        .limit(15)
+    )
