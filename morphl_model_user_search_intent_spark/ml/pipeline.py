@@ -434,3 +434,29 @@ def q_ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p"), 4).alias("mean_score"),
         )
     )
+
+
+@register("q_ml_confusion", oracle=None)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the intent classifier on its held-out
+    split — the per-class error structure (which intents get
+    confused with which) that accuracy alone hides, and the
+    artifact the reference pipeline would persist beside the model.
+
+    Output: (label, prediction, n) cells — rows-only (the classifier
+    is a vector-UDT pipeline); cells sum to the test-set size, which
+    the pytest gate checks against the split.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    data = _labeled_vectors(spark, sf_dir)
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    model = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+    pred = model.transform(test)
+    return (
+        pred.groupBy(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("prediction").cast("bigint").alias("prediction"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

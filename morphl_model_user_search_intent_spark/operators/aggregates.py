@@ -1211,3 +1211,68 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (at(0.5) / 100.0).alias("p50_disc"),
         (at(0.9) / 100.0).alias("p90_disc"),
     )
+
+
+@register(
+    "q_agg_ratio_metrics",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS gross_c,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                            * 10000) AS BIGINT)) AS net_u
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(n_items) AS DOUBLE) / COUNT(*), 6)
+             AS items_per_order,
+           ROUND(CAST(SUM(gross_c) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS aov_gross,
+           ROUND(1 - CAST(SUM(net_u) AS DOUBLE)
+                     / (CAST(SUM(gross_c) AS DOUBLE) * 100), 6)
+             AS discount_depth
+    FROM per_order
+    """,
+)
+def q_agg_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The everyday unit-economics scorecard in one pass: order
+    count, items per order, gross AOV, and realized discount depth
+    (1 − net/gross) — ratio-of-sums metrics, never sum-of-ratios
+    (a per-order discount average would over-weight small orders;
+    the scorecard divides corpus-level exact totals once).
+
+    Two-level aggregation (order rollup → global), both partial-
+    aggregated; every numerator/denominator is an exact scaled-long
+    (cents for gross, 1e-4 units for the discounted product), so
+    the four doubles are engine-identical before the display round.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("gross_c"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 10000
+            ).cast("bigint")
+        ).alias("net_u"),
+    )
+    return per_order.agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum("n_items").cast("double") / F.count("*"), 6
+        ).alias("items_per_order"),
+        F.round(
+            F.sum("gross_c").cast("double") / F.count("*") / 100.0, 6
+        ).alias("aov_gross"),
+        F.round(
+            1
+            - F.sum("net_u").cast("double")
+            / (F.sum("gross_c").cast("double") * 100),
+            6,
+        ).alias("discount_depth"),
+    )

@@ -1282,3 +1282,107 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("repetition_ratio").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ),
+    bi AS (
+      SELECT b, CAST(COUNT(*) AS DOUBLE) AS n_ab
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS b
+        FROM toks) GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM uni) AS n_uni,
+             (SELECT SUM(n_ab) FROM bi) AS n_bi
+    )
+    SELECT bi.b AS bigram, CAST(bi.n_ab AS BIGINT) AS n_pair,
+           ROUND(ln((bi.n_ab / tot.n_bi)
+                    / ((ua.n / tot.n_uni) * (ub.n / tot.n_uni))), 6)
+             AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = string_split(bi.b, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(bi.b, ' ')[2]
+    CROSS JOIN tot
+    WHERE bi.n_ab >= 25
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: adjacent
+    bigrams scored ln(p(ab)/(p(a)p(b))) with a min-support floor —
+    high-PMI pairs are multiword units ("machine learning"-style
+    compounds) that tokenizers and phrase-aware dedup should treat
+    as one token.
+
+    Unigram and bigram counts reduce per-partition before their
+    shuffles (vocabulary-bounded state); the PMI expression divides
+    exact integer counts under identical IEEE order (ln ulp → 6-dp
+    round), and the support floor keeps the ranked output stable.
+    """
+    from pyspark.sql import Window as W  # noqa: F401  (module norm)
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    bi = (
+        d.select(F.explode(bigram).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("n_ab"))
+    )
+    tot = (
+        uni.agg(F.sum("n").alias("n_uni"))
+        .crossJoin(bi.agg(F.sum("n_ab").alias("n_bi")))
+    )
+    parts = F.split("b", " ")
+    scored = (
+        bi.filter(F.col("n_ab") >= 25)
+        .withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("wa"),
+                                   F.col("n").alias("na"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("wb"),
+                                   F.col("n").alias("nb"))),
+            "wb",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_bi"))
+        / (
+            (F.col("na") / F.col("n_uni"))
+            * (F.col("nb") / F.col("n_uni"))
+        )
+    )
+    return (
+        scored.select(
+            F.col("b").alias("bigram"),
+            F.col("n_ab").cast("bigint").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )

@@ -176,3 +176,11 @@ def test_gbt_calibration_monotone_overall(spark):
     if len(rows) >= 2:  # higher-score buckets should not be emptier
         lo, hi = rows[0], rows[-1]
         assert hi.mean_score > lo.mean_score  # buckets genuinely differ
+
+
+def test_confusion_cells_sum_to_test_split(spark):
+    df = REGISTRY["q_ml_confusion"].fn(spark, SF_DIR)
+    rows = df.collect()
+    total = sum(r.n for r in rows)
+    assert total > 0
+    assert all(0 <= r.label <= 9 and 0 <= r.prediction <= 9 for r in rows)
