@@ -377,3 +377,76 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH existing AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id < 400
+      GROUP BY 1
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 10 = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM incoming
+    )
+    SELECT CASE
+             WHEN e.h IS NOT NULL THEN 'dup_of_corpus'
+             WHEN b.rn > 1 THEN 'dup_within_batch'
+             ELSE 'accepted'
+           END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM batch b LEFT JOIN existing e ON e.h = b.h
+    GROUP BY 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (doc_id ≥ 400, plus a
+    deterministic re-crawl of every 10th corpus doc) checked
+    against the EXISTING corpus's content-hash index (doc_id < 400)
+    AND against itself — the two-stage verdict every resumable
+    corpus build runs per increment, so ingestion cost scales with
+    the batch, never the corpus.
+
+    The corpus side reduces to its distinct 16-byte hashes (the
+    persisted index); the batch anti/semi-membership is one hash
+    join on that index plus a within-batch first-writer-wins window.
+    At 100 TB the index is a bucketed table the batch broadcast- or
+    bucket-joins against — no full-corpus rescan per increment.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    incoming = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", "text"
+    ).unionByName(
+        d.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 10 == 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    batch = incoming.select("doc_id", F.md5("text").alias("h"))
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    verdict = (
+        F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_within_batch")
+        .otherwise("accepted")
+    )
+    return (
+        batch.withColumn("rn", rn)
+        .join(existing, "h", "left")
+        .groupBy(verdict.alias("verdict"))
+        .agg(F.count("*").alias("n_docs"))
+    )

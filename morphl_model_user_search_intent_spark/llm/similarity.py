@@ -533,3 +533,77 @@ def q_sim_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c") / F.count("*"), 6).alias("mean_cos"),
         )
     )
+
+
+@register(
+    "q_sim_hardneg",
+    oracle=f"""
+    WITH ed AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM ed WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS neg_id,
+             e.label AS neg_label,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6)
+                        DESC, e.vec_id
+             ) AS rn
+      FROM q JOIN ed e
+        ON e.label <> q.qlabel AND e.vec_id <> q.qid
+    )
+    SELECT qid, qlabel, neg_id, neg_label, cos_sim
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each sampled anchor, the single most
+    similar vector with a DIFFERENT label — the contrastive-training
+    staple (easy negatives teach nothing; the highest-cosine
+    other-label neighbor defines the decision boundary).
+
+    Identical machinery to q_sim_knn (broadcast anchors, JVM-side
+    fold cosine, 6-dp round, rank-1 with id tiebreak) plus the
+    label-exclusion residual on the join — the production shape
+    prunes candidates through the IVF cells first, exactly as
+    q_sim_ivf routes queries.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("nv"),
+    )
+    cos = F.round(
+        _dot("qv", "nv")
+        / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("nv", "nv"))),
+        6,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            cand,
+            (F.col("neg_label") != F.col("qlabel"))
+            & (F.col("neg_id") != F.col("qid")),
+        )
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", "neg_id", "neg_label", "cos_sim")
+    )
