@@ -3336,3 +3336,77 @@ def q_win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_gain").desc(), "p_brand")
         .limit(15)
     )
+
+
+@register(
+    "q_orders_bridge",
+    oracle="""
+    WITH yr AS (
+      SELECT EXTRACT(year FROM l_shipdate) AS y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+      SELECT y, qty, rev,
+             lag(qty) OVER (ORDER BY y) AS qty0,
+             lag(rev) OVER (ORDER BY y) AS rev0
+      FROM yr
+    )
+    SELECT CAST(y AS BIGINT) AS year,
+           ROUND(rev - rev0, 2) AS delta_revenue,
+           ROUND((qty - qty0) * (rev0 / qty0), 2) AS volume_effect,
+           ROUND(qty * (rev / qty - rev0 / qty0), 2) AS price_effect
+    FROM pairs WHERE qty0 IS NOT NULL
+    """,
+)
+def q_orders_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge: ΔR decomposed into a volume
+    effect ((q₁−q₀)·p₀) and a price/mix effect (q₁·(p₁−p₀)) — the
+    finance explain-the-delta waterfall, and an identity the oracle
+    enforces (the two effects sum exactly to ΔR by construction).
+
+    Yearly totals are exact integer quantities and cents; the
+    decomposition is a lag window over ≤|years| rows of identical
+    doubles.  2-dp rounding matches the money display convention —
+    the underlying identity holds to full double precision.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    yr = li.groupBy(
+        F.year("l_shipdate").alias("y")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("double")
+        .alias("qty"),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("rev"),
+    )
+    w = W.orderBy("y")
+    pairs = yr.select(
+        "y",
+        "qty",
+        "rev",
+        F.lag("qty").over(w).alias("qty0"),
+        F.lag("rev").over(w).alias("rev0"),
+    ).filter(F.col("qty0").isNotNull())
+    return pairs.select(
+        F.col("y").cast("bigint").alias("year"),
+        F.round(F.col("rev") - F.col("rev0"), 2).alias("delta_revenue"),
+        F.round(
+            (F.col("qty") - F.col("qty0"))
+            * (F.col("rev0") / F.col("qty0")),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            F.col("qty")
+            * (F.col("rev") / F.col("qty") - F.col("rev0") / F.col("qty0")),
+            2,
+        ).alias("price_effect"),
+    )

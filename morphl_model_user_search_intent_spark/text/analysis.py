@@ -1386,3 +1386,105 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
     )
+
+
+# Portable 32-bit string hash: first 8 hex chars of md5 parsed by hand
+# (md5 hex is byte-identical in Spark and DuckDB; instr/substring
+# arithmetic is engine-neutral, unlike xxhash64 vs DuckDB hash()).
+_H32 = "((CAST(instr('0123456789abcdef', substring(md5({x}), 1, 1)) - 1 AS BIGINT)) * 268435456 + (CAST(instr('0123456789abcdef', substring(md5({x}), 2, 1)) - 1 AS BIGINT)) * 16777216 + (CAST(instr('0123456789abcdef', substring(md5({x}), 3, 1)) - 1 AS BIGINT)) * 1048576 + (CAST(instr('0123456789abcdef', substring(md5({x}), 4, 1)) - 1 AS BIGINT)) * 65536 + (CAST(instr('0123456789abcdef', substring(md5({x}), 5, 1)) - 1 AS BIGINT)) * 4096 + (CAST(instr('0123456789abcdef', substring(md5({x}), 6, 1)) - 1 AS BIGINT)) * 256 + (CAST(instr('0123456789abcdef', substring(md5({x}), 7, 1)) - 1 AS BIGINT)) * 16 + (CAST(instr('0123456789abcdef', substring(md5({x}), 8, 1)) - 1 AS BIGINT)) * 1)"
+
+
+@register(
+    "q_sketch_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    hashed AS (SELECT w, {_H32.format(x='w')} AS hw FROM toks),
+    seeds AS (SELECT UNNEST([131, 137, 139]) AS seed),
+    cells AS (
+      SELECT seeds.seed,
+             ((hashed.hw * seeds.seed) % 2147483647) % 512 AS col,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM hashed CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    queries AS (
+      SELECT q.w, {_H32.format(x='q.w')} AS hw
+      FROM (SELECT UNNEST(['hash', 'join', 'scan', 'merge',
+                           'quantum']) AS w) q
+    ),
+    est AS (
+      SELECT queries.w,
+             MIN(COALESCE(cells.n, 0)) AS cm_estimate
+      FROM queries CROSS JOIN seeds
+      LEFT JOIN cells
+        ON cells.seed = seeds.seed
+       AND cells.col = ((queries.hw * seeds.seed) % 2147483647) % 512
+      GROUP BY queries.w
+    ),
+    exact AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY w
+    )
+    SELECT est.w AS word,
+           CAST(est.cm_estimate AS BIGINT) AS cm_estimate,
+           COALESCE(exact.n_exact, 0) AS n_exact,
+           CAST(est.cm_estimate - COALESCE(exact.n_exact, 0)
+                AS BIGINT) AS overestimate
+    FROM est LEFT JOIN exact ON exact.w = est.w
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (3 rows x 512 columns) over the corpus term
+    stream, with point queries for five words against exact truth —
+    the mergeable frequency sketch for when the vocabulary is too
+    large to count exactly (CM state is fixed-size per partition and
+    sums across partitions; estimates only ever OVER-count, which
+    the overestimate column exhibits, including for the absent word
+    'quantum').
+
+    Cross-engine determinism: the row hashes derive from md5 hex
+    (byte-identical in both engines) parsed to a 32-bit integer by
+    explicit instr/substring arithmetic — xxhash64 and DuckDB's
+    hash() are DIFFERENT functions and can never parity-check.  All
+    sketch updates and queries are exact integer arithmetic.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens()).alias("w"))
+    hashed = toks.select("w", F.expr(_H32.format(x="w")).alias("hw"))
+    seed_df = spark.createDataFrame(
+        [(131,), (137,), (139,)], "seed bigint"
+    )
+    col = ((F.col("hw") * F.col("seed")) % 2147483647) % 512
+    cells = (
+        hashed.crossJoin(F.broadcast(seed_df))
+        .groupBy("seed", col.alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+    qwords = spark.createDataFrame(
+        [("hash",), ("join",), ("scan",), ("merge",), ("quantum",)],
+        "w string",
+    )
+    queries = qwords.select(
+        "w", F.expr(_H32.format(x="w")).alias("hw")
+    )
+    est = (
+        queries.crossJoin(F.broadcast(seed_df))
+        .withColumn("col", col)
+        .join(cells, ["seed", "col"], "left")
+        .groupBy("w")
+        .agg(
+            F.min(F.coalesce("n", F.lit(0))).alias("cm_estimate")
+        )
+    )
+    exact = toks.groupBy("w").agg(F.count("*").alias("n_exact"))
+    return est.join(exact, "w", "left").select(
+        F.col("w").alias("word"),
+        "cm_estimate",
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        (F.col("cm_estimate") - F.coalesce("n_exact", F.lit(0))).alias(
+            "overestimate"
+        ),
+    )
