@@ -3410,3 +3410,189 @@ def q_orders_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_effect"),
     )
+
+
+@register(
+    "q_stats_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cust
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(cents) AS tot,
+             SUM(CAST(i AS DECIMAL(38, 0)) * cents) AS num
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(tot AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(2.0 * CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                 6) AS gini
+    FROM agg
+    """,
+)
+def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    per-customer revenue — the standard inequality measure next to
+    the HHI (q_orders_hhi) and Pareto share (q_orders_pareto).
+
+    Exactness: revenue in integer cents, rank·value products summed
+    as DECIMAL(38,0) (rank up to 1e9 × 1e9-cent values stays inside
+    38 digits at any realistic scale), one final double expression
+    mirrored token-for-token in the oracle.  The unpartitioned
+    row_number is the one single-reducer step; at 100 TB replace it
+    with the two-pass distributed rank (repartitionByRange on cents,
+    per-partition counts collected to the driver as offsets) — the
+    formula itself only needs Σ(i·xᵢ), which that pass computes
+    without a global sort on one executor.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy("cents", "o_custkey"))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias(
+            "num"
+        ),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("tot").cast("double") / 100.0, 2).alias(
+            "total_revenue"
+        ),
+        F.round(
+            2.0 * F.col("num").cast("double")
+            / (n * F.col("tot").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_stats_ks",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    c AS (
+      SELECT value,
+             SUM(a) OVER (ORDER BY value) AS ca,
+             SUM(1 - a) OVER (ORDER BY value) AS cb,
+             SUM(a) OVER () AS n1,
+             SUM(1 - a) OVER () AS n2
+      FROM s
+    ),
+    d AS (
+      SELECT value,
+             ABS(CAST(ca AS BIGINT) * CAST(n2 AS BIGINT)
+                 - CAST(cb AS BIGINT) * CAST(n1 AS BIGINT)) AS dn,
+             CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      FROM c
+    ),
+    m AS (SELECT MAX(dn) AS mx FROM d)
+    SELECT d.n1 AS n_purchase,
+           d.n2 AS n_click,
+           ROUND(CAST(m.mx AS DOUBLE)
+                 / (CAST(d.n1 AS DOUBLE) * CAST(d.n2 AS DOUBLE)),
+                 6) AS ks_stat,
+           MIN(d.value) AS ks_at
+    FROM d CROSS JOIN m
+    WHERE d.dn = m.mx
+    GROUP BY d.n1, d.n2, m.mx
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase
+    and click value distributions — the exact max-ECDF-gap drift
+    test that complements the Jensen–Shannon corpus drift
+    (q_text_jsd): D = max|F₁(v) − F₂(v)|, plus the value where the
+    gap peaks.
+
+    Exact-integer discipline end to end: cumulative counts come from
+    the SQL-default RANGE frame (ties collapse correctly — all peers
+    of a value enter the ECDF together), the gap is compared as the
+    integer |ca·n₂ − cb·n₁| so the argmax needs no float equality,
+    and the single division happens once at the end.  The ordered
+    window is one global sort; at 100 TB the same cumulative counts
+    come from repartitionByRange + per-partition prefix sums (the
+    gap-check then maxes per partition and once at the driver).
+    """
+    from pyspark.sql import Window as W
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("a"),
+        )
+    )
+    wcum = W.orderBy("value").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = e.select(
+        "value",
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum(1 - F.col("a")).over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum(1 - F.col("a")).over(wall).alias("n2"),
+    )
+    d = c.select(
+        "value",
+        F.abs(
+            F.col("ca").cast("bigint") * F.col("n2").cast("bigint")
+            - F.col("cb").cast("bigint") * F.col("n1").cast("bigint")
+        ).alias("dn"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
+    m = d.agg(F.max("dn").alias("mx"))
+    return (
+        d.join(F.broadcast(m))
+        .filter(F.col("dn") == F.col("mx"))
+        .groupBy("n1", "n2", "mx")
+        .agg(F.min("value").alias("ks_at"))
+        .select(
+            F.col("n1").alias("n_purchase"),
+            F.col("n2").alias("n_click"),
+            F.round(
+                F.col("mx").cast("double")
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n2").cast("double")
+                ),
+                6,
+            ).alias("ks_stat"),
+            "ks_at",
+        )
+    )

@@ -1488,3 +1488,93 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+@register(
+    "q_sketch_bloom",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    seeds AS (SELECT UNNEST([131, 137, 139]) AS seed),
+    bits AS (
+      SELECT DISTINCT seeds.seed,
+             (({_H32.format(x='vocab.w')} * seeds.seed)
+              % 2147483647) % 4096 AS bit
+      FROM vocab CROSS JOIN seeds
+    ),
+    probes AS (
+      SELECT q.w, {_H32.format(x='q.w')} AS hw
+      FROM (SELECT UNNEST(['hash', 'scan', 'merge', 'quantum',
+                           'chimera', 'zzyzx']) AS w) q
+    ),
+    checked AS (
+      SELECT probes.w, CAST(COUNT(bits.bit) AS BIGINT) AS hits
+      FROM probes CROSS JOIN seeds
+      LEFT JOIN bits
+        ON bits.seed = seeds.seed
+       AND bits.bit = ((probes.hw * seeds.seed) % 2147483647) % 4096
+      GROUP BY probes.w
+    )
+    SELECT checked.w AS word,
+           CAST(checked.hits = 3 AS BOOLEAN) AS bloom_hit,
+           CAST(COALESCE(iv.present, FALSE) AS BOOLEAN) AS in_vocab,
+           CAST(checked.hits = 3
+                AND NOT COALESCE(iv.present, FALSE)
+                AS BOOLEAN) AS false_positive
+    FROM checked
+    LEFT JOIN (SELECT w, TRUE AS present FROM vocab) iv
+      ON iv.w = checked.w
+    """,
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (4096 bits, k=3) over the corpus vocabulary, with
+    probe-word membership tests against exact truth — the fixed-size
+    set sketch that answers "definitely absent / probably present"
+    without holding the vocabulary.  The bit set is a distinct
+    (seed, bit) aggregation: mergeable across partitions by union,
+    so it builds in one shuffle regardless of corpus size, and the
+    probe check is a broadcast join against the (tiny) bit set.
+
+    One-sided-error property is visible in the output: in_vocab=true
+    ⇒ bloom_hit=true always; false_positive marks any absent probe
+    the filter wrongly admits.  The same portable md5-derived 32-bit
+    hash as the Count-Min sketch keeps both engines bit-identical
+    (xxhash64 and DuckDB hash() can never parity-check).
+    """
+    d = table(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(tokens()).alias("w")).distinct()
+    hashed = vocab.select("w", F.expr(_H32.format(x="w")).alias("hw"))
+    seed_df = spark.createDataFrame(
+        [(131,), (137,), (139,)], "seed bigint"
+    )
+    bitpos = ((F.col("hw") * F.col("seed")) % 2147483647) % 4096
+    bits = (
+        hashed.crossJoin(F.broadcast(seed_df))
+        .select("seed", bitpos.alias("bit"))
+        .distinct()
+        .withColumn("isset", F.lit(1))
+    )
+    probes = spark.createDataFrame(
+        [("hash",), ("scan",), ("merge",), ("quantum",),
+         ("chimera",), ("zzyzx",)],
+        "w string",
+    ).select("w", F.expr(_H32.format(x="w")).alias("hw"))
+    checked = (
+        probes.crossJoin(F.broadcast(seed_df))
+        .withColumn("bit", bitpos)
+        .join(bits, ["seed", "bit"], "left")
+        .groupBy("w")
+        .agg(F.count("isset").alias("hits"))
+    )
+    iv = vocab.select("w", F.lit(True).alias("present"))
+    return checked.join(iv, "w", "left").select(
+        F.col("w").alias("word"),
+        (F.col("hits") == 3).alias("bloom_hit"),
+        F.coalesce("present", F.lit(False)).alias("in_vocab"),
+        (
+            (F.col("hits") == 3)
+            & ~F.coalesce("present", F.lit(False))
+        ).alias("false_positive"),
+    )
