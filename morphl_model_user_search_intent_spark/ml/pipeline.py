@@ -460,3 +460,105 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_ml_lift_gains",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS pos
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT pos,
+             NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM cust
+    ),
+    g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS positives
+      FROM scored GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n, positives,
+             SUM(positives) OVER (ORDER BY decile) AS cum_pos,
+             SUM(positives) OVER () AS tot_pos,
+             SUM(n) OVER () AS tot_n
+      FROM g
+    )
+    SELECT CAST(decile AS INT) AS decile, n, positives,
+           ROUND((CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)),
+                 6) AS lift,
+           ROUND(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE),
+                 6) AS cum_capture
+    FROM cum
+    """,
+)
+def q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table for a propensity score (customer
+    spend ranking vs has-an-urgent-order outcome) — the standard
+    model-evaluation readout next to the confusion matrix
+    (q_ml_confusion): per decile, observed positive rate over base
+    rate (lift) and the cumulative share of all positives captured
+    (gains), i.e. "calling the top-2 deciles reaches X% of buyers".
+
+    NTILE over (spend DESC, custkey) is fully tie-broken so both
+    engines assign identical deciles; counts stay integer to the
+    final two divisions.  The per-customer rollup is the only
+    fact-table shuffle; the decile window runs on |customers| rows
+    and the 10-row gains frame is driver-sized.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("spend"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("pos"),
+    )
+    scored = cust.select(
+        "pos",
+        F.ntile(10)
+        .over(W.orderBy(F.col("spend").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    g = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("positives"),
+    )
+    wc = W.orderBy("decile")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = g.select(
+        "decile",
+        "n",
+        "positives",
+        F.sum("positives").over(wc).alias("cum_pos"),
+        F.sum("positives").over(wall).alias("tot_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "positives",
+        F.round(
+            (F.col("positives").cast("double") / F.col("n").cast("double"))
+            / (
+                F.col("tot_pos").cast("double")
+                / F.col("tot_n").cast("double")
+            ),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("cum_pos").cast("double")
+            / F.col("tot_pos").cast("double"),
+            6,
+        ).alias("cum_capture"),
+    )

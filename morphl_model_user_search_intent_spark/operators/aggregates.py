@@ -1276,3 +1276,151 @@ def q_agg_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("discount_depth"),
     )
+
+
+@register(
+    "q_feature_winsorize",
+    oracle="""
+    WITH pct AS (
+      SELECT ROUND(quantile_cont(c_acctbal, 0.05), 2) AS lo,
+             ROUND(quantile_cont(c_acctbal, 0.95), 2) AS hi
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN c_acctbal > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27, 6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(GREATEST(lo, LEAST(hi, c_acctbal))
+                               AS DECIMAL(27, 6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+    FROM customer CROSS JOIN pct
+    GROUP BY c_mktsegment
+    """,
+)
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization feature-prep: clip account balances to the exact
+    [p05, p95] band and report, per market segment, how many rows
+    each tail clipped and the raw-vs-winsorized mean shift — the
+    outlier treatment a modeling pipeline applies before scaling
+    (q_feature_scale) so one whale doesn't own the feature range.
+
+    The thresholds use the exact-percentile parity (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear) rounded
+    to 2 dp so every clipped value is an exact 2-dp money value and
+    the means run on the decimal path.  One pass computes both
+    percentiles; the 2-row threshold frame broadcasts to the
+    clipping scan — no second shuffle of the fact table.
+    """
+    c = table(spark, sf_dir, "customer")
+    pct = c.agg(
+        F.round(F.expr("percentile(c_acctbal, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 2).alias("hi"),
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(pct))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("c_acctbal") < F.col("lo")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("c_acctbal") > F.col("hi")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast(DEC)).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+@register(
+    "q_feature_target_encode",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT p_brand, SUM(cents) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM j GROUP BY p_brand
+    )
+    SELECT j.l_orderkey, j.l_linenumber, j.p_brand,
+           ROUND(CAST(j.cents AS DOUBLE) / 100.0, 2) AS price,
+           CASE WHEN g.n > 1 THEN
+             ROUND(CAST(g.tot - j.cents AS DOUBLE)
+                   / (g.n - 1) / 100.0, 6)
+           END AS loo_brand_mean
+    FROM j JOIN g ON j.p_brand = g.p_brand
+    ORDER BY j.l_orderkey, j.l_linenumber
+    LIMIT 25
+    """,
+)
+def q_feature_target_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out target encoding of part brand by line price:
+    enc(i) = (Σ_brand − xᵢ)/(n_brand − 1) — the leakage-safe
+    categorical encoding (each row's own target is excluded from its
+    encoding, so the feature never memorizes the label it predicts).
+
+    Exact integer cents make the LOO subtraction exact; the single
+    division per row is the only float op.  The per-brand totals
+    frame is |brands| rows — broadcast back to the fact scan, so the
+    encode costs one shuffle (the brand aggregation) plus the
+    dimension join, which AQE turns into a broadcast at any scale.
+    The n>1 guard keeps ANSI division safe for singleton categories.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_orderkey", "l_linenumber", "p_brand", "cents")
+    g = j.groupBy("p_brand").agg(
+        F.sum("cents").alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        j.join(F.broadcast(g), "p_brand")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "price"
+            ),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("tot") - F.col("cents")).cast("double")
+                    / (F.col("n") - 1)
+                    / 100.0,
+                    6,
+                ),
+            ).alias("loo_brand_mean"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(25)
+    )

@@ -3596,3 +3596,64 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at",
         )
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: the parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the classic
+    multi-criteria shortlist the reference's ranking surfaces need.
+
+    The oracle states dominance as the O(n²) NOT EXISTS; the Spark
+    plan is the O(n log n) sort formulation: collapse to one row per
+    distinct price carrying that price's max size, take two running
+    maxima over the price order (strictly-cheaper and
+    cheaper-or-equal), and a part survives iff no strictly-cheaper
+    price reaches its size and no cheaper-or-equal price beats it.
+    Ties are exact: equal (price, size) duplicates dominate neither
+    and both stay on the frontier.  The per-price collapse is one
+    small aggregation; the two windows run over |distinct prices|
+    rows, and the join back is on price — at 100 TB the windowed
+    frame is still tiny relative to the fact table, broadcastable.
+    """
+    from pyspark.sql import Window as W
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("msize")
+    )
+    w = W.orderBy("p_retailprice")
+    pp = per_price.select(
+        "p_retailprice",
+        F.max("msize")
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("m_lt"),
+        F.max("msize")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("m_le"),
+    )
+    return (
+        p.join(F.broadcast(pp), "p_retailprice")
+        .filter(
+            ~(
+                (F.coalesce("m_lt", F.lit(-1)) >= F.col("p_size"))
+                | (F.col("m_le") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

@@ -310,3 +310,57 @@ def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("user_id", "event_id", "third_type", "type_after_next")
     )
+
+
+@register(
+    "q_win_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, rev,
+           ROUND(median(rev) OVER (
+             ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM daily
+    """,
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving EXACT median of daily revenue — the robust trend
+    line that a moving mean (q_win_trailing_1h's cousin) can't give
+    when a single flash-sale day spikes the window.
+
+    Spark disallows ``median``/``percentile`` over a moving frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median
+    is built from primitives it does allow: ``collect_list`` over
+    the 7-row frame, ``array_sort``, and explicit midpoint
+    interpolation — exactly DuckDB's ``median`` (≡
+    ``quantile_cont(0.5)``: middle element when odd, mean of the
+    two middles when even) over identical 2-dp daily totals from
+    the scaled-long fast path.  The frame is ≤7 doubles per day
+    over the (small) daily rollup — the heavy lifting is the
+    map-side-combinable daily aggregation, not the window.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("rev")
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("rev").over(w7))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_lo).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return daily.select(
+        "day", "rev", F.round(med, 6).alias("med7")
+    )

@@ -1578,3 +1578,134 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.coalesce("present", F.lit(False))
         ).alias("false_positive"),
     )
+
+
+@register(
+    "q_text_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents)
+    ),
+    content AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks
+      WHERE NOT list_contains({list(STOPWORDS)!r}, w)
+    ),
+    runs AS (
+      SELECT doc_id, grp, pos, w,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS run_len
+      FROM content
+    ),
+    wstats AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(run_len) AS BIGINT) AS deg
+      FROM runs GROUP BY w
+    ),
+    phrases AS (
+      SELECT runs.doc_id, runs.grp,
+             string_agg(runs.w, ' ' ORDER BY runs.pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             SUM(CAST(ROUND(wstats.deg * 1000000.0 / wstats.freq)
+                      AS BIGINT)) AS micro
+      FROM runs JOIN wstats ON wstats.w = runs.w
+      GROUP BY runs.doc_id, runs.grp
+    )
+    SELECT phrase,
+           MAX(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           ROUND(CAST(MAX(micro) AS DOUBLE) / 1000000.0, 6) AS score
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT 15
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ lengths of runs containing it) and
+    a phrase scores the sum of its word scores — the unsupervised
+    keyphrase stage between raw tokens (q_text_tokenize) and TF-IDF
+    (q_text_tfidf).
+
+    The run segmentation is the gaps-and-islands idiom
+    (pos − row_number within non-stopword rows), all integer.  Word
+    scores are fixed to exact micro-units (round(deg·1e6/freq) as
+    BIGINT) so the phrase score is an integer SUM — no
+    order-dependent double accumulation — with one final /1e6.
+    Identical phrase texts score identically by construction
+    (global word stats), so the final dedup uses MAX.  Shuffles:
+    one window by doc, one groupBy word (|vocab|-sized, broadcast
+    back), one groupBy phrase — each key-partitioned, no global
+    sort until the top-15.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    from pyspark.sql import Window as W
+
+    content = toks.filter(~F.col("w").isin(*STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    runs = content.select(
+        "doc_id",
+        "grp",
+        "pos",
+        "w",
+        F.count("*")
+        .over(W.partitionBy("doc_id", "grp"))
+        .alias("run_len"),
+    )
+    wstats = runs.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("run_len").cast("bigint").alias("deg"),
+    )
+    phrases = (
+        runs.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(
+                F.round(
+                    F.col("deg") * 1000000.0 / F.col("freq")
+                ).cast("bigint")
+            ).alias("micro"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.round(
+                F.max("micro").cast("double") / 1000000.0, 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+    )
