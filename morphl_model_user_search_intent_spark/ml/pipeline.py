@@ -562,3 +562,124 @@ def q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_capture"),
     )
+
+
+@register(
+    "q_feature_woe",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS pos
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT pos,
+             NTILE(5) OVER (ORDER BY spend DESC, o_custkey) AS bin
+      FROM cust
+    ),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos_b
+      FROM scored GROUP BY bin
+    ),
+    t AS (
+      SELECT bin, n, pos_b, n - pos_b AS neg_b,
+             SUM(pos_b) OVER () AS tp,
+             SUM(n - pos_b) OVER () AS tn
+      FROM g
+    )
+    SELECT CAST(bin AS INT) AS bin, n, pos_b,
+           CASE WHEN pos_b > 0 AND neg_b > 0 THEN
+             ROUND(LN((CAST(pos_b AS DOUBLE) * CAST(tn AS DOUBLE))
+                      / (CAST(neg_b AS DOUBLE)
+                         * CAST(tp AS DOUBLE))), 6)
+           END AS woe,
+           CASE WHEN pos_b > 0 AND neg_b > 0 THEN
+             ROUND((CAST(pos_b AS DOUBLE) / CAST(tp AS DOUBLE)
+                    - CAST(neg_b AS DOUBLE) / CAST(tn AS DOUBLE))
+                   * ROUND(LN((CAST(pos_b AS DOUBLE)
+                               * CAST(tn AS DOUBLE))
+                              / (CAST(neg_b AS DOUBLE)
+                                 * CAST(tp AS DOUBLE))), 6), 6)
+           END AS iv_term
+    FROM t
+    """,
+)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding over spend quintiles with
+    per-bin information-value terms — the credit-scoring-style
+    monotonic encoding that complements LOO target encoding
+    (q_feature_target_encode): WOE = ln(%positives / %negatives)
+    per bin, IV term = (%pos − %neg)·WOE.
+
+    NTILE is fully tie-broken; bin tallies stay integer.  The log
+    ratio is arranged as one LN over a product ratio of exact
+    integer-valued doubles so both engines evaluate the identical
+    expression (the 6-dp round absorbs libm ulp differences — the
+    same discipline as BM25/PMI), and the IV term reuses the
+    ROUNDED WOE so it is a product of two already-deterministic
+    doubles.  Empty-side bins yield NULL rather than ±∞ (ANSI
+    mode raises on them; the guard is semantic, not cosmetic).
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("spend"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("pos"),
+    )
+    scored = cust.select(
+        "pos",
+        F.ntile(5)
+        .over(W.orderBy(F.col("spend").desc(), "o_custkey"))
+        .alias("bin"),
+    )
+    g = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos_b"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = g.select(
+        "bin",
+        "n",
+        "pos_b",
+        (F.col("n") - F.col("pos_b")).alias("neg_b"),
+        F.sum("pos_b").over(wall).alias("tp"),
+        F.sum(F.col("n") - F.col("pos_b")).over(wall).alias("tn"),
+    )
+    ok = (F.col("pos_b") > 0) & (F.col("neg_b") > 0)
+    woe = F.round(
+        F.log(
+            (F.col("pos_b").cast("double") * F.col("tn").cast("double"))
+            / (
+                F.col("neg_b").cast("double")
+                * F.col("tp").cast("double")
+            )
+        ),
+        6,
+    )
+    return t.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "pos_b",
+        F.when(ok, woe).alias("woe"),
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.col("pos_b").cast("double")
+                    / F.col("tp").cast("double")
+                    - F.col("neg_b").cast("double")
+                    / F.col("tn").cast("double")
+                )
+                * woe,
+                6,
+            ),
+        ).alias("iv_term"),
+    )

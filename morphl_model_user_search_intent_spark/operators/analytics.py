@@ -3657,3 +3657,226 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+@register(
+    "q_stats_jackknife",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey % 10 AS block,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS tot_b
+      FROM customer GROUP BY 1
+    ),
+    o AS (SELECT SUM(n_b) AS n, SUM(tot_b) AS tot FROM b),
+    th AS (
+      SELECT b.block,
+             ROUND(CAST(o.tot - b.tot_b AS DOUBLE)
+                   / CAST(o.n - b.n_b AS DOUBLE) / 100.0, 6) AS th6
+      FROM b CROSS JOIN o
+    ),
+    tb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nblocks,
+             ROUND(CAST(SUM(CAST(th6 AS DECIMAL(27, 6))) AS DOUBLE)
+                   / 10.0, 6) AS thbar
+      FROM th
+    ),
+    ssq AS (
+      SELECT tb.nblocks, tb.thbar,
+             CAST(SUM(CAST(ROUND((th.th6 - tb.thbar)
+                                 * (th.th6 - tb.thbar), 10)
+                           AS DECIMAL(38, 12))) AS DOUBLE) AS s2
+      FROM th CROSS JOIN tb GROUP BY tb.nblocks, tb.thbar
+    )
+    SELECT ssq.nblocks AS n_blocks,
+           ROUND(CAST(o.tot AS DOUBLE) / CAST(o.n AS DOUBLE)
+                 / 100.0, 6) AS theta_mean,
+           ROUND(SQRT(0.9 * ssq.s2), 6) AS jackknife_se
+    FROM ssq CROSS JOIN o
+    """,
+)
+def q_stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-block jackknife standard error for the mean account
+    balance: split customers into 10 deterministic key blocks,
+    recompute the mean leaving each block out, and SE =
+    √((B−1)/B · Σ(θᵢ−θ̄)²) — the resampling-free uncertainty
+    estimate (bootstrap needs RNG, which can never oracle-check;
+    the jackknife is exact arithmetic end to end).
+
+    Block sums are integer cents; each leave-one-out mean is one
+    division rounded to 6 dp, and the 10-value spread is squared
+    via explicit multiply (POW implementations may differ in the
+    last ulp between engines) and summed as DECIMAL(38,12) so no
+    order-dependent double accumulation exists anywhere.  The
+    per-block rollup is the only fact-table pass — this is the
+    map-side-combinable pattern that scales to any row count.
+    """
+    c = table(spark, sf_dir, "customer")
+    b = c.groupBy((F.col("c_custkey") % 10).alias("block")).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum(
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+        ).alias("tot_b"),
+    )
+    o = b.agg(F.sum("n_b").alias("n"), F.sum("tot_b").alias("tot"))
+    th = b.crossJoin(F.broadcast(o)).select(
+        "block",
+        F.round(
+            (F.col("tot") - F.col("tot_b")).cast("double")
+            / (F.col("n") - F.col("n_b")).cast("double")
+            / 100.0,
+            6,
+        ).alias("th6"),
+    )
+    tb = th.agg(
+        F.count("*").cast("bigint").alias("nblocks"),
+        F.round(
+            F.sum(F.col("th6").cast("decimal(27,6)")).cast("double")
+            / 10.0,
+            6,
+        ).alias("thbar"),
+    )
+    ssq = (
+        th.crossJoin(F.broadcast(tb))
+        .groupBy("nblocks", "thbar")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("th6") - F.col("thbar"))
+                    * (F.col("th6") - F.col("thbar")),
+                    10,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("s2")
+        )
+    )
+    return ssq.crossJoin(F.broadcast(o)).select(
+        F.col("nblocks").alias("n_blocks"),
+        F.round(
+            F.col("tot").cast("double") / F.col("n").cast("double")
+            / 100.0,
+            6,
+        ).alias("theta_mean"),
+        F.round(F.sqrt(0.9 * F.col("s2")), 6).alias("jackknife_se"),
+    )
+
+
+@register(
+    "q_stats_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    s AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS n1,
+        SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)
+          AS s1,
+        SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END)
+          AS q1,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS s2,
+        SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END)
+          AS q2
+      FROM c
+    ),
+    v AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+        CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+          / 10000.0 AS v1,
+        CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+          / 10000.0 AS v2
+      FROM s
+    )
+    SELECT n1 AS n_purchase, n2 AS n_click,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1.0)),
+                 6) AS welch_df
+    FROM v
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) on purchase vs
+    click values: mean difference, t statistic, and the
+    Welch–Satterthwaite degrees of freedom — the continuous-metric
+    companion to the proportion z-test (q_ab_test) and the χ²
+    independence test (q_stats_chi2).
+
+    Counts, sums, and sums of squares accumulate as exact 64-bit
+    integers of cents (n·Σc² − (Σc)² is the integer variance
+    numerator), so every float appears only in the final fixed
+    expression tree, mirrored token-for-token in the oracle.  One
+    conditional aggregation pass over the filtered scan — no
+    shuffle beyond the single global agg, partial-combined
+    map-side.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+    )
+    P = F.col("event_type") == "purchase"
+    C = F.col("event_type") == "click"
+    s = ev.agg(
+        F.sum(F.when(P, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(P, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(P, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q1"
+        ),
+        F.sum(F.when(C, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(C, F.col("c")).otherwise(0)).alias("s2"),
+        F.sum(F.when(C, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q2"
+        ),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    v = s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("s1").cast("double") / n1d / 100.0).alias("m1"),
+        (F.col("s2").cast("double") / n2d / 100.0).alias("m2"),
+        (
+            (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+            .cast("double")
+            / (n1d * (n1d - 1.0))
+            / 10000.0
+        ).alias("v1"),
+        (
+            (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
+            .cast("double")
+            / (n2d * (n2d - 1.0))
+            / 10000.0
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return v.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6
+        ).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1.0)
+                + se2 * se2 / (F.col("n2") - 1.0)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

@@ -226,3 +226,154 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(
         F.date_trunc("hour", "t").alias("hour")
     ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))
+
+
+@register(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS t FROM daily
+    ),
+    cus AS (
+      SELECT day, x,
+             tot.n * SUM(x) OVER (ORDER BY day)
+               - (ROW_NUMBER() OVER (ORDER BY day)) * tot.t AS cusum,
+             SUM(x) OVER (ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             tot.n AS n, tot.t AS t
+      FROM daily CROSS JOIN tot
+    ),
+    m AS (SELECT MAX(ABS(cusum)) AS mx FROM cus)
+    SELECT MIN(cus.day) AS change_day,
+           m.mx AS cusum_peak,
+           ROUND(CAST(MIN(cus.cum) AS DOUBLE)
+                 / CAST(MIN(cus.k) AS DOUBLE), 6) AS mean_before,
+           CASE WHEN MIN(cus.n) > MIN(cus.k) THEN
+             ROUND(CAST(MIN(cus.t) - MIN(cus.cum) AS DOUBLE)
+                   / CAST(MIN(cus.n) - MIN(cus.k) AS DOUBLE), 6)
+           END AS mean_after
+    FROM cus CROSS JOIN m
+    WHERE ABS(cus.cusum) = m.mx
+    GROUP BY m.mx
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series:
+    the day k maximizing |Σ_{d≤k}(x_d·n − T)| (the integer-scaled
+    cumulative deviation from the global mean), with level estimates
+    either side — the drift alarm that tells a pipeline WHEN a
+    metric shifted, where q_events_anomaly tells it which days are
+    outliers.
+
+    Everything up to the final two divisions is 64-bit integer
+    (cusum_k = n·cum_k − k·T), so the argmax needs no float
+    compare and ties resolve to the earliest day.  The daily
+    rollup is the only fact shuffle; the scan stays in
+    whole-stage codegen and the windows run over |days| rows.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").alias("t")
+    )
+    wd = W.orderBy("day")
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "x",
+            "n",
+            "t",
+            F.sum("x").over(wd).alias("cum"),
+            F.row_number().over(wd).alias("k"),
+        )
+        .withColumn(
+            "cusum",
+            F.col("n") * F.col("cum") - F.col("k") * F.col("t"),
+        )
+    )
+    m = cus.agg(F.max(F.abs("cusum")).alias("mx"))
+    return (
+        cus.join(F.broadcast(m))
+        .filter(F.abs("cusum") == F.col("mx"))
+        .groupBy("mx")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.min("cum").alias("cum"),
+            F.min("k").alias("k"),
+            F.min("n").alias("n"),
+            F.min("t").alias("t"),
+        )
+        .select(
+            "change_day",
+            F.col("mx").alias("cusum_peak"),
+            F.round(
+                F.col("cum").cast("double") / F.col("k").cast("double"),
+                6,
+            ).alias("mean_before"),
+            F.when(
+                F.col("n") > F.col("k"),
+                F.round(
+                    (F.col("t") - F.col("cum")).cast("double")
+                    / (F.col("n") - F.col("k")).cast("double"),
+                    6,
+                ),
+            ).alias("mean_after"),
+        )
+    )
+
+
+@register(
+    "q_events_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT 10
+    """,
+)
+def q_events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral trigrams: the top consecutive 3-event
+    sequences per user — one order of sequence context beyond the
+    Markov transition matrix (q_events_markov), the n-gram view of
+    user journeys that intent models consume as path features.
+
+    The window is (user_id, ts, event_id)-ordered — the event_id
+    tie-break makes equal-timestamp sequences identical in both
+    engines.  One shuffle on user_id serves both LEADs; counts are
+    exact integers, so the top-10 tie-breaks on the trigram text.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(10)
+    )

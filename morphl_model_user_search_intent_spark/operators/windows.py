@@ -364,3 +364,88 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "rev", F.round(med, 6).alias("med7")
     )
+
+
+# Truncated-EWMA weights alpha=0.3, K=10 terms: w_k = a(1-a)^k rounded
+# to 6 dp, plus running normalizers.  Both engines receive these as
+# the SAME decimal literals, so the weighted sums are bit-identical.
+_EWMA_W = [round(0.3 * 0.7 ** k, 6) for k in range(10)]
+_EWMA_CUM = [round(sum(_EWMA_W[: i + 1]), 6) for i in range(10)]
+_EWMA_TERMS_SQL = " + ".join(
+    f"COALESCE(LAG(rev, {k}) OVER w * {wk!r}, 0.0)"
+    for k, wk in enumerate(_EWMA_W)
+)
+_EWMA_CUM_SQL = "[" + ", ".join(repr(c) for c in _EWMA_CUM) + "]"
+
+
+@register(
+    "q_win_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    lagged AS (
+      SELECT day, rev,
+             {_EWMA_TERMS_SQL} AS num,
+             LEAST(ROW_NUMBER() OVER w, 10) AS n_avail
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, rev,
+           ROUND(num / list_extract({_EWMA_CUM_SQL},
+                                    CAST(n_avail AS INT)), 6)
+             AS ewma
+    FROM lagged
+    """,
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (α=0.3, 10
+    terms, renormalized over available history) of daily revenue —
+    the recency-weighted smoother between the uniform moving mean
+    and the robust moving median (q_win_moving_median).
+
+    True EWMA is a recurrence no engine-portable SQL expresses;
+    truncating at 10 lags captures 1−0.7¹⁰ ≈ 97% of the mass and
+    becomes a FIXED expression tree: ten LAG terms multiplied by
+    identical 6-dp weight literals and added in explicit
+    left-associative order, so both engines perform the same
+    float ops in the same sequence — no list/aggregation-order
+    dependence at all.  Ten lags share one window sort over the
+    daily rollup; on a cluster the series is date-partitioned and
+    only partition-boundary rows need a 9-row tail exchange.
+    """
+    import functools
+    import operator
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("rev")
+    )
+    w = W.orderBy("day")
+    terms = [
+        F.coalesce(F.lag("rev", k).over(w) * F.lit(wk), F.lit(0.0))
+        for k, wk in enumerate(_EWMA_W)
+    ]
+    num = functools.reduce(operator.add, terms)
+    n_avail = F.least(F.row_number().over(w), F.lit(10))
+    lagged = daily.select(
+        "day", "rev", num.alias("num"), n_avail.alias("n_avail")
+    )
+    cum = F.array(*[F.lit(c) for c in _EWMA_CUM])
+    return lagged.select(
+        "day",
+        "rev",
+        F.round(
+            F.col("num")
+            / F.element_at(cum, F.col("n_avail").cast("int")),
+            6,
+        ).alias("ewma"),
+    )
