@@ -137,3 +137,35 @@ def test_bucketed_range_join_avoids_nested_loop(spark):
     plan = explain_str(_df(spark, "q_join_range_bucketed")).lower()
     assert "nestedloop" not in plan
     assert "hashjoin" in plan
+
+
+def test_skyline_broadcasts_frontier_frame(spark):
+    # the per-price window frame must broadcast back to the part scan;
+    # the O(n^2) NOT-EXISTS shape (nested loop over the fact) is what
+    # the sort formulation exists to avoid
+    plan = explain_str(_df(spark, "q_skyline"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encode_broadcasts_both_dims(spark):
+    # part dim and the per-brand stats frame are both broadcast: the
+    # fact table shuffles once (the brand aggregation), never for joins
+    plan = explain_str(_df(spark, "q_feature_target_encode"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_lags_share_one_window(spark):
+    # all ten LAG terms must evaluate in a single Window operator —
+    # one sort, not ten
+    plan = explain_str(_df(spark, "q_win_ewma"), "simple")
+    assert plan.count("Window") == 1
+
+
+def test_lift_gains_single_fact_shuffle(spark):
+    # the only Exchange over fact-sized data is the per-customer
+    # rollup; decile windows run on the rolled-up frame
+    plan = explain_str(_df(spark, "q_ml_lift_gains"), "simple")
+    assert plan.count("HashAggregate") >= 2  # partial+final rollup
+    assert "CartesianProduct" not in plan
