@@ -1424,3 +1424,57 @@ def q_feature_target_encode(
         .orderBy("l_orderkey", "l_linenumber")
         .limit(25)
     )
+
+
+@register(
+    "q_agg_median_scalable",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6)
+             AS median_price
+    FROM lineitem
+    """,
+)
+def q_agg_median_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT median without a global sort — the value-counts
+    formulation that scales where single-node ``percentile`` cannot:
+    group the fact table by value (map-side combinable), take a
+    cumulative count over the (small) distinct-value frame, and read
+    off the value(s) straddling position n/2, interpolating the even
+    case.  The oracle is DuckDB's ``quantile_cont(0.5)``, proving
+    the composition IS the textbook median.
+
+    The fact table is touched once by a hash aggregation; the window
+    runs over |distinct prices| rows.  This is the pattern to reach
+    for when q_agg_approx_quantile's error bounds aren't acceptable
+    and the value domain is materially smaller than the row count —
+    true for prices, ages, durations, scores at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wc = W.orderBy("v")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = vc.select(
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    p1 = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    p2 = F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    return o.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            (
+                F.min(F.when(F.col("cum") >= p1, F.col("v")))
+                + F.min(F.when(F.col("cum") >= p2, F.col("v")))
+            )
+            / 2.0,
+            6,
+        ).alias("median_price"),
+    )

@@ -3880,3 +3880,90 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "q_stats_theilsen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    sl AS (
+      SELECT (b.rev - a.rev)
+             / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON b.day > a.day AND b.day <= a.day + 30
+    ),
+    o AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sl
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(AVG(slope), 6) AS theilsen_slope
+    FROM o
+    WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(FLOOR(n / 2.0) AS BIGINT) + 1
+    """,
+)
+def q_stats_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil–Sen robust trend slope of daily revenue: the
+    median of pairwise slopes over all day pairs up to 30 days
+    apart — the outlier-immune alternative to the OLS slope
+    (q_stats_regression); banding bounds the pair count at
+    |days|·30 instead of |days|², which is what makes the
+    estimator feasible on an unbounded series (the standard
+    practical variant).
+
+    The pair generation is a self range-join (bucketable by month
+    like q_join_range_bucketed at scale); each slope is one double
+    division of identical inputs in both engines.  The median picks
+    value(s) by rank, and the even-count case averages exactly two
+    doubles — IEEE addition is commutative, so two-value AVG is
+    order-safe where an n-value SUM is not.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("rev")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sl = a.join(
+        b,
+        (F.col("b.day") > F.col("a.day"))
+        & (F.col("b.day") <= F.date_add(F.col("a.day"), 30)),
+    ).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope")
+    )
+    ranked = sl.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope")).alias("rn"),
+        F.count("*")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    hi = F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("theilsen_slope"),
+        )
+    )

@@ -244,3 +244,56 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+@register("q_meta_skipping", oracle=None)
+def q_meta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-footer data-skipping manifest: write orders range-laid-out
+    by order date (8 files), then read back ONLY the Parquet footer
+    statistics and decide, per file, whether a 1996–1997 date slice
+    could skip it — the metadata index a table format (Delta/Iceberg
+    zone maps) maintains, built here from raw Parquet footers.
+
+    The manifest is driver-side by design: footers are a few KB per
+    file regardless of data size, which is exactly why min/max
+    skipping scales — a 100 TB table's pruning decision reads
+    metadata proportional to |files|, not |rows|.  Rows-only check
+    (the skip decision depends on physical layout, which SQL over the
+    logical table cannot see; q_sink_zorder hash-checks losslessness
+    of the re-layout itself).
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SCRATCH, f"skipmeta-orders-{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = table(spark, sf_dir, "orders")
+        (
+            o.repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    lo, hi = "1996-01-01", "1997-12-31"
+    rows = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            stats = {
+                grp.column(i).path_in_schema: grp.column(i).statistics
+                for i in range(grp.num_columns)
+            }
+            s = stats["o_orderdate"]
+            dmin = str(s.min)[:10]
+            dmax = str(s.max)[:10]
+            rows.append(
+                (fname, rg, grp.num_rows, dmin, dmax,
+                 dmax < lo or dmin > hi)
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, row_group int, n_rows bigint, "
+        "min_orderdate string, max_orderdate string, skippable boolean",
+    ).orderBy("file", "row_group")

@@ -1709,3 +1709,71 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(15)
     )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    dc AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY w, doc_id
+    ),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    ws AS (
+      SELECT w, SUM(c) AS tot, SUM(c * c) AS sumsq
+      FROM dc GROUP BY w
+    )
+    SELECT w AS word,
+           CAST(tot AS BIGINT) AS n_occurrences,
+           ROUND(CAST(d.nd * sumsq - tot * tot AS DOUBLE)
+                 / CAST(d.nd * tot AS DOUBLE), 6) AS burstiness_vmr
+    FROM ws CROSS JOIN d
+    ORDER BY n_occurrences DESC, word
+    LIMIT 20
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness via the variance-to-mean ratio of per-document
+    counts (docs without the word count as zero): VMR ≈ 1 means the
+    word scatters Poisson-like (function words); VMR ≫ 1 means it
+    clumps into few documents (topical words) — the corpus signal
+    that separates content terms from glue beyond raw frequency
+    (q_text_wordcount) or document frequency (q_text_tfidf's DF).
+
+    With zeros included, var·D² = D·Σc² − (Σc)² over only the
+    nonzero rows — so the whole statistic is exact 64-bit integer
+    arithmetic until one final division.  Two hash aggregations
+    ((word, doc) then word), both map-side combinable; no windows,
+    no sort until the top-20.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("w"))
+    dc = toks.groupBy("w", "doc_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("nd"))
+    ws = dc.groupBy("w").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return (
+        ws.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("word"),
+            F.col("tot").cast("bigint").alias("n_occurrences"),
+            F.round(
+                (
+                    F.col("nd") * F.col("sumsq")
+                    - F.col("tot") * F.col("tot")
+                ).cast("double")
+                / (F.col("nd") * F.col("tot")).cast("double"),
+                6,
+            ).alias("burstiness_vmr"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(20)
+    )
