@@ -3967,3 +3967,189 @@ def q_stats_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("slope"), 6).alias("theilsen_slope"),
         )
     )
+
+
+@register(
+    "q_stats_anova",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c) AS sc, SUM(c * c) AS qc
+      FROM c GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn, SUM(sc) AS tt, SUM(qc) AS qq,
+             SUM(CAST(ROUND(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38, 8))) AS ssb_num
+      FROM s
+    )
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+      ROUND((CAST(ssb_num AS DOUBLE)
+             - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+               / CAST(nn AS DOUBLE)) / 10000.0, 4) AS ss_between,
+      ROUND((CAST(qq AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+            / 10000.0, 4) AS ss_within,
+      ROUND(((CAST(ssb_num AS DOUBLE)
+              - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+            / ((CAST(qq AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))),
+            6) AS f_stat
+    FROM t
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across the five event-type groups on
+    event value: between-group vs within-group variance — the
+    k-group generalization of Welch's t (q_stats_ttest) for "does
+    this categorical feature move the metric at all".
+
+    Group moments (n, Σc, Σc²) are exact integer cents; the only
+    cross-group float reduction, Σ(Σc)²/n over the five groups, is
+    rounded per group to 6 dp and summed as DECIMAL(38,8), so group
+    arrival order cannot change the result.  F is one fixed
+    expression over that single row.  Two aggregations total:
+    per-group (map-combinable over the fact scan) and the 5-row
+    final — nothing here grows with data size except the scan.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = ev.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("qc"),
+    )
+    t = s.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sc").alias("tt"),
+        F.sum("qc").alias("qq"),
+        F.sum(
+            F.round(
+                F.col("sc").cast("double")
+                * F.col("sc").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).cast("decimal(38,8)")
+        ).alias("ssb_num"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("nn").cast("double")
+    ttd = F.col("tt").cast("double")
+    ssbn = F.col("ssb_num").cast("double")
+    qqd = F.col("qq").cast("double")
+    ssb = ssbn - ttd * ttd / nd
+    ssw = qqd - ssbn
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round(ssb / 10000.0, 4).alias("ss_between"),
+        F.round(ssw / 10000.0, 4).alias("ss_within"),
+        F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x)
+          - 1 AS rx,
+        2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y)
+          - 1 AS ry
+      FROM cust
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM rk
+    )
+    SELECT n AS n_customers,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's order count and
+    total spend, with proper average ranks for ties — the monotonic
+    association measure that survives the heavy-tailed spend
+    distribution where Pearson (inside q_stats_regression) is
+    dominated by whales.
+
+    Average ranks are kept integral by doubling: 2·r̄ = 2·rank +
+    ties − 1 (rank() is the min-rank, ties the partition count), so
+    every sum (Σr, Σr², Σrᵣrᵧ) is an exact 64-bit integer and ρ is
+    one fixed expression.  Doubled ranks cap at 2n — products at
+    4n², so sums fit int64 through n ≈ 10⁶ customers per group of
+    this shape; promote the three product sums to DECIMAL(38,0)
+    beyond that.  Two rank windows over the per-customer rollup are
+    the only sorts; the fact table is touched once.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("y"),
+    )
+    rk = cust.select(
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count("*").over(W.partitionBy("x"))
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(W.orderBy("y"))
+            + F.count("*").over(W.partitionBy("y"))
+            - 1
+        ).alias("ry"),
+    )
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )

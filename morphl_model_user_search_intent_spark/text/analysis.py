@@ -1777,3 +1777,74 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "q_sketch_bottomk",
+    oracle=f"""
+    WITH ids AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS s
+      FROM events
+    ),
+    hashed AS (SELECT s, {_H32.format(x='s')} AS h FROM ids),
+    ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h, s) AS rn
+      FROM hashed
+    ),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ids)
+    SELECT exact.n_exact,
+           CAST(256 AS BIGINT) AS k,
+           ROUND(255.0 / (CAST(MAX(ranked.h) AS DOUBLE)
+                          / 4294967296.0), 2) AS kmv_estimate,
+           ROUND((255.0 / (CAST(MAX(ranked.h) AS DOUBLE)
+                           / 4294967296.0)
+                  - exact.n_exact)
+                 / exact.n_exact, 6) AS rel_err
+    FROM ranked CROSS JOIN exact
+    WHERE ranked.rn <= 256
+    GROUP BY exact.n_exact
+    """,
+)
+def q_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (k=256) over event users:
+    keep the k smallest normalized hashes; estimate distinct count as
+    (k−1)/u₍ₖ₎ — the mergeable cardinality sketch whose estimate,
+    unlike HLL's (q_sketch_hll, rows-only), is EXACTLY reproducible
+    cross-engine because it is pure order statistics over the same
+    portable md5-derived 32-bit hashes as Count-Min/Bloom.
+
+    The bottom-k set merges by union+truncate, so each partition
+    keeps k candidates and the shuffle carries k·|partitions| rows
+    regardless of data size (here expressed as a row_number
+    rank-filter, which Catalyst bounds per partition via
+    WindowGroupLimit).  Hash ties are impossible to order-break
+    wrongly: the (h, s) sort is total.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    ids = e.select(
+        F.col("user_id").cast("string").alias("s")
+    ).distinct()
+    hashed = ids.select(
+        "s", F.expr(_H32.format(x="s")).alias("h")
+    )
+    ranked = hashed.select(
+        "h",
+        "s",
+        F.row_number().over(W.orderBy("h", "s")).alias("rn"),
+    ).filter(F.col("rn") <= 256)
+    exact = ids.agg(F.count("*").cast("bigint").alias("n_exact"))
+    est = 255.0 / (F.max("h").cast("double") / 4294967296.0)
+    return (
+        ranked.crossJoin(F.broadcast(exact))
+        .groupBy("n_exact")
+        .agg(
+            F.lit(256).cast("bigint").alias("k"),
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                (est - F.first("n_exact")) / F.first("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .select("n_exact", "k", "kmv_estimate", "rel_err")
+    )
