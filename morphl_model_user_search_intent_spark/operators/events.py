@@ -377,3 +377,82 @@ def q_events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(10)
     )
+
+
+@register(
+    "q_events_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT day, x, LAG(x, 7) OVER (ORDER BY day) AS fc
+      FROM daily
+    ),
+    e AS (
+      SELECT x, fc, ABS(x - fc) AS ae,
+             CAST(ROUND(CAST(ABS(x - fc) AS DOUBLE)
+                        / CAST(x AS DOUBLE), 6)
+                  AS DECIMAL(27, 6)) AS ape,
+             CAST(ROUND(2.0 * CAST(ABS(x - fc) AS DOUBLE)
+                        / CAST(x + fc AS DOUBLE), 6)
+                  AS DECIMAL(27, 6)) AS sape
+      FROM f WHERE fc IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape,
+           ROUND(CAST(SUM(sape) AS DOUBLE) / COUNT(*), 6) AS smape
+    FROM e
+    """,
+)
+def q_events_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on the daily event-count
+    series: forecast(d) = actual(d−7 observations), scored with MAE,
+    MAPE, and sMAPE — the baseline every real forecasting model must
+    beat, and the evaluation harness shape (point forecast + error
+    sweep) a metrics pipeline runs continuously.
+
+    MAE stays integer until one division; the per-day percentage
+    errors are rounded to 6 dp and summed as DECIMAL(27,6) so the
+    reduction is order-free.  The lag is over observed days (the
+    gap-filled calendar variant composes with q_events_gapfill).
+    One fact shuffle for the daily rollup; the backtest frame is
+    |days| rows.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    f = daily.select(
+        "x", F.lag("x", 7).over(W.orderBy("day")).alias("fc")
+    ).filter(F.col("fc").isNotNull())
+    ae = F.abs(F.col("x") - F.col("fc"))
+    e = f.select(
+        ae.alias("ae"),
+        F.round(ae.cast("double") / F.col("x").cast("double"), 6)
+        .cast("decimal(27,6)")
+        .alias("ape"),
+        F.round(
+            2.0 * ae.cast("double")
+            / (F.col("x") + F.col("fc")).cast("double"),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("sape"),
+    )
+    return e.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("ae").cast("double") / F.count("*"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum("ape").cast("double") / F.count("*"), 6
+        ).alias("mape"),
+        F.round(
+            F.sum("sape").cast("double") / F.count("*"), 6
+        ).alias("smape"),
+    )

@@ -652,3 +652,92 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_matches"))
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT MIN(epoch_us(ts)) AS b FROM events
+    ),
+    win AS (
+      SELECT k,
+             base.b + (CAST(3 AS BIGINT) + 7 * k) * 86400000000
+               + CAST(2 AS BIGINT) * 3600000000 AS ws,
+             base.b + (CAST(3 AS BIGINT) + 7 * k) * 86400000000
+               + CAST(8 AS BIGINT) * 3600000000 AS we
+      FROM (SELECT UNNEST([0, 1, 2]) AS k) CROSS JOIN base
+    ),
+    spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(win.k AS INT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           ROUND(CAST(SUM(LEAST(spans.e, win.we)
+                          - GREATEST(spans.s, win.ws)) AS DOUBLE)
+                 / 1000000.0, 6) AS total_overlap_seconds
+    FROM spans JOIN win
+      ON spans.s <= win.we AND spans.e >= win.ws
+    GROUP BY win.k
+    """,
+)
+def q_join_interval_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join with overlap DURATION: per-user daily
+    activity spans intersected against three maintenance windows,
+    reporting how many user-days each window touched and the total
+    overlapping seconds — the interval-intersection aggregate
+    (impact analysis, SLA accounting) that q_join_range's
+    containment predicate and q_events_concurrency's sweep don't
+    express.
+
+    The windows derive from the corpus min instant in exact integer
+    microseconds — no timestamp literals anywhere, so no timezone
+    parsing in either engine.  Overlap = least(ends) −
+    greatest(starts), exact µs.  The 3-row window table broadcasts
+    into a nested-loop with the (already small) per-user-day span
+    rollup; at scale the span side stays partitioned and only the
+    window frame ships.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = e.agg(F.min(us).alias("b"))
+    ks = spark.createDataFrame([(0,), (1,), (2,)], "k bigint")
+    day_us = F.lit(86400000000).cast("bigint")
+    hour_us = F.lit(3600000000).cast("bigint")
+    win = ks.crossJoin(F.broadcast(base)).select(
+        "k",
+        (F.col("b") + (3 + 7 * F.col("k")) * day_us + 2 * hour_us)
+        .alias("ws"),
+        (F.col("b") + (3 + 7 * F.col("k")) * day_us + 8 * hour_us)
+        .alias("we"),
+    )
+    spans = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    joined = spans.join(
+        F.broadcast(win),
+        (F.col("s") <= F.col("we")) & (F.col("e") >= F.col("ws")),
+    )
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_user_days"),
+            F.round(
+                F.sum(
+                    F.least(F.col("e"), F.col("we"))
+                    - F.greatest(F.col("s"), F.col("ws"))
+                ).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("total_overlap_seconds"),
+        )
+        .select(
+            F.col("k").cast("int").alias("window_id"),
+            "n_user_days",
+            "total_overlap_seconds",
+        )
+    )

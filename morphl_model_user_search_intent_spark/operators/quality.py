@@ -225,3 +225,74 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("imputed_total"),
     )
+
+
+@register(
+    "q_quality_rapid_repeat",
+    oracle="""
+    WITH e2 AS (
+      SELECT user_id, event_type, event_id, ts,
+             LAG(event_id) OVER w AS prev_event_id,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type, prev_event_id, event_id,
+           ROUND(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                 / 1000000.0, 6) AS gap_seconds
+    FROM e2
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts)
+          <= CAST(3600 AS BIGINT) * 1000000
+    ORDER BY user_id, event_id
+    """,
+)
+def q_quality_rapid_repeat(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rapid-repeat audit: the same user firing the same event type
+    twice within an hour — the double-fire / bot-retry detector that
+    an ingestion pipeline runs next to constraint validation
+    (q_validate_constraints); the flagged pairs feed the dedup or
+    throttling policy.
+
+    Gap arithmetic is exact integer microseconds (unix_micros ↔
+    epoch_us — the engine-portable instant representation; naive
+    timestamp literals would be timezone-trapped), with one final
+    division for display.  One shuffle on (user_id, event_type);
+    per-key state is a single LAG — the streaming twin is
+    q_stream_dedup's keyed state.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    pus = F.unix_micros(F.col("prev_ts"))
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & ((us - pus) <= F.lit(3600000000).cast("bigint"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "prev_event_id",
+            "event_id",
+            F.round((us - pus).cast("double") / 1000000.0, 6).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
