@@ -450,3 +450,85 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(verdict.alias("verdict"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS c_ab,
+           ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS c_ba,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.8
+       OR CAST(n_common AS DOUBLE) / sb.n_sh >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B|/|A| ≥ 0.8
+    in either direction — the quote/subset detector Jaccard
+    (q_dedup_jaccard) structurally misses: a short doc fully embedded
+    in a long one has tiny Jaccard but containment ≈ 1, and LLM
+    dedup pipelines treat that as a duplicate of the SHORT side
+    (Broder's containment, the same sketch-able quantity).
+
+    Identical inverted-index candidate generation as the Jaccard
+    pair path (one shingle self-join, AQE handles hot-shingle skew);
+    only the acceptance predicate differs, so the two operators
+    share their scale story — and their costs — exactly.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    nc = F.col("n_common").cast("double")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            (nc / F.col("na") >= 0.8) | (nc / F.col("nb") >= 0.8)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(nc / F.col("na"), 6).alias("c_ab"),
+            F.round(nc / F.col("nb"), 6).alias("c_ba"),
+            F.round(
+                nc / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -683,3 +683,89 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("iv_term"),
     )
+
+
+@register(
+    "q_ml_auc",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS pos
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT pos,
+             2 * RANK() OVER (ORDER BY spend)
+               + COUNT(*) OVER (PARTITION BY spend) - 1 AS r2
+      FROM cust
+    ),
+    s AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(1 - pos) AS BIGINT) AS nn,
+             SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS s2
+      FROM rk
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)),
+                 6) AS auc
+    FROM s
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of customer spend as a predictor of the has-urgent-
+    order label, via the exact Mann–Whitney rank formula with proper
+    tie handling: AUC = (Σ₊r̄ − n₊(n₊+1)/2)/(n₊n₋) — the
+    threshold-free ranking metric that completes the eval suite
+    (confusion matrix → lift/gains → AUC), and the discriminative
+    check a propensity feature must pass before training on it.
+
+    Tie-averaged ranks stay integral via the doubled-rank identity
+    (2r̄ = 2·min_rank + ties − 1, as in q_stats_spearman), so AUC
+    is exact integer arithmetic until one final division — ties
+    contribute exactly ½ per the Mann–Whitney definition.  One
+    rank window over the per-customer rollup; nothing else sorts.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("spend"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("pos"),
+    )
+    rk = cust.select(
+        "pos",
+        (
+            2 * F.rank().over(W.orderBy("spend"))
+            + F.count("*").over(W.partitionBy("spend"))
+            - 1
+        ).alias("r2"),
+    )
+    s = rk.agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+        F.sum(
+            F.when(F.col("pos") == 1, F.col("r2")).otherwise(0)
+        ).alias("s2"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast(
+                "double"
+            )
+            / (
+                2.0
+                * F.col("np").cast("double")
+                * F.col("nn").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )

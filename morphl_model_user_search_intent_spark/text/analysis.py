@@ -1848,3 +1848,82 @@ def q_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_exact", "k", "kmv_estimate", "rel_err")
     )
+
+
+@register(
+    "q_text_coverage",
+    oracle="""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents) GROUP BY w
+    ),
+    r AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, w) AS cum,
+             SUM(c) OVER () AS tot,
+             COUNT(*) OVER () AS vocab
+      FROM wc
+    ),
+    hit AS (
+      SELECT MIN(rn) AS k80 FROM r WHERE 5 * cum >= 4 * tot
+    )
+    SELECT CAST(r.tot AS BIGINT) AS total_tokens,
+           CAST(r.vocab AS BIGINT) AS vocab_size,
+           CAST(hit.k80 AS BIGINT) AS k_words_80pct,
+           r.w AS cutoff_word,
+           ROUND(CAST(r.cum AS DOUBLE) / CAST(r.tot AS DOUBLE), 6)
+             AS coverage_at_k
+    FROM r JOIN hit ON r.rn = hit.k80
+    """,
+)
+def q_text_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve readout: the minimal number of
+    most-frequent words covering ≥80% of all tokens (and the word at
+    the cutoff) — the tokenizer-budget statistic behind "how big
+    must the vocab be", complementing the Heaps-law growth fit
+    (q_text_heaps) and the Zipf exponent (q_text_zipf).
+
+    The 80% threshold test is exact integer cross-multiplication
+    (5·cum ≥ 4·total — no float CDF anywhere), over a fully
+    tie-broken (count DESC, word) ranking, so the minimal k is
+    unambiguous in both engines.  One token-count aggregation
+    (map-combinable) and one window over |vocab| rows.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wo = W.orderBy(F.col("c").desc(), "w")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = wc.select(
+        "w",
+        "c",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count("*").over(wall).alias("vocab"),
+    )
+    hit = r.filter(5 * F.col("cum") >= 4 * F.col("tot")).agg(
+        F.min("rn").alias("k80")
+    )
+    return (
+        r.join(F.broadcast(hit), F.col("rn") == F.col("k80"))
+        .select(
+            F.col("tot").cast("bigint").alias("total_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            F.col("k80").cast("bigint").alias("k_words_80pct"),
+            F.col("w").alias("cutoff_word"),
+            F.round(
+                F.col("cum").cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("coverage_at_k"),
+        )
+    )
