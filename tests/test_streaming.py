@@ -173,3 +173,12 @@ def test_multi_batch_increments_and_conserves(spark):
         .collect()
     }
     assert got == expected  # exactly-once across batch boundaries
+
+
+def test_stream_countmin_one_sided_and_matches_batch_sketch(spark):
+    rows = REGISTRY["q_stream_countmin"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    # CM estimates can only OVER-count, never under
+    assert all(r.overestimate >= 0 for r in rows)
+    # every probed user actually exists in the fixture
+    assert all(r.n_exact > 0 for r in rows)
