@@ -532,3 +532,198 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Portable 32-bit hash template (md5-derived; see text/analysis.py).
+from ..text.analysis import _H32 as _H32T
+
+_MINHASH_SEEDS = 8
+_BAND_MIX = 8388593          # prime multiplier for band-key mixing
+_BAND_MOD = 9007199254740881  # large prime < 2^53
+
+
+@register(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+    sig AS (
+      SELECT sh.doc_id, seeds.j,
+             MIN({_H32T.format(
+                 x="CAST(seeds.j AS VARCHAR) || '|' || sh.shingle")})
+               AS mh
+      FROM sh CROSS JOIN seeds
+      GROUP BY sh.doc_id, seeds.j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
+             (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
+              + MAX(CASE WHEN j % 2 = 1 THEN mh END))
+             % {_BAND_MOD} AS bk
+      FROM sig GROUP BY doc_id, CAST(j / 2 AS BIGINT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    ),
+    agree AS (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS matches
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.doc_a
+      JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.j = sa.j
+      GROUP BY cand.doc_a, cand.doc_b
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b2
+        ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT agree.doc_a, agree.doc_b,
+           ROUND(CAST(agree.matches AS DOUBLE) / 8.0, 6)
+             AS minhash_est,
+           ROUND(CAST(COALESCE(common.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh
+                    - COALESCE(common.n_common, 0)), 6)
+             AS exact_jaccard
+    FROM agree
+    LEFT JOIN common ON common.doc_a = agree.doc_a
+                    AND common.doc_b = agree.doc_b
+    JOIN sizes sa ON sa.doc_id = agree.doc_a
+    JOIN sizes sb ON sb.doc_id = agree.doc_b
+    WHERE agree.matches >= 4
+    """,
+)
+def q_dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash + LSH with PORTABLE md5-derived signatures — unlike
+    the Spark-ML variant (q_dedup_minhash, rows-only because its
+    hash family is JVM-internal), every stage here hash-checks
+    against the oracle: 8 min-hashes per doc, 4 bands × 2 rows,
+    prime-mixed band keys, candidate pairs from the band-bucket
+    self-join, and the signature-agreement Jaccard estimate
+    (matches/8 ≥ 0.5) reported NEXT TO the exact Jaccard so the
+    sketch's estimation error is itself part of the checked output.
+
+    Scale shape is the real MinHash one: signatures are 8 ints per
+    doc (one shingle-explode + min-agg), banding is a groupBy, and
+    candidates come from joining band buckets — never all pairs.
+    The band-key mix ((m₀·p) + m₁ mod P) is exact int64; collisions
+    are deterministic and identical in both engines, which is all
+    LSH needs (they only ever ADD candidates).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    seeds = spark.createDataFrame(
+        [(j,) for j in range(_MINHASH_SEEDS)], "j bigint"
+    )
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "j",
+            F.expr(
+                _H32T.format(
+                    x="concat(cast(j as string), '|', shingle)"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.groupBy(
+            "doc_id", F.floor(F.col("j") / 2).alias("b")
+        )
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("j") % 2 == 0, F.col("mh")))
+                    * _BAND_MIX
+                    + F.max(F.when(F.col("j") % 2 == 1, F.col("mh")))
+                )
+                % _BAND_MOD
+            ).alias("bk")
+        )
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), "b", "bk"
+    )
+    cand = (
+        bands.join(b2, ["b", "bk"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        "j",
+        F.col("mh").alias("mha"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        "j",
+        F.col("mh").alias("mhb"),
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("matches")
+        )
+        .filter(F.col("matches") >= 4)
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(shb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    za = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    zb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    ncc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        agree.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("matches").cast("double") / 8.0, 6).alias(
+                "minhash_est"
+            ),
+            F.round(
+                ncc.cast("double")
+                / (F.col("na") + F.col("nb") - ncc),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -607,3 +607,154 @@ def q_sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", "qlabel", "neg_id", "neg_label", "cos_sim")
     )
+
+
+@register(
+    "q_sim_mmr",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v,
+             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS rel
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    p1 AS (SELECT vec_id, v, rel, 0.0 AS ms FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    c2 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             MAX(ROUND(list_cosine_similarity(c.v, s.v), 6)) AS ms
+      FROM cand c, (SELECT v FROM p1) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    p2 AS (SELECT vec_id, v, rel, ms FROM c2
+           ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1),
+    c3 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             MAX(ROUND(list_cosine_similarity(c.v, s.v), 6)) AS ms
+      FROM cand c,
+           (SELECT v FROM p1 UNION ALL SELECT v FROM p2) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                             UNION ALL SELECT vec_id FROM p2)
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    p3 AS (SELECT vec_id, v, rel, ms FROM c3
+           ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1),
+    c4 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             MAX(ROUND(list_cosine_similarity(c.v, s.v), 6)) AS ms
+      FROM cand c,
+           (SELECT v FROM p1 UNION ALL SELECT v FROM p2
+            UNION ALL SELECT v FROM p3) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                             UNION ALL SELECT vec_id FROM p2
+                             UNION ALL SELECT vec_id FROM p3)
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    p4 AS (SELECT vec_id, v, rel, ms FROM c4
+           ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1),
+    c5 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             MAX(ROUND(list_cosine_similarity(c.v, s.v), 6)) AS ms
+      FROM cand c,
+           (SELECT v FROM p1 UNION ALL SELECT v FROM p2
+            UNION ALL SELECT v FROM p3 UNION ALL SELECT v FROM p4) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                             UNION ALL SELECT vec_id FROM p2
+                             UNION ALL SELECT vec_id FROM p3
+                             UNION ALL SELECT vec_id FROM p4)
+      GROUP BY c.vec_id, c.v, c.rel
+    ),
+    p5 AS (SELECT vec_id, v, rel, ms FROM c5
+           ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1)
+    SELECT 1 AS step, vec_id, rel, ROUND(ms, 6) AS max_sim_selected
+    FROM p1
+    UNION ALL SELECT 2, vec_id, rel, ROUND(ms, 6) FROM p2
+    UNION ALL SELECT 3, vec_id, rel, ROUND(ms, 6) FROM p3
+    UNION ALL SELECT 4, vec_id, rel, ROUND(ms, 6) FROM p4
+    UNION ALL SELECT 5, vec_id, rel, ROUND(ms, 6) FROM p5
+    """,
+)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick 5 vectors
+    maximizing 0.5·relevance − 0.5·(max similarity to the already
+    picked) against query vec 0 — the diversity-aware retrieval
+    that pure top-k (q_sim_knn) lacks, and the shape of diverse
+    training-example sampling in data curation.
+
+    MMR is inherently sequential (each pick conditions the next), so
+    the driver loop runs exactly k=5 rounds; each round is fully
+    distributed (a broadcast of ≤4 picked vectors against the
+    candidate set) and ships back ONE row — the scalar-feedback
+    pattern, not a collect of data.  The oracle unrolls the same 5
+    rounds as chained CTEs.  All cosines go through the established
+    6-dp fold parity; the argmax tie-breaks on vec_id.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    base = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                _dot("v", "qv")
+                / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv"))),
+                6,
+            ).alias("rel"),
+        )
+    )
+    base = base.cache()
+    picked = []  # (step, vec_id, rel, ms)
+    picked_ids = []
+    for step in range(1, 6):
+        cand = base.filter(~F.col("vec_id").isin(picked_ids)) if (
+            picked_ids
+        ) else base
+        if picked_ids:
+            sel = e.filter(F.col("vec_id").isin(picked_ids)).select(
+                F.col("v").alias("sv")
+            )
+            scored = (
+                cand.crossJoin(F.broadcast(sel))
+                .select(
+                    "vec_id",
+                    "rel",
+                    F.round(
+                        _dot("v", "sv")
+                        / (
+                            F.sqrt(_dot("v", "v"))
+                            * F.sqrt(_dot("sv", "sv"))
+                        ),
+                        6,
+                    ).alias("s"),
+                )
+                .groupBy("vec_id", "rel")
+                .agg(F.max("s").alias("ms"))
+            )
+        else:
+            scored = cand.select(
+                "vec_id", "rel", F.lit(0.0).alias("ms")
+            )
+        row = (
+            scored.orderBy(
+                (0.5 * F.col("rel") - 0.5 * F.col("ms")).desc(),
+                "vec_id",
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((step, row.vec_id, row.rel, round(row.ms, 6)))
+        picked_ids.append(row.vec_id)
+    base.unpersist()
+    return spark.createDataFrame(
+        picked,
+        "step int, vec_id bigint, rel double, max_sim_selected double",
+    )

@@ -741,3 +741,137 @@ def q_join_interval_overlap(
             "total_overlap_seconds",
         )
     )
+
+
+# Portable md5-derived 32-bit hash (see text/analysis.py).
+from ..text.analysis import _H32 as _H32J
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    ),
+    seeds AS (SELECT UNNEST([131, 137, 139]) AS seed),
+    bits AS (
+      SELECT DISTINCT seeds.seed,
+             (({_H32J.format(x="CAST(dim.c_custkey AS VARCHAR)")}
+               * seeds.seed) % 2147483647) % 8192 AS bit
+      FROM dim CROSS JOIN seeds
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             {_H32J.format(x="CAST(o_custkey AS VARCHAR)")} AS hw
+      FROM orders
+    ),
+    hits AS (
+      SELECT probe.o_orderkey, probe.o_custkey, probe.o_totalprice,
+             CAST(COUNT(bits.bit) AS BIGINT) AS nbits
+      FROM probe CROSS JOIN seeds
+      LEFT JOIN bits
+        ON bits.seed = seeds.seed
+       AND bits.bit = ((probe.hw * seeds.seed) % 2147483647) % 8192
+      GROUP BY 1, 2, 3
+    ),
+    passed AS (SELECT * FROM hits WHERE nbits = 3),
+    truth AS (
+      SELECT p.o_orderkey, p.o_totalprice FROM passed p
+      WHERE EXISTS (SELECT 1 FROM dim
+                    WHERE dim.c_custkey = p.o_custkey)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             AS n_bloom_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+             AS n_false_pass,
+           (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                 AS BIGINT)) AS DOUBLE) / 100.0
+            FROM truth) AS revenue_true
+    """,
+)
+def q_join_bloom_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explicit Bloom-filter join pre-pruning: build a 8192-bit k=3
+    filter from the small dimension side (high-balance BUILDING
+    customers), test every fact row against it BEFORE the join, and
+    report pass/true/false-pass counts plus the verified revenue —
+    the runtime-filter mechanic Spark applies implicitly (see
+    q_join_dpp) made explicit and measurable, with the false-pass
+    column quantifying the filter's selectivity loss.
+
+    The filter is |bits| rows regardless of dimension size and
+    broadcasts to the fact scan; fact rows failing any of the three
+    bit probes never reach the (exact) semi-join — at 100 TB this
+    is the difference between shuffling every row and shuffling the
+    ~selectivity fraction.  Same portable hash discipline as the
+    sketch family, so the oracle checks the exact pass-set, not
+    just totals.
+    """
+    c = table(spark, sf_dir, "customer")
+    dim = c.filter(
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    seed_df = spark.createDataFrame(
+        [(131,), (137,), (139,)], "seed bigint"
+    )
+    hexp = _H32J.format(x="cast(c_custkey as string)")
+    bitpos = ((F.col("hw") * F.col("seed")) % 2147483647) % 8192
+    bits = (
+        dim.select(F.expr(hexp).alias("hw"))
+        .crossJoin(F.broadcast(seed_df))
+        .select("seed", bitpos.alias("bit"))
+        .distinct()
+        .withColumn("isset", F.lit(1))
+    )
+    o = table(spark, sf_dir, "orders")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(_H32J.format(x="cast(o_custkey as string)")).alias(
+            "hw"
+        ),
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(seed_df))
+        .withColumn("bit", bitpos)
+        .join(F.broadcast(bits), ["seed", "bit"], "left")
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.count("isset").cast("bigint").alias("nbits"))
+    )
+    passed = hits.filter(F.col("nbits") == 3)
+    truth = passed.join(
+        F.broadcast(dim),
+        passed.o_custkey == dim.c_custkey,
+        "left_semi",
+    )
+    n_orders = probe.count()
+    n_pass = passed.count()
+    tr = truth.agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("revenue_true"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_orders,
+                n_pass,
+                tr.n_true,
+                n_pass - tr.n_true,
+                tr.revenue_true,
+            )
+        ],
+        "n_orders bigint, n_bloom_pass bigint, n_true bigint, "
+        "n_false_pass bigint, revenue_true double",
+    )
