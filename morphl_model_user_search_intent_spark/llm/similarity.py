@@ -758,3 +758,142 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked,
         "step int, vec_id bigint, rel double, max_sim_selected double",
     )
+
+
+@register(
+    "q_sim_silhouette",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(27, 6))) AS DOUBLE)
+               / COUNT(val) AS c
+      FROM dims GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv
+      FROM cent GROUP BY label
+    ),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.label AS own, cvec.label AS cl,
+             ROUND(list_distance(e.v, cvec.cv), 6) AS dist
+      FROM e CROSS JOIN cvec
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             MIN(CASE WHEN cl = own THEN dist END) AS a,
+             MIN(CASE WHEN cl <> own THEN dist END) AS b
+      FROM d GROUP BY vec_id, own
+    ),
+    s AS (
+      SELECT own AS label,
+             CAST(ROUND((b - a) / GREATEST(a, b), 6)
+                  AS DECIMAL(27, 6)) AS sil,
+             CAST(a AS DECIMAL(27, 6)) AS da,
+             CAST(b AS DECIMAL(27, 6)) AS db
+      FROM ab WHERE GREATEST(a, b) > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 6)
+             AS mean_silhouette,
+           ROUND(CAST(SUM(da) AS DOUBLE) / COUNT(*), 6) AS mean_a,
+           ROUND(CAST(SUM(db) AS DOUBLE) / COUNT(*), 6) AS mean_b
+    FROM s GROUP BY label
+    """,
+)
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label:
+    a = distance to own centroid, b = nearest other centroid,
+    s = (b−a)/max(a,b) — the clustering-quality readout for the
+    labeled embedding corpus, O(n·k) where the full silhouette is
+    O(n²) (the standard approximation for clustering eval at scale,
+    and the gate a curation pipeline puts on auto-assigned labels).
+
+    Centroids reuse the decimal-exact per-dimension discipline of
+    q_sim_centroid (order-independent sums); every distance is a
+    sequential fold rounded to 6 dp, and the per-label means sum
+    ROUNDED values as DECIMAL(27,6) — no unordered double
+    accumulation anywhere.  The 10×64 centroid table broadcasts;
+    the fact side is one posexplode aggregation plus a 500×10
+    broadcast scoring pass.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("val", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double")
+            / F.count("val")
+        ).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    ).select(F.col("label").alias("cl"), "cv")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cv",
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        e.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            F.col("label").alias("own"),
+            "cl",
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+    ab = d.groupBy("vec_id", "own").agg(
+        F.min(
+            F.when(F.col("cl") == F.col("own"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("cl") != F.col("own"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = ab.filter(
+        F.greatest(F.col("a"), F.col("b")) > 0
+    ).select(
+        F.col("own").alias("label"),
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b")),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("sil"),
+        F.col("a").cast("decimal(27,6)").alias("da"),
+        F.col("b").cast("decimal(27,6)").alias("db"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("sil").cast("double") / F.count("*"), 6).alias(
+            "mean_silhouette"
+        ),
+        F.round(F.sum("da").cast("double") / F.count("*"), 6).alias(
+            "mean_a"
+        ),
+        F.round(F.sum("db").cast("double") / F.count("*"), 6).alias(
+            "mean_b"
+        ),
+    )

@@ -769,3 +769,146 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# DCG rank weights 1/log2(rank+1) and their prefix sums, fixed to
+# 6 dp literals so both engines aggregate identical decimals.
+_NDCG_W = [1.0, 0.63093, 0.5, 0.430677, 0.386853]
+_NDCG_CUM = [1.0, 1.63093, 2.13093, 2.561607, 2.94846]
+
+
+@register(
+    "q_ml_ndcg",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.label AS nlabel,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cs,
+             e.vec_id AS nid
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    top AS (
+      SELECT qid, qlabel, nlabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cs DESC, nid) AS rnk
+      FROM scored
+    ),
+    per AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN nlabel = qlabel
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN
+               CAST(list_extract({_NDCG_W!r}, CAST(rnk AS INT))
+                    AS DECIMAL(27, 6))
+               ELSE CAST(0 AS DECIMAL(27, 6)) END)
+               AS DOUBLE) AS dcg
+      FROM top WHERE rnk <= 5
+      GROUP BY qid
+    )
+    SELECT qid, n_rel, ROUND(dcg, 6) AS dcg,
+           CASE WHEN n_rel > 0 THEN
+             ROUND(dcg / list_extract({_NDCG_CUM!r},
+                                      CAST(n_rel AS INT)), 6)
+           END AS ndcg
+    FROM per
+    """,
+)
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of cosine retrieval against label-match relevance, per
+    query vector: DCG = Σ rel/log₂(rank+1) over the top-5, IDCG from
+    the prefix-sum of ideal weights — the position-weighted ranking
+    metric that closes the retrieval-eval suite (recall gates live
+    in pytest; AUC ranks classification; NDCG ranks ranking).
+
+    The log weights enter BOTH engines as identical 6-dp literals
+    (log2 at runtime would differ in last-ulp), summed as
+    DECIMAL(27,6) so per-group order cannot matter; binary
+    relevance makes IDCG a prefix-sum lookup by n_rel.  Retrieval
+    reuses the q_sim_knn shape: broadcast query block, one ranked
+    window, WindowGroupLimit bounds the sort.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "qv", "embedding",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "qv",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    ne_ = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            F.round(dot / (nq * ne_), 6).alias("cs"),
+            F.col("vec_id").alias("nid"),
+        )
+    )
+    top = scored.select(
+        "qid",
+        "qlabel",
+        "nlabel",
+        F.row_number()
+        .over(
+            W.partitionBy("qid").orderBy(F.col("cs").desc(), "nid")
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 5)
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    cumarr = F.array(*[F.lit(x) for x in _NDCG_CUM])
+    rel = F.col("nlabel") == F.col("qlabel")
+    per = top.groupBy("qid").agg(
+        F.sum(rel.cast("int")).cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(
+                rel,
+                F.element_at(warr, F.col("rnk").cast("int")).cast(
+                    "decimal(27,6)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(27,6)"))
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    return per.select(
+        "qid",
+        "n_rel",
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("dcg")
+                / F.element_at(cumarr, F.col("n_rel").cast("int")),
+                6,
+            ),
+        ).alias("ndcg"),
+    )

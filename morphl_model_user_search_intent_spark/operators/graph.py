@@ -221,3 +221,134 @@ def q_graph_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_at_2",
         )
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS s, b.vec_id AS t
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.s = e1.t
+      JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT s AS node FROM edges
+            UNION ALL SELECT t FROM edges)
+      GROUP BY node
+    ),
+    wedge AS (
+      SELECT SUM(d * (d - 1) / 2) AS n_wedges,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT ne.n_edges, wedge.n_nodes, tri.n_triangles,
+           CAST(wedge.n_wedges AS BIGINT) AS n_wedges,
+           CASE WHEN wedge.n_wedges > 0 THEN
+             ROUND(3.0 * CAST(tri.n_triangles AS DOUBLE)
+                   / CAST(wedge.n_wedges AS DOUBLE), 6)
+           END AS global_clustering
+    FROM ne CROSS JOIN wedge CROSS JOIN tri
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the
+    embedding similarity graph (edges = cosine ≥ 0.35, the
+    q_sim_threshold edge set): C = 3·triangles/wedges — the graph
+    statistic distinguishing clique-like near-dup clusters from
+    star-shaped hub noise, alongside PageRank (q_graph_pagerank)
+    and components (q_dedup_clusters).
+
+    The count uses the oriented-triangle join (s<t ordering makes
+    each triangle appear exactly once as s<m<t), the standard
+    distributed formulation: two partitioned self-joins on the edge
+    list, never an all-pairs product — at scale the heavy-degree
+    skew is handled by AQE the same way hot shingles are in dedup.
+    Wedge counts are exact integers from the degree table.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            "va", "vb",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("va", "va",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with("vb", "vb",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    edges = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(F.round(dot / (na * nb), 6) >= 0.35)
+        .select(F.col("ia").alias("s"), F.col("ib").alias("t"))
+    ).cache()
+    e1 = edges
+    e2 = edges.select(
+        F.col("s").alias("s2"), F.col("t").alias("t2")
+    )
+    e3 = edges.select(
+        F.col("s").alias("s3"), F.col("t").alias("t3")
+    )
+    tri = (
+        e1.join(e2, F.col("s2") == F.col("t"))
+        .join(
+            e3,
+            (F.col("s3") == F.col("s")) & (F.col("t3") == F.col("t2")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("s").alias("node"))
+        .unionAll(edges.select(F.col("t").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+    )
+    ne = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    out = (
+        ne.crossJoin(wedge)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("global_clustering"),
+        )
+    )
+    return out
