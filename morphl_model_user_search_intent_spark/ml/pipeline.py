@@ -912,3 +912,178 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ndcg"),
     )
+
+
+# Portable md5-derived 32-bit hash (see text/analysis.py).
+from ..text.analysis import _H32 as _H32M
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH crosses AS (
+      SELECT event_type || '|'
+             || CAST(CAST(hour(ts) AS INT) AS VARCHAR) AS cross_key
+      FROM events
+    ),
+    hashed AS (
+      SELECT cross_key,
+             {_H32M.format(x='cross_key')} % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM crosses GROUP BY 1
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_crosses,
+             SUM(n_rows) AS n_rows,
+             string_agg(cross_key, ',' ORDER BY cross_key)
+               AS colliding_keys
+      FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_crosses,
+           CAST(n_rows AS BIGINT) AS n_rows, colliding_keys
+    FROM b WHERE n_crosses > 1
+    ORDER BY bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-hashing trick, with its collisions made visible:
+    cross (event_type × hour-of-day) → portable 32-bit hash → 256
+    buckets, reporting every bucket where distinct crosses collide —
+    the fixed-dimension categorical encoding for unbounded
+    vocabularies, plus the collision audit that tells you what the
+    model can no longer distinguish.
+
+    One aggregation keys the (tiny) distinct-cross frame, a second
+    keys buckets; the fact table is touched once and the hash is the
+    same md5-derived family as the sketch suite, so the bucket
+    assignment — and therefore the exact collision sets — are
+    oracle-checked, not just counted.
+    """
+    ev = table(spark, sf_dir, "events")
+    crosses = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.hour("ts").cast("int").cast("string"),
+        ).alias("cross_key")
+    )
+    hashed = crosses.groupBy("cross_key").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).select(
+        "cross_key",
+        "n_rows",
+        (F.expr(_H32M.format(x="cross_key")) % 256).alias("bucket"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_crosses"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.array_join(
+                F.array_sort(F.collect_list("cross_key")), ","
+            ).alias("colliding_keys"),
+        )
+        .filter(F.col("n_crosses") > 1)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_crosses",
+            "n_rows",
+            "colliding_keys",
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_sample_weighted_ht",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             LEAST(1.0, o_totalprice / 500000.0) AS pi,
+             {_H32M.format(x="CAST(o_orderkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    s AS (
+      SELECT cents, pi FROM o
+      WHERE CAST(h AS DOUBLE) < pi * 4294967296.0
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_total,
+        (SELECT CAST(SUM(cents) AS DOUBLE) / 100.0 FROM o)
+          AS true_revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        CAST(SUM(CAST(ROUND(CAST(cents AS DOUBLE) / 100.0 / pi, 6)
+                      AS DECIMAL(27, 6))) AS DOUBLE) AS ht
+      FROM s
+    )
+    SELECT n_total, n_sampled,
+           ROUND(true_revenue, 2) AS true_revenue,
+           ROUND(ht, 2) AS ht_estimate,
+           ROUND((ht - true_revenue) / true_revenue, 6) AS rel_err
+    FROM agg
+    """,
+)
+def q_sample_weighted_ht(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probability-proportional-to-size sampling with the
+    Horvitz–Thompson estimator: each order enters the sample with
+    πᵢ = min(1, priceᵢ/500k) decided by the portable hash (no RNG —
+    deterministic, reproducible, and oracle-checkable, unlike
+    rand()-based sampling), and the HT sum Σ xᵢ/πᵢ over the sample
+    estimates total revenue — the size-biased sampling that keeps
+    every whale (πᵢ=1) while thinning the long tail, which is how
+    a 100 TB fact table gets a certified-unbiased revenue estimate
+    from a fraction of the rows.
+
+    Per-row HT contributions are rounded to 6 dp and summed as
+    DECIMAL(27,6); the inclusion test compares the integer hash
+    against πᵢ·2³² (same doubles in both engines).  One scan, one
+    aggregation — the sample never materializes.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.least(
+            F.lit(1.0), F.col("o_totalprice") / 500000.0
+        ).alias("pi"),
+        F.expr(
+            _H32M.format(x="CAST(o_orderkey AS STRING)")
+        ).alias("h"),
+    )
+    tot = o.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        (F.sum("cents").cast("double") / 100.0).alias(
+            "true_revenue"
+        ),
+    )
+    s = o.filter(
+        F.col("h").cast("double") < F.col("pi") * 4294967296.0
+    )
+    samp = s.agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum(
+            F.round(
+                F.col("cents").cast("double") / 100.0 / F.col("pi"),
+                6,
+            ).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("ht"),
+    )
+    return samp.crossJoin(F.broadcast(tot)).select(
+        "n_total",
+        "n_sampled",
+        F.round(F.col("true_revenue"), 2).alias("true_revenue"),
+        F.round(F.col("ht"), 2).alias("ht_estimate"),
+        F.round(
+            (F.col("ht") - F.col("true_revenue"))
+            / F.col("true_revenue"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -4153,3 +4153,105 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "q_stats_levene",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT g,
+             CAST(ROUND(2 * quantile_cont(c, 0.5)) AS BIGINT) AS med2
+      FROM c GROUP BY g
+    ),
+    dev AS (
+      SELECT c.g, ABS(2 * c.c - med.med2) AS z
+      FROM c JOIN med ON med.g = c.g
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(z) AS sz, SUM(z * z) AS qz
+      FROM dev GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn, SUM(sz) AS tt, SUM(qz) AS qq,
+             SUM(CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38, 8))) AS ssb_num
+      FROM s
+    )
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+           ROUND(((CAST(ssb_num AS DOUBLE)
+                   - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+                     / CAST(nn AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((CAST(qq AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+                    / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))),
+                 6) AS levene_w
+    FROM t
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (Brown–Forsythe median variant) for variance
+    homogeneity across the five event-type groups — the assumption
+    check for ANOVA (q_stats_anova) and the t-test's equal-variance
+    cousin: one-way ANOVA applied to |xᵢ − median_g|.
+
+    Doubling keeps everything integral: 2·median of integer cents
+    is an exact integer (interpolation lands on .0 or .5), so the
+    deviations |2c − med2| and their moments are exact int64; the
+    only cross-group float reduction reuses the ANOVA decimal
+    discipline.  The per-group exact median uses the established
+    percentile parity; its scalable form is q_agg_median_scalable's
+    value-counts pass per group.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    med = ev.groupBy("g").agg(
+        F.round(2 * F.expr("percentile(c, 0.5)"))
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("c") - F.col("med2")).alias("z")
+    )
+    s = dev.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("qz"),
+    )
+    t = s.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("tt"),
+        F.sum("qz").alias("qq"),
+        F.sum(
+            F.round(
+                F.col("sz").cast("double")
+                * F.col("sz").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).cast("decimal(38,8)")
+        ).alias("ssb_num"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("nn").cast("double")
+    ssbn = F.col("ssb_num").cast("double")
+    ssb = ssbn - F.col("tt").cast("double") * F.col("tt").cast(
+        "double"
+    ) / nd
+    ssw = F.col("qq").cast("double") - ssbn
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias(
+            "levene_w"
+        ),
+    )

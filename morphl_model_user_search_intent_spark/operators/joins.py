@@ -875,3 +875,92 @@ def q_join_bloom_prefilter(
         "n_orders bigint, n_bloom_pass bigint, n_true bigint, "
         "n_false_pass bigint, revenue_true double",
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC NULLS LAST,
+                        c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM p LEFT JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts)
+           <= CAST(1800 AS BIGINT) * 1000000
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+           CASE WHEN click_id IS NOT NULL THEN
+             ROUND(CAST(epoch_us(purchase_ts) - epoch_us(click_ts)
+                        AS DOUBLE) / 1000000.0, 6)
+           END AS gap_seconds
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=``): latest same-user click at-or-before each
+    purchase, but only within 30 minutes — stale matches become
+    NULL instead of attributing a purchase to an hours-old click.
+    The practical attribution semantics q_join_asof's unbounded
+    lookback overstates.
+
+    The tolerance predicate enters the JOIN condition (exact
+    integer microseconds), so out-of-window candidates never reach
+    the ranking window — at scale this is also the pruning that
+    makes the candidate join bounded per purchase (the day-bucket
+    prejoin the unbounded variant needs becomes unnecessary: the
+    window IS the bucket).
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pus = F.unix_micros(F.col("purchase_ts"))
+    cus = F.unix_micros(F.col("click_ts"))
+    cand = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & ((pus - cus) <= F.lit(1800000000).cast("bigint")),
+        "left",
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(),
+        F.col("click_id").desc_nulls_last(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            F.when(
+                F.col("click_id").isNotNull(),
+                F.round((pus - cus).cast("double") / 1000000.0, 6),
+            ).alias("gap_seconds"),
+        )
+    )
