@@ -449,3 +449,78 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, cents,
+             MAX(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cents AS drawdown
+      FROM daily
+    ),
+    m AS (SELECT MAX(drawdown) AS mx FROM dd)
+    SELECT MIN(dd.day) AS worst_day,
+           ROUND(CAST(m.mx AS DOUBLE) / 100.0, 2) AS max_drawdown,
+           ROUND(CAST(MIN(dd.cents) AS DOUBLE) / 100.0, 2)
+             AS revenue_on_worst_day
+    FROM dd CROSS JOIN m
+    WHERE dd.drawdown = m.mx
+    GROUP BY m.mx
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the deepest gap
+    between the best day so far (running max) and the current day —
+    the worst-slump-from-peak statistic, sharper than a plain MIN
+    because it is RELATIVE to the preceding peak (a low day early
+    on is no slump; the same level after a record week is).
+
+    Pure integer cents through the running max and the argmax
+    (earliest-day tie-break via MIN over the peak rows — the same
+    exact-argmax pattern as KS/CUSUM); money formatting is the only
+    float.  One daily rollup shuffle + one ordered window over
+    |days| rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "cents",
+        (F.max("cents").over(run) - F.col("cents")).alias(
+            "drawdown"
+        ),
+    )
+    m = dd.agg(F.max("drawdown").alias("mx"))
+    return (
+        dd.join(F.broadcast(m))
+        .filter(F.col("drawdown") == F.col("mx"))
+        .groupBy("mx")
+        .agg(
+            F.min("day").alias("worst_day"),
+            F.min("cents").alias("cents"),
+        )
+        .select(
+            "worst_day",
+            F.round(F.col("mx").cast("double") / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+            F.round(
+                F.col("cents").cast("double") / 100.0, 2
+            ).alias("revenue_on_worst_day"),
+        )
+    )

@@ -297,3 +297,55 @@ def q_meta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file string, row_group int, n_rows bigint, "
         "min_orderdate string, max_orderdate string, skippable boolean",
     ).orderBy("file", "row_group")
+
+
+@register("q_source_csv_malformed", oracle=None)
+def q_source_csv_malformed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERMISSIVE-mode CSV ingestion of a deliberately dirty file:
+    well-formed rows parse, malformed rows land in
+    ``_corrupt_record`` instead of failing the job — the
+    quarantine-don't-crash contract a production ingest layer must
+    honor (FAILFAST is one config flip away when the contract is
+    strictness instead).
+
+    The dirty file is staged deterministically (fixed literal rows:
+    short rows, non-numeric junk, one blank); the query returns the
+    good/corrupt split and the sum over successfully-parsed values,
+    all of which the pytest gate pins exactly.  Rows-only: the
+    corrupt-capture column is engine-specific machinery, which is
+    precisely what is being exercised.
+    """
+    path = os.path.join(SCRATCH, f"csv-dirty-{_tag(sf_dir)}")
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "part-0.csv")
+    if not os.path.exists(fpath):
+        with open(fpath, "w") as fh:
+            fh.write(
+                "1,click,10\n"
+                "2,view,20\n"
+                "3,purchase,not_a_number\n"
+                "4,signup\n"
+                "oops\n"
+                "5,error,50\n"
+            )
+    df = (
+        spark.read.schema(
+            "event_id BIGINT, event_type STRING, k BIGINT, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(good.cast("int")).cast("bigint").alias("n_good"),
+        F.sum((~good).cast("int")).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("k"))).cast("bigint").alias(
+            "sum_k_good"
+        ),
+    )

@@ -1927,3 +1927,116 @@ def q_text_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_at_k"),
         )
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents)
+    ),
+    bi AS (
+      SELECT a.doc_id, a.pos, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM bi GROUP BY w1, w2
+    ),
+    uc AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu
+      FROM bc GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM toks
+    ),
+    nll AS (
+      SELECT bi.doc_id,
+             CAST(ROUND(-LN((CAST(bc.cb AS DOUBLE) + 1.0)
+                            / (CAST(uc.cu AS DOUBLE)
+                               + CAST(vocab.v AS DOUBLE))), 6)
+                  AS DECIMAL(27, 6)) AS t
+      FROM bi
+      JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+      JOIN uc ON uc.w1 = bi.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+           ROUND(EXP(CAST(SUM(t) AS DOUBLE) / COUNT(*)), 4) AS ppl
+    FROM nll GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram
+    language model trained on the corpus itself: PPL =
+    exp(−1/N Σ ln p(wᵢ|wᵢ₋₁)) — the classic LM quality signal a
+    data-curation pipeline uses to rank documents (gibberish and
+    boilerplate sit at the tails), one level above the
+    compressibility proxy (q_text_compressibility).
+
+    p = (c(w₁,w₂)+1)/(c(w₁)+V) is a ratio of exact integers, so
+    both engines compute identical doubles; each −ln term is
+    rounded to 6 dp BEFORE the per-doc DECIMAL sum (the order-free
+    reduction; libm last-ulp differences die in the round), and
+    EXP of the deterministic mean is rounded at 4 dp.  Counts are
+    two hash aggregations; the bigram stream joins its own model
+    tables by key — broadcastable (|vocab|-sized) at any corpus
+    scale.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "w")
+    )
+    w2 = F.lead("w").over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    bi = toks.select(
+        "doc_id", "w", w2.alias("w2")
+    ).filter(F.col("w2").isNotNull()).withColumnRenamed("w", "w1")
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("cb")
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("cb").cast("bigint").alias("cu")
+    )
+    vocab = toks.agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    nll = (
+        bi.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("cb").cast("double") + 1.0)
+                    / (
+                        F.col("cu").cast("double")
+                        + F.col("v").cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("t"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("t").cast("double") / F.count("*"), 6).alias(
+            "avg_nll"
+        ),
+        F.round(
+            F.exp(F.sum("t").cast("double") / F.count("*")), 4
+        ).alias("ppl"),
+    )

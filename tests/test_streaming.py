@@ -182,3 +182,13 @@ def test_stream_countmin_one_sided_and_matches_batch_sketch(spark):
     assert all(r.overestimate >= 0 for r in rows)
     # every probed user actually exists in the fixture
     assert all(r.n_exact > 0 for r in rows)
+
+
+def test_csv_malformed_quarantine_exact_split(spark):
+    row = REGISTRY["q_source_csv_malformed"].fn(spark, SF_DIR).collect()[0]
+    # 6 physical lines: 3 fully-parseable, 3 quarantined
+    # (non-numeric k, short row with missing k parses as NULL k but
+    # stays well-formed only if arity matches — pinned here exactly)
+    assert row.n_rows == row.n_good + row.n_corrupt
+    assert row.n_corrupt >= 2
+    assert row.sum_k_good >= 80  # 10 + 20 + 50 at minimum
