@@ -4255,3 +4255,137 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "levene_w"
         ),
     )
+
+
+@register(
+    "q_orders_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(MIN(CAST(l.l_shipdate AS DATE))
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT)
+               AS days_to_first_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority,
+               CAST(o.o_orderdate AS DATE)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(days_to_first_ship) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_days,
+           ROUND(quantile_cont(days_to_first_ship, 0.5), 6)
+             AS p50_days,
+           ROUND(quantile_cont(days_to_first_ship, 0.9), 6)
+             AS p90_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q_orders_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency distribution by priority class:
+    days from order placement to the earliest lineitem ship date,
+    with mean/p50/p90 per priority — the fulfilment-SLA readout
+    that checks whether '1-URGENT' actually ships faster, i.e. an
+    operational join metric over both fact tables.
+
+    Latency is exact integer days (DATE subtraction ↔ datediff);
+    the mean is an integer-sum ratio and the percentiles ride the
+    established exact-percentile parity.  The orders↔lineitem join
+    shuffles once on orderkey (the natural co-partition key for
+    bucketing both facts at scale — q_join_bucketed's layout makes
+    this join shuffle-free).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")), F.col("od")
+            )
+            .cast("bigint")
+            .alias("days_to_first_ship")
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("days_to_first_ship").cast("double") / F.count("*"),
+            6,
+        ).alias("mean_days"),
+        F.round(
+            F.expr("percentile(days_to_first_ship, 0.5)"), 6
+        ).alias("p50_days"),
+        F.round(
+            F.expr("percentile(days_to_first_ship, 0.9)"), 6
+        ).alias("p90_days"),
+    )
+
+
+@register(
+    "q_stats_qq",
+    oracle="""
+    WITH p AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(d.i AS INT) AS decile,
+           ROUND(p.q[d.i], 6) AS q_purchase,
+           ROUND(c.q[d.i], 6) AS q_click,
+           ROUND(p.q[d.i] - c.q[d.i], 6) AS qq_gap
+    FROM (SELECT UNNEST(generate_series(1, 9)) AS i) d
+    CROSS JOIN p CROSS JOIN c
+    """,
+)
+def q_stats_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile comparison of purchase vs click values at
+    each decile — the distribution-shape diagnostic that locates
+    WHERE two distributions diverge (tails vs body), where the KS
+    statistic (q_stats_ks) only says THAT they diverge and by how
+    much at the single worst point.
+
+    Both decile vectors come from one exact multi-percentile pass
+    per side (the array form, as in q_agg_multiquantile), exploded
+    against a 9-row index — identical linear interpolation in both
+    engines, 6-dp rounded.  Two filtered scans, no windows, no
+    joins beyond two broadcast singletons.
+    """
+    ev = table(spark, sf_dir, "events")
+    probs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    p = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr(f"percentile(value, {probs})").alias("qp")
+    )
+    c = ev.filter(F.col("event_type") == "click").agg(
+        F.expr(f"percentile(value, {probs})").alias("qc")
+    )
+    idx = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    return (
+        idx.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "decile",
+            F.round(F.element_at("qp", F.col("decile")), 6).alias(
+                "q_purchase"
+            ),
+            F.round(F.element_at("qc", F.col("decile")), 6).alias(
+                "q_click"
+            ),
+            F.round(
+                F.element_at("qp", F.col("decile"))
+                - F.element_at("qc", F.col("decile")),
+                6,
+            ).alias("qq_gap"),
+        )
+    )

@@ -1086,3 +1086,115 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_merge_cdc",
+    oracle="""
+    WITH cdc AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 7 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             o_totalprice * 1.05 AS new_price
+      FROM orders
+      WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'I', o_totalprice * 0.25
+      FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN c.op = 'D' THEN NULL
+               WHEN c.op IS NOT NULL THEN
+                 CAST(c.new_price AS DOUBLE)
+               ELSE CAST(b.o_totalprice AS DOUBLE)
+             END AS price,
+             c.op
+      FROM orders b
+      FULL JOIN cdc c ON b.o_orderkey = c.o_orderkey
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_base,
+      CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_deleted,
+      CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_updated,
+      CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_inserted,
+      CAST(COUNT(price) AS BIGINT) AS n_final,
+      ROUND(CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0, 2) AS final_revenue
+    FROM merged
+    """,
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — inserts, updates, AND deletes in one merge:
+    a deterministic change set (delete every 11th key, update every
+    7th, insert shifted keys) applied to the base via full-outer
+    join with op-dispatched survivorship; deleted rows drop out of
+    the final count and revenue.  This is the Delta/Iceberg
+    MERGE WHEN MATCHED DELETE shape expressed in pure DataFrame
+    algebra — what q_merge_upsert lacks (no delete arm) and what a
+    warehouse sync job actually replays.
+
+    The audit row pins every op count plus the post-merge row count
+    and revenue (scaled-long), so a wrong survivorship branch can't
+    hide.  One shuffle join on the key; at scale the CDC side is
+    the small one and broadcasts.
+    """
+    o = table(spark, sf_dir, "orders")
+    is_d = F.col("o_orderkey") % 11 == 0
+    is_u = F.col("o_orderkey") % 7 == 0
+    cdc = (
+        o.filter(is_d | is_u)
+        .select(
+            "o_orderkey",
+            F.when(is_d, "D").otherwise("U").alias("op"),
+            (F.col("o_totalprice") * 1.05).alias("new_price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                (F.col("o_totalprice") * 0.25).alias("new_price"),
+            )
+        )
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"), "o_totalprice"
+    )
+    merged = b.join(
+        cdc, b.b_key == cdc.o_orderkey, "full_outer"
+    ).select(
+        F.when(F.col("op") == "D", F.lit(None).cast("double"))
+        .when(
+            F.col("op").isNotNull(),
+            F.col("new_price").cast("double"),
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+        "op",
+    )
+    n_base = o.count()
+    return merged.agg(
+        F.lit(n_base).cast("bigint").alias("n_base"),
+        F.sum((F.col("op") == "D").cast("int"))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum((F.col("op") == "U").cast("int"))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum((F.col("op") == "I").cast("int"))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.count("price").cast("bigint").alias("n_final"),
+        F.round(
+            F.sum(
+                F.round(F.col("price") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("final_revenue"),
+    )
