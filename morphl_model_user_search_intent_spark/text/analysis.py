@@ -1791,18 +1791,25 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h, ROW_NUMBER() OVER (ORDER BY h, s) AS rn
       FROM hashed
     ),
-    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ids)
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ids),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS held,
+             MAX(h) AS maxh
+      FROM ranked WHERE rn <= 256
+    )
     SELECT exact.n_exact,
            CAST(256 AS BIGINT) AS k,
-           ROUND(255.0 / (CAST(MAX(ranked.h) AS DOUBLE)
-                          / 4294967296.0), 2) AS kmv_estimate,
-           ROUND((255.0 / (CAST(MAX(ranked.h) AS DOUBLE)
-                           / 4294967296.0)
-                  - exact.n_exact)
+           CASE WHEN sk.held < 256 THEN CAST(sk.held AS DOUBLE)
+                ELSE ROUND(255.0 / (CAST(sk.maxh AS DOUBLE)
+                                    / 4294967296.0), 2)
+           END AS kmv_estimate,
+           ROUND((CASE WHEN sk.held < 256
+                       THEN CAST(sk.held AS DOUBLE)
+                       ELSE ROUND(255.0 / (CAST(sk.maxh AS DOUBLE)
+                                           / 4294967296.0), 2)
+                  END - exact.n_exact)
                  / exact.n_exact, 6) AS rel_err
-    FROM ranked CROSS JOIN exact
-    WHERE ranked.rn <= 256
-    GROUP BY exact.n_exact
+    FROM sk CROSS JOIN exact
     """,
 )
 def q_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,6 +1820,10 @@ def q_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine because it is pure order statistics over the same
     portable md5-derived 32-bit hashes as Count-Min/Bloom.
 
+    Below saturation (distinct < k) the sketch holds every hash and
+    the estimate IS the exact held-count — the estimator switches to
+    (k−1)/u₍ₖ₎ only once the k-th order statistic exists (this
+    regime change is itself oracle-checked at both fixture scales).
     The bottom-k set merges by union+truncate, so each partition
     keeps k candidates and the shuffle carries k·|partitions| rows
     regardless of data size (here expressed as a row_number
@@ -1835,18 +1846,24 @@ def q_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("h", "s")).alias("rn"),
     ).filter(F.col("rn") <= 256)
     exact = ids.agg(F.count("*").cast("bigint").alias("n_exact"))
-    est = 255.0 / (F.max("h").cast("double") / 4294967296.0)
-    return (
-        ranked.crossJoin(F.broadcast(exact))
-        .groupBy("n_exact")
-        .agg(
-            F.lit(256).cast("bigint").alias("k"),
-            F.round(est, 2).alias("kmv_estimate"),
-            F.round(
-                (est - F.first("n_exact")) / F.first("n_exact"), 6
-            ).alias("rel_err"),
+    sk = ranked.agg(
+        F.count("*").cast("bigint").alias("held"),
+        F.max("h").alias("maxh"),
+    )
+    est = F.when(
+        F.col("held") < 256, F.col("held").cast("double")
+    ).otherwise(
+        F.round(
+            255.0 / (F.col("maxh").cast("double") / 4294967296.0), 2
         )
-        .select("n_exact", "k", "kmv_estimate", "rel_err")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        F.lit(256).cast("bigint").alias("k"),
+        est.alias("kmv_estimate"),
+        F.round(
+            (est - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
     )
 
 

@@ -9,6 +9,10 @@ from hypothesis import strategies as st
 
 import pyspark.sql.functions as F
 
+from morphl_model_user_search_intent_spark import REGISTRY
+
+from conftest import SF_DIR
+
 rows_strategy = st.lists(
     st.tuples(
         st.integers(min_value=-50, max_value=50),  # k
@@ -206,3 +210,57 @@ def test_zorder_key_is_injective():
     # locality: unit steps move the z-value by a bounded amount in the
     # interleaved low bits
     assert z(3, 5) != z(5, 3)
+
+
+def test_metric_range_invariants(spark):
+    """Closed-form ranges the statistical operators must respect —
+    checked on live fixture output, not synthetic toys."""
+    gini = REGISTRY["q_stats_gini"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= gini.gini < 1.0
+
+    auc = REGISTRY["q_ml_auc"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= auc.auc <= 1.0
+
+    ks = REGISTRY["q_stats_ks"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= ks.ks_stat <= 1.0
+
+    sil = REGISTRY["q_sim_silhouette"].fn(spark, SF_DIR).collect()
+    assert all(-1.0 <= r.mean_silhouette <= 1.0 for r in sil)
+
+    ndcg = REGISTRY["q_ml_ndcg"].fn(spark, SF_DIR).collect()
+    assert all(r.ndcg is None or 0.0 <= r.ndcg <= 1.0 for r in ndcg)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    rows = REGISTRY["q_sketch_bloom"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        # one-sided error: present => hit, and false_positive is
+        # exactly (hit and not present)
+        if r.in_vocab:
+            assert r.bloom_hit
+        assert r.false_positive == (r.bloom_hit and not r.in_vocab)
+
+
+def test_sketch_estimates_dominate_exact(spark):
+    cm = REGISTRY["q_sketch_countmin"].fn(spark, SF_DIR).collect()
+    assert all(r.cm_estimate >= r.n_exact for r in cm)
+
+    km = REGISTRY["q_sketch_bottomk"].fn(spark, SF_DIR).collect()[0]
+    # KMV is unbiased, not one-sided — but must land within 50% on
+    # 256-of-N order statistics at fixture scale
+    assert abs(km.rel_err) < 0.5
+
+
+def test_revenue_bridge_identity(spark):
+    rows = REGISTRY["q_orders_bridge"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        # volume + price effects must reconstruct the delta to the cent
+        assert abs(r.volume_effect + r.price_effect - r.delta_revenue) < 0.02
+
+
+def test_mmr_picks_are_distinct_and_first_is_most_relevant(spark):
+    rows = REGISTRY["q_sim_mmr"].fn(spark, SF_DIR).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 5
+    assert rows[0].max_sim_selected == 0.0
+    assert rows[0].rel == max(r.rel for r in rows)
