@@ -4389,3 +4389,111 @@ def q_stats_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qq_gap"),
         )
     )
+
+
+@register(
+    "q_stats_runs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(ROUND(2 * quantile_cont(c, 0.5)) AS BIGINT) AS m2
+      FROM daily
+    ),
+    signed AS (
+      SELECT day, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med WHERE 2 * c <> m2
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                    OR LAG(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS is_new
+      FROM signed
+    ),
+    agg AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2,
+             CAST(SUM(is_new) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2
+                        * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2 - 1.0))), 6) AS z_stat
+    FROM agg
+    """,
+)
+def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness of daily
+    revenue around its median: too FEW sign-runs means trending,
+    too MANY means oscillation — the model-free autocorrelation
+    alarm beside the exact lag-1 autocorrelation
+    (q_events_autocorr) and CUSUM changepoint.
+
+    Signs come from exact integer comparison against the doubled
+    median (exact-median days drop, per the standard definition);
+    the run count is a LAG-transition sum, all int64 to the final
+    z expression.  One daily rollup + one ordered window over
+    |days| rows.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("c")
+    )
+    med = daily.agg(
+        F.round(2 * F.expr("percentile(c, 0.5)"))
+        .cast("bigint")
+        .alias("m2")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("c") != F.col("m2"))
+        .select(
+            "day",
+            (2 * F.col("c") > F.col("m2")).cast("int").alias("s"),
+        )
+    )
+    lag_s = F.lag("s").over(W.orderBy("day"))
+    runs = signed.select(
+        "s",
+        F.when(
+            lag_s.isNull() | (lag_s != F.col("s")), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        F.sum("is_new").cast("bigint").alias("r"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n1d = n1.cast("double")
+    rd_ = F.col("r").cast("double")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (
+            (n1 + n2).cast("double")
+            * (n1 + n2).cast("double")
+            * (n1 + n2 - 1.0)
+        )
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round((rd_ - er) / F.sqrt(vr), 6).alias("z_stat"),
+    )

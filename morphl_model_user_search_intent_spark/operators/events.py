@@ -456,3 +456,117 @@ def q_events_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sape").cast("double") / F.count("*"), 6
         ).alias("smape"),
     )
+
+
+@register(
+    "q_events_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) - CAST(900 AS BIGINT) * 1000000 AS s,
+             epoch_us(ts) + CAST(900 AS BIGINT) * 1000000 AS e
+      FROM events WHERE user_id < 20
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS is_new
+      FROM sweep
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(me - ms) AS DOUBLE) / 1000000.0, 6)
+             AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_events_interval_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval UNION (coalescing): every event spawns a ±15-minute
+    activity interval; overlapping intervals merge, and the output
+    is each user's merged-interval count and total covered seconds
+    — the measure-of-union sweep (gaps-and-islands over intervals)
+    that naive SUM-of-lengths double-counts and DISTINCT can't fix.
+    This is the "total active time" feature behind engagement
+    scoring, and the complement of q_join_interval_overlap's
+    intersection.
+
+    The sweep is one window per user: an interval starts a new
+    island iff its start exceeds the running max end of all
+    EARLIER intervals (the 1-PRECEDING frame keeps the test
+    strictly causal; (s, e) ordering is a total tie-break).  All
+    integer microseconds; per-user state is a single running max —
+    the property that scales to any event density.
+    """
+    iv = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.lit(900000000).cast("bigint"))
+            .alias("s"),
+            (F.unix_micros("ts") + F.lit(900000000).cast("bigint"))
+            .alias("e"),
+        )
+    )
+    wseq = W.partitionBy("user_id").orderBy("s", "e")
+    sweep = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e")
+        .over(wseq.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_max_e"),
+    )
+    flagged = sweep.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull()
+            | (F.col("s") > F.col("prev_max_e")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("is_new")
+        .over(wseq.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("me") - F.col("ms")).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("covered_seconds"),
+    )
