@@ -1516,3 +1516,49 @@ def q_agg_multiquantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x, 6),
         ).alias("quartiles"),
     )
+
+
+@register(
+    "q_agg_hist2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10.0) AS INT) AS qty_bin,
+           CAST(FLOOR(ROUND(l_discount * 100) / 2.0) AS INT)
+             AS disc_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap): quantity-decile × discount band cells
+    with counts and exact revenue per cell — the joint-distribution
+    readout behind pricing heatmaps and the binned co-occurrence
+    grid a feature-analysis notebook renders first.
+
+    Bin edges are exact arithmetic on the raw values, with FLOOR
+    spelled out everywhere — DuckDB's double→INT cast rounds to
+    nearest where Spark's truncates, the kind of silent semantic
+    skew only the value-hash catches — so cell membership is
+    identical in both engines — no percentile-based
+    edges needed for fixed business bins.  One map-side-combinable
+    aggregation; cells are bounded (6×6) regardless of row count.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10.0).cast("int").alias(
+            "qty_bin"
+        ),
+        F.floor(F.round(F.col("l_discount") * 100) / 2.0)
+        .cast("int")
+        .alias("disc_bin"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("revenue"),
+    )

@@ -296,3 +296,128 @@ def q_quality_rapid_repeat(
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    SELECT 'orders' AS tbl, 'totalprice_positive' AS checkname,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                = 0 AS BOOLEAN) AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) = COUNT(DISTINCT o_orderkey) AS BOOLEAN)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'orderkey_referential',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                = 0 AS BOOLEAN)
+    UNION ALL
+    SELECT 'customer', 'nationkey_referential',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                = 0 AS BOOLEAN)
+    UNION ALL
+    SELECT 'events', 'value_not_null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'n_chars_consistent',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars <> length(text)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars <> length(text)
+                    THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+    FROM documents
+    """,
+)
+def q_quality_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-expectations sweep — the multi-table contract report a
+    pipeline gates ingestion on (the Great-Expectations shape):
+    positivity, key uniqueness, two referential-integrity checks,
+    null-rate, and a cross-column consistency rule, one row per
+    check with checked/violation counts and a pass verdict.
+
+    Each check is one aggregation or anti-join over its table —
+    independently parallel, no cross-check dependencies — and the
+    whole report is a UNION of 6 one-row frames, so adding the
+    next hundred checks scales linearly and stays one job.  The
+    violation COUNTS are part of the oracle-checked output: a
+    check that silently under-counts violations fails the hash,
+    not just the boolean.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ev = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+
+    def report(tbl, name, n_checked, n_viol):
+        return spark.createDataFrame(
+            [(tbl, name, n_checked, n_viol, n_viol == 0)],
+            "tbl string, checkname string, n_checked bigint, "
+            "n_violations bigint, pass boolean",
+        )
+
+    viol_price = o.filter(F.col("o_totalprice") <= 0).count()
+    n_orders = o.count()
+    n_dup = n_orders - o.select("o_orderkey").distinct().count()
+    n_li = li.count()
+    orphans_li = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    n_cust = c.count()
+    orphans_c = c.join(
+        n, c.c_nationkey == n.n_nationkey, "left_anti"
+    ).count()
+    n_ev = ev.count()
+    null_val = ev.filter(F.col("value").isNull()).count()
+    n_docs = d.count()
+    incons = d.filter(
+        F.col("n_chars") != F.length("text")
+    ).count()
+    out = (
+        report("orders", "totalprice_positive", n_orders, viol_price)
+        .unionAll(report("orders", "orderkey_unique", n_orders, n_dup))
+        .unionAll(
+            report(
+                "lineitem", "orderkey_referential", n_li, orphans_li
+            )
+        )
+        .unionAll(
+            report(
+                "customer", "nationkey_referential", n_cust, orphans_c
+            )
+        )
+        .unionAll(report("events", "value_not_null", n_ev, null_val))
+        .unionAll(
+            report("documents", "n_chars_consistent", n_docs, incons)
+        )
+    )
+    return out

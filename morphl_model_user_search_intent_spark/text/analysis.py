@@ -2057,3 +2057,72 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("t").cast("double") / F.count("*")), 4
         ).alias("ppl"),
     )
+
+
+@register(
+    "q_text_stopword_discovery",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    df AS (
+      SELECT w,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM toks GROUP BY w
+    )
+    SELECT w AS word,
+           ROUND(CAST(n_docs AS DOUBLE) / CAST(d.nd AS DOUBLE), 6)
+             AS doc_frequency,
+           n_occ AS n_occurrences,
+           CAST(list_contains({list(STOPWORDS)!r}, w) AS BOOLEAN)
+             AS is_known_stopword
+    FROM df CROSS JOIN d
+    WHERE 2 * n_docs >= d.nd
+    ORDER BY doc_frequency DESC, word
+    """,
+)
+def q_text_stopword_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-adaptive stopword discovery: words appearing in ≥50%
+    of documents — the data-driven replacement for a hand-curated
+    stopword list when the corpus domain shifts (a medical corpus's
+    'patient' is a stopword; no static list knows that).  The
+    is_known_stopword column cross-references the engine's static
+    list (q_text_stopwords), making the discovery self-validating:
+    the planted function words surface, and anything else that
+    crosses the threshold is a real corpus property.
+
+    The threshold test is integer cross-multiplication (2·df ≥ D);
+    document frequency is one (word, doc) distinct aggregation —
+    the same two-level hash-agg shape as burstiness, map-side
+    combinable at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("w"))
+    nd = d.agg(F.count("*").cast("bigint").alias("nd"))
+    df_ = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return (
+        df_.crossJoin(F.broadcast(nd))
+        .filter(2 * F.col("n_docs") >= F.col("nd"))
+        .select(
+            F.col("w").alias("word"),
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("nd").cast("double"),
+                6,
+            ).alias("doc_frequency"),
+            F.col("n_occ").alias("n_occurrences"),
+            F.array_contains(stop, F.col("w")).alias(
+                "is_known_stopword"
+            ),
+        )
+        .orderBy(F.col("doc_frequency").desc(), "word")
+    )
