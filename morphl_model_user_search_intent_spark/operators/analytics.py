@@ -4497,3 +4497,73 @@ def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_runs"),
         F.round((rd_ - er) / F.sqrt(vr), 6).alias("z_stat"),
     )
+
+
+@register(
+    "q_orders_aging",
+    oracle="""
+    WITH snap AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS s FROM orders
+    ),
+    aged AS (
+      SELECT o_orderpriority,
+             CAST(snap.s - CAST(o_orderdate AS DATE) AS BIGINT)
+               AS age_days,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN snap
+      WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderpriority,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
+    FROM aged
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: non-fulfilled orders bucketed by age
+    at the data's snapshot date, by priority — the
+    accounts-receivable-style backlog view ops teams page on (how
+    much URGENT value has sat open for more than a year?).
+
+    The snapshot is MAX(orderdate) — derived, not a literal, so
+    the report is scale-factor-portable; ages are exact integer
+    days and bucket edges integer comparisons.  One broadcast of
+    the 1-row snapshot into a single map-side-combinable
+    aggregation.
+    """
+    o = table(spark, sf_dir, "orders")
+    snap = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("s")
+    )
+    aged = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("s"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("age_days"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return aged.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_open"),
+        (F.sum("cents").cast("double") / 100.0).alias("open_value"),
+    )

@@ -570,3 +570,56 @@ def q_events_interval_union(
             6,
         ).alias("covered_seconds"),
     )
+
+
+@register(
+    "q_events_rolling_distinct",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT days.day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days JOIN du
+      ON du.day <= days.day AND du.day >= days.day - 6
+    GROUP BY days.day
+    """,
+)
+def q_events_rolling_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day distinct users per day (true WAU on every day,
+    not just week boundaries like q_events_dau_wau) — the sliding
+    COUNT DISTINCT that resists windowing because distinct counts
+    don't decompose: a user active twice in the window still counts
+    once.
+
+    Formulation: dedupe to (day, user) first — the cheap exact
+    shrink — then a 7-day band self-join against the day spine and
+    a distinct count per day.  At 100 TB the exact version keeps
+    the band join but pre-aggregates (day, user) per partition; the
+    sublinear path swaps the distinct for mergeable HLL/KMV
+    sketches per day, union-merged over the window
+    (q_sketch_bottomk is exactly that building block).
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        F.col("ts").cast("date").alias("day")
+    ).distinct()
+    du = ev.select(
+        F.col("ts").cast("date").alias("uday"), "user_id"
+    ).distinct()
+    return (
+        days.join(
+            du,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("wau")
+        )
+    )

@@ -524,3 +524,103 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_on_worst_day"),
         )
     )
+
+
+@register(
+    "q_win_rolling_z",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, c,
+             COUNT(*) OVER win AS n,
+             SUM(c) OVER win AS s,
+             SUM(CAST(c AS DECIMAL(19, 0))
+                 * CAST(c AS DECIMAL(19, 0))) OVER win AS q
+      FROM daily
+      WINDOW win AS (ORDER BY day
+                     ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day,
+           ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))),
+                 6) AS z,
+           CAST(ABS((CAST(c AS DOUBLE) - CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                    / SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE)
+                              * CAST(s AS DOUBLE))
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0)))) > 2.0
+                AS BOOLEAN) AS is_anomaly
+    FROM w
+    WHERE n >= 7
+      AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0.0
+    """,
+)
+def q_win_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each day scored against
+    the TRAILING 14-day window (current day excluded — the causal
+    frame a live monitor uses, where the global z of
+    q_events_anomaly would leak the anomaly into its own
+    baseline).  |z| > 2 flags the day.
+
+    Window moments (n, Σ, Σ²) are exact via the 1-PRECEDING frame
+    — Σ² accumulates as DECIMAL(38,0) because squared daily cents
+    overflow int64 in Spark while DuckDB silently promotes to
+    HUGEINT (an asymmetry ANSI mode turns into a hard error); the z expression is fixed double arithmetic
+    mirrored token-for-token, with integer guards (n ≥ 7, positive
+    variance numerator) keeping ANSI division/sqrt total.  One
+    daily rollup + one ordered window.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("c")
+    )
+    win = W.orderBy("day").rowsBetween(-14, -1)
+    w = daily.select(
+        "day",
+        "c",
+        F.count("*").over(win).alias("n"),
+        F.sum("c").over(win).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        ).over(win).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    cd = F.col("c").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    z = (cd - sd / nd) / F.sqrt(
+        (nd * qd - sd * sd) / (nd * (nd - 1.0))
+    )
+    return (
+        w.filter(
+            (F.col("n") >= 7)
+            & (
+                F.col("n").cast("double") * F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                > 0.0
+            )
+        )
+        .select(
+            "day",
+            F.round(cd / 100.0, 2).alias("revenue"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
