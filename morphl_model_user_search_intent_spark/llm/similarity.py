@@ -897,3 +897,176 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_b"
         ),
     )
+
+
+# Portable md5-derived 32-bit hash (see text/analysis.py).
+from ..text.analysis import _H32 as _H32S
+
+
+@register(
+    "q_sim_srp_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             CASE WHEN {_H32S.format(
+                 x="CAST(p.p AS VARCHAR) || ',' || CAST(d.d AS VARCHAR)")}
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT UNNEST(generate_series(0, 15)) AS p) p
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS d) d
+    ),
+    dims AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS d,
+             CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])), 6)
+                  AS DECIMAL(27, 6)) AS val
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT dims.vec_id, planes.p,
+             SUM(planes.sgn * dims.val) AS dot
+      FROM dims JOIN planes ON planes.d = dims.d
+      GROUP BY dims.vec_id, planes.p
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0
+                      THEN CAST(1 AS BIGINT) * (1 << p)
+                      ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.sig AS sa, b.sig AS sb
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id
+       AND (a.sig % 256 = b.sig % 256
+            OR a.sig // 256 = b.sig // 256)
+    ),
+    ham AS (
+      SELECT va, vb,
+             CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT ham.va AS vec_a, ham.vb AS vec_b, ham.hamming,
+           ROUND(1.0 - CAST(ham.hamming AS DOUBLE) / 16.0, 6)
+             AS hamming_sim,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6)
+             AS exact_cos
+    FROM ham
+    JOIN e ea ON ea.vec_id = ham.va
+    JOIN e eb ON eb.vec_id = ham.vb
+    WHERE ham.hamming <= 4
+    """,
+)
+def q_sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH for COSINE similarity — the
+    angular counterpart of the Jaccard MinHash
+    (q_dedup_minhash_portable): 16 deterministic ±1 hyperplanes
+    (signs from the portable md5 hash, so both engines build the
+    IDENTICAL projection matrix), sign-bit signatures, 2×8-bit
+    band bucketing for candidates, and Hamming-distance screening
+    (≤4 of 16 bits ⇒ angular similarity ≳ 0.75) reported next to
+    the exact cosine.
+
+    The projections are decimal-exact dot products (6-dp values ×
+    integer signs — no float reduction anywhere before the ≥0 sign
+    test), so signatures — and therefore the candidate set — are
+    bit-identical cross-engine.  Per-vector state is 16 bits; the
+    candidate join touches only band-bucket collisions, never all
+    pairs — the billion-vector shape of angular dedup.
+    """
+    from pyspark.sql import Window as W  # noqa: F401  (module idiom)
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(16)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.expr(
+                    _H32S.format(
+                        x="concat(cast(p as string), ',', "
+                        "cast(d as string))"
+                    )
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double"), 6)
+        .cast("decimal(27,6)")
+        .alias("val"),
+    )
+    dots = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("sgn") * F.col("val")).alias("dot"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0,
+                F.pow(F.lit(2.0), F.col("p")).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("va"), F.col("sig").alias("sa")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vb"), F.col("sig").alias("sb")
+    )
+    cand = a.join(
+        b,
+        (F.col("va") < F.col("vb"))
+        & (
+            (F.col("sa") % 256 == F.col("sb") % 256)
+            | (F.floor(F.col("sa") / 256) == F.floor(F.col("sb") / 256))
+        ),
+    )
+    ham = cand.select(
+        "va",
+        "vb",
+        F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)").alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= 4)
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+    ea = e.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    cosx = _dot("xa", "xb") / (
+        F.sqrt(_dot("xa", "xa")) * F.sqrt(_dot("xb", "xb"))
+    )
+    return (
+        ham.join(F.broadcast(ea), "va")
+        .join(F.broadcast(eb), "vb")
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "hamming",
+            F.round(
+                1.0 - F.col("hamming").cast("double") / 16.0, 6
+            ).alias("hamming_sim"),
+            F.round(cosx, 6).alias("exact_cos"),
+        )
+    )

@@ -398,3 +398,100 @@ def q_udf_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("event_type").applyInArrow(
         demean, "event_id bigint, value_demeaned double"
     )
+
+
+@register(
+    "q_udf_cogroup",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           ROUND(CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      AS DOUBLE) / 100.0, 2) AS header_price,
+           ROUND(CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice
+                                             * 100) AS BIGINT)), 0)
+                      AS DOUBLE) / 100.0, 2) AS items_total
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: orders and lineitem are
+    co-partitioned by a BUCKET of the order key, and each bucket's
+    TWO pandas frames arrive together in one Python call — the
+    header-vs-detail reconciliation shape a single-input
+    grouped-map can't express without a pre-join.  Bucketing is
+    the throughput lever: cogrouping on the raw key means one
+    Python round-trip per order (measured 30 s for 15k keys);
+    64 buckets amortize the interpreter to ~64 vectorized calls
+    (~2 s) while pandas groupby does the per-order math inside —
+    the same batching discipline a 100 TB run needs, where
+    per-key Python invocation is never acceptable.
+
+    Fully oracle-checked: the pandas arithmetic is exact integer
+    cents (int64 in numpy), so the output hashes against the
+    plain SQL join — the Python path honoring the engine's
+    exactness discipline.
+    """
+    import pandas as pd
+
+    def reconcile(
+        key: tuple, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        hdr = pd.DataFrame(
+            {
+                "o_orderkey": o_pdf["o_orderkey"],
+                "header_cents": (o_pdf["o_totalprice"] * 100)
+                .round()
+                .astype("int64"),
+            }
+        )
+        if len(l_pdf):
+            det = (
+                pd.DataFrame(
+                    {
+                        "o_orderkey": l_pdf["l_orderkey"],
+                        "cents": (l_pdf["l_extendedprice"] * 100)
+                        .round()
+                        .astype("int64"),
+                    }
+                )
+                .groupby("o_orderkey", as_index=False)
+                .agg(n_items=("cents", "size"),
+                     items_cents=("cents", "sum"))
+            )
+        else:
+            det = pd.DataFrame(
+                {"o_orderkey": [], "n_items": [], "items_cents": []}
+            )
+        m = hdr.merge(det, on="o_orderkey", how="left")
+        m["n_items"] = m["n_items"].fillna(0).astype("int64")
+        m["items_cents"] = (
+            m["items_cents"].fillna(0).astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"],
+                "n_items": m["n_items"],
+                "header_price": (m["header_cents"] / 100.0).round(2),
+                "items_total": (m["items_cents"] / 100.0).round(2),
+            }
+        )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 64).alias("bucket"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice",
+        (F.col("l_orderkey") % 64).alias("bucket"),
+    )
+    return (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey bigint, n_items bigint, "
+            "header_price double, items_total double",
+        )
+    )
