@@ -727,3 +727,75 @@ def q_dedup_minhash_portable(
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "q_corpus_shards",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS nb,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS offset_b
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, nb,
+             CAST(FLOOR(CAST(COALESCE(offset_b, 0) AS DOUBLE)
+                        / 50000.0) AS BIGINT) AS shard
+      FROM sized
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY shard
+    """,
+)
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus shard planning (webdataset/TFRecord style):
+    documents stream in doc_id order into ~50 KB shards — a doc
+    starts a new shard when the RUNNING byte offset crosses the
+    budget — and the manifest reports each shard's doc range and
+    actual size.  This is the packing stage downstream of
+    sequence packing (q_corpus_pack): contiguous id ranges per
+    shard mean a reader can seek a shard without an index.
+
+    Shard assignment is floor(prefix-sum/budget) — exact integer
+    prefix sums via the 1-PRECEDING frame (a doc's own size never
+    decides its shard), one ordered window + one aggregation.  At
+    100 TB the prefix sum distributes via per-partition totals +
+    driver offsets (the two-pass pattern), not a single sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sized = d.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("nb")
+    ).select(
+        "doc_id",
+        "nb",
+        F.sum("nb")
+        .over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("offset_b"),
+    )
+    assigned = sized.select(
+        "doc_id",
+        "nb",
+        F.floor(
+            F.coalesce(F.col("offset_b"), F.lit(0)).cast("double")
+            / 50000.0
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

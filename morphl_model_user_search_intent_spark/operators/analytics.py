@@ -4567,3 +4567,93 @@ def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_open"),
         (F.sum("cents").cast("double") / 100.0).alias("open_value"),
     )
+
+
+@register(
+    "q_stats_kruskal",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    rk AS (
+      SELECT g,
+             2 * RANK() OVER (ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY c) - 1 AS r2
+      FROM c
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2) AS BIGINT) AS s2
+      FROM rk GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn,
+             SUM(CAST(ROUND(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38, 8))) AS num
+      FROM s
+    )
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+           ROUND(3.0 * CAST(num AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) AS h_stat
+    FROM t
+    """,
+)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test across the five event-type groups — the
+    rank-based (distribution-free) one-way ANOVA for when the
+    normality behind q_stats_anova can't be assumed: H =
+    12/(N(N+1))·Σ(R̄ᵍ²·nᵍ) − 3(N+1), computed on tie-averaged
+    ranks (no tie-correction factor; ranks over 2-dp cents tie
+    rarely and the oracle matches the same definition exactly).
+
+    Doubled ranks (2r̄ = 2·rank + ties − 1, the q_stats_spearman
+    identity) keep every per-group rank sum integral; the only
+    cross-group float reduction reuses the ANOVA decimal rounding
+    discipline, and 12/(4·N(N+1)) folds into 3/(N(N+1)) because
+    the doubled sums square to 4× — all in one fixed expression.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    rk = ev.select(
+        "g",
+        (
+            2 * F.rank().over(W.orderBy("c"))
+            + F.count("*").over(W.partitionBy("c"))
+            - 1
+        ).alias("r2"),
+    )
+    s = rk.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2").cast("bigint").alias("s2"),
+    )
+    t = s.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.round(
+                F.col("s2").cast("double")
+                * F.col("s2").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).cast("decimal(38,8)")
+        ).alias("num"),
+    )
+    nd = F.col("nn").cast("double")
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round(
+            3.0 * F.col("num").cast("double") / (nd * (nd + 1.0))
+            - 3.0 * (nd + 1.0),
+            6,
+        ).alias("h_stat"),
+    )
