@@ -1070,3 +1070,101 @@ def q_sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosx, 6).alias("exact_cos"),
         )
     )
+
+
+@register(
+    "q_sim_matryoshka",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, e.v),
+                                6) DESC, e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.qid)
+      WHERE rn <= 5
+    ),
+    pfx_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(
+                            q.qv[1:16], e.v[1:16]), 6) DESC,
+                          e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.qid)
+      WHERE rn <= 5
+    )
+    SELECT f.qid,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS prefix_hits,
+           ROUND(CAST(COUNT(p.vec_id) AS DOUBLE) / 5.0, 6)
+             AS recall_at_5
+    FROM full_top f
+    LEFT JOIN pfx_top p
+      ON p.qid = f.qid AND p.vec_id = f.vec_id
+    GROUP BY f.qid
+    """,
+)
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation: how much of the full-64-dim
+    top-5 does retrieval on the FIRST 16 DIMENSIONS alone recover
+    (recall@5 per query)?  The question behind prefix-truncatable
+    embeddings — retrieve cheap on a prefix, rerank on the full
+    vector — quantified per query so the dimension budget is a
+    measured tradeoff, not a guess.
+
+    Both rankings use the established 6-dp fold parity (prefix
+    cosine over slice(1,16) with its OWN norms); recall joins the
+    two deterministic top-5 sets.  The prefix pass moves 4× less
+    data per vector — at scale that is the memory-bandwidth win
+    that makes two-stage retrieval pay.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+
+    def topk(df, expr, out):
+        w = W.partitionBy("qid").orderBy(
+            F.round(expr, 6).desc(), "vec_id"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("qid", F.col("vec_id").alias(out))
+        )
+
+    cos_full = _dot("qv", "v") / (
+        F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))
+    )
+    pq = F.slice("qv", 1, 16)
+    pv = F.slice("v", 1, 16)
+    cos_pfx = _dot(pq, pv) / (
+        F.sqrt(_dot(pq, pq)) * F.sqrt(_dot(pv, pv))
+    )
+    ftop = topk(joined, cos_full, "fid")
+    ptop = topk(joined, cos_pfx, "pid")
+    return (
+        ftop.join(
+            ptop,
+            (ftop.qid == ptop.qid) & (F.col("fid") == F.col("pid")),
+            "left",
+        )
+        .groupBy(ftop.qid)
+        .agg(
+            F.count("pid").cast("bigint").alias("prefix_hits"),
+            F.round(
+                F.count("pid").cast("double") / 5.0, 6
+            ).alias("recall_at_5"),
+        )
+        .select(F.col("qid"), "prefix_hits", "recall_at_5")
+    )

@@ -421,3 +421,71 @@ def q_quality_expectations(
         )
     )
     return out
+
+
+@register(
+    "q_quality_key_gaps",
+    oracle="""
+    WITH ks AS (
+      SELECT o_orderkey AS k,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+      FROM orders
+    ),
+    gaps AS (
+      SELECT k AS gap_after, nk AS next_key, nk - k - 1 AS gap_len
+      FROM ks WHERE nk IS NOT NULL AND nk - k > 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM gaps) AS BIGINT) AS n_gaps,
+           CAST((SELECT SUM(gap_len) FROM gaps) AS BIGINT)
+             AS missing_keys,
+           CAST((SELECT MAX(gap_len) FROM gaps) AS BIGINT)
+             AS largest_gap,
+           CAST((SELECT MIN(gap_after) FROM gaps
+                 WHERE gap_len = (SELECT MAX(gap_len) FROM gaps))
+                AS BIGINT) AS largest_gap_after
+    """,
+)
+def q_quality_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit: holes in the orderkey sequence (count,
+    total missing keys, the largest hole and where it starts) — the
+    completeness probe that catches dropped ingestion batches and
+    partial backfills, where row counts alone can't (a missing
+    contiguous RANGE is invisible to COUNT(*) deltas).
+
+    One ordered LEAD over the keys; gap arithmetic and the
+    largest-gap argmax (earliest tie-break) are exact integers.
+    At scale the sort distributes by range partition, and
+    partition-boundary gaps are the only cross-partition exchange
+    — |partitions| rows.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    ks = o.select(
+        "k", F.lead("k").over(W.orderBy("k")).alias("nk")
+    )
+    gaps = ks.filter(
+        F.col("nk").isNotNull() & (F.col("nk") - F.col("k") > 1)
+    ).select(
+        F.col("k").alias("gap_after"),
+        (F.col("nk") - F.col("k") - 1).alias("gap_len"),
+    )
+    agg = gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap_len").cast("bigint").alias("missing_keys"),
+        F.max("gap_len").cast("bigint").alias("largest_gap"),
+    )
+    worst = (
+        gaps.join(
+            F.broadcast(agg.select("largest_gap")),
+            gaps.gap_len == F.col("largest_gap"),
+        )
+        .agg(
+            F.min("gap_after").cast("bigint").alias(
+                "largest_gap_after"
+            )
+        )
+    )
+    return agg.crossJoin(F.broadcast(worst))
