@@ -4657,3 +4657,91 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_stat"),
     )
+
+
+@register(
+    "q_orders_milestones",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             SUM(c) OVER (ORDER BY day) AS cum_cents
+      FROM daily
+    ),
+    tot AS (SELECT MAX(cum_cents) AS t FROM cum),
+    ms AS (
+      SELECT m.m,
+             CAST(FLOOR(CAST(tot.t AS DOUBLE) * m.m / 10.0)
+                  AS BIGINT) AS threshold
+      FROM (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS m) m
+      CROSS JOIN tot
+    )
+    SELECT CAST(ms.m * 10 AS INT) AS pct_of_total,
+           ROUND(CAST(ms.threshold AS DOUBLE) / 100.0, 2)
+             AS threshold_revenue,
+           MIN(cum.day) AS crossed_on
+    FROM ms JOIN cum ON cum.cum_cents >= ms.threshold
+    GROUP BY ms.m, ms.threshold
+    """,
+)
+def q_orders_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue milestone crossings: the first day cumulative revenue
+    reached each decile of the final total — the pacing readout
+    ("we hit 50% of the period's revenue by day X") that turns a
+    cumulative curve into calendar milestones, and the linearized
+    view a finance review reads next to the drawdown
+    (q_win_drawdown).
+
+    Thresholds derive from the data (deciles of the exact final
+    cents), the crossing test is an integer comparison, and each
+    milestone's day is a MIN — the same exact-argmin discipline
+    as everywhere.  One running-sum window; the 9-row milestone
+    frame broadcasts into the crossing join.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("c")
+    )
+    cum = daily.select(
+        "day",
+        F.sum("c").over(W.orderBy("day")).alias("cum_cents"),
+    )
+    tot = cum.agg(F.max("cum_cents").alias("t"))
+    ms = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("m"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m",
+            F.floor(
+                F.col("t").cast("double") * F.col("m") / 10.0
+            )
+            .cast("bigint")
+            .alias("threshold"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(ms),
+            F.col("cum_cents") >= F.col("threshold"),
+        )
+        .groupBy("m", "threshold")
+        .agg(F.min("day").alias("crossed_on"))
+        .select(
+            (F.col("m") * 10).cast("int").alias("pct_of_total"),
+            F.round(
+                F.col("threshold").cast("double") / 100.0, 2
+            ).alias("threshold_revenue"),
+            "crossed_on",
+        )
+    )

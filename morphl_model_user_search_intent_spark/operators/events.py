@@ -623,3 +623,54 @@ def q_events_rolling_distinct(
             F.countDistinct("user_id").cast("bigint").alias("wau")
         )
     )
+
+
+@register(
+    "q_events_heatmap_dowhour",
+    oracle="""
+    SELECT CAST((FLOOR(epoch_us(ts) / 86400000000.0) + 4) % 7
+                AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_heatmap_dowhour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (0=Sunday) — the
+    operational calendar grid behind staffing and anomaly
+    baselines, and the weekly-seasonality feature matrix a model
+    consumes.
+
+    The weekday comes from pure epoch-day arithmetic
+    ((⌊epoch_us/86.4e9⌋+4) mod 7 — 1970-01-01 was a Thursday)
+    instead of each engine's dayofweek() (Spark counts 1–7 from
+    Sunday, DuckDB 0–6: an off-by-one the hash would catch but
+    portable arithmetic never risks).  One map-side-combinable
+    aggregation into ≤168 cells.
+    """
+    ev = table(spark, sf_dir, "events")
+    dow = (
+        (
+            F.floor(
+                F.unix_micros("ts") / 86400000000.0
+            )
+            + 4
+        )
+        % 7
+    ).cast("int")
+    return ev.groupBy(
+        dow.alias("dow"), F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("total_value"),
+    )
