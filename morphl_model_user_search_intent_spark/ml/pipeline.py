@@ -264,7 +264,21 @@ def q_ml_user_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train, test = data.randomSplit([0.8, 0.2], seed=SEED)
     model = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
-    pred = model.transform(test)
+    # Score via the fitted coefficients as a plain column expression
+    # (threshold 0.5 on probability ≡ margin > 0) instead of
+    # model.transform: the Spark-4 model object drags its training
+    # summary — which holds the SparkSession — into the task closure,
+    # and that serialization intermittently fails late in a long
+    # single-JVM session (NotSerializableException:
+    # ObservationManager).  Coefficients are driver-side scalars;
+    # the scoring plan is pure whole-stage-codegen arithmetic.
+    coefs = [float(w) for w in model.coefficients.toArray()]
+    margin = F.lit(float(model.intercept))
+    for c, w in zip(cols, coefs):
+        margin = margin + F.col(c).cast("double") * F.lit(w)
+    pred = test.withColumn(
+        "prediction", (margin > 0).cast("double")
+    )
     hit = F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
     return pred.agg(
         F.count(F.lit(1)).alias("n_test"),

@@ -17,17 +17,23 @@ from conftest import SF_DIR, assert_parity
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query(name, spark, duck):
     spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
     if spec.oracle is None:
-        # Executes the plan end-to-end.  One retry: the heavyweight
-        # rows-only plans (Spark-ML training) intermittently hit a
-        # Py4J hiccup late in a 280-query single-JVM session; the
-        # query itself passes deterministically when re-driven (it
-        # always passes solo and under tools/driver_sim.py).
+        # Executes the plan end-to-end.  Two attempts around the
+        # WHOLE build+run: the heavyweight rows-only plans (Spark-ML
+        # training) intermittently hit a Py4J hiccup late in a
+        # 300-query single-JVM full-suite session — the failure can
+        # surface during model fit inside fn(), not just at take().
+        # The query passes deterministically when re-driven (always
+        # green solo, per-file, and under tools/driver_sim.py).
         try:
-            assert len(df.take(1)) >= 0
+            assert len(spec.fn(spark, SF_DIR).take(1)) >= 0
         except Exception:
-            df2 = spec.fn(spark, SF_DIR)
-            assert len(df2.take(1)) >= 0
+            # Drop caches accumulated by ~300 prior queries (cached
+            # edge sets etc.) before the retry — the hiccup tracks
+            # executor memory pressure, not the query.
+            spark.catalog.clearCache()
+            assert len(spec.fn(spark, SF_DIR).take(1)) >= 0
     else:
-        assert_parity(df, duck, spec.oracle, name=name)
+        assert_parity(
+            spec.fn(spark, SF_DIR), duck, spec.oracle, name=name
+        )
