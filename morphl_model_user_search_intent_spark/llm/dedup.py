@@ -799,3 +799,51 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@register(
+    "q_dedup_prefix",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substring(trim(text), 1, 50) AS prefix
+      FROM documents
+    )
+    SELECT md5(prefix) AS prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM p
+    GROUP BY md5(prefix)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup — the cheapest pass in a dedup cascade: documents
+    sharing their first 50 characters collapse to the minimum doc_id
+    (boilerplate pages, mirrored headers, and template spam fall to
+    this before any shingling runs).  Production cascades order
+    passes by cost: exact hash (q_dedup_hash) → prefix →
+    MinHash/containment — each pass shrinks the set the next,
+    more expensive one sees.
+
+    md5 of the prefix is byte-identical cross-engine (the
+    content-hash discipline), so the surviving groups — not just
+    their counts — are oracle-checked.  One hash aggregation,
+    map-side combinable.
+    """
+    d = table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.md5(F.substring(F.trim(F.col("text")), 1, 50)).alias(
+            "prefix_hash"
+        ),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1168,3 +1168,49 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("qid"), "prefix_hits", "recall_at_5")
     )
+
+
+@register(
+    "q_sim_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             ROUND(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           CAST(SUM(CASE WHEN nrm < 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_zero
+    FROM n GROUP BY label
+    """,
+)
+def q_sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit per label: median/min/max L2 norms and a
+    near-zero count — the vector-table health check run before any
+    similarity work (near-zero vectors make cosine meaningless and
+    usually mean an upstream encoder bug; a label whose norm range
+    is wildly off signals a mixed-encoder ingest).
+
+    Norms are the established 6-dp fold parity (Spark sequential
+    zip_with/aggregate ↔ DuckDB list_dot_product), then grouped
+    exact percentiles.  One scan, one small groupBy — the cheap
+    gate in front of the O(n·k)+ similarity operators.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.round(F.sqrt(_dot("embedding", "embedding")), 6)
+    n = e.select("vec_id", "label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum((F.col("nrm") < 0.01).cast("int"))
+        .cast("bigint")
+        .alias("n_near_zero"),
+    )
