@@ -1,0 +1,325 @@
+"""Training-corpus curation operators (SURVEY.md §2.11 extension):
+benchmark decontamination, embedding-space dedup manifests, and
+mixture/sampling planning — the steps between "deduped corpus" and
+"training-ready dataset" in an LLM data pipeline.
+
+All three are pure DataFrame plans (no Python UDFs) with exact DuckDB
+oracles; scale notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from ..text.analysis import tokens
+
+# Decontamination shingle width — 13 tokens is the published standard
+# (GPT-3 appendix C; The Pile; Dolma all use 13-gram overlap).
+_NGRAM = 13
+
+# Benchmark stand-in: every 5th doc_id plays the role of an eval set.
+_BENCH_MOD = 5
+
+_SH13 = """
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 11),
+               i -> array_to_string(
+                      list_slice(string_split(trim(text), ' '),
+                                 i, i + 12), ' ')))) AS g
+      FROM documents
+"""
+
+
+def _shingles13() -> F.Column:
+    """Distinct 13-token shingles; empty array below 13 tokens (guard
+    needed because ``sequence(1, n)`` with n ≤ 0 runs descending)."""
+    t = tokens()
+    return F.when(
+        F.size(t) >= _NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, _NGRAM)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+    WITH sh AS ({_SH13}),
+    bench AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    bsizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_sh
+               FROM bench GROUP BY doc_id)
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(bs.n_bench_sh), 6)
+             AS bench_frac
+    FROM train t
+    JOIN bench b ON t.g = b.g
+    JOIN bsizes bs ON bs.doc_id = b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any
+    13-token n-gram with an eval-benchmark doc (the published
+    GPT-3/Pile/Dolma overlap rule), with the contaminated fraction of
+    the benchmark doc's shingles.
+
+    Plan shape: one shingle explode per side, an equi-join on the
+    shingle string, one hash aggregate per (train, bench) pair.  The
+    benchmark side is tiny by construction (eval suites are ~10⁴ docs
+    even when the corpus is 10¹⁰), so it is broadcast — at 100 TB the
+    corpus side streams through map tasks with NO shuffle of the
+    corpus itself; only the matched pairs (rare) reach the aggregate.
+    Production variant: hash each shingle to 64-bit before the join
+    (same plan, 8-byte keys instead of ~80-byte strings); kept as the
+    raw string here so the oracle is byte-exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles13()).alias("g"))
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bsizes = bench.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_sh")
+    )
+    return (
+        train.toDF("train_doc", "g")
+        .join(F.broadcast(bench.toDF("bench_doc", "g")), "g")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .join(
+            F.broadcast(
+                bsizes.toDF("bench_doc", "n_bench_sh")
+            ),
+            "bench_doc",
+        )
+        .select(
+            "train_doc",
+            "bench_doc",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_bench_sh"), 6
+            ).alias("bench_frac"),
+        )
+    )
+
+
+# Embedding near-dup threshold: fixture max pairwise cosine is ~0.48
+# (FIXTURES.md), so the production τ≈0.95 finds nothing at test scale;
+# τ=0.4 exercises the same plan with non-trivial clusters.
+_EMB_TAU = 0.4
+
+_COS_PAIRS = f"""
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_EMB_TAU}
+"""
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_COS_PAIRS}),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION ALL
+      SELECT vb, va FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, edges.dst
+      FROM reach JOIN edges ON edges.src = reach.r
+    ),
+    comp AS (
+      SELECT node, MIN(r) AS canonical FROM reach GROUP BY node
+    )
+    SELECT e.vec_id,
+           COALESCE(comp.canonical, e.vec_id) AS canonical_id,
+           (COALESCE(comp.canonical, e.vec_id) = e.vec_id) AS is_kept
+    FROM embeddings e
+    LEFT JOIN comp ON comp.node = e.vec_id
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup KEEP-LIST: every vector mapped to the
+    canonical (minimum-id) member of its cosine-similarity component,
+    with the survivorship flag — the decision manifest an LLM dedup
+    cascade actually applies (q_sim_threshold finds the pairs; this
+    closes them into clusters and picks survivors, singletons
+    included).
+
+    Components via iterative min-label propagation over the edge set
+    only (same O(diameter)-round join/agg loop as q_dedup_clusters;
+    `localCheckpoint` truncates lineage each round).  At 100 TB the
+    pair graph comes from the LSH path (q_sim_ann), not the O(n²)
+    exact join used here for oracle parity — the component/keep-list
+    machinery downstream is identical.
+    """
+    from .similarity import _dot, _with_norm
+
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("xa"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("xb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(_dot("xa", "xb") / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("c"))
+        .filter(F.col("c") >= _EMB_TAU)
+        .select("va", "vb")
+    )
+    edges = pairs.union(pairs.select("vb", "va")).toDF("src", "dst")
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(50):  # diameter bound; fixture clusters close in ≤4
+        neigh_min = (
+            edges.join(
+                labels.toDF("dst", "dst_lbl"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("dst_lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min.toDF("node", "nmin"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "lbl", F.coalesce("nmin", "lbl")
+                ).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.toDF("node", "new")
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        ids.join(
+            labels.toDF("vec_id", "canonical"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce("canonical", "vec_id").alias("canonical_id"),
+            (
+                F.coalesce("canonical", "vec_id") == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )
+
+
+# Mixture planning: temperature-reweighted source sampling at α=0.5
+# (the multilingual-C4 / mT5 recipe: w_s ∝ p_s^α upsamples tail
+# sources); token budget = 60% of the corpus.
+_ALPHA_BUDGET = 0.6
+
+
+@register(
+    "q_corpus_mixture",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    -- sqrt weights in exact 1e-6 integer units so the normalizer Z is
+    -- an order-independent BIGINT sum (cross-engine bit-identical)
+    wtd AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS sq6
+      FROM per_src
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(sq6) AS BIGINT) AS z
+      FROM wtd
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(sq6 AS DOUBLE) / z, 6) AS weight,
+           ROUND({_ALPHA_BUDGET} * corpus_tokens * sq6 / z, 2)
+             AS target_tokens,
+           ROUND({_ALPHA_BUDGET} * corpus_tokens * sq6 / z / n_tokens, 6)
+             AS sampling_rate
+    FROM wtd CROSS JOIN tot
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling plan: temperature-reweighted source
+    weights (w_s ∝ tokens_s^0.5, the mT5/mC4 α-sampling recipe) and
+    the per-source sampling rate that hits a 60%-of-corpus token
+    budget.  A rate > 1 means the source repeats (epochs); < 1 means
+    subsampling.
+
+    One tiny aggregate per source (20 rows) joined against a 1-row
+    corpus total — the planner output is driver-sized by definition,
+    while the input scan is a single map pass over the corpus that
+    Catalyst prunes to the two needed columns.  The plan's rates then
+    drive a `TABLESAMPLE`/filter pass per source at training-set
+    materialization time.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens())).cast("bigint").alias("n_tokens"),
+    )
+    # sqrt weight in exact 1e-6 integer units → the normalizer Z is an
+    # order-independent BIGINT sum (bit-identical to the oracle's).
+    wtd = per_src.withColumn(
+        "sq6",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint"),
+    )
+    tot = wtd.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("sq6").cast("bigint").alias("z"),
+    )
+    tgt = (
+        F.lit(_ALPHA_BUDGET) * F.col("corpus_tokens") * F.col("sq6")
+        / F.col("z")
+    )
+    return (
+        wtd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("sq6").cast("double") / F.col("z"), 6)
+            .alias("weight"),
+            F.round(tgt, 2).alias("target_tokens"),
+            F.round(tgt / F.col("n_tokens"), 6).alias("sampling_rate"),
+        )
+    )
