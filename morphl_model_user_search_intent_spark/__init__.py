@@ -41,6 +41,7 @@ from .operators import (  # noqa: F401
     quality,
     graph,
     sketches,
+    stats_tests,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401

@@ -352,3 +352,122 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------- LPA
+
+_LPA_ROUNDS = 3
+
+_LPA_EDGES = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    lbl0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges)
+"""
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+    lbl{i} AS (
+      SELECT node, lbl FROM (
+        SELECT e.t AS node, lb.lbl AS lbl, COUNT(*) AS c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.t
+                 ORDER BY COUNT(*) DESC, lb.lbl) AS rn
+        FROM edges e JOIN lbl{i - 1} lb ON lb.node = e.s
+        GROUP BY e.t, lb.lbl
+      ) q WHERE rn = 1
+    )"""
+
+
+@register(
+    "q_graph_labelprop",
+    oracle="WITH "
+    + _LPA_EDGES
+    + ","
+    + ",".join(_lpa_round_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+    + f"""
+    , comm AS (
+      SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MIN(node) AS BIGINT) AS min_node,
+             CAST(MAX(node) AS BIGINT) AS max_node
+      FROM lbl{_LPA_ROUNDS} GROUP BY lbl
+    )
+    SELECT community, n_members, min_node, max_node
+    FROM comm WHERE n_members >= 2
+    """,
+)
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds)
+    on the part co-purchase graph: every node adopts the most frequent
+    label among its neighbors each round (tie → smallest label) — the
+    Raghavan et al. LPA, the near-linear-time community algorithm that
+    complements component-finding (q_dedup_clusters finds *connected*
+    groups; LPA finds *densely linked* ones inside them).  Output:
+    communities of ≥2 members with size and node-range.
+
+    Fully deterministic despite LPA's reputation: synchronous updates
+    + total tie-break (count DESC, label ASC) make every round a pure
+    function of the last, so 3 unrolled CTE rounds in DuckDB reproduce
+    the Spark loop bit-for-bit.  Each round is one shuffle join
+    (labels⋈edges on the source key) + one count aggregate + one
+    per-node argmax (WindowGroupLimit bounds it); lineage is
+    localCheckpoint-truncated per round, the same bounded-round
+    discipline as PageRank above.  At 100 TB: hash-partition edges by
+    src once and every round reuses that exchange.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("t"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.toDF("s", "s_lbl"), "s"
+            )
+            .groupBy(F.col("t").alias("node"), F.col("s_lbl").alias("lbl"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(
+                        F.col("c").desc(), F.col("lbl")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

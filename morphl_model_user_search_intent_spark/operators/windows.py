@@ -624,3 +624,109 @@ def q_win_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+# -------------------------------------------------------------- Holt
+
+def _holt_weights(n: int = 8, alpha: float = 0.5, beta: float = 0.3):
+    """One-step-ahead Holt forecast as an explicit linear filter.
+
+    Holt's level/trend recursion (l_t = αy_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}) is linear in the inputs, so
+    over a fixed n-day window the forecast l+b is Σ w_j·y_j with
+    constant weights — computed once here by running the recursion on
+    unit impulses (deterministic driver-side floats, inlined as
+    literals into BOTH engines' expressions).
+    """
+    ws = []
+    for j in range(n):
+        y = [0.0] * n
+        y[j] = 1.0
+        lvl = y[0]
+        b = y[1] - y[0]
+        for i in range(1, n):
+            nl = alpha * y[i] + (1 - alpha) * (lvl + b)
+            b = beta * (nl - lvl) + (1 - beta) * b
+            lvl = nl
+        ws.append(lvl + b)
+    return ws
+
+
+_HOLT_N = 8
+_HOLT_W = _holt_weights(_HOLT_N)
+
+# lag 1 = yesterday = newest observation in the window = weight index
+# n-1; lag 8 = oldest = weight index 0.
+_HOLT_SQL = " + ".join(
+    f"({_HOLT_W[_HOLT_N - k]!r}) * lag{k}" for k in range(1, _HOLT_N + 1)
+)
+
+
+@register(
+    "q_win_holt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, c,
+             {", ".join(f"LAG(c, {k}) OVER (ORDER BY day) AS lag{k}"
+                        for k in range(1, _HOLT_N + 1))}
+      FROM daily
+    )
+    SELECT day,
+           ROUND(c / 100.0, 2) AS actual,
+           ROUND(({_HOLT_SQL}) / 100.0, 2) AS holt_forecast,
+           ROUND(ABS(c - ({_HOLT_SQL})) / 100.0, 2) AS abs_err
+    FROM lagged WHERE lag{_HOLT_N} IS NOT NULL
+    """,
+)
+def q_win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) 1-step-ahead forecast of
+    daily order revenue (α=0.5, β=0.3, 8-observed-day window) with
+    per-day absolute error — the trend-aware upgrade of q_win_ewma's
+    level-only smoother, done as a closed-form linear filter: the
+    coupled recursion is unrolled driver-side into 8 constant weights
+    (see _holt_weights), so the per-row work is one fused dot product
+    over LAG columns.
+
+    Determinism: daily revenue is exact cents (BIGINT); the weights
+    are identical literals in both engines; the dot product is one
+    fixed left-to-right expression — bit-equal IEEE evaluation, then
+    rounded.  Scale: the daily series is one narrow partial-agg away
+    from the fact table; the 8 lags are a single bounded window over
+    it.  The same filter trick turns ANY fixed-horizon linear
+    recursion (damped trend, double smoothing, AR(p)) into a window
+    expression — no UDF, no iteration at query time.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "c"
+        )
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "c",
+        *[
+            F.lag("c", k).over(w).alias(f"lag{k}")
+            for k in range(1, _HOLT_N + 1)
+        ],
+    )
+    forecast = None
+    for k in range(1, _HOLT_N + 1):
+        term = F.lit(_HOLT_W[_HOLT_N - k]) * F.col(f"lag{k}")
+        forecast = term if forecast is None else forecast + term
+    return lagged.filter(F.col(f"lag{_HOLT_N}").isNotNull()).select(
+        "day",
+        F.round(F.col("c") / 100.0, 2).alias("actual"),
+        F.round(forecast / 100.0, 2).alias("holt_forecast"),
+        F.round(F.abs(F.col("c") - forecast) / 100.0, 2).alias("abs_err"),
+    )

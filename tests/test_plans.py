@@ -169,3 +169,37 @@ def test_lift_gains_single_fact_shuffle(spark):
     plan = explain_str(_df(spark, "q_ml_lift_gains"), "simple")
     assert plan.count("HashAggregate") >= 2  # partial+final rollup
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # corpus side must never shuffle: the (tiny) benchmark shingle set
+    # broadcasts into both the match join and the size join
+    plan = explain_str(_df(spark, "q_text_contamination"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_lags_share_one_window(spark):
+    # the 8-lag Holt filter is one Window operator — one sort pass
+    plan = explain_str(_df(spark, "q_win_holt"), "simple")
+    assert plan.count("Window") == 1
+
+
+def test_labelprop_rounds_are_checkpoint_truncated(spark):
+    # after 3 LPA rounds the final plan must read the checkpointed
+    # label RDD (bounded lineage), then partial+final aggregate — the
+    # unrolled 3-round join tree must NOT replay inside one plan
+    plan = explain_str(_df(spark, "q_graph_labelprop"), "simple")
+    assert "ExistingRDD" in plan
+    assert plan.count("HashAggregate") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_sketch_bounded_rank(spark):
+    # the bottom-k rank filter must run bounded (top-k or per-group
+    # limit), never as a full materialized global sort
+    plan = explain_str(_df(spark, "q_sketch_theta"), "simple")
+    assert (
+        "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    )
