@@ -33,12 +33,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz (UTC) TIMESTAMP regardless
+    of the on-disk layout.  Two layouts observed across driver testdata
+    generations:
+
+    - Parquet TIMESTAMP(NANOS): surfaced as ``bigint`` ns under
+      ``nanosAsLong=true`` → exact integer ``div 1000`` to µs.
+    - Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaced as
+      ``timestamp_ntz`` → plain cast; exact because the session
+      timezone is pinned to UTC (session.RUNTIME_CONFS).
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; applies the events timestamp normalization."""
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -323,3 +323,316 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tgt / F.col("n_tokens"), 6).alias("sampling_rate"),
         )
     )
+
+
+_DSIR_B = 64  # hashed feature buckets
+
+
+def _dsir_h32(x: str) -> str:
+    from ..text.analysis import _H32
+
+    return _H32.format(x=x)
+
+
+@register(
+    "q_corpus_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             {_dsir_h32(x='tok')} % {_DSIR_B} AS bucket
+      FROM toks WHERE tok <> ''
+    ),
+    raw_d AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM feat GROUP BY 1
+    ),
+    tgt_d AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+      FROM feat WHERE lang = 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(rc) AS BIGINT) AS rn,
+             (SELECT CAST(SUM(tc) AS BIGINT) FROM tgt_d) AS tn
+      FROM raw_d
+    ),
+    lr AS (
+      SELECT r.bucket,
+             CAST(ROUND(
+               LN((COALESCE(t.tc, 0) + 1.0) / (tot.tn + {_DSIR_B}))
+               - LN((r.rc + 1.0) / (tot.rn + {_DSIR_B})), 8)
+               AS DECIMAL(20,8)) AS lr
+      FROM raw_d r LEFT JOIN tgt_d t ON r.bucket = t.bucket
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             SUM(lr.lr) AS imp
+      FROM feat f JOIN lr ON f.bucket = lr.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_toks,
+           ROUND(CAST(imp AS DOUBLE), 6) AS importance
+    FROM scored
+    ORDER BY imp DESC, doc_id
+    LIMIT 15
+    """,
+)
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed-unigram feature distribution looks like the TARGET domain
+    (here: the ``lang='en'`` slice) vs the raw corpus — importance =
+    Σ_tokens log(p_target(bucket)/p_raw(bucket)) with add-one
+    smoothing over the 64-bucket hashed feature space.  Top-15 docs by
+    importance are the ones a target-seeking sampler keeps first.
+
+    Spark-first shape: tokens → portable md5 bucket → two tiny
+    bucket-distribution aggregates (64 rows each) broadcast back onto
+    the token stream — the big table is touched twice, joined only
+    against broadcast sides, so the plan survives any corpus size.
+    Log-ratios are rounded to DECIMAL(20,8) BEFORE the per-doc sum
+    (order-independent); ranking compares exact decimals with doc_id
+    tie-break.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    feat = toks.select(
+        "doc_id",
+        "lang",
+        (F.expr(_dsir_h32(x="tok")) % _DSIR_B).alias("bucket"),
+    )
+    raw_d = feat.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("rc")
+    )
+    tgt_d = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+    )
+    tot = raw_d.agg(F.sum("rc").cast("bigint").alias("rn")).crossJoin(
+        tgt_d.agg(F.sum("tc").cast("bigint").alias("tn"))
+    )
+    lr = (
+        raw_d.join(tgt_d, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("tn") + _DSIR_B)
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_B)),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("lr").alias("imp"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("imp").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("imp").cast("double"), 6).alias("importance"),
+        )
+    )
+
+
+@register(
+    "q_corpus_gopher",
+    oracle="""
+    WITH feat AS (
+      SELECT lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nw,
+             CAST(n_chars AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT)
+               AS npunct,
+             CASE WHEN lower(text) LIKE '% the %'
+                    OR lower(text) LIKE '% and %'
+                    OR lower(text) LIKE '% of %'
+                    OR lower(text) LIKE '% to %'
+                  THEN 1 ELSE 0 END AS has_stop
+      FROM documents
+    ),
+    flags AS (
+      SELECT lang,
+        CASE WHEN nw BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+        CASE WHEN (CAST(nc - nw + 1 AS DOUBLE) / nw) BETWEEN 3 AND 10
+             THEN 1 ELSE 0 END AS r_mwl,
+        CASE WHEN CAST(npunct AS DOUBLE) / nw <= 0.2 THEN 1 ELSE 0 END
+          AS r_sym,
+        has_stop AS r_stop
+      FROM feat
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_wc) AS BIGINT) AS pass_wordcount,
+           CAST(SUM(r_mwl) AS BIGINT) AS pass_meanwordlen,
+           CAST(SUM(r_sym) AS BIGINT) AS pass_symbolratio,
+           CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(r_wc * r_mwl * r_sym * r_stop) AS BIGINT)
+             AS pass_all
+    FROM flags
+    GROUP BY lang
+    """,
+)
+def q_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, adapted to fixture scale): word-count
+    bounds, mean-word-length ∈ [3,10], symbol-to-word ratio, and a
+    stopword-presence check — reported as per-language pass counts per
+    rule plus the all-rules pass rate, the triage table a curation run
+    produces before committing to a filter config.
+
+    Mean word length needs no second tokenizer pass: with single-space
+    text it is (n_chars − nw + 1)/nw exactly.  All flags are integer;
+    the ratios are fixed float comparisons (no accumulation), so the
+    whole report is one map-side-combinable aggregate over the scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(tokens()).cast("bigint")
+    nc = F.col("n_chars").cast("bigint")
+    npunct = F.size(
+        F.expr("regexp_extract_all(text, '[.!?,;:]', 0)")
+    ).cast("bigint")
+    low = F.lower("text")
+    has_stop = F.when(
+        low.like("% the %")
+        | low.like("% and %")
+        | low.like("% of %")
+        | low.like("% to %"),
+        1,
+    ).otherwise(0)
+    feat = d.select(
+        "lang",
+        nw.alias("nw"),
+        nc.alias("nc"),
+        npunct.alias("npunct"),
+        has_stop.alias("r_stop"),
+    )
+    mwl = (F.col("nc") - F.col("nw") + 1).cast("double") / F.col("nw")
+    flags = feat.select(
+        "lang",
+        F.when(F.col("nw").between(30, 100000), 1).otherwise(0).alias("r_wc"),
+        F.when(mwl.between(3, 10), 1).otherwise(0).alias("r_mwl"),
+        F.when(
+            F.col("npunct").cast("double") / F.col("nw") <= 0.2, 1
+        )
+        .otherwise(0)
+        .alias("r_sym"),
+        "r_stop",
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("r_wc").cast("bigint").alias("pass_wordcount"),
+        F.sum("r_mwl").cast("bigint").alias("pass_meanwordlen"),
+        F.sum("r_sym").cast("bigint").alias("pass_symbolratio"),
+        F.sum("r_stop").cast("bigint").alias("pass_stopwords"),
+        F.sum(
+            F.col("r_wc") * F.col("r_mwl") * F.col("r_sym") * F.col("r_stop")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+
+
+@register(
+    "q_corpus_c4",
+    oracle="""
+    WITH flags AS (
+      SELECT source,
+        CASE WHEN text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?'
+             THEN 1 ELSE 0 END AS r_endpunct,
+        CASE WHEN text NOT LIKE '%{%' AND text NOT LIKE '%}%'
+             THEN 1 ELSE 0 END AS r_nobrace,
+        CASE WHEN lower(text) NOT LIKE '%lorem ipsum%'
+             THEN 1 ELSE 0 END AS r_nolorem,
+        CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+             THEN 1 ELSE 0 END AS r_minsent,
+        CASE WHEN lower(text) NOT LIKE '%javascript%'
+             THEN 1 ELSE 0 END AS r_nojs
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_endpunct) AS BIGINT) AS pass_endpunct,
+           CAST(SUM(r_nobrace) AS BIGINT) AS pass_nobrace,
+           CAST(SUM(r_nolorem) AS BIGINT) AS pass_nolorem,
+           CAST(SUM(r_minsent) AS BIGINT) AS pass_minsent,
+           CAST(SUM(r_nojs) AS BIGINT) AS pass_nojs,
+           CAST(SUM(r_endpunct * r_nobrace * r_nolorem * r_minsent
+                    * r_nojs) AS BIGINT) AS pass_all
+    FROM flags
+    GROUP BY source
+    """,
+)
+def q_corpus_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): terminal-punctuation ending, no curly braces (code/JSON
+    leakage), no "lorem ipsum", ≥3 sentences, no "javascript" —
+    reported per source as rule-level pass counts, the standard
+    before/after audit a web-corpus clean emits.
+
+    Pure predicate flags over one scan (LIKE + one bounded regex
+    count), aggregated map-side; at 100 TB this is the shape you want
+    — the filter itself never shuffles, only the 2-group report does.
+    """
+    d = table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    flags = d.select(
+        "source",
+        F.when(
+            F.col("text").like("%.")
+            | F.col("text").like("%!")
+            | F.col("text").like("%?"),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_endpunct"),
+        F.when(
+            ~F.col("text").like("%{%") & ~F.col("text").like("%}%"), 1
+        )
+        .otherwise(0)
+        .alias("r_nobrace"),
+        F.when(~low.like("%lorem ipsum%"), 1).otherwise(0).alias("r_nolorem"),
+        F.when(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")) >= 3, 1
+        )
+        .otherwise(0)
+        .alias("r_minsent"),
+        F.when(~low.like("%javascript%"), 1).otherwise(0).alias("r_nojs"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("r_endpunct").cast("bigint").alias("pass_endpunct"),
+        F.sum("r_nobrace").cast("bigint").alias("pass_nobrace"),
+        F.sum("r_nolorem").cast("bigint").alias("pass_nolorem"),
+        F.sum("r_minsent").cast("bigint").alias("pass_minsent"),
+        F.sum("r_nojs").cast("bigint").alias("pass_nojs"),
+        F.sum(
+            F.col("r_endpunct")
+            * F.col("r_nobrace")
+            * F.col("r_nolorem")
+            * F.col("r_minsent")
+            * F.col("r_nojs")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )

@@ -847,3 +847,71 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q_dedup_boilerplate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 6),
+               i -> array_to_string(
+                      list_slice(string_split(trim(text), ' '),
+                                 i, i + 7), ' ')))) AS g
+      FROM documents
+    ),
+    dup AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sh
+      GROUP BY g
+      HAVING COUNT(*) >= 2
+    )
+    SELECT g AS ngram, n_docs
+    FROM dup
+    ORDER BY n_docs DESC, g
+    LIMIT 20
+    """,
+)
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-gram boilerplate audit — the n-gram-level view
+    of duplication that line/sentence dedup (CCNet §4.2-style) acts
+    on: every 8-token shingle occurring in ≥2 distinct documents,
+    ranked by spread.  (Within-doc repeats are collapsed first via
+    distinct shingles per doc, so n_docs counts documents, not
+    occurrences.)  On the fixture corpus the planted near-duplicate
+    pairs light up as shared runs.
+
+    Shape: bounded explode (n_tokens − 7 shingles/doc) → one
+    partial-aggregated groupBy; at 100 TB the group key would be a
+    64-bit shingle hash (shuffle bytes ↓ ~10×) with raw text
+    recovered only for the reported top-k.  Total ordering
+    (n_docs, ngram) makes the LIMIT boundary deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 8,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 7),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, 8)),
+                    )
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("g"),
+    )
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        dup.orderBy(F.col("n_docs").desc(), "g")
+        .limit(20)
+        .select(F.col("g").alias("ngram"), "n_docs")
+    )

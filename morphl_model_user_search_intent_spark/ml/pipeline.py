@@ -1101,3 +1101,77 @@ def q_sample_weighted_ht(
             6,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "q_ml_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(ROUND(1.0 / (1.0 + EXP(-(value - 50.0) / 10.0)), 6)
+                  AS DECIMAL(18,6)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, s, y,
+             CAST(ROUND((CAST(s AS DOUBLE) - y)
+                        * (CAST(s AS DOUBLE) - y), 8)
+                  AS DECIMAL(20,8)) AS sqerr
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+           ROUND(CAST(SUM(sqerr) AS DOUBLE) / COUNT(*), 6) AS brier
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve / reliability diagram + per-bin Brier score
+    for a deterministic probability model (logistic score over the
+    event value, label = is-purchase) — the model-QA report any
+    intent-classifier pipeline (SURVEY.md §2.10) emits before its
+    scores are trusted downstream: mean predicted vs observed rate per
+    decile bin, and the Brier decomposition input.
+
+    Scores are rounded to DECIMAL(18,6) and squared errors to
+    DECIMAL(20,8) BEFORE summation, so every aggregate is an exact
+    decimal sum (order-independent); the logistic itself is one fixed
+    float expression.  Single map-side-combinable aggregate over the
+    scan — the cheapest possible shape.
+    """
+    e = table(spark, sf_dir, "events")
+    s = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0)), 6
+    ).cast("decimal(18,6)")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    scored = e.select(s.alias("s"), y.alias("y"))
+    sqerr = F.round(
+        (F.col("s").cast("double") - F.col("y"))
+        * (F.col("s").cast("double") - F.col("y")),
+        8,
+    ).cast("decimal(20,8)")
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * 10).cast("bigint"), F.lit(9)).alias(
+            "bin"
+        ),
+        "s",
+        "y",
+        sqerr.alias("sqerr"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+            "obs_rate"
+        ),
+        F.round(F.sum("sqerr").cast("double") / F.count("*"), 6).alias(
+            "brier"
+        ),
+    )

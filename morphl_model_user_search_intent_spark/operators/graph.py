@@ -471,3 +471,174 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "q_graph_adamic",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+      SELECT o, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY o
+    ),
+    w AS (
+      SELECT o, CAST(ROUND(1.0 / LN(CAST(d AS DOUBLE)), 8)
+                     AS DECIMAL(18,8)) AS w
+      FROM deg WHERE d >= 2
+    ),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, w.w
+      FROM edges a
+      JOIN edges b ON a.o = b.o AND a.p < b.p
+      JOIN w ON w.o = a.o
+    ),
+    aa AS (
+      SELECT p1, p2,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             SUM(w) AS aa_score
+      FROM pairs GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_common,
+           ROUND(CAST(aa_score AS DOUBLE), 6) AS aa
+    FROM aa
+    ORDER BY aa_score DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_graph_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-purchase graph —
+    parts sharing many SMALL orders are more related than parts
+    sharing huge ones: AA(p₁,p₂) = Σ_{o ∈ common} 1/ln(deg(o)).  The
+    standard similar-item candidate generator a behavioral model
+    (SURVEY.md §1.1 user/item graphs) feeds its ranker.
+
+    Scale posture: the self-join explodes each order into C(deg,2)
+    pairs, so cost is bounded by the per-order line count (≤7 in
+    TPC-H-shaped data; a real pipeline caps deg before the join — the
+    same guard q_dedup_minhash applies to bucket sizes).  Weights are
+    rounded to DECIMAL(18,8) before the per-pair sum so the float
+    total is order-independent; ranking compares the exact decimal.
+    Top-20 via TakeOrdered (rank-based, no global sort
+    materialization).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = edges.groupBy("o").agg(F.count("*").cast("bigint").alias("d"))
+    w = deg.filter(F.col("d") >= 2).select(
+        "o",
+        F.round(1.0 / F.log(F.col("d").cast("double")), 8)
+        .cast("decimal(18,8)")
+        .alias("w"),
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .join(w.alias("wd"), F.col("wd.o") == F.col("a.o"))
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("wd.w").alias("w"),
+        )
+    )
+    aa = pairs.groupBy("p1", "p2").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum("w").alias("aa_score"),
+    )
+    return (
+        aa.orderBy(
+            F.col("aa_score").desc(), F.col("p1"), F.col("p2")
+        )
+        .limit(20)
+        .select(
+            "p1",
+            "p2",
+            "n_common",
+            F.round(F.col("aa_score").cast("double"), 6).alias("aa"),
+        )
+    )
+
+
+@register(
+    "q_graph_jaccard",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pdeg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS dp FROM edges GROUP BY p
+    ),
+    common AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM edges a JOIN edges b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, c AS n_common,
+           CAST(d1.dp AS BIGINT) AS deg1, CAST(d2.dp AS BIGINT) AS deg2,
+           ROUND(CAST(c AS DOUBLE) / (d1.dp + d2.dp - c), 6) AS jaccard
+    FROM common
+    JOIN pdeg d1 ON d1.p = p1
+    JOIN pdeg d2 ON d2.p = p2
+    WHERE c >= 2
+    ORDER BY CAST(c AS DOUBLE) / (d1.dp + d2.dp - c) DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-neighborhood Jaccard link prediction on the part
+    co-purchase graph — J(p₁,p₂) = |N₁∩N₂| / |N₁∪N₂| over order
+    neighborhoods, the degree-normalized complement to
+    q_graph_adamic (which weights by order size instead).
+
+    Common-neighbor counts come from the same bounded per-order
+    self-join (C(deg,2) pairs, deg ≤ order line count); degrees are a
+    broadcast-sized side.  The ratio is one double division — bitwise
+    identical across engines for BIGINT inputs — and the top-20
+    ordering tie-breaks on (p1, p2), so the LIMIT boundary is
+    deterministic.  TakeOrdered, no global sort materialization.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pdeg = edges.groupBy("p").agg(F.count("*").cast("bigint").alias("dp"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("p1"), F.col("b.p").alias("p2")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    d1 = pdeg.select(F.col("p").alias("p1"), F.col("dp").alias("deg1"))
+    d2 = pdeg.select(F.col("p").alias("p2"), F.col("dp").alias("deg2"))
+    jac = F.col("c").cast("double") / (
+        F.col("deg1") + F.col("deg2") - F.col("c")
+    )
+    return (
+        common.join(d1, "p1")
+        .join(d2, "p2")
+        .orderBy(jac.desc(), "p1", "p2")
+        .limit(20)
+        .select(
+            "p1",
+            "p2",
+            F.col("c").alias("n_common"),
+            "deg1",
+            "deg2",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

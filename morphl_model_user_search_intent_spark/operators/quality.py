@@ -489,3 +489,89 @@ def q_quality_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.crossJoin(F.broadcast(worst))
+
+
+@register(
+    "q_quality_bot_rate",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id,
+             date_trunc('minute', ts) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_in_min
+      FROM events
+      GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(n_in_min) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS active_minutes,
+             CAST(MAX(n_in_min) AS BIGINT) AS peak_per_min
+      FROM per_min
+      GROUP BY user_id
+    ),
+    types AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, p.active_minutes, p.peak_per_min,
+           t.n_types,
+           ROUND(CAST(p.n_events AS DOUBLE) / p.active_minutes, 6)
+             AS events_per_active_min,
+           CASE WHEN p.peak_per_min >= 5
+                  OR (p.n_events >= 20 AND t.n_types = 1)
+                  OR CAST(p.n_events AS DOUBLE) / p.active_minutes >= 3
+                THEN 1 ELSE 0 END AS bot_flag
+    FROM per_user p JOIN types t ON t.user_id = p.user_id
+    ORDER BY p.n_events DESC, p.user_id
+    LIMIT 25
+    """,
+)
+def q_quality_bot_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automated-traffic audit over the event stream — the
+    rate-based heuristics (superhuman per-minute peaks, monotonous
+    event-type profiles, sustained high rate per active minute) that a
+    training-data pipeline applies before user-generated content is
+    trusted.  Reports the 25 most active users with their rate
+    features and the composite flag.
+
+    Two map-side-combinable aggregates (minute cells, then user
+    rollup) plus a distinct-count — all shuffles on user_id, so at
+    scale they share one exchange; the ratio is a single float
+    division, the flags pure integer comparisons.  TakeOrdered with
+    (n_events, user_id) total order.
+    """
+    e = table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").cast("bigint").alias("n_in_min"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("n_in_min").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("active_minutes"),
+        F.max("n_in_min").cast("bigint").alias("peak_per_min"),
+    )
+    types = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types")
+    )
+    epm = F.col("n_events").cast("double") / F.col("active_minutes")
+    joined = per_user.join(types, "user_id")
+    return (
+        joined.orderBy(F.col("n_events").desc(), "user_id")
+        .limit(25)
+        .select(
+            "user_id",
+            "n_events",
+            "active_minutes",
+            "peak_per_min",
+            "n_types",
+            F.round(epm, 6).alias("events_per_active_min"),
+            F.when(
+                (F.col("peak_per_min") >= 5)
+                | ((F.col("n_events") >= 20) & (F.col("n_types") == 1))
+                | (epm >= 3),
+                1,
+            )
+            .otherwise(0)
+            .alias("bot_flag"),
+        )
+    )

@@ -313,3 +313,335 @@ def q_stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pexp, 6).alias("p_expected"),
         F.round((po - pexp) / (1.0 - pexp), 6).alias("kappa"),
     )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 54
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n11,
+        CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n10,
+        CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n01,
+        CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n00
+      FROM flags
+    )
+    SELECT n11, n10, n01, n00,
+           ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                      AS DOUBLE) / (n10 + n01), 6) AS chi2_cc
+    FROM cells
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary labelers — the label-QA check
+    for whether two annotators (here: a char-length rule vs a
+    token-count rule over the same documents) disagree symmetrically.
+    Only the discordant cells matter: χ²_cc = (|b−c|−1)²/(b+c) with
+    Edwards' continuity correction.
+
+    The 2×2 table is four exact integer conditional sums in ONE
+    map-side-combinable pass (no shuffle beyond the final 1-row agg);
+    the statistic is a single fixed float expression.  Scale posture:
+    scan-dominated, any row count.
+    """
+    d = table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    b = F.when(
+        F.size(F.split(F.trim("text"), " ")) >= 54, 1
+    ).otherwise(0)
+    cells = d.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    diff = F.abs(F.col("n10") - F.col("n01")) - 1
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (diff * diff).cast("double")
+            / (F.col("n10") + F.col("n01")),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+@register(
+    "q_stats_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT
+        CASE WHEN (a.rev_c - b.rev_c) * (a.n_ord - b.n_ord) > 0
+             THEN 1 ELSE 0 END AS conc,
+        CASE WHEN (a.rev_c - b.rev_c) * (a.n_ord - b.n_ord) < 0
+             THEN 1 ELSE 0 END AS disc,
+        CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END AS tie_x,
+        CASE WHEN a.n_ord = b.n_ord THEN 1 ELSE 0 END AS tie_y
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    s AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS c,
+             CAST(SUM(disc) AS BIGINT) AS d,
+             CAST(SUM(tie_x) AS BIGINT) AS tx,
+             CAST(SUM(tie_y) AS BIGINT) AS ty,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs
+    )
+    SELECT c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+           n0 AS n_pairs,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                 6) AS tau_b
+    FROM s
+    """,
+)
+def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between daily revenue and daily
+    order count (first year of orders) — the ordinal complement to
+    q_stats_spearman, robust to any monotone transform and exact under
+    ties via the τ-b denominator √((n₀−T_x)(n₀−T_y)).
+
+    Scale posture: the O(n²) pair join runs on the AGGREGATED daily
+    series (bounded by calendar days, not row count — ~365 rows at any
+    SF), never on raw orders; revenue is compared in exact integer
+    cents so concordance flags are identical across engines.  The raw
+    scan is one map-side-combinable groupBy; the pair join is a
+    broadcast cross of a tiny series.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1993-01-01 00:00:00").cast("timestamp")
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+        F.count("*").cast("bigint").alias("n_ord"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dx = F.col("a.rev_c") - F.col("b.rev_c")
+    dy = F.col("a.n_ord") - F.col("b.n_ord")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.d") < F.col("b.d"), "inner"
+    ).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(dx == 0, 1).otherwise(0).alias("tie_x"),
+        F.when(dy == 0, 1).otherwise(0).alias("tie_y"),
+    )
+    s = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tie_x").cast("bigint").alias("tx"),
+        F.sum("tie_y").cast("bigint").alias("ty"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    return s.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.col("n0").alias("n_pairs"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "q_stats_friedman",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS blk,
+             o_orderpriority AS trt,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    full_blk AS (
+      SELECT blk FROM cells GROUP BY blk HAVING COUNT(*) = 5
+    ),
+    rk AS (
+      SELECT c.blk, c.trt,
+             2 * RANK() OVER (PARTITION BY c.blk ORDER BY c.v)
+               + COUNT(*) OVER (PARTITION BY c.blk, c.v) - 1 AS r2
+      FROM cells c JOIN full_blk USING (blk)
+    ),
+    rj AS (
+      SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2_sum
+      FROM rk GROUP BY trt
+    ),
+    s AS (
+      SELECT CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS ssq,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM full_blk) AS b
+      FROM rj
+    )
+    SELECT b AS n_blocks, k AS n_treatments,
+           ROUND(12.0 * (CAST(ssq AS DOUBLE) / 4.0)
+                   / (b * k * (k + 1))
+                 - 3.0 * b * (k + 1), 6) AS chi2_friedman
+    FROM s
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for k related samples — do the five order
+    priorities earn systematically different weekly revenue once the
+    week-to-week level is blocked out?  The non-parametric repeated-
+    measures ANOVA: rank the k=5 treatments WITHIN each week block,
+    χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1).
+
+    Ranks are kept as exact doubled integers (the 2·RANK + ties − 1
+    trick shared with q_stats_mannwhitney/q_stats_kruskal) so every
+    sum is a BIGINT; blocks missing a treatment are dropped (complete-
+    block design).  The heavy input collapses to ≤ 5·weeks cells in
+    one map-side-combinable aggregate before any window runs — the
+    ranking window operates on a bounded series at any raw scale.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1993-01-01 00:00:00").cast("timestamp")
+    )
+    cells = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    full_blk = (
+        cells.groupBy("blk").agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == 5)
+        .select("blk")
+    )
+    c2 = cells.join(F.broadcast(full_blk), "blk")
+    r2 = (
+        2 * F.rank().over(W.partitionBy("blk").orderBy("v"))
+        + F.count("*").over(W.partitionBy("blk", "v"))
+        - 1
+    )
+    rk = c2.select("blk", "trt", r2.alias("r2"))
+    rj = rk.groupBy("trt").agg(F.sum("r2").cast("bigint").alias("r2_sum"))
+    s = rj.agg(
+        F.sum(F.col("r2_sum") * F.col("r2_sum"))
+        .cast("bigint")
+        .alias("ssq"),
+        F.count("*").cast("bigint").alias("k"),
+    ).crossJoin(full_blk.agg(F.count("*").cast("bigint").alias("b")))
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(
+            12.0
+            * (F.col("ssq").cast("double") / 4.0)
+            / (F.col("b") * F.col("k") * (F.col("k") + 1))
+            - 3.0 * F.col("b") * (F.col("k") + 1),
+            6,
+        ).alias("chi2_friedman"),
+    )
+
+
+@register(
+    "q_stats_cochranq",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 54
+                  THEN 1 ELSE 0 END AS b,
+             CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS c
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(SUM(b) AS BIGINT) AS cb,
+             CAST(SUM(c) AS BIGINT) AS cc,
+             CAST(SUM(a + b + c) AS BIGINT) AS sr,
+             CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sr2
+      FROM flags
+    )
+    SELECT ca AS n_rule_a, cb AS n_rule_b, cc AS n_rule_c,
+           ROUND(2.0 * (3 * (ca * ca + cb * cb + cc * cc)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / (3 * sr - sr2), 6) AS cochran_q
+    FROM s
+    """,
+)
+def q_stats_cochranq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test across k=3 binary labeling rules applied to
+    the same documents (char-length, token-count, contains-"the") —
+    the k-rater generalization of q_stats_mcnemar an annotation-QA
+    pipeline runs before trusting ANY of its weak labelers:
+    Q = (k−1)(kΣC_j² − (ΣC_j)²)/(kΣR_i − ΣR_i²).
+
+    Everything is exact integer sums in ONE map-side-combinable pass
+    over the scan (row totals and their squares fold into the same
+    aggregate); the statistic is a single fixed float expression.
+    """
+    d = table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    b = F.when(F.size(F.split(F.trim("text"), " ")) >= 54, 1).otherwise(0)
+    c = F.when(F.lower("text").like("% the %"), 1).otherwise(0)
+    flags = d.select(a.alias("a"), b.alias("b"), c.alias("c"))
+    r = F.col("a") + F.col("b") + F.col("c")
+    s = flags.agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum("b").cast("bigint").alias("cb"),
+        F.sum("c").cast("bigint").alias("cc"),
+        F.sum(r).cast("bigint").alias("sr"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    ssq = (
+        F.col("ca") * F.col("ca")
+        + F.col("cb") * F.col("cb")
+        + F.col("cc") * F.col("cc")
+    )
+    return s.select(
+        F.col("ca").alias("n_rule_a"),
+        F.col("cb").alias("n_rule_b"),
+        F.col("cc").alias("n_rule_c"),
+        F.round(
+            2.0
+            * (3 * ssq - F.col("sr").cast("double") * F.col("sr"))
+            / (3 * F.col("sr") - F.col("sr2")),
+            6,
+        ).alias("cochran_q"),
+    )

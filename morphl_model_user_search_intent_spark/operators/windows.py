@@ -730,3 +730,182 @@ def q_win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(forecast / 100.0, 2).alias("holt_forecast"),
         F.round(F.abs(F.col("c") - forecast) / 100.0, 2).alias("abs_err"),
     )
+
+
+@register(
+    "q_win_sma_cross",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    sma AS (
+      SELECT d, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+             CAST(SUM(rev_c) OVER (ORDER BY d
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS s28,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+      FROM daily
+    ),
+    flagged AS (
+      SELECT d, s7, s28,
+             CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END AS above,
+             LAG(CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d) AS prev_above
+      FROM sma WHERE rn >= 28
+    )
+    SELECT d,
+           CASE WHEN above = 1 THEN 'golden' ELSE 'death' END
+             AS cross_type,
+           ROUND(CAST(s7 AS DOUBLE) / 700.0, 2) AS sma7,
+           ROUND(CAST(s28 AS DOUBLE) / 2800.0, 2) AS sma28
+    FROM flagged
+    WHERE prev_above IS NOT NULL AND above <> prev_above
+    """,
+)
+def q_win_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-cross / death-cross detector on daily revenue — the
+    7-observation SMA crossing the 28-observation SMA, the classic
+    trend-reversal signal a metrics-monitoring pipeline raises.
+
+    The float-free trick: SMA7 > SMA28 ⟺ 4·S7 > S28 in exact integer
+    cents (7 and 28 share the factor 4·7), so the crossing flags can
+    never disagree across engines; the float SMAs are display-only.
+    Both windows and the lag run over the AGGREGATED daily series
+    (bounded by calendar, not row count) in a single partition — the
+    correct physical shape, because the series after the first
+    map-side-combinable groupBy is tiny at any raw scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    wd = W.orderBy("d")
+    sma = daily.select(
+        "d",
+        F.sum("rev_c").over(wd.rowsBetween(-6, 0)).cast("bigint").alias("s7"),
+        F.sum("rev_c")
+        .over(wd.rowsBetween(-27, 0))
+        .cast("bigint")
+        .alias("s28"),
+        F.row_number().over(wd).cast("bigint").alias("rn"),
+    ).filter(F.col("rn") >= 28)
+    above = F.when(4 * F.col("s7") > F.col("s28"), 1).otherwise(0)
+    flagged = sma.select(
+        "d",
+        "s7",
+        "s28",
+        above.alias("above"),
+        F.lag(above).over(W.orderBy("d")).alias("prev_above"),
+    )
+    return flagged.filter(
+        F.col("prev_above").isNotNull()
+        & (F.col("above") != F.col("prev_above"))
+    ).select(
+        "d",
+        F.when(F.col("above") == 1, "golden")
+        .otherwise("death")
+        .alias("cross_type"),
+        F.round(F.col("s7").cast("double") / 700.0, 2).alias("sma7"),
+        F.round(F.col("s28").cast("double") / 2800.0, 2).alias("sma28"),
+    )
+
+
+@register(
+    "q_win_rsi",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    delta AS (
+      SELECT d,
+             rev_c - LAG(rev_c) OVER (ORDER BY d) AS ch,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+      FROM daily
+    ),
+    gl AS (
+      SELECT d, rn,
+             CAST(SUM(GREATEST(ch, 0)) OVER (ORDER BY d
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS gain14,
+             CAST(SUM(GREATEST(-ch, 0)) OVER (ORDER BY d
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS loss14
+      FROM delta WHERE ch IS NOT NULL
+    )
+    SELECT d, gain14, loss14,
+           ROUND(100.0 * gain14 / (gain14 + loss14), 4) AS rsi,
+           CASE WHEN 100.0 * gain14 / (gain14 + loss14) >= 60
+                THEN 'overbought' ELSE 'oversold' END AS signal
+    FROM gl
+    WHERE rn >= 15 AND gain14 + loss14 > 0
+      AND (100.0 * gain14 / (gain14 + loss14) >= 60
+           OR 100.0 * gain14 / (gain14 + loss14) <= 40)
+    """,
+)
+def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (simple-average relative strength index) on daily
+    revenue, reporting overbought (≥60) / oversold (≤40) days (thresholds
+    tightened from the classic 70/30 so the alarm fires on the
+    fixture's mean-reverting series) — the
+    mean-reversion alarm a metrics pipeline raises on KPI series.
+    Cutler's SMA variant is chosen over Wilder's EMA deliberately:
+    its gains/losses are exact trailing integer sums in cents, so
+    RSI = 100·G/(G+L) is one float division per row — cross-engine
+    deterministic with no recursive smoothing state.
+
+    Same physical shape as q_win_sma_cross: everything windows over
+    the aggregated daily series (bounded by calendar), single
+    partition by design after a map-side-combined groupBy.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    wd = W.orderBy("d")
+    delta = daily.select(
+        "d",
+        (F.col("rev_c") - F.lag("rev_c").over(wd)).alias("ch"),
+        F.row_number().over(wd).cast("bigint").alias("rn"),
+    ).filter(F.col("ch").isNotNull())
+    w14 = W.orderBy("d").rowsBetween(-13, 0)
+    gl = delta.select(
+        "d",
+        "rn",
+        F.sum(F.greatest(F.col("ch"), F.lit(0)))
+        .over(w14)
+        .cast("bigint")
+        .alias("gain14"),
+        F.sum(F.greatest(-F.col("ch"), F.lit(0)))
+        .over(w14)
+        .cast("bigint")
+        .alias("loss14"),
+    )
+    rsi = 100.0 * F.col("gain14") / (F.col("gain14") + F.col("loss14"))
+    return gl.filter(
+        (F.col("rn") >= 15)
+        & (F.col("gain14") + F.col("loss14") > 0)
+        & ((rsi >= 60) | (rsi <= 40))
+    ).select(
+        "d",
+        "gain14",
+        "loss14",
+        F.round(rsi, 4).alias("rsi"),
+        F.when(rsi >= 60, "overbought").otherwise("oversold").alias(
+            "signal"
+        ),
+    )

@@ -349,3 +349,57 @@ def q_source_csv_malformed(
             "sum_k_good"
         ),
     )
+
+
+@register(
+    "q_source_text",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS total_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source round-trip (``spark.read.text`` — the
+    rawest ingestion path an LLM-data pipeline has: one line per
+    record, parse-your-own fields).  Documents are serialized as
+    ``doc_id<TAB>lang<TAB>text`` lines (fixture text verified free of
+    tabs/newlines), read back as raw lines, re-parsed with
+    ``split(value, '\\t', 3)``, and aggregated; the oracle computes
+    the same aggregate from the original table, so any line-level
+    corruption (split records, encoding, lost rows) breaks the hash.
+
+    At 100 TB this is the WET/CC-style ingest shape: text files split
+    by line across tasks, schema applied in the engine, bad lines
+    quarantined (q_source_csv_malformed shows the quarantine half).
+    """
+    path = os.path.join(SCRATCH, f"text-{_tag(sf_dir)}")
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            "text",
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.split("value", "\t", 3).alias("f")
+    ).select(
+        F.col("f")[0].cast("bigint").alias("doc_id"),
+        F.col("f")[1].alias("lang"),
+        F.col("f")[2].alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split(F.trim("text"), " ")))
+        .cast("bigint")
+        .alias("total_words"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import normalize_events_ts
 from ..registry import register
 from ..session import configure
 
@@ -56,9 +57,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staged_dir(sf_dir)
     schema = spark.read.parquet(path).schema
     s = spark.readStream.schema(schema).parquet(path)
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return s
+    return normalize_events_ts(s)
 
 
 def _run_to_memory(
@@ -333,8 +332,7 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = normalize_events_ts(s)
 
     rows: list = []
 

@@ -2126,3 +2126,168 @@ def q_text_stopword_discovery(
         )
         .orderBy(F.col("doc_frequency").desc(), "word")
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS words,
+             GREATEST(
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+               1) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS sylls
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, words, sents, sylls,
+             CAST(ROUND(
+               206.835
+               - 1.015 * (CAST(words AS DOUBLE) / sents)
+               - 84.6 * (CAST(sylls AS DOUBLE) / words),
+               6) AS DECIMAL(18,6)) AS flesch
+      FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           ROUND(CAST(SUM(flesch) AS DOUBLE) / COUNT(*), 4)
+             AS avg_flesch,
+           CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard,
+           CAST(SUM(CASE WHEN flesch >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per language — the classic
+    readability quality filter an LLM-corpus pipeline applies before
+    mixing (easy/hard buckets feed curriculum or filtering policies).
+    Syllables are approximated as [aeiouy]+ vowel-group runs and
+    sentences as [.!?]+ runs (≥1) — both deterministic regexes that
+    evaluate identically in Spark and DuckDB.
+
+    Float discipline: the per-doc score is one fixed float expression
+    over exact integers, rounded to 6 then summed as DECIMAL(18,6)
+    (order-independent); only the final mean divides as double.  One
+    narrow projection + map-side-combinable groupBy on a 4-value key:
+    scan-dominated at any scale, no UDFs, whole-stage codegen
+    end-to-end.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim("text"), " ")).cast("bigint")
+    sents = F.greatest(
+        F.size(
+            F.expr("regexp_extract_all(text, '[.!?]+', 0)")
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    sylls = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    per_doc = d.select(
+        "lang",
+        words.alias("words"),
+        sents.alias("sents"),
+        sylls.alias("sylls"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+        - 84.6 * (F.col("sylls").cast("double") / F.col("words")),
+        6,
+    ).cast("decimal(18,6)")
+    scored = per_doc.withColumn("flesch", flesch)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.round(
+            F.sum("flesch").cast("double") / F.count("*"), 4
+        ).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard"),
+        F.sum(F.when(F.col("flesch") >= 70, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_easy"),
+    )
+
+
+@register(
+    "q_text_chao1",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS d_observed,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf GROUP BY lang
+    )
+    SELECT lang, n_tokens, d_observed, f1, f2,
+           ROUND(d_observed
+                 + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)),
+                 4) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
+    FROM s
+    """,
+)
+def q_text_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size per
+    language, plus the Good-Turing unseen-probability mass f₁/N — the
+    coverage diagnostic that tells an LLM-corpus builder how much
+    vocabulary the crawl has NOT seen yet (high f₁/N ⇒ keep crawling).
+    Bias-corrected Chao1 = D + f₁(f₁−1)/(2(f₂+1)) never divides by
+    zero.
+
+    Two map-side-combinable aggregates (token counts, then frequency-
+    of-frequency sums) — the same shuffle shape as word-count; all
+    inputs exact integers, two fixed float expressions at the end.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.trim("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s = tf.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("d_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return s.select(
+        "lang",
+        "n_tokens",
+        "d_observed",
+        "f1",
+        "f2",
+        F.round(
+            F.col("d_observed")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1"),
+        F.round(
+            F.col("f1").cast("double") / F.col("n_tokens"), 6
+        ).alias("gt_unseen_mass"),
+    )

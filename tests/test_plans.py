@@ -203,3 +203,35 @@ def test_theta_sketch_bounded_rank(spark):
     assert (
         "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     )
+
+
+def test_adamic_topk_avoids_global_sort(spark):
+    # pair scoring must end in TakeOrdered, not a full rangepartition sort
+    assert_in_plan(_df(spark, "q_graph_adamic"), "TakeOrderedAndProject")
+    assert_not_in_plan(
+        _df(spark, "q_graph_adamic"), "Exchange rangepartitioning"
+    )
+
+
+def test_dsir_joins_broadcast_bucket_sides(spark):
+    # the 64-row log-ratio table must broadcast onto the token stream —
+    # a shuffle join here would re-shuffle the whole corpus
+    plan = explain_str(_df(spark, "q_corpus_dsir"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_readability_single_scan_partial_agg(spark):
+    # one documents scan, partial+final hashagg, regexes evaluated in
+    # a projection (not re-derived per aggregate)
+    plan = explain_str(_df(spark, "q_text_readability"), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_corpus_filters_are_scan_dominated(spark):
+    for name in ("q_corpus_gopher", "q_corpus_c4"):
+        plan = explain_str(_df(spark, name), "simple")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("HashAggregate") == 2
+        assert "Join" not in plan
