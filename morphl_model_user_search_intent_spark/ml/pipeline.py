@@ -1175,3 +1175,220 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier"
         ),
     )
+
+
+@register(
+    "q_ml_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM cells
+    )
+    SELECT bin, n_ref, n_cur,
+           ROUND((n_ref + 1.0) / (tr + 10), 6) AS p_ref,
+           ROUND((n_cur + 1.0) / (tc + 10), 6) AS p_cur,
+           ROUND(((n_ref + 1.0) / (tr + 10) - (n_cur + 1.0) / (tc + 10))
+                 * LN(((n_ref + 1.0) / (tr + 10))
+                      / ((n_cur + 1.0) / (tc + 10))), 6) AS psi_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event window (reference vs current period), per value bin —
+    THE model-monitoring drift metric (sum psi_term > 0.2 ⇒ retrain),
+    complementing the two-sample KS test (q_stats_ks) with a binned,
+    additive decomposition that shows WHICH score range moved.
+
+    Laplace-smoothed proportions ((c+1)/(n+k), k = 10 bins) keep the
+    log finite on empty bins.  One map-side-combinable aggregate over
+    the scan into ≤10 cells; each psi term is one fixed float
+    expression over exact integers.
+    """
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / 50).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+        F.when(
+            F.col("ts")
+            < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    pr = (F.col("n_ref") + 1.0) / (F.col("tr") + 10)
+    pc = (F.col("n_cur") + 1.0) / (F.col("tc") + 10)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round((pr - pc) * F.log(pr / pc), 6).alias("psi_term"),
+    )
+
+
+@register(
+    "q_ml_regression_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    fit AS (
+      SELECT n, sy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sx) / n AS a
+      FROM m
+    ),
+    resid AS (
+      SELECT d.y, fit.n, fit.sy,
+             CAST(ROUND(ABS(d.y - (fit.a + fit.b * d.x)), 4)
+                  AS DECIMAL(24,4)) AS abs_e,
+             CAST(ROUND((d.y - (fit.a + fit.b * d.x))
+                        * (d.y - (fit.a + fit.b * d.x)), 4)
+                  AS DECIMAL(30,4)) AS sq_e,
+             CAST(ROUND(ABS(d.y - (fit.a + fit.b * d.x))
+                        / d.y * 100, 8) AS DECIMAL(20,8)) AS ape,
+             CAST(ROUND((d.y - CAST(fit.sy AS DOUBLE) / fit.n)
+                        * (d.y - CAST(fit.sy AS DOUBLE) / fit.n), 4)
+                  AS DECIMAL(30,4)) AS dev2
+      FROM daily d CROSS JOIN fit
+    )
+    SELECT ANY_VALUE(n) AS n_days,
+           ROUND(CAST(SUM(abs_e) AS DOUBLE) / ANY_VALUE(n) / 100, 2)
+             AS mae,
+           ROUND(SQRT(CAST(SUM(sq_e) AS DOUBLE) / ANY_VALUE(n)) / 100, 2)
+             AS rmse,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / ANY_VALUE(n), 4) AS mape_pct,
+           ROUND(1.0 - CAST(SUM(sq_e) AS DOUBLE)
+                 / CAST(SUM(dev2) AS DOUBLE), 6) AS r2
+    FROM resid
+    """,
+)
+def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality report (MAE / RMSE / MAPE / R²) for the OLS
+    trend fit of daily revenue over the first year — the evaluation
+    half of a forecasting pipeline (q_stats_regression computes fits;
+    this scores one against actuals), the numbers a model-monitoring
+    dashboard tracks release-over-release.
+
+    The fit comes from exact BIGINT moment sums (closed form, shared
+    float expression); per-day residual terms are rounded to DECIMAL
+    before the metric sums, so every aggregate is order-independent.
+    Two passes over the tiny daily series (bounded by calendar), one
+    over raw orders — all map-side-combinable.  R²'s total-SS term
+    uses the same decimal discipline via the exact Σy and n.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1993-01-01 00:00:00").cast("timestamp")
+    )
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = m.select(
+        "n", "sy", b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    pred = F.col("a") + F.col("b") * F.col("x")
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "y",
+        "n",
+        F.round(F.abs(F.col("y") - pred), 4)
+        .cast("decimal(24,4)")
+        .alias("abs_e"),
+        F.round(
+            (F.col("y") - pred) * (F.col("y") - pred), 4
+        )
+        .cast("decimal(30,4)")
+        .alias("sq_e"),
+        F.round(F.abs(F.col("y") - pred) / F.col("y") * 100, 8)
+        .cast("decimal(20,8)")
+        .alias("ape"),
+        F.round(
+            (F.col("y") - F.col("sy").cast("double") / F.col("n"))
+            * (F.col("y") - F.col("sy").cast("double") / F.col("n")),
+            4,
+        )
+        .cast("decimal(30,4)")
+        .alias("dev2"),
+    )
+    return resid.agg(
+        F.first("n").alias("n_days"),
+        F.round(
+            F.sum("abs_e").cast("double") / F.first("n") / 100, 2
+        ).alias("mae"),
+        F.round(
+            F.sqrt(F.sum("sq_e").cast("double") / F.first("n")) / 100, 2
+        ).alias("rmse"),
+        F.round(F.sum("ape").cast("double") / F.first("n"), 4).alias(
+            "mape_pct"
+        ),
+        F.round(
+            1.0
+            - F.sum("sq_e").cast("double") / F.sum("dev2").cast("double"),
+            6,
+        ).alias("r2"),
+    )

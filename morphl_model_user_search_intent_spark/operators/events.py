@@ -674,3 +674,144 @@ def q_events_heatmap_dowhour(
             / 100.0
         ).alias("total_value"),
     )
+
+
+@register(
+    "q_events_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ctx AS (
+      SELECT d, n,
+             LAG(n, 1) OVER (ORDER BY d) AS p1,
+             LAG(n, 2) OVER (ORDER BY d) AS p2,
+             LAG(n, 3) OVER (ORDER BY d) AS p3,
+             LEAD(n, 1) OVER (ORDER BY d) AS f1,
+             LEAD(n, 2) OVER (ORDER BY d) AS f2,
+             LEAD(n, 3) OVER (ORDER BY d) AS f3
+      FROM daily
+    )
+    SELECT d, n AS n_events
+    FROM ctx
+    WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p3 IS NOT NULL
+      AND f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL
+      AND n > p1 AND n > p2 AND n > p3
+      AND n > f1 AND n > f2 AND n > f3
+    """,
+)
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection on the daily event-count series:
+    days strictly busier than the 3 days either side — the spike
+    detector feeding incident review and campaign attribution,
+    complementing q_events_changepoint (level shifts) and
+    q_events_anomaly (z-score outliers) with a shape-based rule.
+
+    Pure integer comparisons over 6 lag/lead columns on the
+    aggregated daily series (bounded by calendar; the window's single
+    partition is the CORRECT shape after the map-side-combined
+    count).  Boundary days are excluded (incomplete context window).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wd = W.orderBy("d")
+    ctx = daily.select(
+        "d",
+        "n",
+        F.lag("n", 1).over(wd).alias("p1"),
+        F.lag("n", 2).over(wd).alias("p2"),
+        F.lag("n", 3).over(wd).alias("p3"),
+        F.lead("n", 1).over(wd).alias("f1"),
+        F.lead("n", 2).over(wd).alias("f2"),
+        F.lead("n", 3).over(wd).alias("f3"),
+    )
+    cond = (
+        F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+        & F.col("p3").isNotNull()
+        & F.col("f1").isNotNull()
+        & F.col("f2").isNotNull()
+        & F.col("f3").isNotNull()
+        & (F.col("n") > F.col("p1"))
+        & (F.col("n") > F.col("p2"))
+        & (F.col("n") > F.col("p3"))
+        & (F.col("n") > F.col("f1"))
+        & (F.col("n") > F.col("f2"))
+        & (F.col("n") > F.col("f3"))
+    )
+    return ctx.filter(cond).select("d", F.col("n").alias("n_events"))
+
+
+@register(
+    "q_events_iat_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id))
+             // 1000000 AS g
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(g * g) AS BIGINT) AS sg2
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           ROUND(CAST(sg AS DOUBLE) / n, 4) AS mean_iat_s,
+           ROUND(SQRT(CAST(sg2 AS DOUBLE) / n
+                      - (CAST(sg AS DOUBLE) / n)
+                        * (CAST(sg AS DOUBLE) / n)), 4) AS sd_iat_s,
+           ROUND((SQRT(CAST(sg2 AS DOUBLE) / n
+                       - (CAST(sg AS DOUBLE) / n)
+                         * (CAST(sg AS DOUBLE) / n))
+                  - CAST(sg AS DOUBLE) / n)
+                 / (SQRT(CAST(sg2 AS DOUBLE) / n
+                         - (CAST(sg AS DOUBLE) / n)
+                           * (CAST(sg AS DOUBLE) / n))
+                    + CAST(sg AS DOUBLE) / n), 6) AS burstiness
+    FROM s
+    """,
+)
+def q_events_iat_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-arrival times
+    per event type — B→−1 for clockwork streams, 0 for Poisson, →1
+    for heavy bursts; the arrival-process characterization behind
+    rate-limit and capacity decisions, complementing
+    q_stats_dispersion (counts view) with the gap view.
+
+    Gaps are computed as exact integer SECONDS (µs difference with
+    integer division — identical truncation in both engines) so Σg²
+    stays far inside BIGINT at any scale; μ and σ come from those two
+    exact sums in one fixed float expression.  One shuffle on
+    event_type for the lag window, then a map-side-combined aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = F.expr(
+        "(unix_micros(ts) - lag(unix_micros(ts)) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id)) div 1000000"
+    )
+    gaps = e.select("event_type", g.alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sg2"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("sg2").cast("double") / F.col("n") - mu * mu)
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mu, 4).alias("mean_iat_s"),
+        F.round(sd, 4).alias("sd_iat_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )

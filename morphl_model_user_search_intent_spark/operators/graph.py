@@ -642,3 +642,85 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+    ),
+    bucketed AS (
+      SELECT CASE WHEN d = 1 THEN '01'
+                  WHEN d = 2 THEN '02'
+                  WHEN d <= 4 THEN '03-04'
+                  WHEN d <= 8 THEN '05-08'
+                  WHEN d <= 16 THEN '09-16'
+                  WHEN d <= 32 THEN '17-32'
+                  WHEN d <= 64 THEN '33-64'
+                  ELSE '65+' END AS degree_bucket,
+             d
+      FROM deg
+    )
+    SELECT degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree
+    FROM bucketed
+    GROUP BY degree_bucket
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph in doubling
+    buckets — the first diagnostic run on ANY production graph before
+    choosing join strategies: a heavy tail here is exactly what makes
+    naive self-joins explode, so this histogram is the input to the
+    skew-handling decisions (salting thresholds, degree caps) that
+    q_graph_adamic/q_dedup_minhash document.
+
+    Integer-only: distinct edges → per-node degree count → CASE
+    bucket → count/min/max/sum per bucket, all map-side-combinable
+    shuffles on bounded keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    bucket = (
+        F.when(F.col("d") == 1, "01")
+        .when(F.col("d") == 2, "02")
+        .when(F.col("d") <= 4, "03-04")
+        .when(F.col("d") <= 8, "05-08")
+        .when(F.col("d") <= 16, "09-16")
+        .when(F.col("d") <= 32, "17-32")
+        .when(F.col("d") <= 64, "33-64")
+        .otherwise("65+")
+    )
+    return deg.select(bucket.alias("degree_bucket"), "d").groupBy(
+        "degree_bucket"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum("d").cast("bigint").alias("sum_degree"),
+    )

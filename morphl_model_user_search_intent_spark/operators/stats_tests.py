@@ -645,3 +645,184 @@ def q_stats_cochranq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cochran_q"),
     )
+
+
+@register(
+    "q_stats_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, sc AS n_events,
+           ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_daily,
+           ROUND((sc2 - CAST(sc AS DOUBLE) * sc / n) / (n - 1), 6)
+             AS var_daily,
+           ROUND(((sc2 - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                 / (CAST(sc AS DOUBLE) / n), 6) AS dispersion_index,
+           CASE WHEN ((sc2 - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                     / (CAST(sc AS DOUBLE) / n) > 1.5
+                THEN 'overdispersed'
+                WHEN ((sc2 - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                     / (CAST(sc AS DOUBLE) / n) < 0.67
+                THEN 'underdispersed'
+                ELSE 'poisson-like' END AS verdict
+    FROM s
+    """,
+)
+def q_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion (variance/mean) test per event type on
+    daily counts — the Poisson goodness-of-fit triage that tells a
+    capacity planner whether arrivals are bursty (overdispersed ⇒
+    negative-binomial-style planning) or steady: D = s²/x̄, with
+    (n−1)·D ~ χ²ₙ₋₁ under Poisson.
+
+    The raw scan collapses to ≤ types×days cells map-side; variance
+    comes from exact BIGINT Σc and Σc² (no float accumulation), so D
+    and the verdict are single fixed float expressions per type.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n")
+    var = (
+        F.col("sc2") - F.col("sc").cast("double") * F.col("sc") / F.col("n")
+    ) / (F.col("n") - 1)
+    disp = var / mean
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sc").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.when(disp > 1.5, "overdispersed")
+        .when(disp < 0.67, "underdispersed")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "q_stats_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) // 6 AS x,
+             event_type AS y,
+             CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx
+           FROM cells GROUP BY x),
+    ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny
+           FROM cells GROUP BY y),
+    n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+    mi_terms AS (
+      SELECT CAST(ROUND(
+               (CAST(c.nxy AS DOUBLE) / n.n)
+               * LN(CAST(c.nxy AS DOUBLE) * n.n
+                    / (CAST(nx.nx AS DOUBLE) * ny.ny)), 10)
+               AS DECIMAL(20,10)) AS t
+      FROM cells c
+      JOIN nx ON nx.x = c.x
+      JOIN ny ON ny.y = c.y
+      CROSS JOIN n
+    ),
+    hy_terms AS (
+      SELECT CAST(ROUND(
+               -(CAST(ny.ny AS DOUBLE) / n.n)
+               * LN(CAST(ny.ny AS DOUBLE) / n.n), 10)
+               AS DECIMAL(20,10)) AS t
+      FROM ny CROSS JOIN n
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_events,
+           ROUND(CAST((SELECT SUM(t) FROM mi_terms) AS DOUBLE), 6)
+             AS mi_nats,
+           ROUND(CAST((SELECT SUM(t) FROM hy_terms) AS DOUBLE), 6)
+             AS h_y_nats,
+           ROUND(CAST((SELECT SUM(t) FROM mi_terms) AS DOUBLE)
+                 / CAST((SELECT SUM(t) FROM hy_terms) AS DOUBLE), 6)
+             AS info_ratio
+    """,
+)
+def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between time-of-day (6-hour buckets) and
+    event type, with the uncertainty coefficient MI/H(Y) — the
+    feature-selection score answering "how much does knowing the hour
+    tell you about what users do?"; the categorical complement to
+    q_stats_cramers (effect size) and q_text_pmi (token level).
+
+    The contingency table is ≤ 4×types exact integer cells from one
+    map-side-combinable pass; each MI/entropy term is one fixed float
+    expression rounded to DECIMAL(20,10) before the (tiny) sum, so
+    accumulation order can never matter.
+    """
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.hour("ts").cast("bigint") / 6)
+        .cast("bigint")
+        .alias("x"),
+        F.col("event_type").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("nxy"))
+    nx = cells.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    ny = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    n = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    mi_t = (
+        cells.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                10,
+            )
+            .cast("decimal(20,10)")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("mi"))
+    )
+    hy_t = (
+        ny.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                -(F.col("ny").cast("double") / F.col("n"))
+                * F.log(F.col("ny").cast("double") / F.col("n")),
+                10,
+            )
+            .cast("decimal(20,10)")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("hy"))
+    )
+    return (
+        n.crossJoin(mi_t)
+        .crossJoin(hy_t)
+        .select(
+            F.col("n").alias("n_events"),
+            F.round(F.col("mi").cast("double"), 6).alias("mi_nats"),
+            F.round(F.col("hy").cast("double"), 6).alias("h_y_nats"),
+            F.round(
+                F.col("mi").cast("double") / F.col("hy").cast("double"), 6
+            ).alias("info_ratio"),
+        )
+    )

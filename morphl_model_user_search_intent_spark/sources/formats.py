@@ -403,3 +403,55 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_words"),
     )
+
+
+@register(
+    "q_source_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                    AND TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_source_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned-table source with partition pruning: events
+    re-materialized as date-partitioned Parquet (the layout any
+    100 TB event lake uses), then read back with a partition-column
+    predicate so the scan touches only the 3 matching directories —
+    the oracle aggregates the same 3 days from the raw table, so a
+    pruning bug that drops or duplicates partitions breaks the hash.
+
+    The plan gate (test_plans) asserts PartitionFilters reach the
+    scan.  At scale this layout is what makes time-range queries
+    O(days touched) instead of O(table); the partition column is a
+    DATE string (not a timestamp) precisely so pruning happens at
+    planning time against directory names.
+    """
+    path = os.path.join(SCRATCH, f"events-by-day-{_tag(sf_dir)}")
+    e = table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            e.withColumn(
+                "event_date", F.date_trunc("day", "ts").cast("date")
+            )
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions.exact import davg
 from ..io import table
@@ -2290,4 +2291,212 @@ def q_text_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("f1").cast("double") / F.col("n_tokens"), 6
         ).alias("gt_unseen_mass"),
+    )
+
+
+@register(
+    "q_text_burrows",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+    ),
+    topw AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT 10
+    ),
+    rel AS (
+      SELECT t.source, t.tok,
+             CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(st.n), 8)
+                  AS DECIMAL(18,8)) AS rf
+      FROM toks t
+      JOIN topw USING (tok)
+      JOIN src_tot st ON st.source = t.source
+      GROUP BY t.source, t.tok
+    ),
+    stats AS (
+      SELECT tok,
+             ROUND(CAST(SUM(rf) AS DOUBLE) / 20, 8) AS mu,
+             ROUND(SQRT(CAST(SUM(rf * rf) AS DOUBLE) / 20
+                        - (CAST(SUM(rf) AS DOUBLE) / 20)
+                          * (CAST(SUM(rf) AS DOUBLE) / 20)), 8) AS sd
+      FROM rel GROUP BY tok
+    ),
+    z AS (
+      SELECT r.source, r.tok,
+             CAST(ROUND((CAST(r.rf AS DOUBLE) - s.mu) / s.sd, 8)
+                  AS DECIMAL(18,8)) AS z
+      FROM rel r JOIN stats s ON s.tok = r.tok
+    ),
+    delta AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(ABS(a.z - b.z)) AS dsum,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           ROUND(CAST(dsum AS DOUBLE) / nw, 6) AS burrows_delta
+    FROM delta
+    ORDER BY dsum, src_a, src_b
+    LIMIT 15
+    """,
+)
+def q_text_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus sources —
+    the authorship-attribution metric (mean |Δz| of the top-10
+    function-word frequencies) a corpus-governance pipeline uses to
+    spot sources that are really the same upstream feed.  Reports the
+    15 most stylistically similar source pairs.
+
+    Relative frequencies and z-scores are rounded to DECIMAL(18,8)
+    before every cross-row sum (order-independent); the only
+    unbounded aggregate is the token count, map-side-combined.  The
+    pair join runs over 20 sources × 10 words — bounded regardless of
+    corpus size, which is the point: Delta compresses any corpus to a
+    sources×words matrix first.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens()).alias("tok")
+    )
+    src_tot = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    topw = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(10)
+        .select("tok")
+    )
+    rel = (
+        toks.join(F.broadcast(topw), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+        .join(F.broadcast(src_tot), "source")
+        .select(
+            "source",
+            "tok",
+            F.round(F.col("c") / F.col("n"), 8)
+            .cast("decimal(18,8)")
+            .alias("rf"),
+        )
+    )
+    stats = rel.groupBy("tok").agg(
+        F.round(F.sum("rf").cast("double") / 20, 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("rf") * F.col("rf")).cast("double") / 20
+                - (F.sum("rf").cast("double") / 20)
+                * (F.sum("rf").cast("double") / 20)
+            ),
+            8,
+        ).alias("sd"),
+    )
+    z = rel.join(F.broadcast(stats), "tok").select(
+        "source",
+        "tok",
+        F.round(
+            (F.col("rf").cast("double") - F.col("mu")) / F.col("sd"), 8
+        )
+        .cast("decimal(18,8)")
+        .alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "tok", F.col("z").alias("zb")
+    )
+    delta = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).alias("dsum"),
+            F.count("*").cast("bigint").alias("nw"),
+        )
+    )
+    return (
+        delta.orderBy("dsum", "src_a", "src_b")
+        .limit(15)
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("dsum").cast("double") / F.col("nw"), 6).alias(
+                "burrows_delta"
+            ),
+        )
+    )
+
+
+@register(
+    "q_text_ttr_curve",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(trim(text), ' ')))
+                  AS BIGINT) AS nd
+      FROM documents
+    ),
+    ranked AS (
+      SELECT nt, nd,
+             NTILE(10) OVER (ORDER BY nt, doc_id) AS decile,
+             CAST(ROUND(CAST(nd AS DOUBLE) / nt, 8) AS DECIMAL(18,8))
+               AS ttr
+      FROM per_doc
+    )
+    SELECT CAST(decile AS BIGINT) AS length_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(nt) AS BIGINT) AS min_tokens,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens,
+           ROUND(CAST(SUM(ttr) AS DOUBLE) / COUNT(*), 6) AS avg_ttr,
+           CAST(SUM(nd) AS BIGINT) AS total_types
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length decile — the
+    length-controlled lexical-diversity curve (TTR falls with length;
+    comparing raw TTRs across different-length docs is the classic
+    mistake this layout avoids).  Complements q_text_heaps (corpus-
+    level vocabulary growth) with a per-document view a quality
+    filter can threshold on.
+
+    NTILE runs over the (n_tokens, doc_id) total order so decile
+    boundaries are engine-identical; per-doc TTRs round to DECIMAL
+    before the per-decile mean (order-independent sums).  One scan,
+    one bounded window, one 10-group aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    per_doc = d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("nd"),
+    )
+    ranked = per_doc.select(
+        "nt",
+        "nd",
+        F.ntile(10).over(W.orderBy("nt", "doc_id")).alias("decile"),
+        F.round(F.col("nd").cast("double") / F.col("nt"), 8)
+        .cast("decimal(18,8)")
+        .alias("ttr"),
+    )
+    return ranked.groupBy(
+        F.col("decile").cast("bigint").alias("length_decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("nt").cast("bigint").alias("min_tokens"),
+        F.max("nt").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("ttr").cast("double") / F.count("*"), 6).alias(
+            "avg_ttr"
+        ),
+        F.sum("nd").cast("bigint").alias("total_types"),
     )

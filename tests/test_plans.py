@@ -235,3 +235,11 @@ def test_corpus_filters_are_scan_dominated(spark):
         assert plan.count("Scan parquet") == 1
         assert plan.count("HashAggregate") == 2
         assert "Join" not in plan
+
+
+def test_partitioned_source_prunes(spark):
+    # the partition-column predicate must prune at the scan, not filter
+    # rows post-hoc: PartitionFilters populated, only 3 date dirs read
+    plan = explain_str(_df(spark, "q_source_partition_pruning"))
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
