@@ -815,3 +815,77 @@ def q_events_iat_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 4).alias("sd_iat_s"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    mau AS (
+      SELECT days.d,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau
+      FROM days
+      JOIN events e
+        ON CAST(date_trunc('day', e.ts) AS DATE) <= days.d
+       AND CAST(date_trunc('day', e.ts) AS DATE) >= days.d - 27
+      GROUP BY days.d
+    )
+    SELECT dau.d, dau.dau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON mau.d = dau.d
+    WHERE dau.d >= (SELECT MIN(d) FROM days) + 27
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness ratio per day (trailing-28-day MAU) — the
+    engagement KPI product teams track; complements q_events_dau_wau
+    (point counts) and q_events_rolling_distinct (7-day window) with
+    the canonical 28-day ratio, reported once the trailing window is
+    complete.
+
+    The MAU side is the classic distinct-over-sliding-window problem:
+    spelled as a band join of the (day, user) DEDUPED pair set against
+    the day spine, then one distinct-count per day — the pair set is
+    bounded by users×days, far smaller than raw events, and the band
+    join fans out ≤28× before the final map-side-combinable count.
+    """
+    e = table(spark, sf_dir, "events")
+    day_user = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("ed"),
+        "user_id",
+    ).distinct()
+    days = day_user.select(F.col("ed").alias("d")).distinct()
+    dau = day_user.groupBy(F.col("ed").alias("d")).agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    mau = (
+        days.join(
+            day_user,
+            (F.col("ed") <= F.col("d"))
+            & (F.col("ed") >= F.date_sub(F.col("d"), 27)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    first_day = days.agg(F.min("d").alias("d0"))
+    return (
+        dau.join(mau, "d")
+        .crossJoin(F.broadcast(first_day))
+        .filter(F.col("d") >= F.date_add(F.col("d0"), 27))
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -760,8 +760,7 @@ def q_win_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d,
            CASE WHEN above = 1 THEN 'golden' ELSE 'death' END
              AS cross_type,
-           ROUND(CAST(s7 AS DOUBLE) / 700.0, 2) AS sma7,
-           ROUND(CAST(s28 AS DOUBLE) / 2800.0, 2) AS sma28
+           s7 AS sum7_cents, s28 AS sum28_cents
     FROM flagged
     WHERE prev_above IS NOT NULL AND above <> prev_above
     """,
@@ -773,7 +772,10 @@ def q_win_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The float-free trick: SMA7 > SMA28 ⟺ 4·S7 > S28 in exact integer
     cents (7 and 28 share the factor 4·7), so the crossing flags can
-    never disagree across engines; the float SMAs are display-only.
+    never disagree across engines; the trailing sums are reported as
+    exact cents (the reader divides by 7/28 days for the averages —
+    a float display division would be the only cross-engine rounding
+    hazard in the whole query).
     Both windows and the lag run over the AGGREGATED daily series
     (bounded by calendar, not row count) in a single partition — the
     correct physical shape, because the series after the first
@@ -813,8 +815,8 @@ def q_win_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("above") == 1, "golden")
         .otherwise("death")
         .alias("cross_type"),
-        F.round(F.col("s7").cast("double") / 700.0, 2).alias("sma7"),
-        F.round(F.col("s28").cast("double") / 2800.0, 2).alias("sma28"),
+        F.col("s7").alias("sum7_cents"),
+        F.col("s28").alias("sum28_cents"),
     )
 
 
@@ -908,4 +910,86 @@ def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(rsi >= 60, "overbought").otherwise("oversold").alias(
             "signal"
         ),
+    )
+
+
+@register(
+    "q_win_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, n,
+             ABS(n - LAG(n) OVER (ORDER BY d)) AS mrange
+      FROM daily
+    ),
+    limits AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS sn,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(mrange) AS BIGINT) AS smr,
+             CAST(COUNT(mrange) AS BIGINT) AS nmr
+      FROM mr
+    )
+    SELECT d, n AS n_events,
+           ROUND(CAST(sn AS DOUBLE) / nd, 4) AS center,
+           ROUND(CAST(sn AS DOUBLE) / nd
+                 + 2.66 * CAST(smr AS DOUBLE) / nmr, 4) AS ucl,
+           ROUND(CAST(sn AS DOUBLE) / nd
+                 - 2.66 * CAST(smr AS DOUBLE) / nmr, 4) AS lcl,
+           CASE WHEN n > CAST(sn AS DOUBLE) / nd
+                        + 2.66 * CAST(smr AS DOUBLE) / nmr
+                THEN 'above_ucl'
+                WHEN n < CAST(sn AS DOUBLE) / nd
+                        - 2.66 * CAST(smr AS DOUBLE) / nmr
+                THEN 'below_lcl'
+                ELSE 'in_control' END AS status
+    FROM mr CROSS JOIN limits
+    """,
+)
+def q_win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart on daily event
+    counts: natural process limits x̄ ± 2.66·m̄R, reporting the
+    out-of-control days — the SPC discipline behind "is this spike
+    signal or noise", complementing q_win_rolling_z (rolling local z)
+    with FIXED whole-series limits derived from short-term variation.
+
+    x̄ and m̄R come from exact integer sums over the tiny daily series
+    (the moving range is |Δ| of BIGINTs); limits are one fixed float
+    expression broadcast back onto the series.  The raw scan
+    collapses map-side; both windows run on the bounded daily series.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    mr = daily.select(
+        "d",
+        "n",
+        F.abs(F.col("n") - F.lag("n").over(W.orderBy("d"))).alias(
+            "mrange"
+        ),
+    )
+    limits = mr.agg(
+        F.sum("n").cast("bigint").alias("sn"),
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("mrange").cast("bigint").alias("smr"),
+        F.count("mrange").cast("bigint").alias("nmr"),
+    )
+    center = F.col("sn").cast("double") / F.col("nd")
+    mrbar = F.col("smr").cast("double") / F.col("nmr")
+    ucl = center + 2.66 * mrbar
+    lcl = center - 2.66 * mrbar
+    return mr.crossJoin(F.broadcast(limits)).select(
+        "d",
+        F.col("n").alias("n_events"),
+        F.round(center, 4).alias("center"),
+        F.round(ucl, 4).alias("ucl"),
+        F.round(lcl, 4).alias("lcl"),
+        F.when(F.col("n") > ucl, "above_ucl")
+        .when(F.col("n") < lcl, "below_lcl")
+        .otherwise("in_control")
+        .alias("status"),
     )

@@ -2500,3 +2500,89 @@ def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("nd").cast("bigint").alias("total_types"),
     )
+
+
+@register(
+    "q_text_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    vsize AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM vocab GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, c AS n_common,
+           sa.nv AS vocab_a, sb.nv AS vocab_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.nv + sb.nv - c), 6)
+             AS vocab_jaccard
+    FROM common
+    JOIN vsize sa ON sa.source = src_a
+    JOIN vsize sb ON sb.source = src_b
+    ORDER BY CAST(c AS DOUBLE) / (sa.nv + sb.nv - c) DESC,
+             src_a, src_b
+    LIMIT 20
+    """,
+)
+def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-overlap matrix between corpus sources (Jaccard of
+    distinct-token sets, top-20 most overlapping pairs) — the
+    content-level counterpart to q_text_burrows (which compares
+    frequency STYLE): near-total vocabulary overlap between two
+    "different" sources is the fingerprint of a shared upstream crawl
+    that per-document dedup misses.
+
+    The corpus collapses to (source, token) distinct pairs first —
+    bounded by Σ vocabularies, far smaller than token occurrences —
+    then a self-join on token with src_a < src_b and one exact count
+    per pair; degree tables broadcast.  Hot tokens (stopwords shared
+    by all 20 sources) fan out at most C(20,2) = 190× — bounded by
+    the SOURCE count, not the corpus, so the shape holds at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(tokens()).alias("tok")
+    ).distinct()
+    vsize = vocab.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nv")
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    sa = vsize.select(
+        F.col("source").alias("src_a"), F.col("nv").alias("vocab_a")
+    )
+    sb = vsize.select(
+        F.col("source").alias("src_b"), F.col("nv").alias("vocab_b")
+    )
+    jac = F.col("c").cast("double") / (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("c")
+    )
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .orderBy(jac.desc(), "src_a", "src_b")
+        .limit(20)
+        .select(
+            "src_a",
+            "src_b",
+            F.col("c").alias("n_common"),
+            "vocab_a",
+            "vocab_b",
+            F.round(jac, 6).alias("vocab_jaccard"),
+        )
+    )

@@ -495,3 +495,89 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "header_price double, items_total double",
         )
     )
+
+
+_DEBOUNCE_US = 21_600_000_000  # 6-hour cooldown
+
+
+@register(
+    "q_udf_debounce",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ),
+    kept(user_id, t) AS (
+      SELECT user_id, MIN(t) FROM ev GROUP BY user_id
+      UNION ALL
+      SELECT k.user_id,
+             (SELECT MIN(e.t) FROM ev e
+              WHERE e.user_id = k.user_id
+                AND e.t >= k.t + {_DEBOUNCE_US})
+      FROM kept k
+      WHERE (SELECT MIN(e.t) FROM ev e
+             WHERE e.user_id = k.user_id
+               AND e.t >= k.t + {_DEBOUNCE_US}) IS NOT NULL
+    ),
+    ks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY user_id
+    ),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_events, ks.n_kept,
+           CAST(t.n_events - ks.n_kept AS BIGINT) AS n_suppressed
+    FROM tot t JOIN ks ON ks.user_id = t.user_id
+    """,
+)
+def q_udf_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy alert debounce with a 6-hour cooldown per user: keep an
+    event only if ≥6h has passed since the last KEPT event — the
+    alert-fatigue suppressor every monitoring pipeline needs.  This
+    is a chained recurrence (each decision depends on the previous
+    KEPT time, not the previous row), which no window frame or
+    closed-form rewrite can express — exactly the case SURVEY.md §7's
+    operator tiers reserve for ``applyInPandas``: per-key grouped
+    state in vectorized Arrow batches, the (b)-tier custom-operator
+    escape hatch.  The DuckDB oracle replays the same greedy chain as
+    a recursive CTE, so the Python path is fully hash-checked — the
+    strongest check any UDF operator here carries.
+
+    Scale posture: state per group is one timestamp; groups shuffle
+    once on user_id and stream through Arrow in bounded batches.  The
+    streaming twin would be ``applyInPandasWithState`` with the same
+    per-key loop (see streaming/ops.py's stateful pattern).
+    """
+    import pandas as pd  # noqa: F811 — local for executor pickling
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("t")
+    )
+
+    def debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        uid = pdf["user_id"].iloc[0]
+        n = len(pdf)
+        kept = 0
+        last = None
+        for t in pdf["t"].to_numpy():
+            if last is None or t >= last + _DEBOUNCE_US:
+                kept += 1
+                last = t
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n],
+                "n_kept": [kept],
+                "n_suppressed": [n - kept],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        debounce,
+        schema=(
+            "user_id bigint, n_events bigint, "
+            "n_kept bigint, n_suppressed bigint"
+        ),
+    )

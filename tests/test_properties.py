@@ -264,3 +264,63 @@ def test_mmr_picks_are_distinct_and_first_is_most_relevant(spark):
     assert len(set(ids)) == 5
     assert rows[0].max_sim_selected == 0.0
     assert rows[0].rel == max(r.rel for r in rows)
+
+
+def test_new_metric_range_invariants(spark):
+    """Closed-form ranges for the round-3 statistical operators."""
+    b = REGISTRY["q_events_iat_burstiness"].fn(spark, SF_DIR).collect()
+    assert all(-1.0 <= r.burstiness <= 1.0 for r in b)
+
+    mi = REGISTRY["q_stats_mutual_info"].fn(spark, SF_DIR).collect()[0]
+    assert mi.mi_nats >= -1e-9  # MI is non-negative up to rounding
+    assert mi.h_y_nats > 0.0
+    assert mi.mi_nats <= mi.h_y_nats + 1e-9  # MI ≤ H(Y)
+
+    psi = REGISTRY["q_ml_psi"].fn(spark, SF_DIR).collect()
+    assert all(r.psi_term >= -1e-9 for r in psi)  # each term ≥ 0
+
+    disp = REGISTRY["q_stats_dispersion"].fn(spark, SF_DIR).collect()
+    assert all(r.dispersion_index > 0.0 for r in disp)
+
+    ttr = REGISTRY["q_text_ttr_curve"].fn(spark, SF_DIR).collect()
+    assert all(0.0 < r.avg_ttr <= 1.0 for r in ttr)
+    # TTR falls (weakly) as docs get longer: first decile ≥ last
+    first = min(ttr, key=lambda r: r.length_decile)
+    last = max(ttr, key=lambda r: r.length_decile)
+    assert first.avg_ttr >= last.avg_ttr
+
+    tau = REGISTRY["q_stats_kendall"].fn(spark, SF_DIR).collect()[0]
+    # tau_b is NULL when one variable is constant (all pairs tied) —
+    # the sf0.001 fixture has one order/day, so tolerate the degenerate
+    assert tau.tau_b is None or -1.0 <= tau.tau_b <= 1.0
+
+    kappa = REGISTRY["q_stats_kappa"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= kappa.kappa <= 1.0
+
+    jac = REGISTRY["q_graph_jaccard"].fn(spark, SF_DIR).collect()
+    assert all(0.0 < r.jaccard <= 1.0 for r in jac)
+
+    cal = REGISTRY["q_ml_calibration"].fn(spark, SF_DIR).collect()
+    assert all(0.0 <= r.brier <= 1.0 + 1e-9 for r in cal)
+    assert all(0.0 <= r.obs_rate <= 1.0 for r in cal)
+
+
+def test_debounce_conserves_and_suppresses(spark):
+    """Debounce keeps ≥1 event per active user and never more than
+    the user generated; totals reconcile exactly."""
+    rows = REGISTRY["q_udf_debounce"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_kept <= r.n_events
+        assert r.n_suppressed == r.n_events - r.n_kept
+
+
+def test_control_chart_limits_bracket_center(spark):
+    rows = REGISTRY["q_win_control_chart"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl < r.center < r.ucl
+        if r.status == "above_ucl":
+            assert r.n_events > r.ucl
+        elif r.status == "below_lcl":
+            assert r.n_events < r.lcl
