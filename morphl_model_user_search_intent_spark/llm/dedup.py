@@ -915,3 +915,167 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("g").alias("ngram"), "n_docs")
     )
+
+
+@register(
+    "q_dedup_eval",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+    sig AS (
+      SELECT sh.doc_id, seeds.j,
+             MIN({_H32T.format(
+                 x="CAST(seeds.j AS VARCHAR) || '|' || sh.shingle")})
+               AS mh
+      FROM sh CROSS JOIN seeds
+      GROUP BY sh.doc_id, seeds.j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
+             (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
+              + MAX(CASE WHEN j % 2 = 1 THEN mh END))
+             % {_BAND_MOD} AS bk
+      FROM sig GROUP BY doc_id, CAST(j / 2 AS BIGINT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    ),
+    agree AS (
+      SELECT cand.doc_a, cand.doc_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.doc_a
+      JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.j = sa.j
+      GROUP BY cand.doc_a, cand.doc_b
+      HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                  AS BIGINT) >= 4
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b2
+        ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT common.doc_a, common.doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = common.doc_a
+      JOIN sizes sb ON sb.doc_id = common.doc_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - n_common) > 0.5
+    ),
+    m AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM agree) AS n_detected,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM agree JOIN truth
+           ON truth.doc_a = agree.doc_a
+          AND truth.doc_b = agree.doc_b) AS tp
+    )
+    SELECT n_truth, n_detected, tp,
+           CAST(n_detected - tp AS BIGINT) AS fp,
+           CAST(n_truth - tp AS BIGINT) AS fn,
+           ROUND(CAST(tp AS DOUBLE) / n_detected, 6) AS precision_,
+           ROUND(CAST(tp AS DOUBLE) / n_truth, 6) AS recall_
+    FROM m
+    """,
+)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector evaluation for the portable MinHash-LSH near-dup
+    pipeline: its final pair verdicts (band candidates with ≥4/8
+    signature agreement) graded against the EXACT 3-shingle Jaccard
+    > 0.5 ground truth — TP/FP/FN, precision, recall, all
+    hash-checked in both engines.  This is the audit a dedup rollout
+    publishes before destructive deletion is enabled: the sketch is
+    only trusted because this table says how often it lies.
+
+    Every stage reuses the bit-identical portable machinery
+    (md5-derived min-hashes, prime-mixed band keys), so the eval is
+    deterministic; the exact-truth side is the bounded inverted-index
+    join of q_dedup_jaccard.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    seeds = spark.createDataFrame(
+        [(j,) for j in range(_MINHASH_SEEDS)], "j bigint"
+    )
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "j",
+            F.expr(
+                _H32T.format(x="concat(cast(j as string), '|', shingle)")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("j") / 2).alias("b")
+    ).agg(
+        (
+            (
+                F.max(F.when(F.col("j") % 2 == 0, F.col("mh")))
+                * _BAND_MIX
+                + F.max(F.when(F.col("j") % 2 == 1, F.col("mh")))
+            )
+            % _BAND_MOD
+        ).alias("bk")
+    )
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "b", "bk")
+    cand = (
+        bands.join(b2, ["b", "bk"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mha")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mhb")
+    )
+    detected = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("matches")
+        )
+        .filter(F.col("matches") >= 4)
+        .select("doc_a", "doc_b")
+    )
+    truth = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    n_detected = detected.count()
+    tp = detected.join(truth, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_detected,
+                tp,
+                n_detected - tp,
+                n_truth - tp,
+                round(tp / n_detected, 6) if n_detected else 0.0,
+                round(tp / n_truth, 6) if n_truth else 0.0,
+            )
+        ],
+        "n_truth bigint, n_detected bigint, tp bigint, fp bigint, "
+        "fn bigint, precision_ double, recall_ double",
+    )

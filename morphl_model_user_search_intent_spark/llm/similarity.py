@@ -1214,3 +1214,132 @@ def q_sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_near_zero"),
     )
+
+
+@register(
+    "q_sim_srp_balance",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             CASE WHEN {_H32S.format(
+                 x="CAST(p.p AS VARCHAR) || ',' || CAST(d.d AS VARCHAR)")}
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT UNNEST(generate_series(0, 7)) AS p) p
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS d) d
+    ),
+    dims AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS d,
+             CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])), 6)
+                  AS DECIMAL(27, 6)) AS val
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT dims.vec_id, planes.p,
+             SUM(planes.sgn * dims.val) AS dot
+      FROM dims JOIN planes ON planes.d = dims.d
+      GROUP BY dims.vec_id, planes.p
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0
+                      THEN CAST(1 AS BIGINT) * (1 << p)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    bsz AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM sigs GROUP BY bucket
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           ROUND(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 4) AS avg_bucket,
+           ROUND(CAST(MAX(sz) AS DOUBLE)
+                 / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)), 4)
+             AS imbalance_factor,
+           CAST(SUM(sz * sz) AS BIGINT) AS selfjoin_size
+    FROM bsz
+    """,
+)
+def q_sim_srp_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-balance audit for the 8-bit SRP-LSH index — the
+    diagnostic run BEFORE committing to an ANN bucketing: the
+    imbalance factor (max/avg bucket) predicts the worst-task skew of
+    every later bucket join, and Σsz² IS the exact candidate-join
+    size it will generate.  Same deterministic hyperplane machinery
+    as q_sim_srp_lsh (decimal dot products, portable md5 signs), so
+    the bucket assignment — and the audit — is bit-identical
+    cross-engine.
+
+    At billion-vector scale this one cheap aggregate decides between
+    re-hashing (more planes) and bucket-splitting (salting hot
+    buckets) — the same skew playbook as q_join_salted.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(8)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.expr(
+                    _H32S.format(
+                        x="concat(cast(p as string), ',', "
+                        "cast(d as string))"
+                    )
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "v"
+        ),
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("v"), 6).cast("decimal(27,6)").alias("val"),
+    )
+    dots = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("sgn") * F.col("val")).alias("dot"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    bsz = sigs.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return bsz.agg(
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.round(F.sum("sz").cast("double") / F.count("*"), 4).alias(
+            "avg_bucket"
+        ),
+        F.round(
+            F.max("sz").cast("double")
+            / (F.sum("sz").cast("double") / F.count("*")),
+            4,
+        ).alias("imbalance_factor"),
+        F.sum(F.col("sz") * F.col("sz"))
+        .cast("bigint")
+        .alias("selfjoin_size"),
+    )

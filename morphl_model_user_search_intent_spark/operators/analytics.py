@@ -4745,3 +4745,251 @@ def q_orders_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crossed_on",
         )
     )
+
+
+@register(
+    "q_stats_lorenz",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cust
+    ),
+    dec AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) AS BIGINT) AS decile_rev_cents
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(decile_rev_cents) AS BIGINT) AS t FROM dec)
+    SELECT decile, n_customers, decile_rev_cents,
+           CAST(SUM(decile_rev_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_rev_cents,
+           ROUND(CAST(SUM(decile_rev_cents) OVER (ORDER BY decile)
+                      AS DOUBLE) / t, 6) AS cum_share
+    FROM dec CROSS JOIN tot
+    """,
+)
+def q_stats_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration in deciles —
+    the curve BEHIND q_stats_gini's scalar: cumulative revenue share
+    of the poorest 10%, 20%, … richest 10%, the table an inequality
+    or whale-risk review actually reads.
+
+    Decile assignment uses NTILE over the (rev, custkey) total order
+    (engine-identical boundaries); everything else is exact integer
+    cents with one display division.  Per-customer rollup is
+    map-side-combinable; the windows run over 10 rows.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    ranked = cust.select(
+        "rev",
+        F.ntile(10).over(W.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    dec = ranked.groupBy(
+        F.col("decile").cast("bigint").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("decile_rev_cents"),
+    )
+    tot = dec.agg(
+        F.sum("decile_rev_cents").cast("bigint").alias("t")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return dec.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_rev_cents",
+        F.sum("decile_rev_cents").over(wc).cast("bigint").alias(
+            "cum_rev_cents"
+        ),
+        F.round(
+            F.sum("decile_rev_cents").over(wc).cast("double") / F.col("t"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_customer_repeat_conversion",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, o_orderdate AS d1 FROM ranked WHERE rn = 1
+    ),
+    seconds AS (
+      SELECT o_custkey, o_orderdate AS d2 FROM ranked WHERE rn = 2
+    ),
+    joined AS (
+      SELECT f.o_custkey,
+             CAST(date_diff('day', f.d1, s.d2) AS BIGINT) AS gap_days
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_first_buyers,
+           CAST(SUM(CASE WHEN gap_days IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           CAST(SUM(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat_90d,
+           ROUND(CAST(SUM(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conv_90d,
+           CAST(MEDIAN(gap_days) AS DOUBLE) AS median_gap_days
+    FROM joined
+    """,
+)
+def q_customer_repeat_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second-purchase conversion — the retention KPI growth teams
+    live on: of all first-time buyers, how many ever bought again,
+    how many within 90 days, and the median days-to-second-purchase.
+    Complements q_orders_interarrival (all-gap statistics) with the
+    FIRST-to-SECOND transition specifically.
+
+    First/second orders come from one ranking window per customer
+    (deterministic (date, orderkey) tie-break); the median gap is the
+    exact median of integer day gaps (both engines take the midpoint
+    average of the two central values on even counts — a .5-exact
+    double).  One shuffle on custkey, everything after is bounded.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d2")
+    )
+    joined = firsts.join(
+        seconds, firsts.o_custkey == seconds.ck2, "left"
+    ).select(
+        F.datediff(F.col("d2").cast("date"), F.col("d1").cast("date"))
+        .cast("bigint")
+        .alias("gap_days")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_first_buyers"),
+        F.sum(F.when(F.col("gap_days").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.sum(F.when(F.col("gap_days") <= 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat_90d"),
+        F.round(
+            F.sum(F.when(F.col("gap_days") <= 90, 1).otherwise(0))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("conv_90d"),
+        F.median("gap_days").cast("double").alias("median_gap_days"),
+    )
+
+
+@register(
+    "q_ml_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(ROUND(1.0 / (1.0 + EXP(-(value - 50.0) / 10.0)), 6)
+                  AS DECIMAL(18,6)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    thr AS (
+      SELECT CAST(UNNEST(generate_series(1, 9)) AS BIGINT) AS t
+    ),
+    cells AS (
+      SELECT thr.t,
+             CAST(SUM(CASE WHEN s >= thr.t / 10.0 THEN y ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s >= thr.t / 10.0 THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored CROSS JOIN thr
+      GROUP BY thr.t
+    )
+    SELECT t AS threshold_decile, tp, fp,
+           CAST(pos - tp AS BIGINT) AS fn,
+           ROUND(CASE WHEN tp + fp = 0 THEN 0.0
+                 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+             AS precision_,
+           ROUND(CAST(tp AS DOUBLE) / pos, 6) AS recall_
+    FROM cells
+    """,
+)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at the nine decile thresholds of the
+    logistic score — the threshold-picking table that completes the
+    model-eval shelf (q_ml_auc ranks, q_ml_score_ks separates,
+    q_ml_calibration trusts the probabilities; this one chooses the
+    operating point).
+
+    The 9× threshold fan-out is a broadcast cross join; every
+    precision/recall cell is an exact integer ratio.  At 100 TB the
+    scored table is scanned once (the cross join replicates rows
+    9×, map-side, before one combinable aggregate — no shuffle
+    amplification on the raw stream).
+    """
+    e = table(spark, sf_dir, "events")
+    s = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0)), 6
+    ).cast("decimal(18,6)")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    scored = e.select(s.alias("s"), y.alias("y"))
+    thr = spark.range(1, 10).select(F.col("id").alias("t"))
+    cells = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= F.col("t") / 10.0, F.col("y"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("s") >= F.col("t") / 10.0, 1 - F.col("y"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    return cells.select(
+        F.col("t").alias("threshold_decile"),
+        "tp",
+        "fp",
+        (F.col("pos") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(
+            F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("pos"), 6).alias(
+            "recall_"
+        ),
+    )

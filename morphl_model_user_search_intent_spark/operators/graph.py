@@ -724,3 +724,96 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("bigint").alias("max_degree"),
         F.sum("d").cast("bigint").alias("sum_degree"),
     )
+
+
+_KCORE_K = 3
+
+_KCORE_PEEL = """
+    deg{r} AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+      FROM e{p} GROUP BY src
+    ),
+    keep{r} AS (SELECT src FROM deg{r} WHERE d >= {k}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN keep{r} ka ON ka.src = e.src
+      JOIN keep{r} kb ON kb.src = e.dst
+    )"""
+
+
+@register(
+    "q_graph_kcore",
+    oracle=(
+        """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),"""
+        + ",".join(
+            _KCORE_PEEL.format(r=r, p=r - 1, k=_KCORE_K)
+            for r in (1, 2, 3)
+        )
+        + """
+    SELECT 1 AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+    UNION ALL
+    SELECT 2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    UNION ALL
+    SELECT 3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep3),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+    """
+    ),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds toward the 3-core of the co-purchase
+    graph: repeatedly drop nodes with degree < 3 and their incident
+    edges, reporting (nodes, edges) after each round — the
+    densest-substructure triage (community cores, spam rings) that
+    complements q_graph_degree_dist (static histogram) with the
+    iterative view.  Full k-core runs to fixpoint; three rounds are
+    unrolled so the DuckDB twin can replay them as chained CTEs and
+    hash-check every intermediate.
+
+    Each round is one degree aggregate + one semi-join-shaped edge
+    filter — the same join/agg building blocks as PageRank, shuffling
+    on the node key every time (a real deployment pre-partitions the
+    edge table once and reuses the exchange).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    rows = []
+    for rnd in (1, 2, 3):
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("src")
+        e = (
+            e.join(keep.withColumnRenamed("src", "ka"), F.col("src") == F.col("ka"))
+            .join(keep.withColumnRenamed("src", "kb"), F.col("dst") == F.col("kb"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_nodes = keep.count()
+        n_edges = e.count()
+        rows.append((rnd, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes bigint, n_edges bigint"
+    )

@@ -964,3 +964,61 @@ def q_join_asof_tolerance(
             ).alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "q_join_division",
+    oracle="""
+    WITH years AS (
+      SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y
+      FROM orders
+    ),
+    cy AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) AS BIGINT) AS y
+      FROM orders
+    ),
+    winners AS (
+      SELECT o_custkey
+      FROM cy
+      GROUP BY o_custkey
+      HAVING CAST(COUNT(*) AS BIGINT)
+             = (SELECT CAST(COUNT(*) AS BIGINT) FROM years)
+    )
+    SELECT w.o_custkey AS custkey, c.c_mktsegment,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM years) AS n_years
+    FROM winners w JOIN customer c ON c.c_custkey = w.o_custkey
+    """,
+)
+def q_join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — "customers who ordered in EVERY calendar
+    year the business has been active" — the universally-quantified join
+    (÷) that completes the join algebra next to semi (∃) and anti
+    (∄).  Spelled the scale-correct way: dedup to (customer, month)
+    pairs, count per customer, compare against the divisor
+    cardinality — never a 12-way self-join.
+
+    All counts exact; the divisor count broadcasts as a scalar.  The
+    pair dedup and the per-customer count are the only shuffles, both
+    map-side-combinable.
+    """
+    o = table(spark, sf_dir, "orders")
+    cy = o.select(
+        "o_custkey", F.year("o_orderdate").cast("bigint").alias("y")
+    ).distinct()
+    n_years = cy.select("y").distinct().count()
+    winners = (
+        cy.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("ny"))
+        .filter(F.col("ny") == n_years)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return winners.join(
+        F.broadcast(c), winners.o_custkey == c.c_custkey
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.lit(n_years).cast("bigint").alias("n_years"),
+    )

@@ -575,3 +575,107 @@ def q_quality_bot_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bot_flag"),
         )
     )
+
+
+@register(
+    "q_quality_temporal",
+    oracle="""
+    WITH ship AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                             OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM events
+    ),
+    ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN o_orderdate
+                             < TIMESTAMP '1992-01-01 00:00:00'
+                             OR o_orderdate
+                             >= TIMESTAMP '1999-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM orders
+    )
+    SELECT 'ship_after_order' AS check_name, n_checked, n_bad FROM ship
+    UNION ALL
+    SELECT 'events_in_window', n_checked, n_bad FROM ev
+    UNION ALL
+    SELECT 'orders_in_range', n_checked, n_bad FROM ord
+    """,
+)
+def q_quality_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-consistency audit — the causality checks a pipeline
+    gates on before trusting event-time logic: no lineitem ships
+    before its order is placed (FK-joined comparison), all events
+    fall inside the loaded window, all order dates inside the known
+    business range.  Complements q_quality_expectations (values/keys)
+    and q_quality_key_gaps (sequence holes) with cross-row TIME
+    invariants.
+
+    The join probes orders on its key (broadcast at fixture scale,
+    shuffle-on-key at 100 TB — either way the violation count is one
+    map-side-combinable conditional sum); the range checks are pure
+    scans.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ship = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bad"),
+        )
+        .select(F.lit("ship_after_order").alias("check_name"), "n_checked", "n_bad")
+    )
+    e = table(spark, sf_dir, "events")
+    ev = e.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                | (
+                    F.col("ts")
+                    >= F.lit("2024-02-01 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad"),
+    ).select(F.lit("events_in_window").alias("check_name"), "n_checked", "n_bad")
+    o2 = table(spark, sf_dir, "orders")
+    ord_ = o2.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(
+                (
+                    F.col("o_orderdate")
+                    < F.lit("1992-01-01 00:00:00").cast("timestamp")
+                )
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad"),
+    ).select(F.lit("orders_in_range").alias("check_name"), "n_checked", "n_bad")
+    return ship.unionByName(ev).unionByName(ord_)

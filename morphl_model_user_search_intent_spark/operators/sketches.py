@@ -339,3 +339,93 @@ def q_sketch_hllpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@register(
+    "q_sketch_ams",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM f),
+    seeds AS (SELECT UNNEST(generate_series(0, 15)) AS j),
+    signs AS (
+      SELECT f.user_id, f.c, seeds.j,
+             CASE WHEN {_H32.format(
+                 x="CAST(seeds.j AS VARCHAR) || ':' || "
+                   "CAST(f.user_id AS VARCHAR)")}
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM f CROSS JOIN seeds
+    ),
+    sj AS (
+      SELECT j, CAST(SUM(sgn * c) AS BIGINT) AS s
+      FROM signs GROUP BY j
+    ),
+    est AS (
+      SELECT CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM sj
+    )
+    SELECT exact.f2 AS exact_f2,
+           CAST(est.sum_sq // est.k AS BIGINT) AS ams_estimate,
+           ROUND(ABS(CAST(est.sum_sq // est.k AS DOUBLE) - exact.f2)
+                 / exact.f2, 6) AS rel_error
+    FROM exact CROSS JOIN est
+    """,
+)
+def q_sketch_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F₂ sketch over the user-activity
+    stream: 16 portable ±1 hash signs, S_j = Σ sgn_j(user)·freq, and
+    F̂₂ = mean(S_j²) — the second-frequency-moment estimator whose
+    real job is JOIN-SIZE estimation (Σf² is exactly the self-join
+    row count), reported against the exact F₂ so the error is
+    auditable.  Completes the sketch shelf next to Count-Min (point
+    freq), KMV/HLL/theta (distinct), and Bloom (membership).
+
+    Everything is exact integers — signs from the portable md5 hash,
+    counts, and the 16 sign-sums — so both engines compute identical
+    estimates; the only float is the final displayed relative error.
+    One pass for frequencies, one 16× fan-out for the sketch.
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    exact = f.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2")
+    )
+    seeds = spark.range(16).select(F.col("id").alias("j"))
+    signs = f.crossJoin(F.broadcast(seeds)).select(
+        "c",
+        "j",
+        F.when(
+            F.expr(
+                _H32.format(
+                    x="concat(cast(j as string), ':', "
+                    "cast(user_id as string))"
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    sj = signs.groupBy("j").agg(
+        F.sum(F.col("sgn") * F.col("c")).cast("bigint").alias("s")
+    )
+    est = sj.agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_sq"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    return exact.crossJoin(est).select(
+        F.col("f2").alias("exact_f2"),
+        F.expr("CAST(sum_sq div k AS BIGINT)").alias("ams_estimate"),
+        F.round(
+            F.abs(
+                F.expr("CAST(sum_sq div k AS DOUBLE)") - F.col("f2")
+            )
+            / F.col("f2"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -826,3 +826,326 @@ def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("info_ratio"),
         )
     )
+
+
+@register(
+    "q_stats_odds_ratio",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS outcome,
+             CASE WHEN value >= 100 THEN 1 ELSE 0 END AS exposed
+      FROM events
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT a, b, c, d,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_low,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_high
+    FROM cells
+    """,
+)
+def q_stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with the Woolf 95% CI for a 2×2 exposure/outcome
+    table (high-value event vs purchase outcome) — the effect-size
+    report an experimentation or risk pipeline publishes next to the
+    χ² p-value (q_stats_chi2 tests existence; this sizes it, with
+    uncertainty).  OR = ad/bc; CI = exp(ln OR ± 1.96·√(Σ1/cell)).
+
+    One map-side-combinable pass builds the four exact integer cells;
+    the OR and CI are fixed float expressions.  Scan-dominated at any
+    scale.
+    """
+    e = table(spark, sf_dir, "events")
+    outcome = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    exposed = F.when(F.col("value") >= 100, 1).otherwise(0)
+    flags = e.select(outcome.alias("o"), exposed.alias("x"))
+    cells = flags.agg(
+        F.sum(F.when((F.col("x") == 1) & (F.col("o") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("o") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("o") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("o") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    orr = (
+        F.col("a").cast("double")
+        * F.col("d")
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    half = 1.96 * F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - half), 6).alias("ci_low"),
+        F.round(F.exp(F.log(orr) + half), 6).alias("ci_high"),
+    )
+
+
+@register(
+    "q_ml_score_ks",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(ROUND(1.0 / (1.0 + EXP(-(value - 50.0) / 10.0)), 6)
+                  AS DECIMAL(18,6)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS np,
+             CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM scored
+    ),
+    by_score AS (
+      SELECT s,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS q
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s,
+             CAST(SUM(p) OVER (ORDER BY s) AS BIGINT) AS cp,
+             CAST(SUM(q) OVER (ORDER BY s) AS BIGINT) AS cq
+      FROM by_score
+    )
+    SELECT ROUND(ABS(CAST(cp AS DOUBLE) / tot.np
+                     - CAST(cq AS DOUBLE) / tot.nn), 6) AS ks_stat,
+           s AS ks_score,
+           cp AS n_pos_below, cq AS n_neg_below
+    FROM cum CROSS JOIN tot
+    ORDER BY ABS(CAST(cp AS DOUBLE) / tot.np
+                 - CAST(cq AS DOUBLE) / tot.nn) DESC, s
+    LIMIT 1
+    """,
+)
+def q_ml_score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov discrimination of a probability score: the
+    maximum separation between the positive- and negative-class score
+    CDFs, and the score where it occurs (the natural cutoff) — the
+    credit-scoring twin of AUC (q_stats_ks measures drift between
+    periods; this measures class separation on the SAME logistic
+    score q_ml_calibration audits).
+
+    Scores collapse to distinct values first (bounded domain after
+    6-dp rounding), so the CDF window runs over a small series;
+    counts are exact integers and the argmax carries a score
+    tie-break, making the LIMIT 1 deterministic in both engines.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    s = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0)), 6
+    ).cast("decimal(18,6)")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    scored = e.select(s.alias("s"), y.alias("y"))
+    tot = scored.agg(
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("q"),
+    )
+    wc = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cum = by_score.select(
+        "s",
+        F.sum("p").over(wc).cast("bigint").alias("cp"),
+        F.sum("q").over(wc).cast("bigint").alias("cq"),
+    )
+    sep = F.abs(
+        F.col("cp").cast("double") / F.col("np")
+        - F.col("cq").cast("double") / F.col("nn")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .orderBy(sep.desc(), "s")
+        .limit(1)
+        .select(
+            F.round(sep, 6).alias("ks_stat"),
+            F.col("s").alias("ks_score"),
+            F.col("cp").alias("n_pos_below"),
+            F.col("cq").alias("n_neg_below"),
+        )
+    )
+
+
+@register(
+    "q_stats_cohens_h",
+    oracle="""
+    WITH seg AS (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END
+               AS grp,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hot
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN grp = 'a' THEN hot ELSE 0 END) AS BIGINT) AS ka,
+        CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN grp = 'b' THEN hot ELSE 0 END) AS BIGINT) AS kb
+      FROM seg
+    )
+    SELECT na, ka, nb, kb,
+           ROUND(CAST(ka AS DOUBLE) / na, 6) AS p_a,
+           ROUND(CAST(kb AS DOUBLE) / nb, 6) AS p_b,
+           ROUND(2 * ASIN(SQRT(CAST(ka AS DOUBLE) / na))
+                 - 2 * ASIN(SQRT(CAST(kb AS DOUBLE) / nb)), 6)
+             AS cohens_h
+    FROM s
+    """,
+)
+def q_stats_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for two proportions (urgent-order rate,
+    BUILDING segment vs the rest): h = 2·asin√p₁ − 2·asin√p₂ — the
+    arcsine-stabilized effect size an experimentation report pairs
+    with its significance test (q_ab_test says IF rates differ; h
+    says HOW MUCH in a variance-stabilized unit).
+
+    One broadcast dimension join + one map-side-combinable pass into
+    four exact integer cells; h is a single fixed float expression
+    (asin/sqrt evaluate identically on identical doubles).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hot"),
+    )
+    s = seg.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == "a", F.col("hot")).otherwise(0))
+        .cast("bigint")
+        .alias("ka"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == "b", F.col("hot")).otherwise(0))
+        .cast("bigint")
+        .alias("kb"),
+    )
+    pa = F.col("ka").cast("double") / F.col("na")
+    pb = F.col("kb").cast("double") / F.col("nb")
+    return s.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(
+            2 * F.asin(F.sqrt(pa)) - 2 * F.asin(F.sqrt(pb)), 6
+        ).alias("cohens_h"),
+    )
+
+
+@register(
+    "q_stats_trimmed_mean",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+                  AS BIGINT) AS rn,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cust) AS n
+      FROM cust
+    ),
+    kept AS (
+      SELECT rev, n FROM ranked
+      WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT ANY_VALUE(n) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*) / 100, 4)
+             AS trimmed_mean,
+           CAST(MIN(rev) AS BIGINT) AS kept_min_cents,
+           CAST(MAX(rev) AS BIGINT) AS kept_max_cents
+    FROM kept
+    """,
+)
+def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of per-customer revenue — the
+    robust-location estimate that completes the robust-statistics
+    shelf (q_feature_winsorize clamps, q_stats_mad scales, this
+    trims): drop the bottom and top ⌊n/10⌋ by exact rank, average
+    the rest.
+
+    Rank boundaries are exact integers over the (rev, custkey) total
+    order — no percentile interpolation to disagree on; the kept
+    sum is exact cents.  One rollup + one bounded window + one
+    aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    n = cust.count()
+    k = n // 10
+    ranked = cust.select(
+        "rev",
+        F.row_number()
+        .over(W.orderBy("rev", "o_custkey"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= n - k))
+    return kept.agg(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("rev").cast("double") / F.count("*") / 100, 4
+        ).alias("trimmed_mean"),
+        F.min("rev").cast("bigint").alias("kept_min_cents"),
+        F.max("rev").cast("bigint").alias("kept_max_cents"),
+    )

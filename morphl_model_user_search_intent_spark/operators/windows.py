@@ -993,3 +993,73 @@ def q_win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("in_control")
         .alias("status"),
     )
+
+
+@register(
+    "q_win_donchian",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    chan AS (
+      SELECT d, rev,
+             CAST(MAX(rev) OVER (ORDER BY d
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS hi20,
+             CAST(MIN(rev) OVER (ORDER BY d
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS lo20,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+      FROM daily
+    )
+    SELECT d, rev AS rev_cents, hi20 AS hi20_cents, lo20 AS lo20_cents,
+           CASE WHEN rev > hi20 THEN 'breakout_high'
+                ELSE 'breakout_low' END AS signal
+    FROM chan
+    WHERE rn > 20 AND (rev > hi20 OR rev < lo20)
+    """,
+)
+def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakout detector on daily revenue: days that
+    close above the prior-20-day high or below the prior-20-day low —
+    the rolling-extreme complement to q_win_control_chart (fixed
+    limits) and q_win_rolling_z (local z): an integer-only rule with
+    no variance estimate at all, so it's immune to heavy tails.
+
+    The channel frame ends at 1 PRECEDING (the current day must beat
+    the PRIOR window, else every new high "breaks out" of itself).
+    Exact integer cents everywhere; the window runs on the bounded
+    daily series after a map-side-combined rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    wd = W.orderBy("d")
+    prior = wd.rowsBetween(-20, -1)
+    chan = daily.select(
+        "d",
+        "rev",
+        F.max("rev").over(prior).cast("bigint").alias("hi20"),
+        F.min("rev").over(prior).cast("bigint").alias("lo20"),
+        F.row_number().over(wd).cast("bigint").alias("rn"),
+    )
+    return chan.filter(
+        (F.col("rn") > 20)
+        & ((F.col("rev") > F.col("hi20")) | (F.col("rev") < F.col("lo20")))
+    ).select(
+        "d",
+        F.col("rev").alias("rev_cents"),
+        F.col("hi20").alias("hi20_cents"),
+        F.col("lo20").alias("lo20_cents"),
+        F.when(F.col("rev") > F.col("hi20"), "breakout_high")
+        .otherwise("breakout_low")
+        .alias("signal"),
+    )

@@ -2586,3 +2586,85 @@ def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("vocab_jaccard"),
         )
     )
+
+
+@register(
+    "q_text_novelty",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(trim(text), ' '))),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i + 1])) AS g
+      FROM documents
+    ),
+    df AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS nd FROM bi GROUP BY g
+    ),
+    per_doc AS (
+      SELECT bi.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM bi JOIN df ON df.g = bi.g
+      GROUP BY bi.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_unique,
+           ROUND(CAST(n_unique AS DOUBLE) / n_bigrams, 6) AS novelty
+    FROM per_doc
+    ORDER BY CAST(n_unique AS DOUBLE) / n_bigrams, doc_id
+    LIMIT 25
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty score per document — the fraction of a doc's
+    distinct bigrams seen in NO other document; the memorization /
+    template-reuse audit run on synthetic or crawled corpora (low
+    novelty ⇒ the doc is stitched from corpus boilerplate; the 25
+    least-novel docs reported are the near-duplicate suspects, and on
+    this fixture they recover the planted near-dup pairs).
+
+    Shape: distinct (doc, bigram) pairs → bigram document-frequency →
+    broadcast-sized? No — the df table is corpus-sized, so the join
+    back is a shuffle join on the bigram key with partial aggs on
+    both sides; at 100 TB the bigram key would be a 64-bit hash.
+    TakeOrdered with (novelty, doc_id) total order.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    df_ = bi.groupBy("g").agg(F.count("*").cast("bigint").alias("nd"))
+    per_doc = (
+        bi.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    nov = F.col("n_unique").cast("double") / F.col("n_bigrams")
+    return (
+        per_doc.orderBy(nov, "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unique",
+            F.round(nov, 6).alias("novelty"),
+        )
+    )

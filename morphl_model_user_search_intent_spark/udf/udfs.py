@@ -581,3 +581,75 @@ def q_udf_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept bigint, n_suppressed bigint"
         ),
     )
+
+
+@register(
+    "q_udf_ema",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS rn
+      FROM orders GROUP BY 1
+    ),
+    ema(rn, d, rev, e) AS (
+      SELECT rn, d, rev, CAST(rev AS DOUBLE) FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT dd.rn, dd.d, dd.rev,
+             (2.0 / 15.0) * dd.rev + (13.0 / 15.0) * ema.e
+      FROM ema JOIN daily dd ON dd.rn = ema.rn + 1
+    ),
+    n AS (SELECT CAST(MAX(rn) AS BIGINT) AS nmax FROM daily)
+    SELECT d, rev AS rev_cents, ROUND(e / 100, 4) AS ema_14d
+    FROM ema CROSS JOIN n
+    WHERE rn > nmax - 30
+    """,
+)
+def q_udf_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder-style 14-period EMA of daily revenue (α = 2/15),
+    reported for the last 30 days — the RECURSIVE smoother that,
+    unlike q_win_holt's closed-form linear filter, genuinely carries
+    state forward from t₀ and therefore cannot be a window frame.
+    Second member of the grouped-state family q_udf_debounce opened:
+    ``applyInPandas`` runs the sequential chain in one Arrow batch
+    (the daily series is bounded by calendar, so one group ≪ one
+    partition), and the DuckDB oracle replays the IDENTICAL float
+    chain as a recursive CTE — same operands, same IEEE op order ⇒
+    bit-identical doubles, rounded only for display.
+
+    At scale the per-series state is two doubles; many independent
+    series (one per metric/tenant) parallelize as groups, which is
+    the real deployment shape.
+    """
+    import pandas as pd  # noqa: F811
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    ).withColumn("g", F.lit(1))
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        e = None
+        out = []
+        for rev in pdf["rev"].to_numpy():
+            rev = float(rev)
+            e = rev if e is None else (2.0 / 15.0) * rev + (13.0 / 15.0) * e
+            out.append(e)
+        pdf["ema"] = out
+        return pdf.tail(30)[["d", "rev", "ema"]]
+
+    res = daily.groupBy("g").applyInPandas(
+        ema, schema="d date, rev bigint, ema double"
+    )
+    return res.select(
+        "d",
+        F.col("rev").alias("rev_cents"),
+        F.round(F.col("ema") / 100, 4).alias("ema_14d"),
+    )
