@@ -249,3 +249,76 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dims").cast("bigint").alias("embedding_dims"),
         )
     )
+
+
+# Audio contract: payload → fixed-size windows → per-window energy.
+_AUDIO_SCHEMA = (
+    "doc_id bigint, window_idx int, n_samples int, "
+    "energy bigint, active int"
+)
+
+_SAMPLE_BYTES = 2  # pseudo 16-bit PCM
+_WIN_SAMPLES = 64  # samples per analysis window
+_HOP_SAMPLES = 32  # 50% overlap
+_ENERGY_GATE = 120_000_000  # activity threshold on Σ sample²
+
+
+def _audio_window_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched audio windower + energy gate (VAD shape).
+
+    STUB like :func:`_decode_batch` (no soundfile/librosa in this
+    container): the payload bytes are read as little-endian unsigned
+    16-bit "PCM" samples, framed into 64-sample windows with 50%
+    overlap, and gated on integer Σ sample² energy.  The production
+    body swaps the byte view for a real decoder; the contract —
+    1 payload row in → N window rows out, integer features, bounded
+    Arrow batches — is exactly what ships for voice-activity
+    segmentation of training audio.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "window_idx", "n_samples", "energy", "active",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            usable = (len(buf) // _SAMPLE_BYTES) * _SAMPLE_BYTES
+            samples = np.frombuffer(buf[:usable], dtype="<u2").astype(
+                np.int64
+            )
+            idx = 0
+            start = 0
+            while start < len(samples):
+                win = samples[start:start + _WIN_SAMPLES]
+                energy = int((win * win).sum())
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(idx)
+                out["n_samples"].append(len(win))
+                out["energy"].append(energy)
+                out["active"].append(int(energy >= _ENERGY_GATE))
+                idx += 1
+                start += _HOP_SAMPLES
+        yield pd.DataFrame(out)
+
+
+@register("q_multimodal_audio", oracle=None)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing + energy-gate segmentation over opaque payloads
+    (rows-only): the overlapped-window fan-out every speech pipeline
+    runs before ASR/feature extraction, with integer per-window
+    energies so the stub is exactly reproducible (the pytest twin
+    recomputes a document's windows in pure Python and compares).
+
+    Scale posture mirrors q_multimodal_frames: fan-out ×(len/hop)
+    happens AFTER filters, binary column pruned everywhere else;
+    per-window state is one int64, so executor memory is bounded by
+    the Arrow batch size, not the audio length.
+    """
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(_audio_window_batch, schema=_AUDIO_SCHEMA)

@@ -889,3 +889,90 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_events_half_life",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(dau AS DOUBLE)), 8)
+                  AS DECIMAL(20,8)) AS y
+      FROM dau
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(y) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(x * y) AS sxy
+      FROM xy
+    )
+    SELECT n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx), 8) AS decay_slope,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) < 0
+                THEN ROUND(-LN(2) /
+                     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)), 4)
+                ELSE NULL END AS half_life_days
+    FROM m
+    """,
+)
+def q_events_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement decay half-life: fit ln(DAU) ~ day OLS and report
+    −ln2/slope — "days until daily actives halve", the retention
+    summary a launch post-mortem quotes (NULL when the series isn't
+    decaying, as a healthy steady-state product shows).
+
+    ln(DAU) values round to DECIMAL(20,8) before the moment sums
+    (order-independent); x-moments are exact integers; slope and
+    half-life are single fixed float expressions.  DAU rollup
+    map-side-combines; the regression runs on the bounded daily
+    series.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    xy = dau.select(
+        (F.row_number().over(W.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("dau").cast("double")), 8)
+        .cast("decimal(20,8)")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 8).alias("decay_slope"),
+        F.when(
+            slope < 0, F.round(-F.log(F.lit(2.0)) / slope, 4)
+        ).alias("half_life_days"),
+    )

@@ -184,3 +184,39 @@ def test_confusion_cells_sum_to_test_split(spark):
     total = sum(r.n for r in rows)
     assert total > 0
     assert all(0 <= r.label <= 9 and 0 <= r.prediction <= 9 for r in rows)
+
+
+def test_multimodal_audio_windows_exact(spark):
+    """The audio stub's windows are exactly reproducible: recompute
+    one document's per-window energies in pure Python."""
+    from morphl_model_user_search_intent_spark import REGISTRY, table
+    from conftest import SF_DIR
+
+    rows = (
+        REGISTRY["q_multimodal_audio"].fn(spark, SF_DIR)
+        .filter("doc_id = 1")
+        .orderBy("window_idx")
+        .collect()
+    )
+    text = (
+        table(spark, SF_DIR, "documents")
+        .filter("doc_id = 1")
+        .collect()[0]
+        .text
+    )
+    buf = text.encode("utf-8")
+    usable = (len(buf) // 2) * 2
+    samples = [
+        int.from_bytes(buf[i:i + 2], "little") for i in range(0, usable, 2)
+    ]
+    expect = []
+    start, idx = 0, 0
+    while start < len(samples):
+        win = samples[start:start + 64]
+        e = sum(v * v for v in win)
+        expect.append((idx, len(win), e, int(e >= 120_000_000)))
+        idx += 1
+        start += 32
+    got = [(r.window_idx, r.n_samples, r.energy, r.active) for r in rows]
+    assert got == expect
+    assert any(r.active for r in rows) or all(not r.active for r in rows)
