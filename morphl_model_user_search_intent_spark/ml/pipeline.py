@@ -1392,3 +1392,115 @@ def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_ml_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(ROUND(1.0 / (1.0 + EXP(-(value - 50.0) / 10.0)), 6)
+                  AS DECIMAL(18,6)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, s, y
+      FROM scored
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             SUM(s) AS ssum,
+             CAST(SUM(y) AS BIGINT) AS ksum
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(ksum) AS BIGINT) AS k
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(nk * (CAST(ssum AS DOUBLE) / nk
+                         - CAST(ksum AS DOUBLE) / nk)
+                      * (CAST(ssum AS DOUBLE) / nk
+                         - CAST(ksum AS DOUBLE) / nk), 8)
+             AS DECIMAL(24,8)) AS rel_t,
+        CAST(ROUND(nk * (CAST(ksum AS DOUBLE) / nk
+                         - CAST(tot.k AS DOUBLE) / tot.n)
+                      * (CAST(ksum AS DOUBLE) / nk
+                         - CAST(tot.k AS DOUBLE) / tot.n), 8)
+             AS DECIMAL(24,8)) AS res_t
+      FROM cells CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_events,
+           ROUND(CAST((SELECT SUM(rel_t) FROM terms) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS reliability,
+           ROUND(CAST((SELECT SUM(res_t) FROM terms) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS resolution,
+           ROUND((CAST((SELECT k FROM tot) AS DOUBLE)
+                  / (SELECT n FROM tot))
+                 * (1.0 - CAST((SELECT k FROM tot) AS DOUBLE)
+                        / (SELECT n FROM tot)), 6) AS uncertainty
+    """,
+)
+def q_ml_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over the calibration
+    bins: reliability (how far mean prediction sits from observed
+    rate, per bin — lower is better) − resolution (how much the bins
+    separate the base rate — higher is better) + uncertainty (base-
+    rate variance, the floor no model beats).  The single-row summary
+    of q_ml_calibration's per-bin table — what actually goes on the
+    model scorecard.
+
+    Bin terms are fixed float expressions over exact integer/decimal
+    cell sums, rounded to DECIMAL(24,8) before the (10-row) sums.
+    """
+    e = table(spark, sf_dir, "events")
+    s = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0)), 6
+    ).cast("decimal(18,6)")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    binned = e.select(
+        F.least(F.floor(s * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        s.alias("s"),
+        y.alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("s").alias("ssum"),
+        F.sum("y").cast("bigint").alias("ksum"),
+    )
+    tot = cells.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("ksum").cast("bigint").alias("k"),
+    )
+    ok = F.col("ksum").cast("double") / F.col("nk")
+    pk = F.col("ssum").cast("double") / F.col("nk")
+    base = F.col("k").cast("double") / F.col("n")
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("nk") * (pk - ok) * (pk - ok), 8)
+        .cast("decimal(24,8)")
+        .alias("rel_t"),
+        F.round(F.col("nk") * (ok - base) * (ok - base), 8)
+        .cast("decimal(24,8)")
+        .alias("res_t"),
+        "n",
+        "k",
+    )
+    return terms.agg(
+        F.first("n").alias("n_events"),
+        F.round(
+            F.sum("rel_t").cast("double") / F.first("n"), 6
+        ).alias("reliability"),
+        F.round(
+            F.sum("res_t").cast("double") / F.first("n"), 6
+        ).alias("resolution"),
+        F.round(
+            (F.first("k").cast("double") / F.first("n"))
+            * (1.0 - F.first("k").cast("double") / F.first("n")),
+            6,
+        ).alias("uncertainty"),
+    )

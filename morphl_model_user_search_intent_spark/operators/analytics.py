@@ -4993,3 +4993,51 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_"
         ),
     )
+
+
+@register(
+    "q_orders_discount_impact",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) / 1000000.0)
+             AS forgone_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND ROUND(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_orders_discount_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-change-from-discount what-if (the TPC-H Q6 shape):
+    Σ extendedprice·discount over a year of shipments with mid-range
+    discounts and small quantities — "how much revenue would we
+    reclaim by eliminating these discounts", the simplest
+    filter-heavy scan-aggregate in the warehouse canon and a pure
+    pushdown showcase: every predicate reaches the Parquet scan, no
+    join, no shuffle beyond the 1-row combine.
+
+    Money stays exact: price and discount are cent/percent BIGINTs,
+    multiplied as integers and divided once for display (the discount
+    filter compares ROUNDED integer percents, dodging the 0.07-is-
+    0.070000000000000007 float-literal trap both engines share).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.round(F.col("l_discount") * 100).cast("bigint")
+            )
+            / 1000000.0
+        ).alias("forgone_revenue"),
+    )

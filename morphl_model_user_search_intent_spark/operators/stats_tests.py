@@ -1149,3 +1149,80 @@ def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rev").cast("bigint").alias("kept_min_cents"),
         F.max("rev").cast("bigint").alias("kept_max_cents"),
     )
+
+
+@register(
+    "q_stats_grubbs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM daily
+    ),
+    scored AS (
+      SELECT d, v, n,
+             ABS(v - CAST(sv AS DOUBLE) / n)
+               / SQRT((svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+               AS g
+      FROM daily CROSS JOIN m
+    )
+    SELECT d AS suspect_day, v AS value_cents, n AS n_days,
+           ROUND(g, 6) AS grubbs_g,
+           CASE WHEN g > 3.0 THEN 1 ELSE 0 END AS reject_h0
+    FROM scored
+    ORDER BY g DESC, d
+    LIMIT 1
+    """,
+)
+def q_stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-normed-residual test on daily event value
+    totals: the single most extreme day and its G = max|x−x̄|/s —
+    the formal "is the worst point an outlier" check behind the
+    eyeball anomaly ops (q_events_anomaly flags many; Grubbs rules on
+    ONE), with a fixed 3.0 critical-value gate standing in for the
+    t-based threshold.
+
+    Mean and variance come from exact BIGINT Σv, Σv² (cent-scaled);
+    every day's G is one fixed float expression and the argmax
+    carries a date tie-break, so the LIMIT 1 is deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("svv") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    g = F.abs(F.col("v") - mean) / sd
+    scored = daily.crossJoin(F.broadcast(m)).select(
+        "d", "v", "n", g.alias("g")
+    )
+    return (
+        scored.orderBy(F.col("g").desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("suspect_day"),
+            F.col("v").alias("value_cents"),
+            F.col("n").alias("n_days"),
+            F.round(F.col("g"), 6).alias("grubbs_g"),
+            F.when(F.col("g") > 3.0, 1).otherwise(0).alias("reject_h0"),
+        )
+    )
