@@ -1504,3 +1504,65 @@ def q_ml_brier_decomposition(
             6,
         ).alias("uncertainty"),
     )
+
+
+@register(
+    "q_sample_hash_bernoulli",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type
+      FROM events
+      WHERE {_H32M.format(x="CAST(event_id AS VARCHAR)")} % 100 < 10
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM events GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_all,
+           CAST(COALESCE(c.n_sample, 0) AS BIGINT) AS n_sample,
+           ROUND(CAST(COALESCE(c.n_sample, 0) AS DOUBLE) / t.n_all, 6)
+             AS sample_rate
+    FROM tot t
+    LEFT JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample
+               FROM s GROUP BY event_type) c
+      ON c.event_type = t.event_type
+    """,
+)
+def q_sample_hash_bernoulli(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-Bernoulli 10% sample — THE reproducible row-sampling
+    pattern at scale: a row is in the sample iff H(key) mod 100 < 10,
+    so the sample is stable across runs, engines, retries, and
+    incremental loads (rows never flicker in/out the way
+    `TABLESAMPLE`/`rand()` samples do), and it composes with joins —
+    sampling both sides by the same key keeps referential integrity.
+    Reported per event type with realized rates against the full
+    counts, the sanity table a sampling rollout checks for rate bias.
+
+    Uses the engine-wide portable md5 hash, so the driver's DuckDB
+    twin draws the IDENTICAL sample — the sampling operator itself is
+    value-hash-checked, not just its row count.
+    """
+    e = table(spark, sf_dir, "events")
+    in_sample = (
+        F.expr(_H32M.format(x="CAST(event_id AS STRING)")) % 100 < 10
+    )
+    s = e.filter(in_sample).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_sample")
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_all")
+    )
+    return tot.join(s, "event_type", "left").select(
+        "event_type",
+        "n_all",
+        F.coalesce(F.col("n_sample"), F.lit(0))
+        .cast("bigint")
+        .alias("n_sample"),
+        F.round(
+            F.coalesce(F.col("n_sample"), F.lit(0)).cast("double")
+            / F.col("n_all"),
+            6,
+        ).alias("sample_rate"),
+    )
