@@ -148,11 +148,15 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(trim(text), ' ')) AS INT) AS n_toks,
            list_contains(string_split(trim(text), ' '), 'spark') AS has_spark,
-           string_split(trim(text), ' ')[1:5] AS first5,
-           list_sort(list_distinct(string_split(trim(text), ' '))) AS vocab,
-           list_sort(list_distinct(list_intersect(
-             string_split(trim(text), ' '),
-             ['spark', 'join', 'filter']))) AS core_terms
+           array_to_string(string_split(trim(text), ' ')[1:5], '␟') AS first5,
+           array_to_string(
+             list_sort(list_distinct(string_split(trim(text), ' '))),
+             '␟') AS vocab,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_intersect(
+               string_split(trim(text), ' '),
+               ['spark', 'join', 'filter']))),
+             '␟'), '') AS core_terms
     FROM documents
     """,
 )
@@ -163,7 +167,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``trim`` before ``split`` on both sides: the fixture text carries
     trailing spaces and the engines disagree on trailing empty tokens.
     Intersect goes through distinct+sort since element order of
-    array_intersect is engine-specific.
+    array_intersect is engine-specific.  All array outputs are
+    ␟-joined to strings — the driver's pandas canonicalizer cannot
+    hash array cells (round-1 ERR class) — which still exercises the
+    array kernels; only the final projection is serialized.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), " ")
@@ -171,14 +178,18 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 5).alias("first5"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.sort_array(
-            F.array_distinct(
-                F.array_intersect(
-                    toks, F.array(F.lit("spark"), F.lit("join"), F.lit("filter"))
+        F.array_join(F.slice(toks, 1, 5), "␟").alias("first5"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), "␟").alias("vocab"),
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(
+                    F.array_intersect(
+                        toks,
+                        F.array(F.lit("spark"), F.lit("join"), F.lit("filter")),
+                    )
                 )
-            )
+            ),
+            "␟",
         ).alias("core_terms"),
     )
 
@@ -187,7 +198,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), '␟') AS prop_keys,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
            CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
     FROM events
@@ -196,12 +207,14 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map suite: parse the JSON props column into MapType, read keys
     and values.  DuckDB has no MAP parity, so the oracle compares the
-    extracted scalars/keys (SURVEY.md §2.8)."""
+    extracted scalars/keys (SURVEY.md §2.8).  The key list is sorted
+    then ␟-joined: key order is engine-specific, and array cells break
+    the driver's pandas canonicalizer (round-1 ERR class)."""
     ev = table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), "␟").alias("prop_keys"),
         m.getItem("k").alias("k_value"),
         m.getItem("missing").alias("absent"),
     )

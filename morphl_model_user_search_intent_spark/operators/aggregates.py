@@ -249,7 +249,8 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '␟')
+             AS segments,
            CAST(COUNT(*) AS BIGINT) AS n_cust
     FROM customer
     GROUP BY c_nationkey
@@ -260,13 +261,17 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism trap (SURVEY.md §7.3): collect_set order is
     partition-dependent, so the list is sorted before it reaches the
-    hash.  Scale note: bounded-cardinality lists only (5 segments);
+    hash.  The sorted list is then ␟-joined to a string: the driver's
+    pandas canonicalizer cannot hash array cells (round-1 ERR class).
+    Scale note: bounded-cardinality lists only (5 segments);
     unbounded collect_list at 100 TB is an OOM by design and is not
     offered.
     """
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "␟").alias(
+            "segments"
+        ),
         F.count(F.lit(1)).alias("n_cust"),
     )
 
@@ -1485,36 +1490,41 @@ def q_agg_median_scalable(
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n,
-           list_transform(quantile_cont(c_acctbal,
-                                        [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 6)) AS quartiles
+           ROUND(quantile_cont(c_acctbal, [0.25, 0.5, 0.75])[1], 6) AS p25,
+           ROUND(quantile_cont(c_acctbal, [0.25, 0.5, 0.75])[2], 6) AS p50,
+           ROUND(quantile_cont(c_acctbal, [0.25, 0.5, 0.75])[3], 6) AS p75
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def q_agg_multiquantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass exact multi-quantile per segment: p25/p50/p75 as one
-    ARRAY column from a single aggregation — the grouped box-plot
-    statistic, computed without three separate percentile passes.
+    """One-pass exact multi-quantile per segment: p25/p50/p75 from a
+    single ``percentile(col, array(...))`` aggregation — the grouped
+    box-plot statistic, computed without three separate percentile
+    passes (the array is computed once and unpacked to scalar
+    columns; array-typed outputs are banned by the driver's pandas
+    canonicalizer, round-1 ERR class).
 
     Spark's ``percentile(col, array(...))`` and DuckDB's
     ``quantile_cont(col, [...])`` share the linear-interpolation
     definition (the established exact-percentile parity), rounded
-    element-wise at 6 dp inside the array so even the array-typed
-    column hash-compares.  Exact percentile sorts within each
-    (small) group partition; for groups that outgrow an executor
-    the scalable path is the value-counts median formulation
-    (q_agg_median_scalable) applied per quantile.
+    at 6 dp.  Exact percentile sorts within each (small) group
+    partition; for groups that outgrow an executor the scalable path
+    is the value-counts median formulation (q_agg_median_scalable)
+    applied per quantile.
     """
     c = table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
+    q = F.expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))")
+    agg = c.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.transform(
-            F.expr(
-                "percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))"
-            ),
-            lambda x: F.round(x, 6),
-        ).alias("quartiles"),
+        q.alias("_q"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
     )
 
 

@@ -1359,10 +1359,10 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM subj),
     ar AS (
       SELECT day, d,
-             n.total
+             CAST(n.total
                - COALESCE(SUM(leaving) OVER (ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS at_risk
+               AS BIGINT) AS at_risk
       FROM daily CROSS JOIN n
     ),
     km AS (
@@ -1984,8 +1984,8 @@ def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT user_id, wk, n_events,
-             SUM(n_events) OVER (PARTITION BY user_id ORDER BY wk
-               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prev4
+             CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY wk
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev4
       FROM wkly
     )
     SELECT user_id, wk, n_events, prev4,
@@ -2960,9 +2960,9 @@ def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT d.day, COALESCE(n.n_new, 0) AS n_new, d.n_active,
-           SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cumulative_users
+             AS BIGINT) AS cumulative_users
     FROM dau d LEFT JOIN newbies n ON n.day = d.day
     """,
 )

@@ -237,18 +237,19 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ),
     tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS t FROM daily
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS t FROM daily
     ),
     cus AS (
       SELECT day, x,
-             tot.n * SUM(x) OVER (ORDER BY day)
+             tot.n * CAST(SUM(x) OVER (ORDER BY day) AS BIGINT)
                - (ROW_NUMBER() OVER (ORDER BY day)) * tot.t AS cusum,
-             SUM(x) OVER (ORDER BY day) AS cum,
+             CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS cum,
              ROW_NUMBER() OVER (ORDER BY day) AS k,
              tot.n AS n, tot.t AS t
       FROM daily CROSS JOIN tot
     ),
-    m AS (SELECT MAX(ABS(cusum)) AS mx FROM cus)
+    m AS (SELECT CAST(MAX(ABS(cusum)) AS BIGINT) AS mx FROM cus)
     SELECT MIN(cus.day) AS change_day,
            m.mx AS cusum_peak,
            ROUND(CAST(MIN(cus.cum) AS DOUBLE)

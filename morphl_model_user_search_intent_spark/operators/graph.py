@@ -33,7 +33,8 @@ SCALE = 1_000_000_000_000  # rank mass 1.0 in integer units
 _PR_ITER = """
     r{k} AS (
       SELECT e.dst AS node,
-             base.b + (17 * SUM(r{j}.r // deg.outdeg)) // 20 AS r
+             base.b + (17 * CAST(SUM(r{j}.r // deg.outdeg) AS BIGINT)) // 20
+               AS r
       FROM r{j}
       JOIN e   ON e.src   = r{j}.node
       JOIN deg ON deg.src = r{j}.node

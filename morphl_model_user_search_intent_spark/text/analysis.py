@@ -37,17 +37,26 @@ def tokens(col: F.Column = None) -> F.Column:
     "q_text_tokenize",
     oracle="""
     SELECT doc_id, lang,
-           string_split(trim(text), ' ') AS toks,
+           array_to_string(string_split(trim(text), ' '), '␟') AS toks,
            CAST(len(string_split(trim(text), ' ')) AS INT) AS n_toks
     FROM documents
     """,
 )
 def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenization (the pipeline's first stage)."""
+    """Tokenization (the pipeline's first stage).
+
+    The token list is serialized with a U+241F unit-separator join
+    before returning: the driver canonicalizes results through a pandas
+    sort, which cannot hash array cells (round-1 ERR).  The separator
+    cannot occur in the fixture text, so the string round-trips the
+    exact list (order + duplicates preserved)."""
     d = table(spark, sf_dir, "documents")
     t = tokens()
     return d.select(
-        "doc_id", "lang", t.alias("toks"), F.size(t).alias("n_toks")
+        "doc_id",
+        "lang",
+        F.array_join(t, "␟").alias("toks"),
+        F.size(t).alias("n_toks"),
     )
 
 
@@ -55,8 +64,10 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_stopwords",
     oracle=f"""
     SELECT doc_id,
-           list_filter(string_split(trim(text), ' '),
-                       w -> NOT list_contains({list(STOPWORDS)!r}, w)) AS content_toks,
+           array_to_string(
+             list_filter(string_split(trim(text), ' '),
+                         w -> NOT list_contains({list(STOPWORDS)!r}, w)),
+             '␟') AS content_toks,
            CAST(len(list_filter(string_split(trim(text), ' '),
                     w -> NOT list_contains({list(STOPWORDS)!r}, w))) AS INT) AS n_content
     FROM documents
@@ -65,7 +76,8 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword removal via a higher-order filter (keeps duplicates
     and order, unlike array_except which dedups — that distinction is
-    load-bearing for downstream term frequencies)."""
+    load-bearing for downstream term frequencies).  Output list is
+    ␟-joined for driver canonicalization safety (see q_text_tokenize)."""
     d = table(spark, sf_dir, "documents")
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     filtered = F.filter(
@@ -73,7 +85,7 @@ def q_text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        filtered.alias("content_toks"),
+        F.array_join(filtered, "␟").alias("content_toks"),
         F.size(filtered).alias("n_content"),
     )
 
@@ -609,9 +621,9 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS start_tok
+               - n_tokens AS BIGINT) AS start_tok
       FROM t
     )
     SELECT start_tok // 2048 AS bin_id,
@@ -1080,12 +1092,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks GROUP BY 1
     )
     SELECT t.bucket,
-           SUM(t.n_toks) OVER (ORDER BY t.bucket
+           CAST(SUM(t.n_toks) OVER (ORDER BY t.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS tokens_seen,
-           SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.bucket
+             AS BIGINT) AS tokens_seen,
+           CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS vocab_size
+             AS BIGINT) AS vocab_size
     FROM tok_counts t LEFT JOIN new_vocab v ON v.bucket = t.bucket
     """,
 )

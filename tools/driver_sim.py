@@ -46,6 +46,60 @@ def norm(v):
     return v
 
 
+# ---- driver-faithful canonicalization gates (round-1 ERR/FAIL classes) ----
+# The real driver routes both result sets through a pandas
+# ``sort_values`` + value-hash.  Two whole classes of locally-green
+# queries died there in round 1:
+#   (a) Array/Map/Struct output columns -> pandas cannot sort/hash
+#       ndarray cells -> driver ERR;
+#   (b) DuckDB windowed integer SUMs return HUGEINT -> pandas float64
+#       -> hash-mismatch vs Spark int64 -> driver FAIL.
+# Both are gated structurally here (and in tests/test_canon_gates.py)
+# so they cannot be reintroduced.
+
+_DUCK_BANNED = ("HUGEINT", "UHUGEINT")
+
+
+def spark_schema_violations(df) -> list:
+    """Columns whose type the driver's pandas canonicalizer cannot
+    hash (ERR class (a)).  Plan-only: no job is triggered."""
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def duck_type_violations(con, sql: str) -> list:
+    """Oracle result columns typed HUGEINT/LIST/STRUCT/MAP (FAIL class
+    (b) + ERR class (a) on the oracle side).  Plan-only: binding the
+    relation resolves types without executing it."""
+    rel = con.sql(sql)
+    bad = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if ts in _DUCK_BANNED or ts.endswith("[]") or ts.startswith(
+            ("STRUCT", "MAP", "UNION")
+        ):
+            bad.append(f"{c}:{ts}")
+    return bad
+
+
+def pandas_sortable(rows, cols) -> str | None:
+    """Emulate the driver's pandas sort_values canonicalization; any
+    exception here is exactly what the driver reports as ERR."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.sort_values(by=list(cols), kind="mergesort")
+    except Exception as ex:  # noqa: BLE001
+        return f"{type(ex).__name__}: {ex}"
+    return None
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -73,12 +127,37 @@ def main() -> int:
         try:
             df = qs[name](spark, SF_DIR)
             cols = sorted(df.columns)
+            sv = spark_schema_violations(df) if name in oracles else []
+            if sv:
+                status = f"FAIL canon spark schema {sv}"
+                fails += 1
+                print(f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}")
+                continue
+            collected = df.collect()
             srows = Counter(
-                tuple(norm(r[c]) for c in cols) for r in df.collect()
+                tuple(norm(r[c]) for c in cols) for r in collected
             )
             if name not in oracles:
                 status = f"rows-only ({sum(srows.values())} rows)"
             else:
+                dv = duck_type_violations(con, oracles[name])
+                if dv:
+                    status = f"FAIL canon duck types {dv}"
+                    fails += 1
+                    print(
+                        f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}"
+                    )
+                    continue
+                sort_err = pandas_sortable(
+                    [tuple(r[c] for c in cols) for r in collected], cols
+                )
+                if sort_err:
+                    status = f"FAIL canon pandas sort {sort_err}"
+                    fails += 1
+                    print(
+                        f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}"
+                    )
+                    continue
                 cur = con.execute(oracles[name])
                 dcols = [d[0] for d in cur.description]
                 order = sorted(range(len(dcols)), key=lambda i: dcols[i])
