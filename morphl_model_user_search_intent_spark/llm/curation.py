@@ -9,7 +9,7 @@ oracles; scale notes inline per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -635,4 +635,83 @@ def q_corpus_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("pass_all"),
+    )
+
+
+@register(
+    "q_corpus_token_budget",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(string_split(trim(text), ' ')))
+                  AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS ttr
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM d),
+    r AS (
+      SELECT doc_id, lang, n_toks, ttr,
+             CAST(SUM(n_toks) OVER (ORDER BY ttr DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_toks AS BIGINT) AS start_tok
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_selected,
+           ROUND(MIN(ttr), 6) AS min_ttr
+    FROM r CROSS JOIN tot
+    WHERE start_tok < total // 4
+    GROUP BY lang
+    """,
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill 25% of the corpus's token budget
+    with the highest-type-token-ratio documents — the "pick the best
+    N tokens, not the best N documents" selection every pretraining
+    mix does once a quality score exists.
+
+    Greedy-by-rank is expressed as a windowed running sum over the
+    (ttr DESC, doc_id) total order: a document is selected iff its
+    START offset lies inside the budget, so exactly one document
+    straddles the boundary and selection is a deterministic prefix —
+    no driver-side loop.  TTR is an exact integer ratio computed
+    identically in both engines, so the global order (and hence the
+    prefix) is engine-independent.  At 100 TB the global sort is a
+    range-partitioned TakeOrdered-style shuffle on (ttr, doc_id);
+    the running sum then needs only per-partition offsets (partial
+    sums of each range partition — the classic distributed prefix-sum
+    two-pass), which Spark's window over an un-partitioned frame
+    computes with a single-partition final pass over pre-aggregated
+    range chunks; for the fixture scale the direct window is used.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+        ).alias("ttr"),
+    )
+    total = feats.agg(F.sum("n_toks").cast("bigint").alias("total"))
+    w = W.orderBy(F.col("ttr").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = feats.withColumn(
+        "start_tok",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).cast("bigint"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("start_tok") < F.expr("total div 4"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_selected"),
+            F.round(F.min("ttr"), 6).alias("min_ttr"),
+        )
     )

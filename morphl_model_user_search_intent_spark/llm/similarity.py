@@ -684,13 +684,25 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pure top-k (q_sim_knn) lacks, and the shape of diverse
     training-example sampling in data curation.
 
-    MMR is inherently sequential (each pick conditions the next), so
-    the driver loop runs exactly k=5 rounds; each round is fully
-    distributed (a broadcast of ≤4 picked vectors against the
-    candidate set) and ships back ONE row — the scalar-feedback
-    pattern, not a collect of data.  The oracle unrolls the same 5
-    rounds as chained CTEs.  All cosines go through the established
-    6-dp fold parity; the argmax tie-breaks on vec_id.
+    MMR is inherently sequential (each pick conditions the next), but
+    the selection loop here is built LAZILY — no ``.collect()`` per
+    round (the round-1 scale-killer).  The running state is a
+    DataFrame ``(vec_id, v, rel, ms)`` where ``ms`` is the max cosine
+    to the picked set so far; each round's pick is an
+    ``orderBy(score).limit(1)`` subplan (TakeOrderedAndProject — a
+    total order thanks to the vec_id tie-break, so re-evaluation is
+    deterministic), broadcast back against the state to fold in the
+    new pairwise similarities via ``greatest``.  The k picks are
+    unioned and returned as ONE plan: the driver sees a single
+    action, and every round's work is distributed.
+
+    k-bound: the lazy plan references the previous state twice per
+    round (update + pick), so plan size grows 2^k over the CACHED
+    base — fine for the diverse-retrieval regime k ≲ 10-15 this
+    operator targets; for larger k, ``localCheckpoint`` the state
+    each round to reset lineage (same recurrence, k linear plans).
+    The oracle unrolls the same 5 rounds as chained CTEs.  All
+    cosines go through the established 6-dp fold parity.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
@@ -709,55 +721,54 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv"))),
                 6,
             ).alias("rel"),
+            # -2.0 sentinel = "nothing picked yet" (below any cosine);
+            # a 0.0 init would wrongly clamp negative similarities in
+            # the greatest() fold below.
+            F.lit(-2.0).alias("ms"),
         )
+        .cache()
     )
-    base = base.cache()
-    picked = []  # (step, vec_id, rel, ms)
-    picked_ids = []
-    for step in range(1, 6):
-        cand = base.filter(~F.col("vec_id").isin(picked_ids)) if (
-            picked_ids
-        ) else base
-        if picked_ids:
-            sel = e.filter(F.col("vec_id").isin(picked_ids)).select(
-                F.col("v").alias("sv")
+    state = base
+    picks = None
+    K = 5
+    for step in range(1, K + 1):
+        pick = state.orderBy(
+            (0.5 * F.col("rel") - 0.5 * F.col("ms")).desc(), "vec_id"
+        ).limit(1)
+        labeled = pick.select(
+            F.lit(step).alias("step"),
+            "vec_id",
+            "rel",
+            F.when(F.col("ms") == -2.0, F.lit(0.0))
+            .otherwise(F.round("ms", 6))
+            .alias("max_sim_selected"),
+        )
+        picks = labeled if picks is None else picks.unionAll(labeled)
+        if step < K:
+            pv = pick.select(
+                F.col("vec_id").alias("pid"), F.col("v").alias("pv")
             )
-            scored = (
-                cand.crossJoin(F.broadcast(sel))
+            state = (
+                state.crossJoin(F.broadcast(pv))
+                .filter(F.col("vec_id") != F.col("pid"))
                 .select(
                     "vec_id",
+                    "v",
                     "rel",
-                    F.round(
-                        _dot("v", "sv")
-                        / (
-                            F.sqrt(_dot("v", "v"))
-                            * F.sqrt(_dot("sv", "sv"))
+                    F.greatest(
+                        "ms",
+                        F.round(
+                            _dot("v", "pv")
+                            / (
+                                F.sqrt(_dot("v", "v"))
+                                * F.sqrt(_dot("pv", "pv"))
+                            ),
+                            6,
                         ),
-                        6,
-                    ).alias("s"),
+                    ).alias("ms"),
                 )
-                .groupBy("vec_id", "rel")
-                .agg(F.max("s").alias("ms"))
             )
-        else:
-            scored = cand.select(
-                "vec_id", "rel", F.lit(0.0).alias("ms")
-            )
-        row = (
-            scored.orderBy(
-                (0.5 * F.col("rel") - 0.5 * F.col("ms")).desc(),
-                "vec_id",
-            )
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append((step, row.vec_id, row.rel, round(row.ms, 6)))
-        picked_ids.append(row.vec_id)
-    base.unpersist()
-    return spark.createDataFrame(
-        picked,
-        "step int, vec_id bigint, rel double, max_sim_selected double",
-    )
+    return picks
 
 
 @register(
