@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
-from ..text.analysis import tokens
+from ..text.analysis import _H32, tokens
 
 # Decontamination shingle width — 13 tokens is the published standard
 # (GPT-3 appendix C; The Pile; Dolma all use 13-gram overlap).
@@ -329,8 +329,6 @@ _DSIR_B = 64  # hashed feature buckets
 
 
 def _dsir_h32(x: str) -> str:
-    from ..text.analysis import _H32
-
     return _H32.format(x=x)
 
 
@@ -714,4 +712,143 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("tokens_selected"),
             F.round(F.min("ttr"), 6).alias("min_ttr"),
         )
+    )
+
+
+# Per-source document cap (RefinedWeb/FineWeb-style "domain cap"):
+# keep at most this many documents from any one source.
+_SOURCE_CAP = 15
+
+
+@register(
+    "q_corpus_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN n_chars
+                    ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap — the "domain cap" every production web
+    corpus applies (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116
+    §3.4 caps URLs per domain; C4 and FineWeb do the same) so that a
+    handful of mirror-heavy hosts cannot dominate the training
+    mixture.  Keeps the top {_SOURCE_CAP} documents per source by
+    length (doc_id tiebreak — deterministic survivor, same discipline
+    as q_dedup_exact) and reports the kept/dropped budget per source.
+
+    Scale shape: one shuffle on source, rank + filter inside the
+    partition.  The rn <= K predicate is exactly the
+    WindowGroupLimit-pushdown shape (see q_win_topk), so executors
+    keep a bounded K-row heap per source instead of materializing the
+    full partition sort at 100 TB.  Skewed sources (one domain = half
+    the crawl) are the realistic hazard: AQE skew-split handles the
+    rank stage because row_number needs only a per-source sort, not
+    co-location of the whole source in one task after the cap.
+    """
+    d = table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+    )
+    kept = F.col("rn") <= _SOURCE_CAP
+    return (
+        d.select("source", "n_chars", "doc_id")
+        .withColumn("rn", rn.cast("bigint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "q_corpus_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {{h}} AS k
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, k,
+             k % 8 AS shard_id,
+             CAST(row_number() OVER (ORDER BY k, doc_id)
+                  AS BIGINT) AS pos
+      FROM keyed
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(pos) AS first_pos,
+           MAX(pos) AS last_pos,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_fingerprint
+    FROM placed
+    GROUP BY shard_id
+    """.format(h=_H32.format(x="concat('e7|', CAST(doc_id AS VARCHAR))")),
+)
+def q_corpus_epoch_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic epoch shuffle — the reproducible global
+    permutation a training run applies to the corpus each epoch
+    (seeded shuffle, cf. T5/Megatron data loaders: same seed ⇒ same
+    sample order on every restart and every worker).  Each document's
+    sort key is a portable hash of ``'e7|' + doc_id`` (epoch 7), the
+    permutation is the rank under that key, and documents land in
+    ``hash % 8`` shards; the manifest reports per-shard counts plus
+    an order-sensitive fingerprint (Σ pos·doc_id) so two runs can
+    assert bit-identical ordering without comparing full lists.
+
+    Scale shape: no rand() (non-reproducible across retries and
+    engines) and no global sort at 100 TB — the hash key is uniform,
+    so rank assignment distributes as range-partition on k with
+    per-partition offsets (the same two-pass prefix pattern as
+    q_corpus_shards); here the single window states the semantics.
+    """
+    from ..text.analysis import _H32
+
+    d = table(spark, sf_dir, "documents")
+    k = F.expr(
+        _H32.format(x="concat('e7|', CAST(doc_id AS STRING))")
+    )
+    placed = d.select("doc_id", k.alias("k")).select(
+        "doc_id",
+        "k",
+        (F.col("k") % 8).alias("shard_id"),
+        F.row_number()
+        .over(W.orderBy("k", "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        F.sum(F.col("pos") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("order_fingerprint"),
     )
