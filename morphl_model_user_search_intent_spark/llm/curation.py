@@ -829,8 +829,6 @@ def q_corpus_epoch_shuffle(
     per-partition offsets (the same two-pass prefix pattern as
     q_corpus_shards); here the single window states the semantics.
     """
-    from ..text.analysis import _H32
-
     d = table(spark, sf_dir, "documents")
     k = F.expr(
         _H32.format(x="concat('e7|', CAST(doc_id AS STRING))")

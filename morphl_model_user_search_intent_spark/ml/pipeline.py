@@ -1570,3 +1570,185 @@ def q_sample_hash_bernoulli(
             6,
         ).alias("sample_rate"),
     )
+
+
+# Deterministic pseudo-classifier shared by the eval-metric operators
+# below: predict the class as the argmax over the first 10 embedding
+# dimensions (first-index tie-break in both engines — Spark
+# array_position and DuckDB list_indexof both return the FIRST match).
+# The rule is intentionally trivial: these operators verify the METRIC
+# computation (confusion/precision/recall/F1/kappa as exact integer
+# counts) against the oracle, with the trained-model path covered by
+# the rows-only q_ml_intent_classifier.
+_PRED = (
+    "CAST(array_position(slice(embedding, 1, 10), "
+    "array_max(slice(embedding, 1, 10))) - 1 AS BIGINT)"
+)
+_PRED_DUCK = (
+    "CAST(list_indexof(embedding[1:10], "
+    "list_max(embedding[1:10])) - 1 AS BIGINT)"
+)
+
+
+@register(
+    "q_ml_confusion_exact",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(label AS BIGINT) AS y, {_PRED_DUCK} AS yhat
+      FROM embeddings
+    ),
+    t AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM p GROUP BY y),
+    pr AS (SELECT yhat AS class, CAST(COUNT(*) AS BIGINT) AS n_pred
+           FROM p GROUP BY yhat),
+    tp AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS tp
+           FROM p WHERE y = yhat GROUP BY y)
+    SELECT t.class, t.n_true,
+           COALESCE(pr.n_pred, 0) AS n_pred,
+           COALESCE(tp.tp, 0) AS tp,
+           CASE WHEN COALESCE(pr.n_pred, 0) > 0
+                THEN ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+                           / pr.n_pred, 6)
+                ELSE 0.0 END AS precision_,
+           ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / t.n_true, 6)
+             AS recall_,
+           ROUND(2.0 * COALESCE(tp.tp, 0)
+                 / (COALESCE(pr.n_pred, 0) + t.n_true), 6) AS f1
+    FROM t LEFT JOIN pr USING (class) LEFT JOIN tp USING (class)
+    """,
+)
+def q_ml_confusion_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion report — n_true / n_pred / TP with
+    precision, recall, and F1 per class — for a deterministic argmax
+    pseudo-classifier over the embedding table.  This is the eval
+    harness every training pipeline runs after a model lands; every
+    cell is an exact integer count, so the whole metric table is
+    value-hash-checked against the oracle (F1 uses the algebraic form
+    2·TP/(n_pred+n_true), identical to 2PR/(P+R), to stay a single
+    deterministic division).
+
+    Scale shape: three partial-aggregable group-bys over one scan of
+    the predictions (class cardinality is tiny, so the shuffles move
+    |classes| rows per partition — map-side combine does all the
+    work), then broadcast-sized joins of 10-row metric tables.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select(
+        F.col("label").cast("bigint").alias("y"),
+        F.expr(_PRED).alias("yhat"),
+    )
+    t = p.groupBy(F.col("y").alias("class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    pr = p.groupBy(F.col("yhat").alias("class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    tp = (
+        p.filter(F.col("y") == F.col("yhat"))
+        .groupBy(F.col("y").alias("class"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    j = (
+        t.join(pr, "class", "left")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    return j.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pred"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("n_true"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "q_ml_kappa",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(label AS BIGINT) AS y, {_PRED_DUCK} AS yhat
+      FROM embeddings
+    ),
+    t AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM p GROUP BY y),
+    pr AS (SELECT yhat AS class, CAST(COUNT(*) AS BIGINT) AS n_pred
+           FROM p GROUP BY yhat),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END)
+                       AS BIGINT) AS agree
+           FROM p),
+    pe AS (SELECT CAST(SUM(t.n_true * pr.n_pred) AS BIGINT) AS pe_num
+           FROM t JOIN pr USING (class))
+    SELECT n, agree,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe,
+           ROUND((CAST(agree AS DOUBLE) / n
+                  - CAST(pe_num AS DOUBLE) / (n * n))
+                 / (1 - CAST(pe_num AS DOUBLE) / (n * n)), 6)
+             AS kappa
+    FROM nn, pe
+    """,
+)
+def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the argmax pseudo-classifier
+    and the gold labels: chance-corrected agreement
+    κ = (p_o − p_e)/(1 − p_e), with observed agreement p_o and chance
+    agreement p_e = Σ_c (n_true·n_pred)/N² computed from exact integer
+    marginals — the standard label-quality / annotator-agreement
+    metric a dataset team reports before trusting a labeling run.
+
+    Every input to the final expression is an exact BIGINT, so both
+    engines perform the identical three IEEE divisions — the metric is
+    value-hash-checked, not approximated.  One scan, two tiny
+    marginal aggregations, constant-size final join.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select(
+        F.col("label").cast("bigint").alias("y"),
+        F.expr(_PRED).alias("yhat"),
+    )
+    t = p.groupBy(F.col("y").alias("class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    pr = p.groupBy(F.col("yhat").alias("class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    nn = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y") == F.col("yhat"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    pe = (
+        t.join(pr, "class")
+        .agg(
+            F.sum(F.col("n_true") * F.col("n_pred"))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    po_d = F.col("agree").cast("double") / F.col("n")
+    pe_d = F.col("pe_num").cast("double") / (F.col("n") * F.col("n"))
+    return nn.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        F.round(po_d, 6).alias("po"),
+        F.round(pe_d, 6).alias("pe"),
+        F.round((po_d - pe_d) / (1 - pe_d), 6).alias("kappa"),
+    )

@@ -205,3 +205,41 @@ def test_binaryfile_source_reads_real_bytes(spark):
         assert r.length == os.path.getsize(path), name
         with open(path, "rb") as f:
             assert bytes(r.magic) == f.read(4) == b"PAR1", name
+
+
+def test_substring_dedup_surfaces_planted_docs(spark):
+    """Docs in planted near-dup pairs share nearly all their 8-word
+    spans, so they must dominate the q_dedup_substring top-20 with
+    dup_frac near 1; counts must be internally consistent."""
+    planted = {d for pair in _pairs(spark, "q_dedup_jaccard") for d in pair}
+    top = REGISTRY["q_dedup_substring"].fn(spark, SF_DIR).collect()
+    assert len(top) == 20
+    for r in top:
+        assert 0 <= r.n_dup <= r.n_grams
+        assert abs(r.dup_frac - r.n_dup / r.n_grams) < 1e-6
+    hits = sum(1 for r in top if r.doc_id in planted)
+    assert hits >= 15, f"only {hits}/20 top spans docs are planted dups"
+    assert top[0].dup_frac >= 0.9
+
+
+def test_source_cap_budget_is_consistent(spark):
+    rows = REGISTRY["q_corpus_source_cap"].fn(spark, SF_DIR).collect()
+    from morphl_model_user_search_intent_spark.llm.curation import _SOURCE_CAP
+
+    assert all(r.n_kept + r.n_dropped == r.n_docs for r in rows)
+    assert all(r.n_kept <= _SOURCE_CAP for r in rows)
+    # fixture: 25 docs per source, so the cap must bind everywhere
+    assert all(r.n_dropped > 0 for r in rows)
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    rows = REGISTRY["q_corpus_epoch_shuffle"].fn(spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in rows)
+    assert sorted(r.shard_id for r in rows) == list(range(8))
+    # positions 1..n partition across shards without gaps or overlap
+    assert min(r.first_pos for r in rows) == 1
+    assert max(r.last_pos for r in rows) == n
+    # deterministic: second run produces the identical fingerprints
+    again = REGISTRY["q_corpus_epoch_shuffle"].fn(spark, SF_DIR).collect()
+    fp = lambda rs: sorted((r.shard_id, r.order_fingerprint) for r in rs)
+    assert fp(rows) == fp(again)
