@@ -52,12 +52,33 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session scan cache: building a reader + normalization chain is
+# pure py4j round-trips (~50-150 ms/query build); the resulting
+# DataFrame is an immutable logical plan, safe to share across
+# queries.  Keyed by session id with a weakref identity check so a
+# recycled id after GC can never serve another session's plans.
+_SCAN_CACHE: dict[int, tuple[object, dict[tuple[str, str], DataFrame]]] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; applies the events timestamp normalization."""
+    """Load one table; applies the events timestamp normalization.
+    Scan plans are cached per (session, dir, table) — the engine's
+    in-process catalog."""
+    import weakref
+
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_events_ts(df)
+    ent = _SCAN_CACHE.get(id(spark))
+    if ent is None or ent[0]() is not spark:
+        ent = (weakref.ref(spark), {})
+        _SCAN_CACHE[id(spark)] = ent
+    cache = ent[1]
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = normalize_events_ts(df)
+        cache[key] = df
     return df
 
 

@@ -29,14 +29,28 @@ RUNTIME_CONFS = {
 }
 
 
+# Sessions already configured this process: id -> weakref.  Each
+# conf.set is a py4j RPC (~1-5 ms); operators call configure() via
+# io.table() on every query build, so skipping the ~7 RPCs for a
+# session we've already configured shaves real milliseconds off every
+# plan construction.  The weakref check makes id-reuse after GC safe.
+_CONFIGURED: dict[int, object] = {}
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply required dynamic confs to an existing session (e.g. the
     driver's). Idempotent; ignores confs the session refuses."""
+    import weakref
+
+    ref = _CONFIGURED.get(id(spark))
+    if ref is not None and ref() is spark:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static conf on this build — best effort
             pass
+    _CONFIGURED[id(spark)] = weakref.ref(spark)
     return spark
 
 
