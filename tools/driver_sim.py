@@ -113,9 +113,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dir (e.g. amplified sets)
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
