@@ -2680,3 +2680,79 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nov, 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "q_text_bpe_merges",
+    oracle="""
+    WITH wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)
+      WHERE length(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM wf, unnest(list_transform(
+             range(1, length(word)),
+             i -> substring(word, CAST(i AS INT), 2))) AS t(pair)
+      GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair)
+                AS BIGINT) AS merge_rank
+    FROM pairs
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step, distributed (Sennrich et al. 2016,
+    arXiv:1508.07909; the GPT-2/SentencePiece training primitive):
+    count adjacent character pairs across the corpus weighted by word
+    frequency and rank the merge candidates — the argmax pair is what
+    a BPE trainer would fuse into a new symbol.  Training a tokenizer
+    over a 100 TB corpus is exactly this aggregation iterated ~50k
+    times; one step is the oracle-checkable unit.
+
+    Scale shape: the word-frequency table is the standard vocab-sized
+    reduction (map-side combine), and pair extraction explodes each
+    DISTINCT word once — corpus occurrences are carried by the freq
+    weight, never re-exploded, so the pair stream is |vocab|·avg_len
+    rows regardless of corpus row count.  Subsequent BPE iterations
+    only rescan words containing the merged pair (a semi-join on a
+    substring filter), which is how the full trainer stays
+    sub-linear per round.
+    """
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens()).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+    return (
+        agg.select(
+            "pair",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "pair"))
+            .cast("bigint")
+            .alias("merge_rank"),
+        )
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
