@@ -850,3 +850,87 @@ def q_corpus_epoch_shuffle(
         .cast("bigint")
         .alias("order_fingerprint"),
     )
+
+
+# RAG / context-window chunking: 32-token windows, stride 24 (8-token
+# overlap) — the standard retrieval-corpus preparation step between
+# "curated documents" and "indexed passages".
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@register(
+    "q_corpus_chunk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             len(string_split(trim(text), ' ')) AS n
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks,
+             1 + (greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                 // {_CHUNK_S} AS m
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, toks, unnest(range(0, m)) AS k FROM sized
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, k * {_CHUNK_S} + 1,
+                               k * {_CHUNK_S} + {_CHUNK_W}))
+                AS INT) AS n_chunk_toks,
+           array_to_string(
+             list_slice(toks, k * {_CHUNK_S} + 1,
+                        k * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG indexing prep): split
+    every document into {W}-token chunks with a {S}-token stride
+    ({O}-token overlap so no answer span is cut at a boundary), the
+    step that turns a curated corpus into retrievable passages.
+
+    Chunk count per doc is ``1 + ceil(max(n-W, 0) / S)`` computed with
+    integer arithmetic (identical in both engines); chunk k covers
+    1-based token positions ``[k·S+1, k·S+W]`` via ``slice`` /
+    ``list_slice`` (both clamp at the end of the list, so the final
+    chunk is simply shorter — never padded, never dropped).  Output is
+    one row per chunk with the chunk text re-joined to a plain string
+    (canon-safe; tokens are space-delimited so the join round-trips).
+
+    Scale shape: embarrassingly parallel — tokenize + sequence +
+    explode all stay inside whole-stage codegen with NO shuffle at
+    all; output partitioning inherits the scan.  At 100 TB the only
+    knob that matters is output file sizing (chunks ≈ n/S ≈ 1.3×
+    input rows; repartition by range(doc_id) before the sink to keep
+    shard sizes even — cf. q_corpus_shards).
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens()
+    n = F.size(t)
+    m = F.lit(1) + F.floor(
+        (F.greatest(n - _CHUNK_W, F.lit(0)) + (_CHUNK_S - 1)) / _CHUNK_S
+    ).cast("int")
+    ex = d.select(
+        "doc_id",
+        t.alias("toks"),
+        F.explode(F.sequence(F.lit(0), m - 1)).alias("k"),
+    )
+    start = F.col("k") * _CHUNK_S + 1
+    chunk = F.slice("toks", start, F.lit(_CHUNK_W))
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).alias("n_chunk_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+q_corpus_chunk.__doc__ = q_corpus_chunk.__doc__.format(
+    W=_CHUNK_W, S=_CHUNK_S, O=_CHUNK_W - _CHUNK_S
+)

@@ -1354,3 +1354,96 @@ def q_sim_srp_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selfjoin_size"),
     )
+
+@register(
+    "q_sim_nearest_centroid",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i.i AS pos,
+             CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(0, 64) i(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, pos,
+             CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(val) AS c
+      FROM dims GROUP BY 1, 2
+    ),
+    cvec AS (
+      SELECT clabel, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS cs
+      FROM embeddings e CROSS JOIN cvec c
+    ),
+    best AS (
+      SELECT vec_id, label, clabel AS assigned,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, clabel) AS rn
+      FROM scored
+    )
+    SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_sim_nearest_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid assignment audit: assign every vector to the
+    most cosine-similar CLASS centroid (not its own — contrast with
+    q_sim_centroid's cohesion score) and report the (true label ×
+    assigned centroid) contingency table.  Diagonal mass = the corpus
+    clusters by its labels; off-diagonal cells = candidate label
+    noise.  This is also exactly one IVF routing round, so it doubles
+    as the assignment step of q_sim_ivf with supervised centroids.
+
+    Determinism: centroids use the decimal-exact davg discipline per
+    dimension (order-independent sums); cosines round to 6 dp in
+    both engines and the argmax tie-breaks by centroid label.
+
+    Scale: centroid build is one map-side-combined agg over n·64
+    (dim, partial) pairs (never collect_list of whole vectors); the
+    10×64 centroid table then BROADCASTS back across the corpus —
+    per-vector work is |labels| fused dot products inside codegen
+    followed by a tiny contingency agg.  No all-pairs join at any
+    stage, so the plan is unchanged at 10⁹ vectors.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.col("label").alias("clabel"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).withColumn("val", F.col("v").cast("double"))
+    cent = dims.groupBy("clabel", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double")
+            / F.count("val")
+        ).alias("c")
+    )
+    cvec = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    cs = F.round(
+        _dot("embedding", "cv")
+        / (
+            F.sqrt(_dot("embedding", "embedding"))
+            * F.sqrt(_dot("cv", "cv"))
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "clabel", cs.alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("clabel")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
