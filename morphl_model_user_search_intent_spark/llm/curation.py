@@ -934,3 +934,82 @@ def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_corpus_chunk.__doc__ = q_corpus_chunk.__doc__.format(
     W=_CHUNK_W, S=_CHUNK_S, O=_CHUNK_W - _CHUNK_S
 )
+
+
+# MLM / denoising mask rate (percent of token positions).
+_MASK_PCT = 15
+
+_MASK_H = "concat(CAST(doc_id AS VARCHAR), '|', CAST(i AS VARCHAR))"
+
+
+def _mask_oracle() -> str:
+    from ..text.analysis import _H32
+
+    hd = _H32.format(x=_MASK_H)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(1, len(toks) + 1), i ->
+               CASE WHEN {hd} % 100 < {_MASK_PCT} THEN '<MASK>'
+                    ELSE toks[CAST(i AS INT)] END), ' ') AS masked_text,
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(range(1, len(toks) + 1), i ->
+                 CASE WHEN {hd} % 100 < {_MASK_PCT}
+                      THEN concat(CAST(i AS VARCHAR), ':',
+                                  toks[CAST(i AS INT)]) END),
+               t -> t IS NOT NULL), ' '), '') AS targets,
+           CAST(len(list_filter(range(1, len(toks) + 1),
+                                i -> {hd} % 100 < {_MASK_PCT}))
+                AS INT) AS n_masked
+    FROM base
+    """
+
+
+def _register_mask() -> None:
+    from ..text.analysis import _H32
+
+    hs = _H32.format(
+        x="concat(CAST(doc_id AS STRING), '|', CAST(i + 1 AS STRING))"
+    )
+
+    @register("q_corpus_mask", oracle=_mask_oracle())
+    def q_corpus_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic MLM-style token masking (pretraining sample
+    prep): mask ~15%% of token positions per document with a portable
+    position hash — ``h32(doc_id|pos) %% 100 < 15`` — emitting the
+    corrupted text plus the ``pos:token`` recovery targets (the
+    BERT/T5-denoising input pair).  Hash-seeded masking (not rand())
+    means every engine, retry, and epoch-worker derives the identical
+    mask — the reproducibility property data loaders actually need.
+
+    Scale shape: pure scan-side higher-order functions (transform /
+    filter over the token array) — zero shuffle, zero Python; the
+    whole operator is one codegen stage and parallelism is exactly
+    input-split parallelism at any corpus size.
+    """
+        d = table(spark, sf_dir, "documents").withColumn(
+            "toks", tokens()
+        )
+        masked = F.expr(
+            f"transform(toks, (x, i) -> CASE WHEN {hs} % 100 < "
+            f"{_MASK_PCT} THEN '<MASK>' ELSE x END)"
+        )
+        targets = F.expr(
+            f"filter(transform(toks, (x, i) -> CASE WHEN {hs} % 100 "
+            f"< {_MASK_PCT} THEN concat(CAST(i + 1 AS STRING), ':', x) "
+            f"END), t -> t IS NOT NULL)"
+        )
+        return d.select(
+            "doc_id",
+            F.array_join(masked, " ").alias("masked_text"),
+            F.array_join(targets, " ").alias("targets"),
+            F.size(targets).alias("n_masked"),
+        )
+
+
+_register_mask()
