@@ -255,15 +255,28 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1995-01-01'
+                        AND o_orderdate < DATE '1996-01-01')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS): customers with no orders."""
+    """Left anti join (NOT EXISTS): customers with no 1995 orders.
+
+    The right side is date-restricted so the result is provably
+    NON-empty at every fixture scale — an anti join whose output is 0
+    rows is vacuous evidence (both engines agreeing on "nothing" can
+    hide a broken join), whereas this shape exercises real exclusion:
+    the filter pushes below the join, and the anti join itself stays a
+    shuffled hash join on o_custkey."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
     return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_mktsegment")
 
 
