@@ -63,3 +63,66 @@ def test_no_hugeint_or_complex_duck_output(duck, name):
         f"{name}: oracle result types {bad} break the driver's "
         "canonicalizer; CAST(... AS BIGINT) / array_to_string"
     )
+
+
+# ---- driver-side-loop doctrine gate -------------------------------------
+# Operators must stay distributed: no .collect()/.toPandas()/.toLocalIterator
+# in engine modules except the whitelisted bounded-summary sites (a single
+# final agg row is fine; a collect inside a loop is not).  This is the
+# structural enforcement of the "no driver-side loops" rule — the round-1
+# review found exactly one violation (MMR's per-selection collect), and this
+# gate keeps the class extinct.
+
+_COLLECT_WHITELIST = {
+    # Bloom-join summary: one .collect()[0] of a 1-row final aggregate.
+    "operators/joins.py",
+    # Streaming runners: foreachBatch sinks collect per-micro-batch results
+    # into the memory-sink harness (test/driver surface, not a query plan).
+    "streaming/ops.py",
+}
+
+
+def test_no_driver_side_collect_outside_whitelist():
+    import re
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "morphl_model_user_search_intent_spark"
+    )
+    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(")
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        hits = []
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            stripped = line.strip()
+            # comments and rst-quoted docstring prose are not code
+            if stripped.startswith("#") or "``" in line:
+                continue
+            if pat.search(line):
+                hits.append(i)
+        if hits and rel not in _COLLECT_WHITELIST:
+            offenders.append(f"{rel}:{hits}")
+    assert not offenders, (
+        "driver-side materialization outside the whitelist (keep "
+        f"operators distributed): {offenders}"
+    )
+
+
+def test_collect_whitelist_is_tight():
+    """The whitelisted files must each have ≤2 collect sites — if one
+    grows a loop of collects, this trips and forces a re-review."""
+    pkg = Path(__file__).resolve().parent.parent / (
+        "morphl_model_user_search_intent_spark"
+    )
+    import re
+
+    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(")
+    for rel in sorted(_COLLECT_WHITELIST):
+        n = sum(
+            1
+            for line in (pkg / rel).read_text().splitlines()
+            if not line.strip().startswith("#")
+            and "``" not in line
+            and pat.search(line)
+        )
+        assert n <= 2, f"{rel}: {n} collect sites (was ≤2 at review)"
