@@ -1752,3 +1752,123 @@ def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe_d, 6).alias("pe"),
         F.round((po_d - pe_d) / (1 - pe_d), 6).alias("kappa"),
     )
+
+
+# Cue sets for the rule-based intent labeler.  The real reference
+# taxonomy (informational / navigational / transactional) keys off
+# natural-language cues ("how", "buy", brand names); the fixture
+# corpus is synthetic engine vocabulary, so these stand-in cue sets
+# exercise the identical mechanism: count cue hits per class, argmax
+# with a fixed precedence order.
+_CUES_TRANS = ("order", "customer", "value")
+_CUES_NAV = ("table", "query", "spark")
+_CUES_INFO = ("data", "scan", "filter")
+
+
+def _cue_cnt_sql(cues: tuple) -> str:
+    lst = "[" + ", ".join(f"'{c}'" for c in cues) + "]"
+    return (
+        "len(list_filter(string_split(trim(text), ' '), "
+        f"x -> list_contains({lst}, x)))"
+    )
+
+
+@register(
+    "q_search_intent_rules",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_toks,
+             {_cue_cnt_sql(_CUES_TRANS)} AS t_cnt,
+             {_cue_cnt_sql(_CUES_NAV)} AS n_cnt,
+             {_cue_cnt_sql(_CUES_INFO)} AS i_cnt
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, n_toks,
+             CASE
+               WHEN t_cnt >= n_cnt AND t_cnt >= i_cnt AND t_cnt > 0
+                 THEN 'transactional'
+               WHEN n_cnt >= i_cnt AND n_cnt > 0 THEN 'navigational'
+               WHEN i_cnt > 0 THEN 'informational'
+               ELSE 'unclassified'
+             END AS intent
+      FROM scored
+    )
+    SELECT intent,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4)
+             AS avg_toks,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS doc_share
+    FROM labeled GROUP BY intent
+    """,
+)
+def q_search_intent_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based search-intent segmentation — the deterministic
+    keyword-labeling stage that precedes classifier training in the
+    reference pipeline (informational / navigational / transactional
+    taxonomy): count cue-token hits per class and take the argmax
+    under a fixed precedence (transactional > navigational >
+    informational), 'unclassified' when no cue fires.  Reports per-
+    intent document counts, mean token length, and corpus share.
+
+    Scale shape: cue counting is scan-side ``filter``+``size`` over
+    the token array (JVM higher-order functions, no UDF, no
+    explode-shuffle of tokens); the only shuffle is the 4-key intent
+    agg, and the share divides exact integer counts after it.
+    """
+
+    def cnt(cues: tuple):
+        lst = ", ".join(f"'{c}'" for c in cues)
+        return F.expr(
+            f"size(filter(split(trim(text), ' '), x -> x IN ({lst})))"
+        )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_toks"),
+        cnt(_CUES_TRANS).alias("t_cnt"),
+        cnt(_CUES_NAV).alias("n_cnt"),
+        cnt(_CUES_INFO).alias("i_cnt"),
+    )
+    intent = (
+        F.when(
+            (F.col("t_cnt") >= F.col("n_cnt"))
+            & (F.col("t_cnt") >= F.col("i_cnt"))
+            & (F.col("t_cnt") > 0),
+            "transactional",
+        )
+        .when(
+            (F.col("n_cnt") >= F.col("i_cnt")) & (F.col("n_cnt") > 0),
+            "navigational",
+        )
+        .when(F.col("i_cnt") > 0, "informational")
+        .otherwise("unclassified")
+    )
+    from pyspark.sql import Window as W
+
+    labeled = d.select("doc_id", "n_toks", intent.alias("intent"))
+    return (
+        labeled.groupBy("intent")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_toks"),
+        )
+        .withColumn(
+            "doc_share",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(
+                    W.orderBy(F.lit(1)).rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
+                ),
+                6,
+            ),
+        )
+    )

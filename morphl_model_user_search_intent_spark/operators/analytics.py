@@ -5041,3 +5041,90 @@ def q_orders_discount_impact(
             / 1000000.0
         ).alias("forgone_revenue"),
     )
+
+
+@register(
+    "q_search_ctr_position",
+    oracle="""
+    WITH ranked AS (
+      SELECT (CAST(json_extract(props, '$.k') AS INTEGER) % 10) + 1
+               AS position,
+             event_type
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    curve AS (
+      SELECT position,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS impressions,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks
+      FROM ranked GROUP BY position
+    )
+    SELECT position, impressions, clicks,
+           ROUND(CAST(clicks AS DOUBLE) / impressions, 6) AS ctr,
+           ROUND(CAST(SUM(clicks) OVER (ORDER BY position
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE)
+                 / SUM(clicks) OVER (), 6) AS cum_click_share
+    FROM curve
+    """,
+)
+def q_search_ctr_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CTR-by-position curve — the signature Search-Console metric of
+    the reference's domain (per-position impressions, clicks, CTR,
+    and cumulative click share: the decay curve showing how much
+    traffic each SERP rank captures).  The fixture has no GSC table,
+    so the rank is derived deterministically from the event payload
+    (``k % 10 + 1``) with views as impressions and clicks as clicks —
+    identical derivation in both engines, so the curve is value-hash
+    exact.
+
+    Scale shape: scan-side JSON extract (JVM ``get_json_object``, no
+    UDF) + one partial-agg shuffle on 10 position keys; the window
+    pass runs over the 10-row curve, not the events.  CTR and the
+    share divide AFTER integer aggregation (exact counts, one rounded
+    division per output row).
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    pos = (
+        F.get_json_object("props", "$.k").cast("int") % 10 + 1
+    ).alias("position")
+    curve = ev.select(pos, "event_type").groupBy("position").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("impressions"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("clicks"),
+    )
+    from pyspark.sql import Window as W
+
+    cum = W.orderBy("position").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return curve.select(
+        "position",
+        "impressions",
+        "clicks",
+        F.round(
+            F.col("clicks").cast("double") / F.col("impressions"), 6
+        ).alias("ctr"),
+        F.round(
+            F.sum("clicks").over(cum).cast("double")
+            / F.sum("clicks").over(
+                W.orderBy(F.lit(1)).rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("cum_click_share"),
+    )
