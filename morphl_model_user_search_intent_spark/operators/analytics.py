@@ -5052,6 +5052,7 @@ def q_orders_discount_impact(
              event_type
       FROM events
       WHERE event_type IN ('view', 'click')
+        AND json_extract(props, '$.k') IS NOT NULL
     ),
     curve AS (
       SELECT position,
@@ -5094,17 +5095,26 @@ def q_search_ctr_position(
     pos = (
         F.get_json_object("props", "$.k").cast("int") % 10 + 1
     ).alias("position")
-    curve = ev.select(pos, "event_type").groupBy("position").agg(
-        F.sum(
-            F.when(F.col("event_type") == "view", 1).otherwise(0)
+    # Null guard (round-2 advisor): an event without props.$.k would
+    # yield a NULL position, and the cumulative window diverges between
+    # engines (Spark windows order NULLS FIRST ascending, DuckDB NULLS
+    # LAST).  Filter nulls identically on both sides before the agg.
+    curve = (
+        ev.select(pos, "event_type")
+        .filter(F.col("position").isNotNull())
+        .groupBy("position")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("impressions"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("clicks"),
         )
-        .cast("bigint")
-        .alias("impressions"),
-        F.sum(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("clicks"),
     )
     from pyspark.sql import Window as W
 

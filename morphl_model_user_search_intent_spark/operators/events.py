@@ -123,8 +123,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`unix_micros`) so sub-second timestamps can't straddle the
     threshold differently across engines.  The streaming twin is
     `F.session_window(ts, '30 minutes')` (see streaming module).
+
+    Parallelism: the user_id shuffle is pinned with an explicit
+    ``repartition(N, user_id)`` (N = session shuffle partitions).  AQE
+    never coalesces a user-specified repartition, so the two window
+    passes keep all cores busy even though the shuffle is small at
+    test scale — without the global AQE minPartitionSize floor that
+    regressed every other small-shuffle query in round 2.  The
+    downstream groupBy(user_id, session_id) reuses this partitioning
+    (subset-key clustering), so the whole query is still ONE shuffle.
     """
     ev = table(spark, sf_dir, "events")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ev = ev.repartition(n_part, "user_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
         F.lag("ts").over(w)

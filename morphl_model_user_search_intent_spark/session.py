@@ -25,12 +25,15 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Default floor (1m) collapses the small shuffles of local-mode
-    # testing to 1-3 partitions, serializing window/agg stages that
-    # have 32 cores available (measured: sessionize 1.2 s -> 0.9 s).
-    # At cluster scale the coalesce target is total/parallelism >> 1m,
-    # so a 16k floor changes nothing there.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+    # NOTE: no global coalescePartitions.minPartitionSize override.
+    # Round 2 set a 16k floor here to keep small local-mode shuffles
+    # parallel; it helped q_sessionize (1.4 -> 1.1 s) but per-task
+    # scheduling overhead on every OTHER small shuffle regressed
+    # q_win_topk 0.63 -> 2.07 s and q_agg_distinct 0.64 -> 1.63 s
+    # (BENCH_r02 vs r01).  The parallelism-sensitive plans now pin
+    # their own partitioning with an explicit repartition(N, key) —
+    # which AQE never coalesces — instead of a global conf that taxes
+    # every query.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 

@@ -82,24 +82,35 @@ _COLLECT_WHITELIST = {
 }
 
 
-def test_no_driver_side_collect_outside_whitelist():
-    import re
+_MATERIALIZERS = {"collect", "toPandas", "toLocalIterator"}
 
+
+def _collect_call_lines(py: Path) -> list[int]:
+    """Line numbers of real ``.collect()/.toPandas()/.toLocalIterator()``
+    CALL sites, found via the AST — comments, docstrings, and
+    ``-quoted prose can't produce false positives OR (the round-2
+    advisor's finding) mask a genuine call sharing a line with quoted
+    text, the way the old line-based grep could."""
+    import ast
+
+    tree = ast.parse(py.read_text())
+    return sorted(
+        node.lineno
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr in _MATERIALIZERS
+    )
+
+
+def test_no_driver_side_collect_outside_whitelist():
     pkg = Path(__file__).resolve().parent.parent / (
         "morphl_model_user_search_intent_spark"
     )
-    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(")
     offenders = []
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
-        hits = []
-        for i, line in enumerate(py.read_text().splitlines(), 1):
-            stripped = line.strip()
-            # comments and rst-quoted docstring prose are not code
-            if stripped.startswith("#") or "``" in line:
-                continue
-            if pat.search(line):
-                hits.append(i)
+        hits = _collect_call_lines(py)
         if hits and rel not in _COLLECT_WHITELIST:
             offenders.append(f"{rel}:{hits}")
     assert not offenders, (
@@ -114,15 +125,6 @@ def test_collect_whitelist_is_tight():
     pkg = Path(__file__).resolve().parent.parent / (
         "morphl_model_user_search_intent_spark"
     )
-    import re
-
-    pat = re.compile(r"\.(collect|toPandas|toLocalIterator)\(")
     for rel in sorted(_COLLECT_WHITELIST):
-        n = sum(
-            1
-            for line in (pkg / rel).read_text().splitlines()
-            if not line.strip().startswith("#")
-            and "``" not in line
-            and pat.search(line)
-        )
+        n = len(_collect_call_lines(pkg / rel))
         assert n <= 2, f"{rel}: {n} collect sites (was ≤2 at review)"

@@ -123,6 +123,11 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
+    # DRIVER_SIM_FIRST=N replicates the driver's sampling: it checks
+    # only the first N keys of queries() in registry order.
+    first_n = int(os.environ.get("DRIVER_SIM_FIRST", "0"))
+    if first_n:
+        qs = {n: f for i, (n, f) in enumerate(qs.items()) if i < first_n}
     fails = 0
     for name in sorted(qs):
         t0 = time.perf_counter()

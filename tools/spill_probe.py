@@ -41,7 +41,13 @@ SCALE_DIR = sys.argv[2] if len(sys.argv) > 2 else ".scratch/scale100x"
 QUERIES = ["q_join_unshipped", "q_sessionize", "q_win_topk"]
 
 
-def _stages(spark) -> dict[int, dict]:
+def _stages(spark) -> dict[int, dict] | None:
+    """Completed stages from the UI REST API, or None when the fetch
+    itself fails.  None vs {} matters (round-2 advisor): silently
+    treating a failed fetch as "no stages" would either zero the spill
+    numbers (reporting 'no spill' when the probe actually measured
+    nothing) or, for a failed 'before' snapshot, misattribute prior
+    queries' stages to the current one."""
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     try:
@@ -51,7 +57,7 @@ def _stages(spark) -> dict[int, dict]:
             )
         )
     except Exception:
-        return {}
+        return None
     return {s["stageId"]: s for s in data}
 
 
@@ -80,32 +86,53 @@ def main() -> None:
     rows = []
     for name in QUERIES:
         fn = REGISTRY[name].fn
-        before = set(_stages(spark))
+        before_stages = _stages(spark)
         t0 = time.perf_counter()
         try:
-            n = len(fn(spark, SCALE_DIR).collect())
+            # count(), NOT collect(): only plan-side (executor) memory
+            # is under test; materializing a 100x result set onto the
+            # deliberately squeezed driver heap could OOM the harness
+            # itself and be misreported as an operator failure
+            # (round-2 advisor).
+            n = fn(spark, SCALE_DIR).count()
             err = None
         except Exception as ex:  # noqa: BLE001
             n, err = -1, f"{type(ex).__name__}"
         dt = time.perf_counter() - t0
         time.sleep(0.3)
-        new = [
-            s for sid, s in _stages(spark).items() if sid not in before
-        ]
-        mem_sp = sum(s.get("memoryBytesSpilled", 0) for s in new)
-        disk_sp = sum(s.get("diskBytesSpilled", 0) for s in new)
+        after_stages = _stages(spark)
+        if before_stages is None or after_stages is None:
+            # Fetch failure ≠ "no spill": mark metrics unavailable
+            # rather than reporting a clean zero.
+            mem_mb = disk_mb = None
+        else:
+            new = [
+                s
+                for sid, s in after_stages.items()
+                if sid not in before_stages
+            ]
+            mem_mb = round(
+                sum(s.get("memoryBytesSpilled", 0) for s in new) / 2**20, 1
+            )
+            disk_mb = round(
+                sum(s.get("diskBytesSpilled", 0) for s in new) / 2**20, 1
+            )
         rows.append(
             {
                 "query": name,
                 "sec": round(dt, 3),
                 "rows": n,
-                "mem_spill_mb": round(mem_sp / 2**20, 1),
-                "disk_spill_mb": round(disk_sp / 2**20, 1),
+                "mem_spill_mb": mem_mb,
+                "disk_spill_mb": disk_mb,
                 "error": err,
             }
         )
 
-    mb = lambda r: f"{r['mem_spill_mb']:,.1f} / {r['disk_spill_mb']:,.1f}"
+    mb = lambda r: (  # noqa: E731
+        "metrics unavailable"
+        if r["mem_spill_mb"] is None
+        else f"{r['mem_spill_mb']:,.1f} / {r['disk_spill_mb']:,.1f}"
+    )
     lines = [
         "# SPILL — bounded-memory completion under a squeezed heap",
         "",
@@ -126,11 +153,14 @@ def main() -> None:
         "| --- | --- | --- | --- | --- |",
     ]
     for r in rows:
-        status = r["error"] or (
-            "completed, spilled"
-            if r["disk_spill_mb"] > 0 or r["mem_spill_mb"] > 0
-            else "completed (no spill at this heap)"
-        )
+        if r["error"]:
+            status = r["error"]
+        elif r["mem_spill_mb"] is None:
+            status = "completed (spill metrics unavailable)"
+        elif r["disk_spill_mb"] > 0 or r["mem_spill_mb"] > 0:
+            status = "completed, spilled"
+        else:
+            status = "completed (no spill at this heap)"
         lines.append(
             f"| {r['query']} | {r['sec']} | {r['rows']:,} | {mb(r)} "
             f"| {status} |"
