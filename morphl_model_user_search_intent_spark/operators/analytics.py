@@ -5138,3 +5138,227 @@ def q_search_ctr_position(
             6,
         ).alias("cum_click_share"),
     )
+
+
+@register(
+    "q_search_query_report",
+    oracle="""
+    WITH base AS (
+      SELECT (CAST(json_extract(props, '$.k') AS INTEGER) % 50)
+               AS query_id,
+             ((CAST(json_extract(props, '$.k') AS INTEGER) % 10) + 1)
+               AS position,
+             event_type
+      FROM events
+      WHERE event_type IN ('view', 'click')
+        AND json_extract(props, '$.k') IS NOT NULL
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS impressions,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END), 0), 6) AS ctr,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN position
+                          ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END), 0), 6) AS avg_position
+    FROM base
+    GROUP BY query_id
+    """,
+)
+def q_search_query_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Search-Console query report — per-query impressions,
+    clicks, CTR, and impression-weighted average position: the exact
+    table the reference's ingest stage pulls from the GSC API per
+    (date, query) before any model sees it.  The fixture has no GSC
+    table, so query_id and position are derived deterministically
+    from the event payload (``k % 50`` / ``k % 10 + 1``) with views
+    as impressions — identical derivation in both engines.
+
+    Scale shape: scan-side JSON extract (JVM ``get_json_object``, no
+    UDF), single partial-agg shuffle on 50 query keys; the two
+    divisions happen AFTER integer aggregation (exact counts, two
+    rounded divides per output row).  Zero-impression groups yield
+    NULL ctr/avg_position in both engines (when-guard ↔ NULLIF).
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = ev.select(
+        (k % 50).alias("query_id"),
+        (k % 10 + 1).alias("position"),
+        "event_type",
+    ).filter(F.col("query_id").isNotNull())
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    agg = base.groupBy("query_id").agg(
+        F.sum(is_view).cast("bigint").alias("impressions"),
+        F.sum(is_click).cast("bigint").alias("clicks"),
+        F.sum(is_view * F.col("position"))
+        .cast("bigint")
+        .alias("pos_sum"),
+    )
+    imp_nz = F.when(
+        F.col("impressions") > 0, F.col("impressions").cast("double")
+    )  # NULL when 0 impressions — mirrors the oracle's NULLIF
+    return agg.select(
+        "query_id",
+        "impressions",
+        "clicks",
+        F.round(F.col("clicks").cast("double") / imp_nz, 6).alias("ctr"),
+        F.round(F.col("pos_sum").cast("double") / imp_nz, 6).alias(
+            "avg_position"
+        ),
+    )
+
+
+@register(
+    "q_search_cannibalization",
+    oracle="""
+    WITH per_page AS (
+      SELECT (CAST(json_extract(props, '$.k') AS INTEGER) % 50)
+               AS query_id,
+             (user_id % 20) AS page_id,
+             CAST(COUNT(*) AS BIGINT) AS clicks
+      FROM events
+      WHERE event_type = 'click'
+        AND json_extract(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT query_id, page_id, clicks,
+             CAST(clicks AS DOUBLE)
+               / SUM(clicks) OVER (PARTITION BY query_id) AS share
+      FROM per_page
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(clicks) AS BIGINT) AS total_clicks,
+           ROUND(MAX(share), 6) AS top_page_share,
+           CAST(SUM(CASE WHEN share >= 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_competing
+    FROM shares
+    GROUP BY query_id
+    """,
+)
+def q_search_cannibalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyword cannibalization audit — for each query, how many pages
+    split its clicks and how concentrated the winner is.  Queries
+    with several pages each holding a meaningful click share
+    (``n_competing >= 2``) are the classic SEO cannibalization
+    signal the reference's domain cares about.  page_id is derived
+    deterministically (``user_id % 20``) since the fixture carries no
+    page URL.
+
+    Scale shape: one shuffle keyed on (query_id, page_id) for the
+    count, then the share window and the final rollup both run keyed
+    on query_id — Spark reuses the hash partitioning (subset-key
+    clustering), so the whole query is two exchanges end-to-end and
+    per-key window state is bounded by pages-per-query (≤20 here,
+    site-page-count at real scale).  The 0.2 boundary compares
+    IEEE-identical doubles (exact integer counts divided once) in
+    both engines.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    per_page = (
+        ev.select(
+            (k % 50).alias("query_id"),
+            (F.col("user_id") % 20).alias("page_id"),
+        )
+        .filter(F.col("query_id").isNotNull())
+        .groupBy("query_id", "page_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("clicks"))
+    )
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy("query_id")
+    shares = per_page.withColumn(
+        "share",
+        F.col("clicks").cast("double") / F.sum("clicks").over(tot),
+    )
+    return shares.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.sum("clicks").cast("bigint").alias("total_clicks"),
+        F.round(F.max("share"), 6).alias("top_page_share"),
+        F.sum(F.when(F.col("share") >= 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_competing"),
+    )
+
+
+@register(
+    "q_search_position_drift",
+    oracle="""
+    WITH weekly AS (
+      SELECT (CAST(json_extract(props, '$.k') AS INTEGER) % 50)
+               AS query_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(SUM((CAST(json_extract(props, '$.k') AS INTEGER)
+                       % 10) + 1) AS BIGINT) AS pos_sum,
+             CAST(COUNT(*) AS BIGINT) AS impressions
+      FROM events
+      WHERE event_type = 'view'
+        AND json_extract(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT query_id, week,
+           ROUND(CAST(pos_sum AS DOUBLE) / impressions, 6)
+             AS avg_position,
+           ROUND(CAST(pos_sum AS DOUBLE) / impressions
+                 - LAG(CAST(pos_sum AS DOUBLE) / impressions) OVER (
+                     PARTITION BY query_id ORDER BY week), 6)
+             AS drift
+    FROM weekly
+    """,
+)
+def q_search_position_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Week-over-week ranking drift per query — the trend signal the
+    reference's intent models consume (a query whose average position
+    decays week over week is losing the SERP).  Positive drift =
+    rank number grew = ranking worsened.
+
+    Scale shape: partial-agg shuffle on (query_id, week) — integer
+    pos_sum/count merge map-side — then the lag window runs over the
+    tiny weekly aggregate (50 queries × weeks), not the events.  The
+    division happens after exact integer aggregation in both engines,
+    so drift is IEEE-identical and survives the driver's value hash.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    weekly = (
+        ev.select(
+            (k % 50).alias("query_id"),
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            (k % 10 + 1).alias("position"),
+        )
+        .filter(F.col("query_id").isNotNull())
+        .groupBy("query_id", "week")
+        .agg(
+            F.sum("position").cast("bigint").alias("pos_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("impressions"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("week")
+    avg_pos = F.col("pos_sum").cast("double") / F.col("impressions")
+    return weekly.select(
+        "query_id",
+        "week",
+        F.round(avg_pos, 6).alias("avg_position"),
+        F.round(avg_pos - F.lag(avg_pos).over(w), 6).alias("drift"),
+    )
