@@ -1987,10 +1987,10 @@ def q_text_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nll AS (
       SELECT bi.doc_id,
-             CAST(ROUND(-LN((CAST(bc.cb AS DOUBLE) + 1.0)
+             CAST(FLOOR(-LN((CAST(bc.cb AS DOUBLE) + 1.0)
                             / (CAST(uc.cu AS DOUBLE)
-                               + CAST(vocab.v AS DOUBLE))), 6)
-                  AS DECIMAL(27, 6)) AS t
+                               + CAST(vocab.v AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS t_micro
       FROM bi
       JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
       JOIN uc ON uc.w1 = bi.w1
@@ -1998,8 +1998,12 @@ def q_text_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
-           ROUND(EXP(CAST(SUM(t) AS DOUBLE) / COUNT(*)), 4) AS ppl
+           CAST(SUM(t_micro) AS BIGINT) AS nll_micro,
+           CAST(FLOOR(CAST(SUM(t_micro) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS avg_nll_micro,
+           ROUND(EXP(CAST(FLOOR(CAST(SUM(t_micro) AS DOUBLE)
+                                / COUNT(*) + 0.5) AS DOUBLE)
+                     / 1000000.0), 2) AS ppl
     FROM nll GROUP BY doc_id
     """,
 )
@@ -2012,10 +2016,16 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressibility proxy (q_text_compressibility).
 
     p = (c(w₁,w₂)+1)/(c(w₁)+V) is a ratio of exact integers, so
-    both engines compute identical doubles; each −ln term is
-    rounded to 6 dp BEFORE the per-doc DECIMAL sum (the order-free
-    reduction; libm last-ulp differences die in the round), and
-    EXP of the deterministic mean is rounded at 4 dp.  Counts are
+    both engines compute identical doubles; each −ln term is then
+    quantized to integer micro-nats via ``FLOOR(x*1e6 + 0.5)`` — the
+    SAME double-space arithmetic in both engines (Spark's ROUND(dbl)
+    rounds the exact binary expansion via BigDecimal while DuckDB
+    rounds in scaled double space, and at sf0.1's bigram count those
+    boundary flips accumulated into visible 1e-6 diffs — found by the
+    full sf0.1 parity sweep, CORRECTNESS_sf01_r3.txt).  The per-doc
+    sums and the mean are exact BIGINT integer math from there; only
+    the final PPL touches a transcendental again (EXP of an
+    identical-integer mean, rounded at 2 dp).  Counts are
     two hash aggregations; the bigram stream joins its own model
     tables by key — broadcastable (|vocab|-sized) at any corpus
     scale.
@@ -2047,27 +2057,30 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(
+            F.floor(
                 -F.log(
                     (F.col("cb").cast("double") + 1.0)
                     / (
                         F.col("cu").cast("double")
                         + F.col("v").cast("double")
                     )
-                ),
-                6,
+                )
+                * 1000000.0
+                + 0.5
             )
-            .cast("decimal(27,6)")
-            .alias("t"),
+            .cast("bigint")
+            .alias("t_micro"),
         )
     )
+    avg_micro = F.floor(
+        F.sum("t_micro").cast("double") / F.count("*") + 0.5
+    ).cast("bigint")
     return nll.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(F.sum("t").cast("double") / F.count("*"), 6).alias(
-            "avg_nll"
-        ),
+        F.sum("t_micro").cast("bigint").alias("nll_micro"),
+        avg_micro.alias("avg_nll_micro"),
         F.round(
-            F.exp(F.sum("t").cast("double") / F.count("*")), 4
+            F.exp(avg_micro.cast("double") / 1000000.0), 2
         ).alias("ppl"),
     )
 
