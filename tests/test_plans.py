@@ -14,7 +14,9 @@ from conftest import SF_DIR
 
 
 def _df(spark, name):
-    return REGISTRY[name].fn(spark, SF_DIR)
+    # fresh (uncached) build: plan assertions need the initial plan,
+    # not the AQE-finalized one a cached+executed DataFrame prints
+    return REGISTRY[name].fresh(spark, SF_DIR)
 
 
 def test_pushdown_reaches_scan(spark):
