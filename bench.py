@@ -6,13 +6,27 @@ Runs the headline queries (mapped to BASELINE.md's B1–B10 shapes) at
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Method mirrors BASELINE.md: one shared SparkSession (startup excluded),
-each query executed three times — one warm-up (plan + file listing +
-JIT), then two timed warm runs of which the BEST is reported, timed
-around the full action (``collect`` of the result).  Best-of-2 damps
-single-run scheduler/GC noise (observed ±20% on sub-second queries at
-local[32]) without hiding real regressions — a plan that got slower is
-slower on both runs.
+Method mirrors BASELINE.md (tools/baseline_all.py): one shared
+SparkSession (startup excluded), warm best-of-2, timed around the full
+action (``collect`` of the result) — and, like the baseline, each
+timed run BUILDS A FRESH DataFrame.  That matters for honesty twice
+over: (a) plan construction (py4j + Catalyst analysis, 0.3–0.6 s per
+headline at local[32]) is inside the timed window on both sides of the
+2× comparison, and (b) re-collecting one cached DataFrame would reuse
+its materialized shuffle outputs (upstream stages skip entirely), so
+only a fresh plan forces the full scan→shuffle→agg execution the
+baseline pays.
+
+The engine's plan cache (registry.py) is real and on by default for
+library users; its effect is reported separately as ``cached_queries``
+/ ``cached_value`` — repeated identical queries on the same session +
+immutable snapshot dir skip plan construction AND reuse shuffle
+output.  The headline ``value`` stays the fresh-execution number so
+the driver's comparison against BASELINE.md is like-for-like.
+
+Best-of-2 damps single-run scheduler/GC noise (observed ±20% on
+sub-second queries at local[32]) without hiding real regressions — a
+plan that got slower is slower on both runs.
 """
 
 from __future__ import annotations
@@ -57,15 +71,24 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     names += sorted(set(os.environ.get("BENCH_EXTRA", "").split(",")) & set(REGISTRY) - set(names))
     per_query: dict[str, float] = {}
+    cached: dict[str, float] = {}
     for name in names:
-        fn = REGISTRY[name].fn
-        fn(spark, SF_DIR).collect()  # warm-up: plan + file listing + JIT
+        spec = REGISTRY[name]
+        spec.fresh(spark, SF_DIR).collect()  # warm: listing + JIT
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            spec.fresh(spark, SF_DIR).collect()  # full build + execute
             samples.append(time.perf_counter() - t0)
         per_query[name] = round(min(samples), 4)
+        # plan-cache path: same engine call a library user makes twice
+        spec.fn(spark, SF_DIR).collect()
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        cached[name] = round(min(samples), 4)
     total = round(sum(per_query.values()), 4)
     print(
         json.dumps(
@@ -74,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "cached_value": round(sum(cached.values()), 4),
+                "cached_queries": cached,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

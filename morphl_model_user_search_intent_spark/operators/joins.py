@@ -1035,3 +1035,65 @@ def q_join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.lit(n_years).cast("bigint").alias("n_years"),
     )
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: a selective dimension predicate
+    (urgent orders) is turned into a bloom filter that prunes the fact
+    scan BEFORE the shuffle — Catalyst's InjectRuntimeFilter rewrites
+    the fact side to ``might_contain(bloom, xxhash64(l_orderkey))``.
+    At 100 TB this is the difference between shuffling the whole
+    lineitem table and shuffling only the ~20% that can survive the
+    join.
+
+    The injection thresholds default to cluster scale
+    (applicationSideScanSizeThreshold = 10 GB), so at fixture scale
+    they are lowered FOR THIS PLAN ONLY: the confs are set, the
+    physical plan is materialized (pinning the injected filter), and
+    the previous values restored before returning — no other query's
+    planning sees the override.  tests/test_plans.py gates the
+    might_contain filter's presence.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                lsum(units("l_extendedprice", 100), 100, "revenue"),
+            )
+        )
+        # Materialize the physical plan NOW so the bloom filter is
+        # baked in before the thresholds revert.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -455,3 +455,30 @@ def q_source_partition_pruning(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+@register("q_source_xml", oracle=_AGG_ORACLE)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (Spark 4 native ``xml`` format, the spark-xml
+    package folded into core): write the integer event projection as
+    ``<row>`` elements, read it back with an explicit schema (XML
+    inference is even less production-safe than CSV's), aggregate
+    against the parquet oracle.
+
+    Scale posture: XML is a landing format, not a processing format —
+    the read is a one-pass conversion into parquet exactly like the
+    CSV/JSON sources; rowTag splitting parallelizes per-file, so a
+    10k-file XML drop fans out across the cluster like any other
+    ``FileScan``.
+    """
+    path = os.path.join(SCRATCH, f"xml-{_tag(sf_dir)}")
+    _event_projection(spark, sf_dir).write.mode("overwrite").option(
+        "rowTag", "row"
+    ).option("rootTag", "rows").format("xml").save(path)
+    back = (
+        spark.read.schema(_EVENT_COLS_SCHEMA)
+        .option("rowTag", "row")
+        .format("xml")
+        .load(path)
+    )
+    return _agg(back)

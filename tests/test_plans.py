@@ -245,3 +245,31 @@ def test_partitioned_source_prunes(spark):
     plan = explain_str(_df(spark, "q_source_partition_pruning"))
     assert "PartitionFilters: [" in plan
     assert "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bloom_join_injects_runtime_filter(spark):
+    # InjectRuntimeFilter must rewrite the fact side to a
+    # might_contain(bloom, xxhash64(l_orderkey)) filter under the
+    # query's scoped thresholds — and the override must not leak.
+    before = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    plan = explain_str(_df(spark, "q_join_bloom")).lower()
+    assert "might_contain" in plan
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    assert after == before, "bloom threshold override leaked"
+
+
+def test_xml_source_roundtrip_schema(spark):
+    # explicit-schema XML read: the declared types survive the text
+    # round-trip (no inference), and the agg matches the CSV twin.
+    xml = _df(spark, "q_source_xml")
+    csv = _df(spark, "q_source_csv")
+    assert xml.schema == csv.schema
+    assert sorted(map(tuple, xml.collect())) == sorted(
+        map(tuple, csv.collect())
+    )

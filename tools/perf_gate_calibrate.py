@@ -31,7 +31,7 @@ def main() -> None:
     spark = get_spark(app_name="perf-gate-cal", cpus=8, shuffle_partitions=8)
     print("BUDGETS = {")
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
+        fn = REGISTRY[name].fresh
         fn(spark, SF_DIR).collect()  # warm-up
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()

@@ -192,7 +192,7 @@ def main() -> None:
     shuf: dict[str, dict[str, int]] = {name: {} for name in HEADLINE}
     for tag, d in dirs:
         for name in HEADLINE:
-            dt, shw = time_query(REGISTRY[name].fn, spark, d)
+            dt, shw = time_query(REGISTRY[name].fresh, spark, d)
             times[name][tag] = dt
             shuf[name][tag] = shw
     tags = [t for t, _ in dirs]

@@ -85,7 +85,7 @@ def main() -> None:
 
     rows = []
     for name in QUERIES:
-        fn = REGISTRY[name].fn
+        fn = REGISTRY[name].fresh
         before_stages = _stages(spark)
         t0 = time.perf_counter()
         try:
