@@ -239,7 +239,8 @@ def test_epoch_shuffle_is_a_permutation(spark):
     # positions 1..n partition across shards without gaps or overlap
     assert min(r.first_pos for r in rows) == 1
     assert max(r.last_pos for r in rows) == n
-    # deterministic: second run produces the identical fingerprints
-    again = REGISTRY["q_corpus_epoch_shuffle"].fn(spark, SF_DIR).collect()
+    # deterministic: a FRESH plan (not the cached DataFrame, which
+    # would reuse its shuffle output) produces identical fingerprints
+    again = REGISTRY["q_corpus_epoch_shuffle"].fresh(spark, SF_DIR).collect()
     fp = lambda rs: sorted((r.shard_id, r.order_fingerprint) for r in rs)
     assert fp(rows) == fp(again)

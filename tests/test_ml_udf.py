@@ -50,8 +50,12 @@ def test_embed_text_deterministic_unit_vectors(spark):
     for r in rows[:20]:
         norm = math.sqrt(sum(x * x for x in r.embedding))
         assert math.isclose(norm, 1.0, rel_tol=1e-9)
-    # deterministic across runs (md5-based, not PYTHONHASHSEED)
-    again = {r.doc_id: r.embedding for r in df.collect()}
+    # deterministic across runs (md5-based, not PYTHONHASHSEED);
+    # fresh plan so no stage of the first run is reused
+    again = {
+        r.doc_id: r.embedding
+        for r in REGISTRY["q_embed_text"].fresh(spark, SF_DIR).collect()
+    }
     assert all(again[r.doc_id] == r.embedding for r in rows)
 
 
@@ -94,7 +98,7 @@ def test_kmeans_partitions_space_deterministically(spark):
     assert len(a) == 10  # k clusters, none empty
     assert sum(r.n_members for r in a) == n_total  # full coverage
     assert all(r.mean_dist > 0 for r in a)
-    b = REGISTRY["q_ml_kmeans"].fn(spark, SF_DIR).collect()  # seeded rerun
+    b = REGISTRY["q_ml_kmeans"].fresh(spark, SF_DIR).collect()  # seeded rerun, fresh plan
     assert sorted((r.cluster, r.n_members, r.mean_dist) for r in a) == sorted(
         (r.cluster, r.n_members, r.mean_dist) for r in b
     )
@@ -162,7 +166,12 @@ def test_pca_retains_reasonable_variance(spark):
 def test_compressibility_deterministic_and_bounded(spark):
     df = REGISTRY["q_text_compressibility"].fn(spark, SF_DIR)
     a = {r.source: r for r in df.collect()}
-    b = {r.source: r for r in df.collect()}  # rerun: identical
+    b = {
+        r.source: r
+        for r in REGISTRY["q_text_compressibility"]
+        .fresh(spark, SF_DIR)
+        .collect()
+    }  # rerun on a fresh plan: identical
     assert a.keys() == b.keys() and len(a) > 0
     for k in a:
         assert a[k].mean_ratio == b[k].mean_ratio
