@@ -2769,3 +2769,114 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# Ordered BPE merge ranks for q_text_bpe_encode — the "learned
+# vocabulary" a trainer (q_text_bpe_merges iterated) would emit.
+# Fixed here so Spark and the oracle apply the identical table; each
+# entry "a b" fuses adjacent symbols a,b into ab, in rank order.
+_BPE_MERGES = (
+    "t h", "i n", "a n", "r e", "o n", "a t", "e n", "o r",
+    "e s", "a r", "th e", "an d", "s t", "l e", "a s", "k e",
+    "s c", "t a", "v a", "r o",
+)
+
+
+def _bpe_encode_sql(col: str = "word") -> str:
+    """DuckDB expression: space-pad the char-split word, then apply
+    the merge table in rank order via sequential replace()."""
+    e = f"' ' || trim(regexp_replace({col}, '(.)', '\\1 ', 'g')) || ' '"
+    for m in _BPE_MERGES:
+        a, b = m.split()
+        e = f"replace({e}, ' {a} {b} ', ' {a}{b} ')"
+    return e
+
+
+@register(
+    "q_text_bpe_encode",
+    oracle=f"""
+    WITH wf AS (
+      SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY source, w
+    ),
+    vocab AS (SELECT DISTINCT word FROM wf),
+    enc AS (
+      SELECT word,
+             CAST(length(trim(E)) - length(replace(trim(E), ' ', ''))
+                  + 1 AS BIGINT) AS n_tok
+      FROM (SELECT word, {{expr}} AS E FROM vocab)
+    )
+    SELECT wf.source,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT wf.word) AS BIGINT) AS n_vocab,
+           CAST(SUM(freq * n_tok) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(freq * n_tok) AS DOUBLE) / SUM(freq) * 1e6
+                 + 0.5) / 1e6 AS tokens_per_word
+    FROM wf JOIN enc ON enc.word = wf.word
+    GROUP BY wf.source
+    """.format(expr=_bpe_encode_sql()),
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE, distributed — apply a learned merge table (the
+    output side of q_text_bpe_merges iterated; Sennrich et al. 2016)
+    to tokenize the corpus, reporting words/vocab/subword-token
+    counts and tokens-per-word per source.  This is the tokenization
+    pass every LLM training pipeline runs over its full corpus.
+
+    Scale shape — the classic vocab trick: the merge chain (20
+    sequential replaces over the space-padded char sequence) runs
+    over DISTINCT words only (|vocab| rows, not corpus rows); corpus
+    mass is carried by per-(source, word) frequencies and the encoded
+    token counts re-attach via a broadcast join.  At 100 TB the
+    encode cost is |vocab|·|merges| — independent of corpus size —
+    and the frequency aggregation is a map-side-combinable groupBy.
+    All merge arithmetic is pure JVM string functions (no Python in
+    the loop); the tokens_per_word ratio is quantized with the
+    engine-portable FLOOR(x·1e6+0.5) discipline.
+    """
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            "source", F.explode(tokens()).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    vocab = wf.select("word").distinct()
+    enc_col = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for m in _BPE_MERGES:
+        a, b = m.split()
+        enc_col = F.replace(
+            enc_col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    trimmed = F.trim(enc_col)
+    enc = vocab.select(
+        "word",
+        (
+            F.length(trimmed)
+            - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    joined = wf.join(F.broadcast(enc), "word")
+    tpw = F.sum(F.col("freq") * F.col("n_tok")).cast("double") / F.sum(
+        "freq"
+    )
+    return joined.groupBy("source").agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.countDistinct("word").cast("bigint").alias("n_vocab"),
+        F.sum(F.col("freq") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (F.floor(tpw * 1e6 + 0.5) / 1e6).alias("tokens_per_word"),
+    )
