@@ -324,3 +324,132 @@ def test_control_chart_limits_bracket_center(spark):
             assert r.n_events > r.ucl
         elif r.status == "below_lcl":
             assert r.n_events < r.lcl
+
+
+# --- as-of join semantics vs pandas merge_asof (a third, independent
+# implementation next to the Spark pattern and the DuckDB oracle) ---
+
+_asof_strategy = st.tuples(
+    # left probes: (key, t)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    # right quotes: unique (key, t) so backward-asof has a unique winner
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+)
+
+
+@given(data=_asof_strategy)
+@_settings
+def test_asof_pattern_matches_pandas_merge_asof(spark, data):
+    import pandas as pd
+    from pyspark.sql import Window
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid int, k int, t int",
+    )
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right_rows)],
+        "rid int, rk int, rt int",
+    )
+    cand = left.join(
+        right,
+        (F.col("rk") == F.col("k")) & (F.col("rt") <= F.col("t")),
+        "left",
+    )
+    w = Window.partitionBy("lid").orderBy(
+        F.col("rt").desc_nulls_last(), F.col("rid").desc_nulls_last()
+    )
+    got = {
+        r.lid: r.rt
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    pl = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["lid", "k", "t"],
+    ).sort_values(["t", "lid"], kind="mergesort")
+    pr = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right_rows)],
+        columns=["rid", "k", "rt"],
+    ).sort_values(["rt", "rid"], kind="mergesort")
+    merged = pd.merge_asof(
+        pl, pr, left_on="t", right_on="rt", by="k", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rt) else int(r.rt))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+# --- sessionize gap boundary: Spark lag+cumsum pattern vs a linear
+# Python reference, with offsets clustered around the 1800 s gap ---
+
+_session_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=8),  # gap selector
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_GAPS = [0, 1, 1799, 1800, 1801, 3600, 5, 60, 7200]  # seconds
+
+
+@given(rows=_session_strategy)
+@_settings
+def test_sessionize_gap_boundary_matches_reference(spark, rows):
+    from pyspark.sql import Window
+
+    # build per-user strictly-increasing timestamps from the gaps
+    per_user: dict[int, list[int]] = {}
+    events = []
+    for u, gsel in rows:
+        ts = per_user.get(u, 0) + _GAPS[gsel]
+        per_user[u] = ts
+        events.append((len(events), u, ts))
+    # Python reference: new session when gap > 1800 s (strictly)
+    want = 0
+    last: dict[int, int] = {}
+    for _, u, ts in sorted(events, key=lambda e: (e[1], e[2], e[0])):
+        if u not in last or ts - last[u] > 1800:
+            want += 1
+        last[u] = ts
+    df = spark.createDataFrame(
+        events, "eid int, user int, ts_s long"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    w = Window.partitionBy("user").orderBy("ts", "eid")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_s = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > 1800 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        df.withColumn("ns", new_s)
+        .withColumn("sid", F.sum("ns").over(run))
+        .groupBy("user", "sid")
+        .count()
+    )
+    assert sessions.count() == want
