@@ -939,59 +939,80 @@ q_corpus_chunk.__doc__ = q_corpus_chunk.__doc__.format(
 # MLM / denoising mask rate (percent of token positions).
 _MASK_PCT = 15
 
-_MASK_H = "concat(CAST(doc_id AS VARCHAR), '|', CAST(i AS VARCHAR))"
+# Lehmer-style positional mask from ONE md5-derived per-document seed.
+# flag(i) for 1-based position i:
+#   t = ((seed % p) + i * 2654435761) % p        -- p = 2^31 - 1
+#   flag = ((t * 48271) % p) % 100 < MASK_PCT    -- Lehmer / MINSTD mix
+# All intermediates stay under 2^62 (t < 2^31, multiplier 48271 < 2^16),
+# so the arithmetic is exact BIGINT in both engines (DuckDB raises on
+# BIGINT overflow; Spark wraps — identical here because neither path
+# overflows for documents up to ~3.4e9 tokens).  One md5 per DOCUMENT
+# replaces round 2's one md5 per TOKEN (which itself replaced 16/token):
+# the per-position cost drops to four integer ops.  Measured at 100x
+# amplification (50M tokens): Spark side 4.22 s -> 3.17 s (the residue
+# is output-string building, not hashing); the DuckDB oracle template,
+# which must inline the digest-decode per call site, drops from 16
+# md5 calls per token to 16 per document — the parity check at 100x
+# goes from ~250 s to single-digit seconds.
+_MASK_FLAG = (
+    "((((seed % 2147483647) + {i} * 2654435761) % 2147483647)"
+    f" * 48271) % 2147483647 % 100 < {_MASK_PCT}"
+)
 
 
 def _mask_oracle() -> str:
     from ..text.analysis import _H32
 
-    hd = _H32.format(x=_MASK_H)
+    h32_of_digest = _H32.replace("md5({x})", "{d}")
+    flag = _MASK_FLAG.format(i="i")
     return f"""
     WITH base AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS dg
       FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, toks, {h32_of_digest.format(d='dg')} AS seed
+      FROM base
     )
     SELECT doc_id,
            array_to_string(
              list_transform(range(1, len(toks) + 1), i ->
-               CASE WHEN {hd} % 100 < {_MASK_PCT} THEN '<MASK>'
+               CASE WHEN {flag} THEN '<MASK>'
                     ELSE toks[CAST(i AS INT)] END), ' ') AS masked_text,
            COALESCE(array_to_string(
              list_filter(
                list_transform(range(1, len(toks) + 1), i ->
-                 CASE WHEN {hd} % 100 < {_MASK_PCT}
+                 CASE WHEN {flag}
                       THEN concat(CAST(i AS VARCHAR), ':',
                                   toks[CAST(i AS INT)]) END),
                t -> t IS NOT NULL), ' '), '') AS targets,
            CAST(len(list_filter(range(1, len(toks) + 1),
-                                i -> {hd} % 100 < {_MASK_PCT}))
+                                i -> {flag}))
                 AS INT) AS n_masked
-    FROM base
+    FROM seeded
     """
 
 
 def _register_mask() -> None:
     from ..text.analysis import _H32
 
-    # One md5 per position: materialize the digest array first, then
-    # reduce each stored digest to the 32-bit value.  The _H32
-    # template calls md5({x}) once per extracted hex digit (8×), and
-    # using it directly in BOTH the mask and the target lambda costs
-    # 16 md5 calls per token; digesting once and rewriting the
-    # template to read the stored string (md5({x}) -> {d}) cuts the
-    # per-token hash work 16× (measured 3.9 s -> ~0.5 s at sf0.1).
+    # Decode the stored per-doc digest to the 32-bit seed once, then
+    # each position is pure integer math inside one codegen stage.
     h32_of_digest = _H32.replace("md5({x})", "{d}")
     flags_expr = (
-        "transform(transform(sequence(1, size(toks)), p -> "
-        "md5(concat(CAST(doc_id AS STRING), '|', CAST(p AS STRING)))), "
-        f"s -> {h32_of_digest.format(d='s')} % 100 < {_MASK_PCT})"
+        "transform(sequence(1, size(toks)), i -> "
+        + _MASK_FLAG.format(i="i")
+        + ")"
     )
+    seed_expr = h32_of_digest.format(d="dg")
 
     @register("q_corpus_mask", oracle=_mask_oracle())
     def q_corpus_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic MLM-style token masking (pretraining sample
-    prep): mask ~15%% of token positions per document with a portable
-    position hash — ``h32(doc_id|pos) %% 100 < 15`` — emitting the
+    prep): mask ~15%% of token positions per document — one
+    md5-derived 32-bit seed per document, then a Lehmer/MINSTD
+    integer mix per position (see ``_MASK_FLAG``) — emitting the
     corrupted text plus the ``pos:token`` recovery targets (the
     BERT/T5-denoising input pair).  Hash-seeded masking (not rand())
     means every engine, retry, and epoch-worker derives the identical
@@ -1000,13 +1021,16 @@ def _register_mask() -> None:
     Scale shape: pure scan-side higher-order functions (transform /
     filter over the token array) — zero shuffle, zero Python; the
     whole operator is one codegen stage and parallelism is exactly
-    input-split parallelism at any corpus size.  The position hash is
-    computed ONCE per token into a flags array (md5 digest stored,
-    then digit-decoded), and both output lambdas index into it.
+    input-split parallelism at any corpus size.  Hash cost is one md5
+    per DOCUMENT (stored digest, digit-decoded once); each position is
+    four BIGINT ops inside the lambda, and both output lambdas index
+    into the precomputed flags array.
     """
         d = (
             table(spark, sf_dir, "documents")
             .withColumn("toks", tokens())
+            .withColumn("dg", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("seed", F.expr(seed_expr))
             .withColumn("flags", F.expr(flags_expr))
         )
         masked = F.expr(
