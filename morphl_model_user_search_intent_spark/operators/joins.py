@@ -760,41 +760,53 @@ def q_join_interval_overlap(
 from ..text.analysis import _H32 as _H32J
 
 
-@register(
-    "q_join_bloom_prefilter",
-    oracle=f"""
+_H32J_DG = _H32J.replace("md5({x})", "{d}")
+
+_BLOOM_SEEDS = (131, 137, 139)
+
+
+def _bloom_oracle() -> str:
+    hw_dim = _H32J_DG.format(d="dg")
+    seeds_probe = ", ".join(
+        f"(((hw * {s}) % 2147483647) % 8192) AS bit{s}"
+        for s in _BLOOM_SEEDS
+    )
+    exists_all = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits{s} WHERE bits{s}.bit"
+        f" = probe.bit{s})"
+        for s in _BLOOM_SEEDS
+    )
+    bits_ctes = ", ".join(
+        f"bits{s} AS (SELECT DISTINCT (((hw * {s}) % 2147483647)"
+        f" % 8192) AS bit FROM dimh)"
+        for s in _BLOOM_SEEDS
+    )
+    return f"""
     WITH dim AS (
       SELECT c_custkey FROM customer
       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
     ),
-    seeds AS (SELECT UNNEST([131, 137, 139]) AS seed),
-    bits AS (
-      SELECT DISTINCT seeds.seed,
-             (({_H32J.format(x="CAST(dim.c_custkey AS VARCHAR)")}
-               * seeds.seed) % 2147483647) % 8192 AS bit
-      FROM dim CROSS JOIN seeds
+    dimh AS (
+      SELECT c_custkey, {hw_dim} AS hw
+      FROM (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS dg
+            FROM dim)
     ),
+    {bits_ctes},
     probe AS (
-      SELECT o_orderkey, o_custkey, o_totalprice,
-             {_H32J.format(x="CAST(o_custkey AS VARCHAR)")} AS hw
-      FROM orders
+      SELECT o_orderkey, o_custkey, o_totalprice, {seeds_probe}
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                   {_H32J_DG.format(d='dg')} AS hw
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                         md5(CAST(o_custkey AS VARCHAR)) AS dg
+                  FROM orders))
     ),
-    hits AS (
-      SELECT probe.o_orderkey, probe.o_custkey, probe.o_totalprice,
-             CAST(COUNT(bits.bit) AS BIGINT) AS nbits
-      FROM probe CROSS JOIN seeds
-      LEFT JOIN bits
-        ON bits.seed = seeds.seed
-       AND bits.bit = ((probe.hw * seeds.seed) % 2147483647) % 8192
-      GROUP BY 1, 2, 3
-    ),
-    passed AS (SELECT * FROM hits WHERE nbits = 3),
+    passed AS (SELECT * FROM probe WHERE {exists_all}),
     truth AS (
       SELECT p.o_orderkey, p.o_totalprice FROM passed p
       WHERE EXISTS (SELECT 1 FROM dim
                     WHERE dim.c_custkey = p.o_custkey)
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_orders,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
              AS n_bloom_pass,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
@@ -804,8 +816,10 @@ from ..text.analysis import _H32 as _H32J
            (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
                                  AS BIGINT)) AS DOUBLE) / 100.0
             FROM truth) AS revenue_true
-    """,
-)
+    """
+
+
+@register("q_join_bloom_prefilter", oracle=_bloom_oracle())
 def q_join_bloom_prefilter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -817,76 +831,91 @@ def q_join_bloom_prefilter(
     q_join_dpp) made explicit and measurable, with the false-pass
     column quantifying the filter's selectivity loss.
 
-    The filter is |bits| rows regardless of dimension size and
-    broadcasts to the fact scan; fact rows failing any of the three
-    bit probes never reach the (exact) semi-join — at 100 TB this
-    is the difference between shuffling every row and shuffling the
-    ~selectivity fraction.  Same portable hash discipline as the
-    sketch family, so the oracle checks the exact pass-set, not
-    just totals.
+    Plan shape (round-3 rewrite; the original expanded every fact row
+    3x through a 45M-row shuffle groupBy at 100x — 15.1 s):  the fact
+    side is hashed ONCE per row (md5 digest stored, digit-decoded —
+    not 16 inline md5 calls), its three bit positions become plain
+    columns, and membership in each seed's bit-set is three chained
+    BROADCAST LEFT-SEMI hash joins (each bit-set is <= 8192 rows
+    regardless of dimension size).  No row expansion, no shuffle, one
+    codegen stage over the fact scan; the pass/true/revenue counters
+    fold into a single aggregate cross-joined with the count-star leg,
+    so the whole operator is ONE action with no driver-side collect.
+    At 100 TB fact rows failing any bit probe never reach the (exact)
+    broadcast semi-join.  Same portable hash discipline as the sketch
+    family, so the oracle checks the exact pass-set, not just totals.
     """
     c = table(spark, sf_dir, "customer")
     dim = c.filter(
         (F.col("c_mktsegment") == "BUILDING")
         & (F.col("c_acctbal") > 9000)
     ).select("c_custkey")
-    seed_df = spark.createDataFrame(
-        [(131,), (137,), (139,)], "seed bigint"
-    )
-    hexp = _H32J.format(x="cast(c_custkey as string)")
-    bitpos = ((F.col("hw") * F.col("seed")) % 2147483647) % 8192
-    bits = (
-        dim.select(F.expr(hexp).alias("hw"))
-        .crossJoin(F.broadcast(seed_df))
-        .select("seed", bitpos.alias("bit"))
-        .distinct()
-        .withColumn("isset", F.lit(1))
-    )
+    dimh = dim.select(
+        F.md5(F.col("c_custkey").cast("string")).alias("dg")
+    ).select(F.expr(_H32J_DG.format(d="dg")).alias("hw"))
+
+    def bitcol(s: int) -> F.Column:
+        # coalesce makes the join key NON-NULLABLE (o_custkey's parquet
+        # nullability otherwise propagates through the hash), so
+        # Catalyst emits no isnotnull(key) filter — which it would push
+        # BELOW the digest-once projections, re-inlining the full md5
+        # decode once per seed into the scan filter (measured 3x cost).
+        return F.coalesce(
+            ((F.col("hw") * s) % 2147483647) % 8192, F.lit(0)
+        )
+
     o = table(spark, sf_dir, "orders")
-    probe = o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.expr(_H32J.format(x="cast(o_custkey as string)")).alias(
-            "hw"
-        ),
+    probe = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.md5(F.col("o_custkey").cast("string")).alias("dg"),
+        )
+        .withColumn("hw", F.expr(_H32J_DG.format(d="dg")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            *[bitcol(s).alias(f"bit{s}") for s in _BLOOM_SEEDS],
+        )
     )
-    hits = (
-        probe.crossJoin(F.broadcast(seed_df))
-        .withColumn("bit", bitpos)
-        .join(F.broadcast(bits), ["seed", "bit"], "left")
-        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(F.count("isset").cast("bigint").alias("nbits"))
-    )
-    passed = hits.filter(F.col("nbits") == 3)
-    truth = passed.join(
-        F.broadcast(dim),
+    passed = probe
+    for s in _BLOOM_SEEDS:
+        bits_s = dimh.select(bitcol(s).alias(f"bit{s}")).distinct()
+        passed = passed.join(
+            F.broadcast(bits_s), f"bit{s}", "left_semi"
+        )
+    flagged = passed.join(
+        F.broadcast(dim.withColumn("is_true", F.lit(True))),
         passed.o_custkey == dim.c_custkey,
-        "left_semi",
+        "left",
     )
-    n_orders = probe.count()
-    n_pass = passed.count()
-    tr = truth.agg(
-        F.count("*").cast("bigint").alias("n_true"),
+    agg = flagged.agg(
+        F.count("*").cast("bigint").alias("n_bloom_pass"),
+        F.count("is_true").cast("bigint").alias("n_true"),
+        (F.count("*") - F.count("is_true"))
+        .cast("bigint")
+        .alias("n_false_pass"),
         (
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                F.when(
+                    F.col("is_true"),
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "bigint"
+                    ),
+                )
             ).cast("double")
             / 100.0
         ).alias("revenue_true"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [
-            (
-                n_orders,
-                n_pass,
-                tr.n_true,
-                n_pass - tr.n_true,
-                tr.revenue_true,
-            )
-        ],
-        "n_orders bigint, n_bloom_pass bigint, n_true bigint, "
-        "n_false_pass bigint, revenue_true double",
+    )
+    n_orders = o.agg(F.count("*").cast("bigint").alias("n_orders"))
+    return n_orders.crossJoin(agg).select(
+        "n_orders",
+        "n_bloom_pass",
+        "n_true",
+        "n_false_pass",
+        "revenue_true",
     )
 
 
