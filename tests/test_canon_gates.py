@@ -74,11 +74,13 @@ def test_no_hugeint_or_complex_duck_output(duck, name):
 # gate keeps the class extinct.
 
 _COLLECT_WHITELIST = {
-    # Bloom-join summary: one .collect()[0] of a 1-row final aggregate.
-    "operators/joins.py",
     # Streaming runners: foreachBatch sinks collect per-micro-batch results
     # into the memory-sink harness (test/driver surface, not a query plan).
     "streaming/ops.py",
+    # joins.py was whitelisted through round 2 (bloom summary collect);
+    # the round-3 bloom rewrite folded that into a declarative
+    # cross-joined aggregate, so the engine's only remaining collect
+    # site is the streaming memory-sink harness above.
 }
 
 
