@@ -168,26 +168,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join used here for oracle parity — the component/keep-list
     machinery downstream is identical.
     """
-    from .similarity import _dot, _with_norm
+    from .similarity import _blocked_pair_cosines
 
-    e = _with_norm(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
-    a = e.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("xa"),
-        F.col("norm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("xb"),
-        F.col("norm").alias("nb"),
-    )
-    cos = F.round(_dot("xa", "xb") / (F.col("na") * F.col("nb")), 6)
     pairs = (
-        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
-        .select("va", "vb", cos.alias("c"))
-        .filter(F.col("c") >= _EMB_TAU)
+        _blocked_pair_cosines(spark, sf_dir, _EMB_TAU)
+        .filter(F.round("c", 6) >= _EMB_TAU)
         .select("va", "vb")
     )
     edges = pairs.union(pairs.select("vb", "va")).toDF("src", "dst")

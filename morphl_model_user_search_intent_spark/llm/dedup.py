@@ -21,6 +21,8 @@ embedding-cosine near-dup is q_sim_threshold in llm/similarity.py.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,7 +67,9 @@ _PAIRS_CTE = f"""
 
 
 def _shingles(n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the trimmed text."""
+    """Distinct word n-gram shingles of the trimmed text (array form;
+    for the exploded row form used by the join pipelines prefer
+    `_shingle_rows` — same output, Arrow-vectorized)."""
     t = tokens()
     return F.array_distinct(
         F.transform(
@@ -78,14 +82,42 @@ def _shingles(n: int = 3) -> F.Column:
     )
 
 
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows — ``explode(_shingles())`` computed in
+    one Arrow batch pass instead of the interpreted higher-order
+    transform (measured 3.4 s per evaluation at sf0.1, and the
+    inverted-index pipelines evaluate the shingle set 2-4 times per
+    query: both sides of the self-join, the size table, the signature
+    pass).  Tokenization matches `tokens()` exactly: trim, split on
+    SINGLE spaces (empty tokens from runs survive), first-seen
+    distinct per doc; docs shorter than ``n`` tokens yield no rows,
+    which is also what the DuckDB oracle's ``range(1, len-n+2)``
+    produces."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.strip().split(" ")
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                ids.extend([doc_id] * len(seen))
+                shingles.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(gen, "doc_id bigint, shingle string")
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs above τ — shared by
     q_dedup_jaccard (reported as-is) and q_dedup_clusters (edge set).
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles()).alias("shingle")
-    )
+    sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -497,8 +529,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the acceptance predicate differs, so the two operators
     share their scale story — and their costs — exactly.
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -537,9 +568,64 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable 32-bit hash template (md5-derived; see text/analysis.py).
 from ..text.analysis import _H32 as _H32T
 
+# Digest-once variant: decode a STORED md5 hex string instead of
+# inlining md5({x}) 16 times per call site.
+_H32T_DG = _H32T.replace("md5({x})", "{d}")
+
 _MINHASH_SEEDS = 8
 _BAND_MIX = 8388593          # prime multiplier for band-key mixing
 _BAND_MOD = 9007199254740881  # large prime < 2^53
+
+# Per-seed min-hash from ONE md5-derived 32-bit shingle hash: the
+# classic universal-hash construction h_j(x) = mix(base(x), j) instead
+# of hashing the (seed|shingle) STRING per seed.  Round 2 computed
+# md5 16 times per (shingle × seed) row — 128 md5 calls per shingle
+# across the 8 seeds; this does ONE md5 per shingle plus four BIGINT
+# ops per seed (same Lehmer/MINSTD mix as llm/curation._MASK_FLAG —
+# all intermediates < 2^62, exact in both engines).  Seed-mixed
+# min-hashes remain i.i.d.-enough for the matches/8 Jaccard
+# estimator; the planted-pair recovery and estimator-error tests gate
+# that empirically.
+_MH_MIX = (
+    "(((({h} % 2147483647) + {j} * 2654435761) % 2147483647)"
+    " * 48271) % 2147483647"
+)
+
+# Shared oracle CTE tail: expects a CTE named ``sh(doc_id, shingle)``
+# to be in scope; yields ``sig(doc_id, j, mh)``.
+_SIG_ORACLE_CTES = f"""
+    shd AS (
+      SELECT doc_id, {_H32T_DG.format(d='dg')} AS h32
+      FROM (SELECT doc_id, md5(shingle) AS dg FROM sh)
+    ),
+    seeds AS (SELECT UNNEST(generate_series(0, {_MINHASH_SEEDS - 1}))
+              AS j),
+    sig AS (
+      SELECT doc_id, j, MIN({_MH_MIX.format(h='h32', j='j')}) AS mh
+      FROM shd CROSS JOIN seeds
+      GROUP BY doc_id, j
+    )"""
+
+
+def _portable_sig(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """(doc_id, j, mh) signature table from a (doc_id, shingle) frame
+    — Spark twin of ``_SIG_ORACLE_CTES``."""
+    seeds = spark.createDataFrame(
+        [(j,) for j in range(_MINHASH_SEEDS)], "j bigint"
+    )
+    shd = sh.withColumn("dg", F.md5("shingle")).select(
+        "doc_id", F.expr(_H32T_DG.format(d="dg")).alias("h32")
+    )
+    return (
+        shd.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "j",
+            F.expr(_MH_MIX.format(h="h32", j="j")).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
 
 
 @register(
@@ -553,15 +639,7 @@ _BAND_MOD = 9007199254740881  # large prime < 2^53
                     string_split(trim(text), ' ')[i+2]))) AS shingle
       FROM documents
     ),
-    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS j),
-    sig AS (
-      SELECT sh.doc_id, seeds.j,
-             MIN({_H32T.format(
-                 x="CAST(seeds.j AS VARCHAR) || '|' || sh.shingle")})
-               AS mh
-      FROM sh CROSS JOIN seeds
-      GROUP BY sh.doc_id, seeds.j
-    ),
+    {_SIG_ORACLE_CTES},
     bands AS (
       SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
              (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
@@ -626,25 +704,8 @@ def q_dedup_minhash_portable(
     are deterministic and identical in both engines, which is all
     LSH needs (they only ever ADD candidates).
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    seeds = spark.createDataFrame(
-        [(j,) for j in range(_MINHASH_SEEDS)], "j bigint"
-    )
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "j",
-            F.expr(
-                _H32T.format(
-                    x="concat(cast(j as string), '|', shingle)"
-                )
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
-    )
+    sh = _shingle_rows(spark, sf_dir)
+    sig = _portable_sig(spark, sh)
     bands = (
         sig.groupBy(
             "doc_id", F.floor(F.col("j") / 2).alias("b")
@@ -928,15 +989,7 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     string_split(trim(text), ' ')[i+2]))) AS shingle
       FROM documents
     ),
-    seeds AS (SELECT UNNEST(generate_series(0, 7)) AS j),
-    sig AS (
-      SELECT sh.doc_id, seeds.j,
-             MIN({_H32T.format(
-                 x="CAST(seeds.j AS VARCHAR) || '|' || sh.shingle")})
-               AS mh
-      FROM sh CROSS JOIN seeds
-      GROUP BY sh.doc_id, seeds.j
-    ),
+    {_SIG_ORACLE_CTES},
     bands AS (
       SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
              (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
@@ -1006,23 +1059,8 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; the exact-truth side is the bounded inverted-index
     join of q_dedup_jaccard.
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    seeds = spark.createDataFrame(
-        [(j,) for j in range(_MINHASH_SEEDS)], "j bigint"
-    )
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "j",
-            F.expr(
-                _H32T.format(x="concat(cast(j as string), '|', shingle)")
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
-    )
+    sh = _shingle_rows(spark, sf_dir)
+    sig = _portable_sig(spark, sh)
     bands = sig.groupBy(
         "doc_id", F.floor(F.col("j") / 2).alias("b")
     ).agg(

@@ -57,6 +57,10 @@ HEADLINE = [
     "q_corpus_chunk",
     "q_corpus_mask",
     "q_sim_nearest_centroid",
+    # Round-3 rewrite target: three broadcast semi-joins, no shuffle —
+    # audited here so a regression back toward the 3x-expansion
+    # groupBy shape would show up as a shuffle-byte jump.
+    "q_join_bloom_prefilter",
 ]
 
 # Per-table key-offset recipe: which columns shift by replica*stride so
