@@ -113,6 +113,37 @@ def _shingle_rows(
     return d.mapInPandas(gen, "doc_id bigint, shingle string")
 
 
+def _shingle_arrays(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — `_shingles()` in array form via
+    one Arrow pass, for consumers that need the per-doc shingle SET
+    as a column (HashingTF input).  Same tokenization and first-seen
+    distinct order as `_shingles()`."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sh": [
+                        list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + n])
+                                for i in range(len(toks) - n + 1)
+                            )
+                        )
+                        for toks in (
+                            t.strip().split(" ") for t in pdf["text"]
+                        )
+                    ],
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(gen, "doc_id bigint, sh array<string>")
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs above τ — shared by
     q_dedup_jaccard (reported as-is) and q_dedup_clusters (edge set).
@@ -259,9 +290,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
-    )
+    d = _shingle_arrays(spark, sf_dir)
     # guard: MinHash requires ≥1 non-zero entry
     d = d.filter(F.size("sh") > 0)
     tf = HashingTF(
