@@ -287,3 +287,65 @@ def test_bpe_encode_totals_consistent(spark):
         assert r.n_tokens >= r.n_words
         assert r.n_vocab <= r.n_words
         assert 1.0 <= r.tokens_per_word <= 10.0
+
+
+def test_blocked_cosine_bitwise_matches_jvm_fold(spark):
+    """The Arrow kernels claim BITWISE float equality with the
+    interpreted `_dot` fold (dimension-by-dimension accumulation in
+    the same left-to-right order).  Verify it exactly — `==` on raw
+    doubles, no tolerance — for every near-threshold pair at fixture
+    scale, for both the blocked all-pairs kernel and the pairwise
+    `_cos_udf`."""
+    from pyspark.sql import functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.llm.similarity import (
+        _blocked_pair_cosines,
+        _cos_udf,
+        _dot,
+        _with_norm,
+    )
+
+    tau = 0.3
+    blocked = {
+        (r.va, r.vb): r.c
+        for r in _blocked_pair_cosines(spark, SF_DIR, tau).collect()
+    }
+    assert blocked, "kernel found no near-threshold pairs at fixture scale"
+
+    e = _with_norm(
+        table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("xa"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("xb"),
+        F.col("norm").alias("nb"),
+    )
+    fold_cos = _dot("xa", "xb") / (F.col("na") * F.col("nb"))
+    fold = {
+        (r.va, r.vb): r.c
+        for r in a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select("va", "vb", fold_cos.alias("c"))
+        .filter(F.col("c") >= tau - 5.1e-7)
+        .collect()
+    }
+    assert set(blocked) == set(fold)
+    for k in fold:
+        assert blocked[k] == fold[k], f"bitwise mismatch at {k}"
+
+    # pairwise UDF on the same pairs
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb")).select(
+        "va", "vb", _cos_udf()(F.col("xa"), F.col("xb")).alias("c")
+    )
+    udf_c = {
+        (r.va, r.vb): r.c
+        for r in pairs.filter(F.col("c") >= tau - 5.1e-7).collect()
+    }
+    assert set(udf_c) == set(fold)
+    for k in fold:
+        assert udf_c[k] == fold[k], f"_cos_udf bitwise mismatch at {k}"
