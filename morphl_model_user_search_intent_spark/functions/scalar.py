@@ -287,3 +287,68 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_str_urls",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source, lang,
+             'https://' || source || '.example.org/doc/' || doc_id
+               || '?lang=' || lang || '&ref=search' AS url,
+             regexp_extract_all(lower(text), '[a-z]+ing') AS ings
+      FROM documents
+    )
+    SELECT source || '.example.org' AS host,
+           lang AS lang_param,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(len(ings)) AS BIGINT) AS n_ing_tokens
+    FROM urls
+    GROUP BY 1, 2
+    """,
+)
+def q_str_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + native ``parse_url`` round-trip: build each
+    document's canonical URL from its metadata, then recover host,
+    path and the ``lang`` query parameter with Spark's parse_url —
+    the oracle states the ground-truth components the parser must
+    return, so the parse itself (not just string concat) is what's
+    hash-checked.  Plus ``regexp_extract_all`` ('[a-z]+ing' over the
+    lowered text) — the multi-match regex surface the §2.8 string
+    suite doesn't cover (q_str_funcs is single-match).
+
+    All JVM-side codegen expressions (parse_url, regexp_extract_all,
+    size) — no UDF; one map stage then a map-side-combined groupBy on
+    (host, lang): the per-domain rollup shape of a crawl-frontier
+    audit at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&ref=search"),
+        ).alias("url"),
+        F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+ing")
+        ).alias("ings"),
+    )
+    parsed = urls.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.size("ings").alias("n_ing"),
+    )
+    return parsed.groupBy("host", "lang_param").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.sum("n_ing").cast("bigint").alias("n_ing_tokens"),
+    )

@@ -1063,3 +1063,58 @@ def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("breakout_low")
         .alias("signal"),
     )
+
+
+@register(
+    "q_win_fill_forward",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE value END AS v_obs
+      FROM events
+    )
+    SELECT event_id, user_id, v_obs,
+           LAST_VALUE(v_obs IGNORE NULLS) OVER w AS v_locf,
+           CAST(COUNT(v_obs) OVER w AS BIGINT) AS n_obs
+    FROM masked
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) imputation: the sensor
+    reading is treated as missing on 'error' events, and every row
+    carries the most recent non-null reading on the same user's
+    timeline — `last(v, ignorenulls=True)` over a running frame, the
+    IGNORE NULLS window surface none of the other §2.5 queries touch
+    (q_events_interpolate fills by neighbor-join, q_label_forward by
+    range frame; this is the O(n)-per-user frame-native form).
+
+    Rows before a user's first observation stay NULL (both engines);
+    `n_obs` counts non-null observations so far, so (v_locf, n_obs)
+    jointly pin WHICH observation was carried, not just its value.
+    One shuffle on user_id; the running frame is a single pass per
+    partition — the plan a 100 TB timeline imputation needs.
+    """
+    ev = table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v_obs"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(w).alias("v_locf"),
+        F.count("v_obs").over(w).cast("bigint").alias("n_obs"),
+    )

@@ -456,3 +456,126 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _staged_time_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 4
+) -> str:
+    """Stage events.parquet as ``n_buckets`` time-ordered files (one
+    per ts-quantile bucket, written sequentially so modification-time
+    order == event-time order).  The single-file stage
+    (`_staged_dir`) yields ONE availableNow micro-batch, under which
+    an outer join can never emit its null-extended rows — the
+    watermark only advances BETWEEN batches.  Multi-file + 
+    maxFilesPerTrigger=1 gives a real multi-batch timeline."""
+    import os
+
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(SCRATCH, f"stream-events-tb{n_buckets}-{tag}")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    ev = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    lo_hi = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    span = (hi - lo).total_seconds() or 1.0
+    bounded = ev.withColumn(
+        "_b",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.unix_micros("ts") - F.lit(int(lo.timestamp() * 1e6)))
+                / F.lit(span * 1e6 / n_buckets)
+            ).cast("int"),
+        ),
+    )
+    import shutil
+    import time as _time
+
+    for b in range(n_buckets):
+        tmp = os.path.join(d, f"_tmp_{b}")
+        (
+            bounded.filter(F.col("_b") == b)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        src = next(
+            os.path.join(tmp, f)
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"bucket-{b}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (_time.time() + b, _time.time() + b))
+        shutil.rmtree(tmp)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register("q_stream_outer_join", oracle=None)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click joined to same-user
+    purchases within the following hour — and clicks with NO such
+    purchase still emitted (purchase columns null) once the watermark
+    guarantees no match can arrive.  The outer variant is a different
+    state machine from q_stream_join's inner: unmatched left rows are
+    HELD in the state store until ``click_ts + 1h < watermark``, then
+    null-emitted and evicted — bounded state, delayed-but-complete
+    output, the semantics a funnel/abandonment stream needs at
+    100 TB/day.
+
+    The null-extended rows only materialize if the watermark advances
+    DURING the run, so the source is staged as 4 time-ordered files
+    with maxFilesPerTrigger=1 (4 micro-batches; watermark re-computed
+    between each).  At stream end the final hour's unmatched clicks
+    remain in state (no later batch to flush them) — tests assert
+    inner-part exact parity with the batch twin, null-part ⊆ batch
+    anti-join, and that eviction actually fired (non-empty null part).
+    """
+    configure(spark)
+    path = _staged_time_buckets(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id", "purchase_id", "c_user_id", "click_ts", "purchase_ts"
+    )
+    return _run_to_memory(joined, "stream_outer_join_sink", "append")

@@ -192,3 +192,51 @@ def test_csv_malformed_quarantine_exact_split(spark):
     assert row.n_rows == row.n_good + row.n_corrupt
     assert row.n_corrupt >= 2
     assert row.sum_k_good >= 80  # 10 + 20 + 50 at minimum
+
+
+def test_stream_outer_join_semantics(spark):
+    """Left-outer stream-stream join: (1) the matched part is exactly
+    the batch inner join, (2) null-extended rows are a subset of the
+    batch anti-join (clicks with no purchase within 1h), (3) state
+    eviction actually fired (non-empty null part — the multi-batch
+    staging advanced the watermark), (4) no click is both matched and
+    null-extended."""
+    import pyspark.sql.functions as F
+
+    out = REGISTRY["q_stream_outer_join"].fn(spark, SF_DIR).collect()
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    batch_inner = {
+        (r.click_id, r.purchase_id) for r in c.join(p, cond).collect()
+    }
+    batch_unmatched = {
+        r.click_id
+        for r in c.join(p, cond, "left_anti").collect()
+    }
+    s_inner = {
+        (r.click_id, r.purchase_id)
+        for r in out
+        if r.purchase_id is not None
+    }
+    s_null = {r.click_id for r in out if r.purchase_id is None}
+    assert s_inner == batch_inner
+    assert s_null <= batch_unmatched
+    assert s_null  # eviction fired: null-extended rows were emitted
+    assert not (s_null & {ci for ci, _ in s_inner})
