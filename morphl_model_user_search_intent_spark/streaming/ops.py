@@ -240,8 +240,12 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.formats import SCRATCH
 
+    # Per-process path: two engine processes (e.g. a pytest run and a
+    # concurrent tools/driver_sim.py sweep) must not overwrite each
+    # other's serving table mid-read — the pid suffix keeps the
+    # overwrite-then-read sequence private to this session.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out_dir = os.path.join(SCRATCH, f"fb-counts-{tag}")
+    out_dir = os.path.join(SCRATCH, f"fb-counts-{tag}-{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = _stream_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
