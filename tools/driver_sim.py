@@ -129,7 +129,15 @@ def main() -> int:
     if first_n:
         qs = {n: f for i, (n, f) in enumerate(qs.items()) if i < first_n}
     fails = 0
-    for name in sorted(qs):
+    for qi, name in enumerate(sorted(qs)):
+        if qi and qi % 25 == 0:
+            # A full-registry sweep accumulates every .cache()'d edge
+            # set / training frame from ~400 queries in one JVM; at
+            # sf0.1 that exhausted the heap late in the sweep once
+            # (executor death at q_graph_twohop).  Periodic eviction
+            # keeps the long-sweep memory profile flat; the driver's
+            # own 50-query pass never needs this.
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, SF_DIR)
