@@ -670,11 +670,11 @@ def _portable_sig(spark: SparkSession, sh: DataFrame) -> DataFrame:
     ),
     {_SIG_ORACLE_CTES},
     bands AS (
-      SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
+      SELECT doc_id, CAST(j // 2 AS BIGINT) AS b,
              (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
               + MAX(CASE WHEN j % 2 = 1 THEN mh END))
              % {_BAND_MOD} AS bk
-      FROM sig GROUP BY doc_id, CAST(j / 2 AS BIGINT)
+      FROM sig GROUP BY doc_id, CAST(j // 2 AS BIGINT)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -1020,11 +1020,11 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_SIG_ORACLE_CTES},
     bands AS (
-      SELECT doc_id, CAST(j / 2 AS BIGINT) AS b,
+      SELECT doc_id, CAST(j // 2 AS BIGINT) AS b,
              (MAX(CASE WHEN j % 2 = 0 THEN mh END) * {_BAND_MIX}
               + MAX(CASE WHEN j % 2 = 1 THEN mh END))
              % {_BAND_MOD} AS bk
-      FROM sig GROUP BY doc_id, CAST(j / 2 AS BIGINT)
+      FROM sig GROUP BY doc_id, CAST(j // 2 AS BIGINT)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
