@@ -453,3 +453,77 @@ def test_sessionize_gap_boundary_matches_reference(spark, rows):
         .count()
     )
     assert sessions.count() == want
+
+
+# ---- cross-engine LSH parity on GENERATED corpora (regression class:
+# the sf0.1 band-grouping divergence — oracle CAST(j/2) round-half-even
+# vs Spark floor(j/2) — was invisible at the fixture's sf0.01 because
+# no borderline candidate pair existed there.  Random corpora with
+# planted near-dups hunt for data-dependent divergence directly.) ----
+
+words_strategy = st.lists(
+    st.sampled_from(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon".split()
+    ),
+    min_size=5,
+    max_size=30,
+)
+
+
+@given(
+    docs=st.lists(words_strategy, min_size=3, max_size=8),
+    data=st.data(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_minhash_portable_matches_oracle_on_random_corpus(
+    spark, docs, data, tmp_path_factory
+):
+    """q_dedup_minhash_portable's full pipeline (shingle → signature →
+    band → candidate → agreement) must agree with its DuckDB oracle on
+    ARBITRARY corpora, not just the fixture: each random corpus gets a
+    planted near-dup (one doc re-emitted with a single word changed)
+    so the candidate machinery actually fires."""
+    import duckdb
+    import os
+    import uuid
+
+    # Plant a near-dup of doc 0: same words, last word swapped.
+    base = list(docs[0])
+    dup = base[:-1] + ["omega"]
+    texts = [" ".join(d) for d in docs] + [" ".join(dup)]
+    rows = [(i, t, "en", "gen", len(t)) for i, t in enumerate(texts)]
+    sdir = str(tmp_path_factory.mktemp("prop-lsh")) + "/" + uuid.uuid4().hex[:8]
+    os.makedirs(sdir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sdir, "documents.parquet")
+    )
+    spec = REGISTRY["q_dedup_minhash_portable"]
+    sdf = spec.fresh(spark, sdir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(r[c] for c in scols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sdir, 'documents.parquet')}/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(
+        tuple(row[i] for i in order) for row in cur.fetchall()
+    )
+    con.close()
+    assert scols == sorted(dcols)
+    assert srows == drows
