@@ -1572,3 +1572,41 @@ def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("revenue"),
     )
+
+
+@register(
+    "q_agg_approx_topk",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's ``approx_top_k`` sketch: brands
+    ranked by line-item volume after a broadcast part join — the
+    single-pass mergeable-state top-k path (each partition keeps a
+    bounded candidate map, partial states merge associatively) that
+    replaces sort-the-world at 100 TB.
+
+    Parity trick: with ``maxItemsTracked`` (1024) above the true
+    brand cardinality (25) the sketch is EXACT, so the driver
+    value-hashes real counts against the plain GROUP BY oracle — the
+    same capacity≥cardinality gate q_sketch_* use.  The array<struct>
+    sketch output is exploded back to scalar rows (driver canon bans
+    nested columns); ties need no ordering because k covers every
+    item.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("p_brand")
+    sk = joined.agg(
+        F.expr("approx_top_k(p_brand, 100, 1024)").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("brand"),
+        F.col("e.count").cast("bigint").alias("n_items"),
+    )

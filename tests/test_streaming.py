@@ -240,3 +240,64 @@ def test_stream_outer_join_semantics(spark):
     assert s_null <= batch_unmatched
     assert s_null  # eviction fired: null-extended rows were emitted
     assert not (s_null & {ci for ci, _ in s_inner})
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: a file-source stream stopped after the
+    first half of its input and RESTARTED from the same checkpoint
+    must process each input file exactly once — offsets come back
+    from the WAL, and the parquet sink's metadata log makes the
+    output exactly-once (no loss, no double-write across the
+    restart boundary)."""
+    import os
+    import shutil
+
+    from morphl_model_user_search_intent_spark.streaming.ops import (
+        _staged_time_buckets,
+    )
+
+    src_all = _staged_time_buckets(spark, SF_DIR)
+    buckets = sorted(
+        f for f in os.listdir(src_all) if f.endswith(".parquet")
+    )
+    assert len(buckets) == 4
+    watch = str(tmp_path / "watch")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    schema = spark.read.parquet(src_all).schema
+
+    def run_available():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        q = (
+            s.select("event_id", "user_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    for b in buckets[:2]:
+        shutil.copyfile(os.path.join(src_all, b), os.path.join(watch, b))
+    run_available()
+    n_first = spark.read.parquet(out).count()
+
+    for b in buckets[2:]:
+        shutil.copyfile(os.path.join(src_all, b), os.path.join(watch, b))
+    run_available()
+
+    result = spark.read.parquet(out)
+    total = spark.read.parquet(src_all).count()
+    assert 0 < n_first < total  # the restart really split the work
+    assert result.count() == total  # nothing lost, nothing doubled
+    assert result.select("event_id").distinct().count() == total
