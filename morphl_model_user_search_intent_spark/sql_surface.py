@@ -284,3 +284,80 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative form costs nothing over the hand-written one."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SQL_LATERAL)
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same scan → filter → aggregate
+    expressed as a left-to-right `|>` chain — the dialect surface that
+    reads like the DataFrame API while compiling to the identical
+    Catalyst plan (same pushdown, same partial aggregation; `|>` is
+    pure syntax, zero plan difference).  The oracle is the classic
+    ANSI spelling, so the hash check proves dialect equivalence, not
+    just self-consistency.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_items, revenue
+    """)
+
+
+@register(
+    "q_sql_script",
+    oracle="""
+    WITH RECURSIVE doubling(thr) AS (
+      SELECT CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT thr * 2 FROM doubling
+      WHERE (SELECT COUNT(*) FROM orders
+             WHERE o_totalprice > thr) >= 1000
+    )
+    SELECT CAST(MAX(thr) AS DOUBLE) AS threshold,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice > (SELECT MAX(thr) FROM doubling))
+                AS BIGINT) AS n_above
+    FROM doubling
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.1 BEGIN…END): procedural control flow
+    INSIDE the engine — a WHILE loop doubles a price threshold until
+    fewer than 1000 orders exceed it, then returns the final
+    threshold and count.  Each iteration is a full distributed query;
+    the loop variable lives in the script scope (the session-variable
+    machinery q_sql_params uses, plus control flow).  The oracle
+    replays the identical iteration as a recursive CTE — procedural
+    and fixpoint-recursive forms of one computation, hash-checked
+    against each other.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 1;
+          WHILE (SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice > thr) >= 1000 DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT CAST(thr AS DOUBLE) AS threshold,
+                 CAST((SELECT COUNT(*) FROM orders
+                       WHERE o_totalprice > thr) AS BIGINT) AS n_above;
+        END
+    """)
