@@ -482,3 +482,54 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return _agg(back)
+
+
+@register(
+    "q_source_lineage",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             GREATEST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)), 1) AS w
+      FROM events
+    ),
+    b AS (
+      SELECT LEAST(3, CAST(((epoch_us(ts) - span.lo) * 4) // span.w
+                           AS INT)) AS bucket,
+             event_id
+      FROM events, span
+    )
+    SELECT 'bucket-' || bucket || '.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM b
+    GROUP BY 1
+    """,
+)
+def q_source_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-file provenance via the hidden ``_metadata`` struct: the
+    events table staged as 4 time-bucketed parquet files (the
+    streaming stage), then per-file row counts and event-id ranges
+    keyed by ``_metadata.file_name`` — the lineage readout an audit
+    or incremental-reprocess pipeline needs ("which physical file did
+    this row come from, and what does each file cover?").
+
+    The oracle cannot see Spark's metadata column, so it replays the
+    EXACT integer staging rule (b = min(3, (ts−lo)·4 div span)) over
+    the logical view and predicts what each file must contain —
+    parity proves _metadata.file_name maps rows to physical files
+    precisely as the staging placed them.  _metadata is generated at
+    scan time (no extra I/O); the rollup is one map-side-combined
+    groupBy on a scan-local column, shuffle-free at any scale.
+    """
+    from ..streaming.ops import _staged_time_buckets
+
+    path = _staged_time_buckets(spark, sf_dir)
+    ev = spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("file_name"), "event_id"
+    )
+    return ev.groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

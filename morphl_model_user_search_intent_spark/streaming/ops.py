@@ -477,7 +477,7 @@ def _staged_time_buckets(
     from ..sources.formats import SCRATCH
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(SCRATCH, f"stream-events-tb{n_buckets}-{tag}")
+    d = os.path.join(SCRATCH, f"stream-events-tb{n_buckets}v2-{tag}")
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
@@ -486,17 +486,22 @@ def _staged_time_buckets(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     )
     lo_hi = ev.select(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
     ).first()
-    lo, hi = lo_hi["lo"], lo_hi["hi"]
-    span = (hi - lo).total_seconds() or 1.0
+    # Exact-integer bucket rule: b = min(n-1, (ts_us - lo_us)·n DIV
+    # span_us).  No float division — q_source_lineage's oracle replays
+    # the identical rule in DuckDB, and a float span could flip a
+    # boundary row's bucket by one ulp (the band-grouping bug class).
+    lo_us, hi_us = lo_hi["lo"], lo_hi["hi"]
+    span_us = (hi_us - lo_us) or 1
     bounded = ev.withColumn(
         "_b",
         F.least(
             F.lit(n_buckets - 1),
-            F.floor(
-                (F.unix_micros("ts") - F.lit(int(lo.timestamp() * 1e6)))
-                / F.lit(span * 1e6 / n_buckets)
+            F.expr(
+                f"(unix_micros(ts) - {lo_us}L) * {n_buckets} "
+                f"div {span_us}L"
             ).cast("int"),
         ),
     )
