@@ -1610,3 +1610,34 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("brand"),
         F.col("e.count").cast("bigint").alias("n_items"),
     )
+
+
+@register(
+    "q_agg_crosstab",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the
+    DataFrameStatFunctions surface (pair-count pivot in one pass,
+    column per distinct right-hand value).  Under the hood it is a
+    count-pivot: one shuffle on the pair key, then a local pivot —
+    same cost envelope as GROUP BY both keys.  The oracle spells the
+    pivot as conditional counts with identical column names, so the
+    dynamic column generation (value → column label) is itself
+    hash-checked.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        F.col("F").cast("bigint").alias("F"),
+        F.col("O").cast("bigint").alias("O"),
+    )

@@ -361,3 +361,49 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHERE o_totalprice > thr) AS BIGINT) AS n_above;
         END
     """)
+
+
+@register(
+    "q_ddl_lifecycle",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'Z-SENTINEL', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+    """,
+)
+def q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table DDL lifecycle: CREATE TABLE … USING PARQUET AS
+    SELECT (CTAS into the warehouse), INSERT INTO (appends a sentinel
+    partition-file), then a catalog read-back — the
+    create/append/query cycle every serving layer runs, exercised
+    through ``spark.sql`` DDL rather than the DataFrameWriter path
+    (q_sink_* / the bucketed saveAsTable).  The oracle is the same
+    rollup UNION ALL the sentinel, so both the CTAS content and the
+    INSERT durability are value-hashed.
+
+    The table name is sf-tagged (one managed table per fixture
+    scale); DROP + re-CTAS keeps the query idempotent per build.
+    """
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    name = f"eng_priority_rollup_{tag}"
+    _views(spark, sf_dir, "orders")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"""
+        CREATE TABLE {name} USING PARQUET AS
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders
+        GROUP BY o_orderpriority
+    """)
+    spark.sql(f"""
+        INSERT INTO {name}
+        VALUES ('Z-SENTINEL', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))
+    """)
+    return spark.sql(f"SELECT priority, n_orders, revenue FROM {name}")
