@@ -273,3 +273,35 @@ def test_xml_source_roundtrip_schema(spark):
     assert sorted(map(tuple, xml.collect())) == sorted(
         map(tuple, csv.collect())
     )
+
+
+def test_approx_topk_broadcasts_part_dim(spark):
+    # The sketch path must keep the dim join broadcast (no shuffle of
+    # lineitem for the join) and aggregate in two phases (partial
+    # sketch per partition, merged at the final agg).
+    plan = explain_str(_df(spark, "q_agg_approx_topk"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("ObjectHashAggregate") == 2  # partial + merge
+
+
+def test_fill_forward_single_user_shuffle(spark):
+    # LOCF is one window pass: exactly one exchange, on user_id.
+    plan = explain_str(_df(spark, "q_win_fill_forward"), "simple")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_lineage_rollup_is_map_side_combined(spark):
+    # _metadata.file_name is scan-local: partial agg before the one
+    # exchange, no join, no extra scan of the base table.
+    plan = explain_str(_df(spark, "q_source_lineage"), "simple")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_str_urls_stays_jvm_side(spark):
+    # parse_url + regexp_extract_all are codegen expressions — no
+    # Python evaluation anywhere in the plan.
+    plan = explain_str(_df(spark, "q_str_urls"), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
