@@ -61,6 +61,12 @@ HEADLINE = [
     # audited here so a regression back toward the 3x-expansion
     # groupBy shape would show up as a shuffle-byte jump.
     "q_join_bloom_prefilter",
+    # Late-round-3 additions: LOCF window (one user_id shuffle),
+    # capacity-exact approx_top_k after a broadcast dim join, and the
+    # all-JVM URL/regex scan — each should scale linearly.
+    "q_win_fill_forward",
+    "q_agg_approx_topk",
+    "q_str_urls",
 ]
 
 # Per-table key-offset recipe: which columns shift by replica*stride so
