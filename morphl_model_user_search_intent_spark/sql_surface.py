@@ -389,10 +389,24 @@ def q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The table name is sf-tagged (one managed table per fixture
     scale); DROP + re-CTAS keeps the query idempotent per build.
     """
+    import os
+    import shutil
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     name = f"eng_priority_rollup_{tag}"
     _views(spark, sf_dir, "orders")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # The in-memory catalog is per-process but the warehouse directory
+    # is not: a table CTAS'd by an earlier process survives as a stray
+    # location that DROP TABLE (no catalog entry) won't clear, and
+    # CREATE then fails with LOCATION_ALREADY_EXISTS.  Purge it — the
+    # managed-table contract says a dropped table owns no location.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    stale = os.path.join(wh, name)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     spark.sql(f"""
         CREATE TABLE {name} USING PARQUET AS
         SELECT o_orderpriority AS priority,
