@@ -1126,3 +1126,52 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted fact join: same shuffle as sort-merge but
+    the smaller (filtered-urgent orders) side builds an in-memory
+    hash map per partition instead of BOTH sides sorting — no sort
+    cost, one pass per side.  The right call when one side is
+    reliably the smaller after filtering but too big to broadcast —
+    exactly this shape at 100 TB (orders ≈ ¼ of lineitem, urgent ≈
+    1/5 of that).  The hint is a per-plan override; Catalyst still
+    plans the partitioning.  Plan gate: ShuffledHashJoin, no
+    SortMergeJoin (tests/test_plans.py).
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .hint("shuffle_hash")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -588,3 +588,37 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id", "purchase_id", "c_user_id", "click_ts", "purchase_ts"
     )
     return _run_to_memory(joined, "stream_outer_join_sink", "append")
+
+
+@register("q_stream_dedup_window", oracle=None)
+def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query:
+    dropDuplicatesWithinWatermark → tumbling 1h aggregation — the
+    ingest-dedup-then-rollup topology every at-least-once delivery
+    pipeline needs (upstream replays must not inflate the counts).
+    Spark 4 supports multiple stateful operators per query when the
+    downstream one is a time-window aggregation; both share one
+    watermark frontier, and each keeps its own bounded state (dedup:
+    keys within the horizon; window: open windows).
+
+    The input doubles every event (union with itself), so the dedup
+    stage provably does work; the batch twin (tumbling counts over
+    the ORIGINAL stream) must match exactly on finalized windows —
+    asserted in tests/test_streaming.py.
+    """
+    ev = _stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = (
+        deduped.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n_events"
+        )
+    )
+    return _run_to_memory(agg, "stream_dedup_window_sink", "append")

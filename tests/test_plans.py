@@ -305,3 +305,9 @@ def test_str_urls_stays_jvm_side(spark):
     plan = explain_str(_df(spark, "q_str_urls"), "simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_shuffle_hash_hint_respected(spark):
+    plan = explain_str(_df(spark, "q_join_shuffle_hash"), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -301,3 +301,28 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert 0 < n_first < total  # the restart really split the work
     assert result.count() == total  # nothing lost, nothing doubled
     assert result.select("event_id").distinct().count() == total
+
+
+def test_chained_dedup_window_matches_batch_twin(spark):
+    """Dedup → tumbling agg chained in ONE streaming query: every
+    finalized window's count must equal the batch tumbling count over
+    the ORIGINAL (un-doubled) events — the dedup stage absorbed the
+    replay — and only tail windows may be withheld."""
+    stream = {
+        (r.bucket, r.event_type): r.n_events
+        for r in REGISTRY["q_stream_dedup_window"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    batch = {
+        (r.bucket, r.event_type): r.n_events
+        for r in REGISTRY["q_stream_tumbling"].fn(spark, SF_DIR).collect()
+    }
+    assert stream, "no finalized windows emitted"
+    for key, n in stream.items():
+        assert batch[key] == n, key
+    missing = set(batch) - set(stream)
+    max_bucket = max(b for b, _ in batch)
+    assert all(b == max_bucket for b, _ in missing), (
+        f"non-tail windows missing: {sorted(missing)[:5]}"
+    )
