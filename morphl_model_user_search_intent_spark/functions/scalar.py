@@ -352,3 +352,97 @@ def q_str_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.sum("n_ing").cast("bigint").alias("n_ing_tokens"),
     )
+
+
+@register(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value <> 0
+                         THEN CAST(FLOOR(1000.0 / value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_inv_k,
+           CAST(SUM(CASE WHEN TRY_CAST(
+                           json_extract_string(props, '$.k')
+                           AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression suite (Spark 4 ANSI mode's escape
+    hatches): ``try_divide`` returns NULL instead of raising on
+    division by zero, ``try_cast`` NULL instead of failing on
+    malformed input — the functions that keep a 100 TB batch job from
+    dying at hour 9 on one bad row while staying ANSI-strict
+    everywhere else.  Both NULL paths are then folded through
+    null-aware aggregation; the oracle spells the identical semantics
+    with guarded CASE / TRY_CAST.
+    """
+    ev = table(spark, sf_dir, "events")
+    inv = F.floor(
+        F.try_divide(F.lit(1000.0), F.col("value"))
+    ).cast("bigint")
+    k_num = F.expr(
+        "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.coalesce(inv, F.lit(0))).cast("bigint").alias(
+            "sum_inv_k"
+        ),
+        F.sum(
+            F.when(k_num.isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_numeric_k"),
+    )
+
+
+@register(
+    "q_str_collation",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_key
+    FROM (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                  ELSE lower(p_brand) END AS p_brand
+      FROM part
+    )
+    GROUP BY 1
+    """,
+)
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated-string semantics (Spark 4): the brand column is
+    deliberately case-mangled (upper on even keys, lower on odd),
+    then grouped under the UTF8_LCASE collation — 'BRAND#11' and
+    'brand#11' land in ONE group with no explicit lower() in the
+    grouping key; the collation IS the comparison semantics, the way
+    a warehouse migrating from a CI database expects grouping to
+    behave.  Output canonicalizes the key via lower() only for
+    display parity with the oracle (DuckDB groups on lower()).
+    """
+    p = table(spark, sf_dir, "part")
+    mangled = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("p_brand"),
+    )
+    ci = mangled.select(
+        "p_partkey",
+        F.expr("collate(p_brand, 'UTF8_LCASE')").alias("brand"),
+    )
+    return (
+        ci.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("p_partkey").cast("bigint").alias("min_key"),
+        )
+        .select(
+            F.lower(F.col("brand").cast("string")).alias("brand_ci"),
+            "n_parts",
+            "min_key",
+        )
+    )
