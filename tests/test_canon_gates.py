@@ -130,3 +130,31 @@ def test_collect_whitelist_is_tight():
     for rel in sorted(_COLLECT_WHITELIST):
         n = len(_collect_call_lines(pkg / rel))
         assert n <= 2, f"{rel}: {n} collect sites (was ≤2 at review)"
+
+
+def test_no_float_div_cast_to_int_in_oracles():
+    """Regression gate for the sf0.1 LSH band bug: DuckDB `/` on
+    integers is FLOAT division and `CAST(double AS BIGINT)` rounds
+    half-even, while the Spark twins floor — `CAST(a / b AS
+    BIGINT/INT)` in an oracle therefore silently disagrees with a
+    floor-based engine twin on boundary values.  Integer intent must
+    be spelled `//` (or FLOOR) in oracle SQL."""
+    import re
+
+    from morphl_model_user_search_intent_spark import REGISTRY
+
+    pat = re.compile(
+        r"CAST\(\s*[A-Za-z_][\w.]*\s*/\s*[\w.]+\s+AS\s+(?:U?BIGINT|U?INT)",
+        re.IGNORECASE,
+    )
+    offenders = [
+        f"{name}: {m.group(0)!r}"
+        for name, spec in REGISTRY.items()
+        if spec.oracle
+        for m in [pat.search(spec.oracle)]
+        if m
+    ]
+    assert not offenders, (
+        "float-division-then-int-cast in oracle SQL (round-half-even "
+        f"vs engine floor): {offenders}"
+    )
