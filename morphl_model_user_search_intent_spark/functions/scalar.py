@@ -446,3 +446,32 @@ def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_key",
         )
     )
+
+
+@register(
+    "q_json_variant_schema",
+    oracle="""
+    SELECT 'OBJECT<k: BIGINT>' AS merged_schema,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows
+    """,
+)
+def q_json_variant_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema inference over VARIANT: ``schema_of_variant_agg``
+    merges the observed structure of every parsed props payload into
+    one schema — the discovery step a lakehouse runs before shredding
+    a free-form JSON column into typed columns.  The aggregation is a
+    schema-union semilattice (associative merge of per-partition
+    partials), so it scales like any partial+final agg.
+
+    Golden-value oracle: the fixture's props are uniformly
+    ``{"k": int}``, so the merged schema must come out exactly
+    ``OBJECT<k: BIGINT>`` — pinned as a literal alongside the row
+    count over the same scan (so the oracle still touches the data).
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.expr(
+            "schema_of_variant_agg(parse_json(props))"
+        ).alias("merged_schema"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

@@ -5362,3 +5362,65 @@ def q_search_position_drift(
         F.round(avg_pos, 6).alias("avg_position"),
         F.round(avg_pos - F.lag(avg_pos).over(w), 6).alias("drift"),
     )
+
+
+@register(
+    "q_events_sequence_pattern",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'c[^p]*p')) AS BIGINT)
+             AS n_click_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM coded
+    """,
+)
+def q_events_sequence_pattern(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-pattern mining (MATCH_RECOGNIZE-style, expressed
+    relationally): each user's ordered event history is encoded as a
+    character string (first letter of event_type, order pinned by
+    (ts, event_id)), then behavioural motifs are counted with regex —
+    'c[^p]*p' = a click eventually converting with no purchase in
+    between (the non-greedy funnel unit), 'ee+' = consecutive-error
+    bursts.  The encode-then-regex trick turns arbitrary
+    order-sensitive sequence patterns into one groupBy + two codegen
+    expressions — no UDF, no self-join, no iteration, and the regex
+    state machine is O(sequence length) per user, the same bound a
+    native MATCH_RECOGNIZE engine gives.  Each user's string is bounded
+    by their event count; the shuffle is the one groupBy on user_id.
+    """
+    ev = table(spark, sf_dir, "events")
+    coded = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ).getField("c"),
+        ).alias("seq")
+    )
+    return coded.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.regexp_count("seq", F.lit("c[^p]*p"))
+        .cast("bigint")
+        .alias("n_click_to_purchase"),
+        F.regexp_count("seq", F.lit("ee+"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )

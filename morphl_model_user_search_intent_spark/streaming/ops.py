@@ -622,3 +622,31 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_dedup_window_sink", "append")
+
+
+@register("q_stream_update_mode", oracle=None)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: the per-type running count re-emits a key's
+    latest value on every micro-batch that changes it — the mode a
+    live dashboard sink consumes (upserts keyed on event_type), vs
+    append's finalized-only and complete's full-table rewrite.  Over
+    the 4-file staged source each key emits up to 4 progressively
+    larger counts; the LAST update per key must equal the batch count
+    (asserted in tests — the memory sink retains the full update
+    history, so the test also sees the monotone progression).
+
+    State is one count per key; update mode needs no watermark for
+    this agg, so the state is permanent by design here — bounded by
+    key cardinality, the right trade for a small dashboard dimension.
+    """
+    path = _staged_time_buckets(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    ev = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _run_to_memory(agg, "stream_update_sink", "update")

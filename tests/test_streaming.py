@@ -326,3 +326,28 @@ def test_chained_dedup_window_matches_batch_twin(spark):
     assert all(b == max_bucket for b, _ in missing), (
         f"non-tail windows missing: {sorted(missing)[:5]}"
     )
+
+
+def test_update_mode_converges_to_batch_counts(spark):
+    """UPDATE mode: each key's LAST emitted count equals the batch
+    count, and per-key emissions are strictly increasing (counts only
+    grow across micro-batches)."""
+    import pyspark.sql.functions as F
+    from collections import defaultdict
+
+    out = REGISTRY["q_stream_update_mode"].fn(spark, SF_DIR).collect()
+    batch = {
+        r.event_type: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hist = defaultdict(list)
+    for r in out:  # memory sink preserves emission order per batch
+        hist[r.event_type].append(r.n_events)
+    assert set(hist) == set(batch)
+    for k, seq in hist.items():
+        assert seq == sorted(seq), f"{k}: non-monotone updates {seq}"
+        assert len(seq) >= 2, f"{k}: only one update — no progression"
+        assert seq[-1] == batch[k], k
