@@ -310,8 +310,8 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_str_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL construction + native ``parse_url`` round-trip: build each
-    document's canonical URL from its metadata, then recover host,
-    path and the ``lang`` query parameter with Spark's parse_url —
+    document's canonical URL from its metadata, then recover the host
+    and the ``lang`` query parameter with Spark's parse_url —
     the oracle states the ground-truth components the parser must
     return, so the parse itself (not just string concat) is what's
     hash-checked.  Plus ``regexp_extract_all`` ('[a-z]+ing' over the

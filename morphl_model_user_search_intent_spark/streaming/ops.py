@@ -466,8 +466,8 @@ def _staged_time_buckets(
     spark: SparkSession, sf_dir: str, n_buckets: int = 4
 ) -> str:
     """Stage events.parquet as ``n_buckets`` time-ordered files (one
-    per ts-quantile bucket, written sequentially so modification-time
-    order == event-time order).  The single-file stage
+    per uniform time-range bucket, written sequentially so
+    modification-time order == event-time order).  The single-file stage
     (`_staged_dir`) yields ONE availableNow micro-batch, under which
     an outer join can never emit its null-extended rows — the
     watermark only advances BETWEEN batches.  Multi-file + 
