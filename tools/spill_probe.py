@@ -5,7 +5,7 @@ At 100 TB an executor never holds its whole partition share in
 memory; the scale contract is that sorts/aggregations/joins spill to
 disk and finish.  local[] mode puts driver and executors in one JVM,
 so shrinking ``spark.driver.memory`` IS the executor-memory squeeze.
-This tool runs the three shuffle-heaviest headline queries over the
+This tool runs the shuffle-heaviest queries over the
 100x amplified dataset (~1.5 GB on disk, events fact ~60M rows) under
 a deliberately small heap, and reports per-query wall time plus
 memory/disk spill bytes from the UI REST stage metrics.
@@ -38,7 +38,7 @@ SCALE_DIR = sys.argv[2] if len(sys.argv) > 2 else ".scratch/scale100x"
 # The three headline queries that move the most shuffle bytes at 100x
 # (SCALING.md): a fact-fact SMJ, a per-user window pass, and the
 # windowed top-k — the operator classes whose state grows with data.
-QUERIES = ["q_join_unshipped", "q_sessionize", "q_win_topk"]
+QUERIES = ["q_join_unshipped", "q_sessionize", "q_win_topk", "q_win_fill_forward"]
 
 
 def _stages(spark) -> dict[int, dict] | None:
@@ -63,6 +63,7 @@ def _stages(spark) -> dict[int, dict] | None:
 
 def main() -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from morphl_model_user_search_intent_spark import REGISTRY
     from morphl_model_user_search_intent_spark.session import (
@@ -89,12 +90,21 @@ def main() -> None:
         before_stages = _stages(spark)
         t0 = time.perf_counter()
         try:
-            # count(), NOT collect(): only plan-side (executor) memory
-            # is under test; materializing a 100x result set onto the
-            # deliberately squeezed driver heap could OOM the harness
-            # itself and be misreported as an operator failure
-            # (round-2 advisor).
-            n = fn(spark, SCALE_DIR).count()
+            # Checksum-aggregate, NOT collect() and NOT count():
+            # collect() would materialize a 100x result set onto the
+            # deliberately squeezed driver heap (round-2 advisor) —
+            # and count() lets Catalyst PRUNE the expensive operator
+            # when no downstream consumer needs its columns (observed:
+            # q_win_fill_forward's WindowExec eliminated entirely,
+            # 0.38 s / 0 spill — a vacuous probe).  Hashing every
+            # column into one bit_xor(xxhash64(...)) forces full
+            # evaluation and returns a single row (xor is closed over
+            # int64 — no ANSI overflow, unlike sum).
+            df = fn(spark, SCALE_DIR)
+            n = df.agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64(F.struct(*df.columns))),
+            ).collect()[0][0]
             err = None
         except Exception as ex:  # noqa: BLE001
             n, err = -1, f"{type(ex).__name__}"
@@ -137,7 +147,7 @@ def main() -> None:
         "# SPILL — bounded-memory completion under a squeezed heap",
         "",
         f"Generated by `python tools/spill_probe.py {HEAP} {SCALE_DIR}`: "
-        "the three shuffle-heaviest headline queries over the 100x "
+        "the shuffle-heaviest queries over the 100x "
         f"amplified dataset with the whole local[{cpus}] JVM capped at "
         f"**{HEAP}** (driver = executors in local mode, so this is the "
         "per-executor squeeze).  The scale contract is graceful "
