@@ -104,8 +104,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice / 7.0, 2) AS seventh,
-           floor(l_discount * 100) AS disc_pct_floor,
-           ceil(l_discount * 100) AS disc_pct_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            abs(l_quantity - 25.0) AS qty_dev,
            round(ln(l_extendedprice), 9) AS log_price,
            round(exp(l_discount), 9) AS exp_disc,

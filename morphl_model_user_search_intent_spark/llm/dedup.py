@@ -100,7 +100,7 @@ def _shingle_rows(
         for pdf in batches:
             ids, shingles = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.strip().split(" ")
+                toks = text.strip(' ').split(" ")
                 seen = dict.fromkeys(
                     " ".join(toks[i : i + n])
                     for i in range(len(toks) - n + 1)
@@ -134,7 +134,7 @@ def _shingle_arrays(
                             )
                         )
                         for toks in (
-                            t.strip().split(" ") for t in pdf["text"]
+                            t.strip(' ').split(" ") for t in pdf["text"]
                         )
                     ],
                 }

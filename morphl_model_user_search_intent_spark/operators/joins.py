@@ -1088,44 +1088,34 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The injection thresholds default to cluster scale
     (applicationSideScanSizeThreshold = 10 GB), so at fixture scale
-    they are lowered FOR THIS PLAN ONLY: the confs are set, the
-    physical plan is materialized (pinning the injected filter), and
-    the previous values restored before returning — no other query's
-    planning sees the override.  tests/test_plans.py gates the
+    they are lowered on a DEDICATED ``spark.newSession()`` (same
+    SparkContext, private SQLConf): the overrides are visible only to
+    this query's planning, so concurrent planning on the caller's
+    session (threads, parallel test runners, another cached query
+    being built) keeps its broadcast joins — session-global
+    set-then-restore was racy.  tests/test_plans.py gates the
     might_contain filter's presence.
     """
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "1KB",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        l = table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice"
+        "applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    l = table(iso, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = table(iso, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            lsum(units("l_extendedprice", 100), 100, "revenue"),
         )
-        o = table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        df = (
-            l.join(o, l.l_orderkey == o.o_orderkey)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                lsum(units("l_extendedprice", 100), 100, "revenue"),
-            )
-        )
-        # Materialize the physical plan NOW so the bloom filter is
-        # baked in before the thresholds revert.
-        df._jdf.queryExecution().executedPlan()
-        return df
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    )
 
 
 @register(

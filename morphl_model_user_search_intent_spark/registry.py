@@ -14,7 +14,6 @@ BIGINT in DuckDB (whose SUM(int) is HUGEINT).
 from __future__ import annotations
 
 import functools
-import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -22,8 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# One shared cache for ALL registered queries, so a single eviction
+# sweep covers every entry: {(query_name, id(session), sf_dir):
+# (DataFrame, session)}.  The session is held STRONGLY — that makes
+# the `is` identity check sound (no id() reuse while the entry lives)
+# — and entries for stopped sessions are evicted on the next cache
+# access anywhere, so a stopped session pins its JVM-side plan state
+# only until the next query build, not for the life of the process.
+_PLAN_CACHE: dict[tuple[str, int, str], tuple[DataFrame, SparkSession]] = {}
 
-def _plan_cached(fn: QueryFn) -> QueryFn:
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        jsc = spark.sparkContext._jsc
+        return jsc is None or jsc.sc().isStopped()
+    except Exception:  # torn-down py4j gateway etc.
+        return True
+
+
+def _plan_cached(fn: QueryFn, name: str) -> QueryFn:
     """Engine-level plan cache: memoize the BUILT DataFrame per
     (session, sf_dir).
 
@@ -43,18 +59,25 @@ def _plan_cached(fn: QueryFn) -> QueryFn:
     inputs in place must use ``QuerySpec.fresh`` — and the bench
     (bench.py) times ``fresh`` builds for exactly that reason, so
     its headline number never credits cache reuse.  Keyed by live
-    session identity (weakref guards id() reuse after GC) and sf_dir.
+    session identity (strong ref; stopped sessions evicted on the
+    next cache access — see ``_PLAN_CACHE``) and sf_dir.
     """
-    cache: dict[tuple[int, str], tuple[DataFrame, object]] = {}
-
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark), sf_dir)
-        hit = cache.get(key)
-        if hit is not None and hit[1]() is spark:
+        key = (name, id(spark), sf_dir)
+        hit = _PLAN_CACHE.get(key)
+        if (
+            hit is not None
+            and hit[1] is spark
+            and not _session_stopped(spark)
+        ):
             return hit[0]
+        for k in [
+            k for k, v in _PLAN_CACHE.items() if _session_stopped(v[1])
+        ]:
+            del _PLAN_CACHE[k]
         df = fn(spark, sf_dir)
-        cache[key] = (df, weakref.ref(spark))
+        _PLAN_CACHE[key] = (df, spark)
         return df
 
     return wrapped
@@ -130,7 +153,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
-        cached = _plan_cached(fn)
+        cached = _plan_cached(fn, name)
         REGISTRY[name] = QuerySpec(
             name, cached, oracle, doc or (fn.__doc__ or ""), raw=fn
         )

@@ -91,8 +91,8 @@ def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PARAMS = """
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
-             AS total_balance
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+             AS DOUBLE) AS total_balance
     FROM customer
     WHERE c_acctbal > {minbal} AND c_mktsegment <> {seg}
     GROUP BY c_mktsegment
@@ -122,8 +122,8 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FN_BODY = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(ROUND({call} * 100) AS BIGINT)) / 100.0
-             AS net_revenue
+           CAST(SUM(CAST(ROUND({call} * 100) AS BIGINT)) / 100.0
+             AS DOUBLE) AS net_revenue
     FROM lineitem
     GROUP BY l_returnflag
 """
@@ -165,15 +165,15 @@ def q_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
     SELECT c.c_mktsegment,
-           SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
                THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
-             / 100.0 AS urgent,
-           SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+             / 100.0 AS DOUBLE) AS urgent,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
                THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
-             / 100.0 AS high,
-           SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+             / 100.0 AS DOUBLE) AS high,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
                THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END)
-             / 100.0 AS low
+             / 100.0 AS DOUBLE) AS low
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
 """
@@ -198,7 +198,7 @@ def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         )
         PIVOT (
-          SUM(cents) / 100.0
+          CAST(SUM(cents) / 100.0 AS DOUBLE)
           FOR o_orderpriority
           IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low)
         )

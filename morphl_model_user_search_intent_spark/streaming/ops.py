@@ -60,10 +60,60 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(s)
 
 
+def _staged_four_files(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet re-staged as 4 files (for maxFilesPerTrigger=1
+    multi-batch sources).  Same atomic stage-then-rename protocol as
+    ``_staged_time_buckets``: Spark-overwriting a SHARED dir lets a
+    concurrent process stream over a half-written directory."""
+    import os
+    import shutil
+
+    from ..io import table as _table
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    final = os.path.join(SCRATCH, f"stream4-{tag}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    (
+        _table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+    return final
+
+
 def _run_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append"
+    df: DataFrame, name: str, output_mode: str = "append", sf_dir: str = ""
 ) -> DataFrame:
+    """Drain ``df`` into a memory sink and return the sink table.
+
+    The sink name is tagged with the sf_dir (like the scratch dirs):
+    the registry's plan cache memoizes the returned ``spark.table()``
+    per (session, sf_dir), so a FIXED sink name re-run against a
+    different sf_dir on the same session would overwrite the shared
+    memory table and turn the cached DataFrame for the first sf_dir
+    into a silent reader of the second one's data.
+    """
+    import os
+    import re
+
     spark = df.sparkSession
+    if sf_dir:
+        tag = re.sub(
+            r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
+        )
+        name = f"{name}_{tag}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -96,7 +146,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket"), "event_type", "n_events")
     )
-    return _run_to_memory(agg, "stream_watermark_sink", "append")
+    return _run_to_memory(agg, "stream_watermark_sink", "append", sf_dir)
 
 
 @register("q_stream_dedup", oracle=None)
@@ -114,6 +164,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("event_id", "user_id", "event_type"),
         "stream_dedup_sink",
         "append",
+        sf_dir,
     )
 
 
@@ -138,7 +189,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "stream_session_sink", "append")
+    return _run_to_memory(agg, "stream_session_sink", "append", sf_dir)
 
 
 @register("q_stream_join", oracle=None)
@@ -186,7 +237,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id", "purchase_id", "c_user_id", "click_ts", "purchase_ts"
     )
-    return _run_to_memory(joined, "stream_join_sink", "append")
+    return _run_to_memory(joined, "stream_join_sink", "append", sf_dir)
 
 
 @register("q_stream_stateful", oracle=None)
@@ -219,7 +270,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "stream_stateful_sink", "update")
+    return _run_to_memory(out, "stream_stateful_sink", "update", sf_dir)
 
 
 @register("q_stream_foreach_batch", oracle=None)
@@ -298,7 +349,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("bucket"), "c_mktsegment", "n_events"
         )
     )
-    return _run_to_memory(agg, "stream_static_join_sink", "append")
+    return _run_to_memory(agg, "stream_static_join_sink", "append", sf_dir)
 
 
 @register("q_stream_multi_batch", oracle=None)
@@ -315,20 +366,7 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest twin asserts ≥2 batches ran and the per-type totals equal
     the batch aggregate (exactly-once across batch boundaries).
     """
-    import os
-
-    from ..io import table as _table
-    from ..sources.formats import SCRATCH
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(SCRATCH, f"stream4-{tag}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        (
-            _table(spark, sf_dir, "events")
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(src)
-        )
+    src = _staged_four_files(spark, sf_dir)
     configure(spark)
     schema = spark.read.parquet(src).schema
     s = (
@@ -382,19 +420,10 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from ..io import table as _table
-    from ..sources.formats import SCRATCH
     from ..text.analysis import _H32
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(SCRATCH, f"stream4-{tag}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        (
-            _table(spark, sf_dir, "events")
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(src)
-        )
+    src = _staged_four_files(spark, sf_dir)
     configure(spark)
     schema = spark.read.parquet(src).schema
     s = (
@@ -477,10 +506,14 @@ def _staged_time_buckets(
     from ..sources.formats import SCRATCH
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(SCRATCH, f"stream-events-tb{n_buckets}v2-{tag}")
-    done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
-        return d
+    final = os.path.join(SCRATCH, f"stream-events-tb{n_buckets}v2-{tag}")
+    if os.path.exists(os.path.join(final, "_STAGED")):
+        return final
+    # Stage into a process-private dir and atomically rename into
+    # place: a marker-file-last protocol over a SHARED dir lets a
+    # concurrent process (pytest + driver_sim is the real scenario)
+    # observe a half-staged directory and stream over partial input.
+    d = f"{final}.tmp-{os.getpid()}"
     os.makedirs(d, exist_ok=True)
     ev = normalize_events_ts(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -526,9 +559,18 @@ def _staged_time_buckets(
         shutil.move(src, dst)
         os.utime(dst, (_time.time() + b, _time.time() + b))
         shutil.rmtree(tmp)
-    with open(done, "w") as fh:
+    with open(os.path.join(d, "_STAGED"), "w") as fh:
         fh.write("ok")
-    return d
+    try:
+        os.rename(d, final)  # atomic on one filesystem
+    except OSError:
+        if os.path.exists(os.path.join(final, "_STAGED")):
+            # a concurrent stager won the rename; use its complete copy
+            shutil.rmtree(d, ignore_errors=True)
+        else:  # markerless leftover (crashed old-protocol run)
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(d, final)
+    return final
 
 
 @register("q_stream_outer_join", oracle=None)
@@ -587,7 +629,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id", "purchase_id", "c_user_id", "click_ts", "purchase_ts"
     )
-    return _run_to_memory(joined, "stream_outer_join_sink", "append")
+    return _run_to_memory(joined, "stream_outer_join_sink", "append", sf_dir)
 
 
 @register("q_stream_dedup_window", oracle=None)
@@ -621,7 +663,7 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("bucket"), "event_type", "n_events"
         )
     )
-    return _run_to_memory(agg, "stream_dedup_window_sink", "append")
+    return _run_to_memory(agg, "stream_dedup_window_sink", "append", sf_dir)
 
 
 @register("q_stream_update_mode", oracle=None)
@@ -649,4 +691,4 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return _run_to_memory(agg, "stream_update_sink", "update")
+    return _run_to_memory(agg, "stream_update_sink", "update", sf_dir)

@@ -361,7 +361,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             fps = []
             for text in pdf["text"]:
-                toks = text.strip().split(" ")
+                toks = text.strip(' ').split(" ")
                 fps.append(
                     min(
                         hashlib.md5(
@@ -449,7 +449,7 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counters: dict[str, int] = {}
         for pdf in batches:
             for text in pdf["text"]:
-                for tok in text.strip().split(" "):
+                for tok in text.strip(' ').split(" "):
                     if tok in counters:
                         counters[tok] += 1
                     elif len(counters) < K:

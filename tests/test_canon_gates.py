@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tools.driver_sim import (  # noqa: E402
     duck_type_violations,
     spark_schema_violations,
+    type_parity_violations,
 )
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -63,6 +64,43 @@ def test_no_hugeint_or_complex_duck_output(duck, name):
         f"{name}: oracle result types {bad} break the driver's "
         "canonicalizer; CAST(... AS BIGINT) / array_to_string"
     )
+
+
+# ---- cross-engine column-type parity gate -------------------------------
+# Third canonicalization-gap class in three rounds (r1: HUGEINT; r3:
+# q_math_funcs Spark LONG vs DuckDB DOUBLE — values identical, the
+# driver's dtype-sensitive pandas hash differs while the sim's Python
+# ``==`` says 8 == 8.0).  This gate compares the Spark plan schema
+# against the bound DuckDB relation types per column, plan-only on
+# both sides, and fails ANY class mismatch (int↔float, decimal↔float,
+# decimal↔int, ...) before a single row is produced.
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_cross_engine_type_parity(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    bad = type_parity_violations(df, duck, ORACLES[name])
+    assert not bad, (
+        f"{name}: cross-engine column type-class mismatch {bad}; the "
+        "driver's pandas value-hash is dtype-sensitive — cast one side "
+        "so both engines agree (e.g. CAST(floor(x) AS BIGINT) in "
+        "DuckDB, or .cast('double') in Spark)"
+    )
+
+
+def test_type_parity_gate_catches_the_r03_class(spark, duck):
+    """Canary: the exact r03 failure shape (Spark LONG vs DuckDB
+    DOUBLE floor) MUST be flagged — proves the gate is live."""
+    df = spark.range(1).selectExpr(
+        "floor(CAST(4.2 AS DOUBLE)) AS v"  # Spark: floor(double) → BIGINT
+    )
+    bad = type_parity_violations(
+        df, duck, "SELECT floor(4.2::DOUBLE) AS v"  # DuckDB: DOUBLE
+    )
+    assert bad and "v" in bad[0], f"gate missed the r03 class: {bad}"
+    df2 = spark.range(1).selectExpr("CAST(1.5 AS DECIMAL(27,6)) AS v")
+    bad2 = type_parity_violations(df2, duck, "SELECT 1.5::DOUBLE AS v")
+    assert bad2, "gate missed decimal-vs-double"
 
 
 # ---- driver-side-loop doctrine gate -------------------------------------

@@ -87,6 +87,87 @@ def duck_type_violations(con, sql: str) -> list:
     return bad
 
 
+def _spark_hash_class(dt) -> str:
+    """Bucket a Spark type by how the driver's pandas value-hash sees
+    it.  int64 bytes != float64 bytes != Decimal objects, so integral,
+    float, and decimal are DISTINCT classes even when values are
+    numerically equal (the r03 q_math_funcs failure: Spark LONG vs
+    DuckDB DOUBLE, values identical, hash differs)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    return f"other({dt.simpleString()})"
+
+
+def _duck_hash_class(type_str: str) -> str:
+    """Same bucketing for a DuckDB relation type string."""
+    ts = str(type_str).upper()
+    if ts in {
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+    }:
+        return "int"
+    if ts in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if ts.startswith("DECIMAL"):
+        return "decimal"
+    if ts == "BOOLEAN":
+        return "bool"
+    if ts in {"VARCHAR", "STRING", "TEXT"}:
+        return "str"
+    if ts == "DATE":
+        return "date"
+    if ts.startswith("TIMESTAMP"):
+        return "ts"
+    if ts == "BLOB":
+        return "bin"
+    return f"other({ts})"
+
+
+def type_parity_violations(df, con, sql: str) -> list:
+    """Per-column cross-engine type-class check, PLAN-ONLY on both
+    sides (Spark ``df.schema`` vs DuckDB relation ``.types`` — neither
+    executes anything).
+
+    This is the structural fix for the third sim/driver
+    canonicalization gap in three rounds (r1 HUGEINT, r3 int-vs-float):
+    the multiset compare below uses Python ``==`` where ``8 == 8.0``,
+    but the driver's pandas hash is dtype-sensitive, so a Spark LONG
+    column against a DuckDB DOUBLE oracle passes the sim and fails the
+    driver.  Any class mismatch (integral vs float, decimal vs float,
+    decimal vs integral, ...) is flagged before values are compared.
+    """
+    rel = con.sql(sql)
+    duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for f in df.schema.fields:
+        dt = duck.get(f.name)
+        if dt is None:
+            continue  # name mismatch → caught by the column compare
+        sc, dc = _spark_hash_class(f.dataType), _duck_hash_class(dt)
+        if sc != dc:
+            bad.append(
+                f"{f.name}: spark {f.dataType.simpleString()}({sc}) "
+                f"vs duck {dt}({dc})"
+            )
+    return bad
+
+
 def pandas_sortable(rows, cols) -> str | None:
     """Emulate the driver's pandas sort_values canonicalization; any
     exception here is exactly what the driver reports as ERR."""
@@ -158,6 +239,14 @@ def main() -> int:
                 dv = duck_type_violations(con, oracles[name])
                 if dv:
                     status = f"FAIL canon duck types {dv}"
+                    fails += 1
+                    print(
+                        f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}"
+                    )
+                    continue
+                tv = type_parity_violations(df, con, oracles[name])
+                if tv:
+                    status = f"FAIL type parity {tv}"
                     fails += 1
                     print(
                         f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}"
