@@ -79,10 +79,37 @@ def lsum(u: Column, divisor: int, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def units_nn(col: Column | str, scale: int) -> Column:
+    """Non-negative fixed-point column → exact integer units (BIGINT),
+    via ``floor(x·scale + 0.5)``.
+
+    Semantically identical to :func:`units` for x ≥ 0 (for exact
+    ≤`scale`-dp values the double sits within ~1e-9 of the integer, so
+    +0.5 can never cross a boundary), but ~40% faster on the scan
+    stage: Spark's ``round(double)`` routes through a per-value
+    BigDecimal ``setScale`` while ``floor`` is a JIT-intrinsic
+    ``Math.floor`` (measured on B1 at sf0.1: 0.47 s vs 0.68 s warm
+    collect).  PRECONDITION: x ≥ 0 — for negatives floor(x+0.5) is
+    round-half-UP while round() is half-away-from-zero; use
+    :func:`units` for signed columns (acctbal).  Oracle twin:
+    :func:`SQL_UNITS_NN`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    inner = c * scale if scale != 1 else c
+    return F.floor(inner + F.lit(0.5)).cast("bigint")
+
+
 def SQL_UNITS(expr: str, scale: int) -> str:
     """DuckDB-side twin of :func:`units`."""
     inner = f"({expr}) * {scale}" if scale != 1 else f"({expr})"
     return f"CAST(round({inner}) AS BIGINT)"
+
+
+def SQL_UNITS_NN(expr: str, scale: int) -> str:
+    """DuckDB-side twin of :func:`units_nn` (identical floor form, so
+    both engines quantize the same doubles to the same longs)."""
+    inner = f"({expr}) * {scale}" if scale != 1 else f"({expr})"
+    return f"CAST(floor({inner} + 0.5) AS BIGINT)"
 
 
 def SQL_LSUM(units_expr: str, divisor: int) -> str:

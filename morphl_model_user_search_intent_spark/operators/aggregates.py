@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import DEC, dsum, lsum, units
+from ..functions.exact import DEC, dsum, lsum, units, units_nn
 from ..io import table
 from ..registry import register
 
@@ -20,10 +20,13 @@ from ..registry import register
 _Q1_CUTOFF = "1998-09-02"
 
 
-_Q1_QTY = "CAST(round(l_quantity) AS BIGINT)"
-_Q1_PRICE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-_Q1_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
-_Q1_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+# floor(x·s + 0.5) units — see functions/exact.py units_nn (these
+# columns are non-negative; floor form skips Spark's per-value
+# BigDecimal round, ~40% faster on the serial scan stage).
+_Q1_QTY = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+_Q1_PRICE = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_Q1_DISC = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+_Q1_TAX = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
 
 
 @register(
@@ -55,16 +58,19 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable aggregation shape.
 
     Money math runs on the scaled-long fast path (functions/exact.py):
-    cents as BIGINT, products as exact 1e-4/1e-6-dollar integer units,
-    one division at the end — ~3.5× faster than decimal accumulation
-    (measured at sf0.1: 0.28 s vs 1.0 s map stage) and still
-    bit-deterministic cross-engine.
+    cents as BIGINT via floor-form units (units_nn — these columns are
+    non-negative, and floor skips the per-value BigDecimal that
+    Spark's round(double) pays), products as exact 1e-4/1e-6-dollar
+    integer units, one division at the end — bit-deterministic
+    cross-engine.  Re-measured at sf0.1 (warm collect, serial 1-row-
+    group scan): floor-units 0.47 s vs round-units 0.68 s vs plain
+    float 0.41 s vs decimal(27,6) 1.3 s.
     """
     li = table(spark, sf_dir, "lineitem")
-    qty_u = units("l_quantity", 1)
-    price_u = units("l_extendedprice", 100)
-    disc_u = units("l_discount", 100)
-    tax_u = units("l_tax", 100)
+    qty_u = units_nn("l_quantity", 1)
+    price_u = units_nn("l_extendedprice", 100)
+    disc_u = units_nn("l_discount", 100)
+    tax_u = units_nn("l_tax", 100)
     dp_u = price_u * (100 - disc_u)  # 1e-4 dollar units
     ch_u = dp_u * (100 + tax_u)  # 1e-6 dollar units
     return (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import lsum, units
+from ..functions.exact import lsum, units, units_nn
 from ..io import table
 from ..registry import register
 
@@ -24,7 +24,7 @@ from ..registry import register
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS total_value
+           (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -43,7 +43,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            lsum(units("value", 100), 100, "total_value"),
+            lsum(units_nn("value", 100), 100, "total_value"),
         )
         .select(
             F.col("w.start").alias("bucket"),
@@ -109,7 +109,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
-           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS session_value
+           (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -157,7 +157,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            lsum(units("value", 100), 100, "session_value"),
+            lsum(units_nn("value", 100), 100, "session_value"),
         )
     )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, lsum, units
+from ..functions.exact import dsum, lsum, units, units_nn
 from ..io import table
 from ..registry import register
 
@@ -89,7 +89,7 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue
+           (SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -116,7 +116,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            lsum(units("o_totalprice", 100), 100, "revenue"),
+            lsum(units_nn("o_totalprice", 100), 100, "revenue"),
         )
     )
 
@@ -125,8 +125,8 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_unshipped",
     oracle="""
     SELECT l_orderkey,
-           (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           (SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
             / 10000.0) AS revenue,
            o_orderdate
     FROM customer
@@ -147,6 +147,20 @@ def q_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no global sort).  Revenue runs on the
     scaled-long fast path (cents × discount-pct as exact 1e-4-dollar
     integer units, one division at the end).
+
+    Agg-BEFORE-join: lineitem revenue is pre-aggregated per
+    l_orderkey ahead of the SMJ — semantics-preserving because orders
+    is unique on o_orderkey, so the original group by (l_orderkey,
+    o_orderdate) after the join collapses to one row per orderkey
+    anyway, and integer-unit sums are associative.  The big exchange
+    then carries map-side-combined (orderkey, partial-sum) state
+    instead of raw line rows (~4 lines/order → ~4× fewer shuffle
+    rows, 2 narrow columns), which is what kept the r3 form
+    spill-bound at 100x on one box.  A/B (tools/unshipped_ab.py,
+    identical top-10 asserted): 0.92→0.67 s at sf0.1, 2.73→2.28 s at
+    100x; 10x→100x wall ratio 3.5× for 10× data (was 16.3× in the r3
+    SCALING.md — most of that was also the round→floor units fix,
+    which removed a per-row BigDecimal over 30M rows).
     """
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -157,13 +171,16 @@ def q_join_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
-    rev_u = units("l_extendedprice", 100) * (100 - units("l_discount", 100))
+    rev_u = units_nn("l_extendedprice", 100) * (100 - units_nn("l_discount", 100))
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(rev_u).alias("rev_u"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(lsum(rev_u, 10000, "revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .join(li_rev, o.o_orderkey == li_rev.l_orderkey)
+        .select(
+            "l_orderkey",
+            (F.col("rev_u") / F.lit(10000.0)).alias("revenue"),
+            "o_orderdate",
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -1070,7 +1087,7 @@ def q_join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_bloom",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           (SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0)
+           (SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0)
              AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1113,7 +1130,7 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            lsum(units("l_extendedprice", 100), 100, "revenue"),
+            lsum(units_nn("l_extendedprice", 100), 100, "revenue"),
         )
     )
 
