@@ -42,6 +42,7 @@ from .operators import (  # noqa: F401
     graph,
     sketches,
     stats_tests,
+    tpch,
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401
