@@ -1036,3 +1036,86 @@ def _register_mask() -> None:
 
 
 _register_mask()
+
+
+_SEM_TAU = 0.35  # matches q_sim_threshold's fixture-calibrated τ
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.label, a.vec_id AS ka, b.vec_id AS dup,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS c
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEM_TAU}
+    ),
+    pick AS (
+      SELECT label, dup, ka, c,
+             row_number() OVER (PARTITION BY dup ORDER BY ka) AS rn
+      FROM pairs
+    )
+    SELECT CAST(dup AS BIGINT) AS vec_id, label,
+           CAST(ka AS BIGINT) AS keeper_id, c AS cos_to_keeper
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup: pairwise cosine is
+    evaluated ONLY within a cluster (here the `label` column stands in
+    for the k-means assignment — q_ml_kmeans / q_sim_nearest_centroid
+    exhibit the real clustering step, whose float iteration is not
+    cross-engine-reproducible); a vector is dropped when some
+    lower-id same-cluster vector sits within cosine ≥ τ, and the
+    emitted manifest names its minimum-id keeper plus the cosine to
+    that keeper.
+
+    This is the Abbas et al. 2023 (SemDeDup) shape: cluster first,
+    then dedup inside clusters.  Scale: the self-join is equi-keyed
+    on the cluster id, so pair work is Σ|cluster|² — bounded by
+    capping cluster size at the k-means stage — instead of the O(n²)
+    global join; each cluster's pairs co-locate in one task after the
+    hash partition on `label`.  Cosines run through the Arrow
+    vectorized pairwise kernel (`_cos_udf`), rounded to 6 dp on the
+    JVM side before the τ test and the keeper pick, so the survivor
+    set is deterministic and engine-identical.
+    """
+    from .similarity import _cos_udf
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("ka"),
+        F.col("embedding").alias("va_vec"),
+    )
+    b = e.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("dup"),
+        F.col("embedding").alias("vb_vec"),
+    )
+    cos = _cos_udf()
+    pairs = (
+        a.join(b, (a.label == F.col("lb")) & (F.col("ka") < F.col("dup")))
+        .select(
+            "label",
+            "ka",
+            "dup",
+            F.round(cos("va_vec", "vb_vec"), 6).alias("c"),
+        )
+        .filter(F.col("c") >= _SEM_TAU)
+    )
+    w = W.partitionBy("dup").orderBy("ka")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dup").alias("vec_id"),
+            "label",
+            F.col("ka").alias("keeper_id"),
+            F.col("c").alias("cos_to_keeper"),
+        )
+    )

@@ -1565,3 +1565,297 @@ def q_sim_nearest_centroid(
         .groupBy("label", F.col("clabel").alias("assigned"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_DEPTH = 50  # per-list candidate depth feeding the fusion
+_HYBRID_TERMS = ("hash", "join", "scan")  # q_text_bm25's query
+
+
+@register(
+    "q_sim_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(len) / COUNT(*) AS avglen
+              FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE word IN ('hash', 'join', 'scan')
+           GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM tf GROUP BY word),
+    bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+             ), 6) AS score
+      FROM tf
+      JOIN df ON df.word = tf.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, r AS lex_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM bm25) WHERE r <= {_RRF_DEPTH}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, r AS sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY
+                 ROUND(list_cosine_similarity(e.v, qv.q), 6) DESC,
+                 e.vec_id) AS BIGINT) AS r
+        FROM e CROSS JOIN qv) WHERE r <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank,
+           COALESCE(sem_rank, 0) AS sem_rank,
+           CAST(FLOOR(1e6 * (
+             COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)
+           ) + 0.5) AS BIGINT) AS rrf_micro
+    FROM lex FULL JOIN sem ON sem.doc_id = lex.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    top-50 (q_text_bm25's scorer and query terms) fused with the
+    embedding-cosine top-50 (query vector = vec 0) by
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)), top-20 overall — the
+    standard way a search-intent stack combines its keyword and
+    vector candidate generators before a learned ranker.
+
+    Determinism: each list ranks on a 6-dp-rounded score with an id
+    tie-break (both proven engine-identical by q_text_bm25 /
+    q_sim_knn); fused scores become exact micro-units via
+    FLOOR(x·1e6 + 0.5) — the same double-space arithmetic in both
+    engines — so the final (rrf_micro, doc_id) top-20 is exact.
+    Absent-from-list ranks surface as 0, not NULL, keeping the rank
+    columns integral end-to-end.
+
+    Scale: both candidate lists are distributed top-k selections
+    (TakeOrderedAndProject), so only 2·depth rows ever reach the
+    fusion join; the BM25 side partial-aggregates before its shuffle
+    and the cosine side broadcasts the single query vector.  Fusing
+    per-user at 100 TB shards the same plan by query id.
+    """
+    d = table(spark, sf_dir, "documents")
+    from ..text.analysis import tokens
+
+    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("len")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len") / F.count("*")).alias("avglen"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*_HYBRID_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen")))
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+    )
+    lex = (
+        bm25.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cos = F.round(
+        _dot("qv", "embedding") / (F.col("qnorm") * F.col("norm")), 6
+    )
+    sem = (
+        e.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cs"))
+        .orderBy(F.col("cs").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (_RRF_K + F.col(r))
+    ).otherwise(F.lit(0.0))
+    rrf = F.floor(
+        1e6 * (contrib("lex_rank") + contrib("sem_rank")) + 0.5
+    ).cast("bigint")
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+            rrf.alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_EVAL_K = 10  # retrieval-eval cutoff
+
+
+@register(
+    "q_sim_retrieval_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT qid, nb FROM (
+        SELECT q.qid, e.vec_id AS nb,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                 e.vec_id) AS r
+        FROM q JOIN e ON e.vec_id <> q.qid)
+      WHERE r <= {_EVAL_K}
+    ),
+    routed AS (
+      SELECT qid, nb, r FROM (
+        SELECT q.qid, e.vec_id AS nb,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                 e.vec_id) AS r
+        FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid)
+      WHERE r <= {_EVAL_K}
+    ),
+    hits AS (
+      SELECT routed.qid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             MIN(routed.r) AS minr
+      FROM routed JOIN exact
+        ON exact.qid = routed.qid AND exact.nb = routed.nb
+      GROUP BY routed.qid
+    )
+    SELECT q.qid, COALESCE(n_hits, 0) AS n_hits,
+           CAST(COALESCE(n_hits, 0) AS DOUBLE) / {_EVAL_K}
+             AS recall_at_k,
+           COALESCE(1.0 / minr, 0.0) AS mrr_at_k
+    FROM q LEFT JOIN hits ON hits.qid = q.qid
+    """,
+)
+def q_sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of cluster-routed ANN: for each of
+    the 10 query vectors, compare the top-10 restricted to the query's
+    own label partition (the IVF nprobe=1 route) against the exact
+    global top-10, reporting hits, recall@10, and the MRR of the first
+    correct routed result — the recall-gating metric every production
+    ANN deployment tracks against a brute-force sample.
+
+    Determinism: both rankings order by 6-dp-rounded cosine with a
+    vec_id tie-break (the q_sim_knn discipline); recall and MRR are
+    exact rationals of small integers, so both engines emit identical
+    doubles.  Queries with no routed hit still appear (left join from
+    the query list) with zeros.
+
+    Scale: the query side is a fixed small sample that BROADCASTS;
+    the exact arm is the brute-force-on-a-sample audit (O(n·|sample|),
+    embarrassingly parallel), and the routed arm touches only the
+    label partition — the same bounded per-bucket work as q_sim_ivf.
+    Per-query top-k keeps every shuffle at |sample|·k rows.
+    """
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = F.round(
+        _dot("qv", "embedding") / (F.col("qnorm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cs").desc(), F.col("nb")
+    )
+
+    def _topk(candidates: DataFrame) -> DataFrame:
+        return (
+            candidates.select(
+                "qid", F.col("vec_id").alias("nb"), cos.alias("cs")
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _EVAL_K)
+            .select("qid", "nb", "r")
+        )
+
+    exact = _topk(
+        e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    )
+    routed = _topk(
+        e.join(
+            F.broadcast(q),
+            (e.label == q.qlabel) & (e.vec_id != q.qid),
+        )
+    )
+    hits = (
+        routed.join(
+            exact.select("qid", "nb"), ["qid", "nb"]
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("r").alias("minr"),
+        )
+    )
+    return q.select("qid").join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / _EVAL_K).alias(
+            "recall_at_k"
+        ),
+        F.coalesce(F.lit(1.0) / F.col("minr"), F.lit(0.0)).alias(
+            "mrr_at_k"
+        ),
+    )

@@ -31,6 +31,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PLAN_CACHE: dict[tuple[str, int, str], tuple[DataFrame, SparkSession]] = {}
 
 
+def clear_plan_cache() -> int:
+    """Drop every memoized DataFrame and return how many were held.
+
+    A cached DataFrame that has EXECUTED pins more than plan metadata:
+    its QueryExecution holds the physical plan, whose
+    BroadcastExchangeExec nodes keep their materialized relations
+    (the built HashedRelation lives in the local-mode JVM heap until
+    the DataFrame becomes unreachable and the ContextCleaner runs).
+    One driver run (≤50 queries) never notices, but a full-registry
+    sweep accumulates hundreds of executed plans in one JVM — the
+    r4 sweep OOM'd building q_tpch_q08's broadcast at query ~380.
+    Long sweeps call this alongside ``spark.catalog.clearCache()``
+    in their periodic eviction."""
+    n = len(_PLAN_CACHE)
+    _PLAN_CACHE.clear()
+    return n
+
+
 def _session_stopped(spark: SparkSession) -> bool:
     try:
         jsc = spark.sparkContext._jsc

@@ -349,3 +349,53 @@ def test_blocked_cosine_bitwise_matches_jvm_fold(spark):
     assert set(udf_c) == set(fold)
     for k in fold:
         assert udf_c[k] == fold[k], f"_cos_udf bitwise mismatch at {k}"
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """q_dedup_semantic: every dropped vector names a lower-id keeper
+    from its own label cluster, at/above the τ the query claims."""
+    rows = REGISTRY["q_dedup_semantic"].fn(spark, SF_DIR).collect()
+    assert rows, "fixtures contain within-label pairs above τ"
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(
+            f"{SF_DIR}/embeddings.parquet"
+        ).collect()
+    }
+    for r in rows:
+        assert r.keeper_id < r.vec_id
+        assert labels[r.keeper_id] == r.label == labels[r.vec_id]
+        assert r.cos_to_keeper >= 0.35
+
+
+def test_hybrid_rrf_scores_consistent(spark):
+    """q_sim_hybrid_rrf: rrf_micro must equal the fusion formula of
+    the emitted ranks, and ranks stay within the list depth."""
+    rows = REGISTRY["q_sim_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    import math
+
+    for r in rows:
+        assert 0 <= r.lex_rank <= 50 and 0 <= r.sem_rank <= 50
+        assert r.lex_rank > 0 or r.sem_rank > 0
+        expect = math.floor(
+            1e6
+            * (
+                (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0)
+                + (1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0)
+            )
+            + 0.5
+        )
+        assert r.rrf_micro == expect
+
+
+def test_retrieval_eval_recall_bounds(spark):
+    """q_sim_retrieval_eval: one row per query, recall = hits/10,
+    MRR positive iff any hit, and label routing finds something for
+    clustered fixtures."""
+    rows = REGISTRY["q_sim_retrieval_eval"].fn(spark, SF_DIR).collect()
+    assert sorted(r.qid for r in rows) == list(range(10))
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_k - r.n_hits / 10) < 1e-12
+        assert (r.mrr_at_k > 0) == (r.n_hits > 0)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 from morphl_model_user_search_intent_spark import REGISTRY
+from morphl_model_user_search_intent_spark.registry import clear_plan_cache
 
 from conftest import SF_DIR, assert_parity
 
@@ -30,8 +31,11 @@ def test_query(name, spark, duck):
         except Exception:
             # Drop caches accumulated by ~300 prior queries (cached
             # edge sets etc.) before the retry — the hiccup tracks
-            # executor memory pressure, not the query.
+            # executor memory pressure, not the query.  Executed
+            # plan-cache entries pin broadcast relations, so evict
+            # those too.
             spark.catalog.clearCache()
+            clear_plan_cache()
             assert len(spec.fn(spark, SF_DIR).take(1)) >= 0
     else:
         assert_parity(

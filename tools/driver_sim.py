@@ -188,6 +188,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
+    from morphl_model_user_search_intent_spark.registry import clear_plan_cache
 
     n = len(e.entry(spark).collect())
     print(f"entry(): {n} rows  {'OK' if n > 0 else 'FAIL'}")
@@ -217,8 +218,12 @@ def main() -> int:
             # sf0.1 that exhausted the heap late in the sweep once
             # (executor death at q_graph_twohop).  Periodic eviction
             # keeps the long-sweep memory profile flat; the driver's
-            # own 50-query pass never needs this.
+            # own 50-query pass never needs this.  The plan cache is
+            # evicted too: executed DataFrames pin their materialized
+            # broadcast relations (r4 sweep OOM'd at q_tpch_q08
+            # without this).
             spark.catalog.clearCache()
+            clear_plan_cache()
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, SF_DIR)
