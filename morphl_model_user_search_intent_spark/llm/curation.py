@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..io import table
 from ..registry import register
 from ..text.analysis import _H32, tokens
+from .dedup import _PAIRS_CTE as _DEDUP_PAIRS_CTE
 
 # Decontamination shingle width — 13 tokens is the published standard
 # (GPT-3 appendix C; The Pile; Dolma all use 13-gram overlap).
@@ -1119,3 +1120,148 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("cos_to_keeper"),
         )
     )
+
+
+@register(
+    "q_corpus_funnel",
+    oracle="""
+    WITH {pairs_cte},
+    dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    fl AS (
+      SELECT d.doc_id,
+        (d.doc_id = MIN(d.doc_id) OVER (PARTITION BY d.text)) AS ek,
+        ((d.text LIKE '%.' OR d.text LIKE '%!' OR d.text LIKE '%?')
+         AND d.text NOT LIKE '%{{%' AND d.text NOT LIKE '%}}%'
+         AND lower(d.text) NOT LIKE '%lorem ipsum%'
+         AND len(regexp_extract_all(d.text, '[.!?]')) >= 3
+         AND lower(d.text) NOT LIKE '%javascript%') AS c4,
+        (len(string_split(trim(d.text), ' ')) BETWEEN 30 AND 100000
+         AND (CAST(d.n_chars
+                   - len(string_split(trim(d.text), ' ')) + 1 AS DOUBLE)
+              / len(string_split(trim(d.text), ' '))) BETWEEN 3 AND 10
+         AND CAST(len(regexp_extract_all(d.text, '[.!?,;:]')) AS DOUBLE)
+             / len(string_split(trim(d.text), ' ')) <= 0.2
+         AND (lower(d.text) LIKE '% the %' OR lower(d.text) LIKE '% and %'
+              OR lower(d.text) LIKE '% of %' OR lower(d.text) LIKE '% to %'))
+          AS gopher,
+        (dups.doc_id IS NULL) AS nk
+      FROM documents d LEFT JOIN dups ON dups.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN ek THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN ek AND c4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN ek AND c4 AND gopher THEN 1 ELSE 0 END)
+               AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN ek AND c4 AND gopher AND nk
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM fl
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'exact_dedup' AS stage,
+           n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM agg
+    UNION ALL SELECT 2, 'c4_filters', n1, n1 - n2, n2 FROM agg
+    UNION ALL SELECT 3, 'gopher_filters', n2, n2 - n3, n3 FROM agg
+    UNION ALL SELECT 4, 'near_dedup', n3, n3 - n4, n4 FROM agg
+    """.format(pairs_cte=_DEDUP_PAIRS_CTE),
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: the survivor counts a corpus build
+    emits after each pipeline stage — exact dedup → C4 cleaning →
+    Gopher quality rules → 3-shingle near-dup removal — as
+    (stage, n_in, n_dropped, n_out) rows.  This is the one table a
+    100 TB data run is judged by ("we started with X docs and
+    shipped Y"), and the per-stage drop attribution is what makes a
+    filter-config change reviewable.
+
+    Stage flags are computed independently per document in ONE pass
+    over the corpus (the near-dup flag's candidate universe is the
+    full corpus, matching production where dedup consults the whole
+    index), then sequentially conjoined, so stage k's n_in is exactly
+    stage k-1's n_out.  All counts are exact integers.
+
+    Scale: the text-rule flags are shuffle-free predicates on the
+    scan; exact-dedup keeps one hash partition by text (the
+    q_dedup_exact shape); the near-dup flag joins against the
+    LSH-candidate pair set at production scale (here the exact
+    inverted-index pairs, for oracle parity).  The final funnel is a
+    4-row arithmetic unpivot of a single aggregate row.
+    """
+    from .dedup import jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    ek = F.col("doc_id") == F.min("doc_id").over(
+        W.partitionBy("text")
+    )
+    low = F.lower("text")
+    c4 = (
+        (
+            F.col("text").like("%.")
+            | F.col("text").like("%!")
+            | F.col("text").like("%?")
+        )
+        & ~F.col("text").like("%{%")
+        & ~F.col("text").like("%}%")
+        & ~low.like("%lorem ipsum%")
+        & (F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")) >= 3)
+        & ~low.like("%javascript%")
+    )
+    nw = F.size(tokens()).cast("bigint")
+    mwl = (F.col("n_chars") - nw + 1).cast("double") / nw
+    npunct = F.size(
+        F.expr("regexp_extract_all(text, '[.!?,;:]', 0)")
+    ).cast("bigint")
+    gopher = (
+        nw.between(30, 100000)
+        & mwl.between(3, 10)
+        & (npunct.cast("double") / nw <= 0.2)
+        & (
+            low.like("% the %")
+            | low.like("% and %")
+            | low.like("% of %")
+            | low.like("% to %")
+        )
+    )
+    dups = (
+        jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    fl = (
+        d.withColumn("ek", ek)
+        .withColumn("c4", c4)
+        .withColumn("gopher", gopher)
+        .join(dups, "doc_id", "left")
+        .withColumn("nk", F.col("is_dup").isNull())
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = fl.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        b(F.col("ek")).alias("n1"),
+        b(F.col("ek") & F.col("c4")).alias("n2"),
+        b(F.col("ek") & F.col("c4") & F.col("gopher")).alias("n3"),
+        b(
+            F.col("ek") & F.col("c4") & F.col("gopher") & F.col("nk")
+        ).alias("n4"),
+    )
+
+    def _stage(i: int, name: str, nin: str, nout: str):
+        return F.struct(
+            F.lit(i).cast("bigint").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.col(nin).alias("n_in"),
+            (F.col(nin) - F.col(nout)).alias("n_dropped"),
+            F.col(nout).alias("n_out"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                _stage(1, "exact_dedup", "n0", "n1"),
+                _stage(2, "c4_filters", "n1", "n2"),
+                _stage(3, "gopher_filters", "n2", "n3"),
+                _stage(4, "near_dedup", "n3", "n4"),
+            )
+        ).alias("s")
+    ).select("s.*")

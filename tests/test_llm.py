@@ -399,3 +399,20 @@ def test_retrieval_eval_recall_bounds(spark):
         assert 0 <= r.n_hits <= 10
         assert abs(r.recall_at_k - r.n_hits / 10) < 1e-12
         assert (r.mrr_at_k > 0) == (r.n_hits > 0)
+
+
+def test_corpus_funnel_chains(spark):
+    """q_corpus_funnel: stages chain exactly (stage k's n_in is stage
+    k-1's n_out), counts are non-negative, and arithmetic closes."""
+    rows = sorted(
+        REGISTRY["q_corpus_funnel"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in rows] == [
+        "exact_dedup", "c4_filters", "gopher_filters", "near_dedup",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+    for r in rows:
+        assert r.n_in - r.n_dropped == r.n_out
+        assert 0 <= r.n_out <= r.n_in
