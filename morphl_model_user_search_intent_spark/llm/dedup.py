@@ -96,6 +96,15 @@ def _shingle_rows(
     which is also what the DuckDB oracle's ``range(1, len-n+2)``
     produces."""
 
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return shingle_rows_of(d, n)
+
+
+def shingle_rows_of(d: DataFrame, n: int = 3) -> DataFrame:
+    """`_shingle_rows` over an arbitrary (doc_id, text) frame — the
+    streaming dedup path shingles each micro-batch with the identical
+    kernel, so stream and batch signatures agree byte-for-byte."""
+
     def gen(batches):
         for pdf in batches:
             ids, shingles = [], []
@@ -109,8 +118,9 @@ def _shingle_rows(
                 shingles.extend(seen)
             yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(gen, "doc_id bigint, shingle string")
+    return d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, shingle string"
+    )
 
 
 def _shingle_arrays(
@@ -657,6 +667,26 @@ def _portable_sig(spark: SparkSession, sh: DataFrame) -> DataFrame:
     )
 
 
+def bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, b, bk) LSH band keys from a (doc_id, j, mh)
+    signature frame: 4 bands of 2 rows each, band key =
+    (m₀·p + m₁) mod P in exact int64 — shared by the batch portable
+    pipeline and the streaming incremental path so their buckets
+    coincide."""
+    return sig.groupBy(
+        "doc_id", F.floor(F.col("j") / 2).alias("b")
+    ).agg(
+        (
+            (
+                F.max(F.when(F.col("j") % 2 == 0, F.col("mh")))
+                * _BAND_MIX
+                + F.max(F.when(F.col("j") % 2 == 1, F.col("mh")))
+            )
+            % _BAND_MOD
+        ).alias("bk")
+    )
+
+
 @register(
     "q_dedup_minhash_portable",
     oracle=f"""
@@ -735,21 +765,7 @@ def q_dedup_minhash_portable(
     """
     sh = _shingle_rows(spark, sf_dir)
     sig = _portable_sig(spark, sh)
-    bands = (
-        sig.groupBy(
-            "doc_id", F.floor(F.col("j") / 2).alias("b")
-        )
-        .agg(
-            (
-                (
-                    F.max(F.when(F.col("j") % 2 == 0, F.col("mh")))
-                    * _BAND_MIX
-                    + F.max(F.when(F.col("j") % 2 == 1, F.col("mh")))
-                )
-                % _BAND_MOD
-            ).alias("bk")
-        )
-    )
+    bands = bands_of(sig)
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), "b", "bk"
     )

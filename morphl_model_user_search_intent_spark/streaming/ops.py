@@ -692,3 +692,189 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     return _run_to_memory(agg, "stream_update_sink", "update", sf_dir)
+
+
+def _staged_doc_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 4
+) -> str:
+    """documents.parquet staged as ``n_buckets`` doc_id-ordered files
+    (bucket = exact-integer id range, written sequentially so
+    modification-time order == id order).  Gives the incremental
+    dedup stream a corpus that ARRIVES in ingest order: every doc in
+    batch k has a strictly larger doc_id than all of batches < k."""
+    import os
+    import shutil
+    import time as _time
+
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    final = os.path.join(SCRATCH, f"stream-docs-db{n_buckets}-{tag}")
+    if os.path.exists(os.path.join(final, "_STAGED")):
+        return final
+    d = f"{final}.tmp-{os.getpid()}"
+    os.makedirs(d, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lo_hi = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, span = lo_hi["lo"], (lo_hi["hi"] - lo_hi["lo"]) or 1
+    bounded = docs.withColumn(
+        "_b",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"(doc_id - {lo}L) * {n_buckets} div {span}L").cast(
+                "int"
+            ),
+        ),
+    )
+    for b in range(n_buckets):
+        tmp = os.path.join(d, f"_tmp_{b}")
+        (
+            bounded.filter(F.col("_b") == b)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        src = next(
+            os.path.join(tmp, f)
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"bucket-{b}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (_time.time() + b, _time.time() + b))
+        shutil.rmtree(tmp)
+    with open(os.path.join(d, "_STAGED"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(d, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_STAGED")):
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(d, final)
+    return final
+
+
+@register("q_stream_neardup", oracle=None)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection: incremental MinHash-LSH
+    over a micro-batched document stream.  Each micro-batch computes
+    the portable md5-minhash signatures (the q_dedup_minhash_portable
+    kernel — byte-identical to batch) for its NEW docs only, probes
+    the accumulated band index for colliding earlier docs, verifies
+    candidates by signature agreement (≥4/8 rows), emits the verified
+    pairs tagged with the batch id that surfaced them, and appends
+    the new signatures/bands to the index.  Per-increment cost scales
+    with the BATCH (signatures) plus the collision set — never the
+    corpus — which is what lets a crawler dedup at ingest instead of
+    re-running global dedup per snapshot.
+
+    The 4 doc_id-ranged source files arrive in id order, so the index
+    side of every candidate pair is always the earlier (smaller-id)
+    doc: (doc_a < doc_b) holds by construction for cross-batch pairs
+    and by an explicit filter within a batch.  Rows-only: LSH
+    bucketing has no SQL oracle; the pytest gate asserts the drained
+    pair set EQUALS the batch twin's (same signatures → same bands →
+    same candidates, regardless of arrival slicing) and that each
+    pair is emitted exactly once, at doc_b's batch.
+
+    At scale the index dirs are a bucketed table keyed by (b, bk)
+    (collision probe = bucket-pruned join) and a doc-keyed signature
+    table; both are append-only, exactly as here.
+    """
+    import os
+    import shutil
+
+    from ..llm.dedup import _portable_sig, bands_of, shingle_rows_of
+    from ..sources.formats import SCRATCH
+
+    configure(spark)
+    src = _staged_doc_buckets(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(
+        SCRATCH, f"neardup-{tag}-{os.getpid()}"
+    )
+    sig_store = os.path.join(base, "sig")
+    band_store = os.path.join(base, "bands")
+    pairs_dir = os.path.join(base, "pairs")
+    shutil.rmtree(base, ignore_errors=True)
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        sig = _portable_sig(
+            spark, shingle_rows_of(bdf.select("doc_id", "text"))
+        ).localCheckpoint()
+        bands = bands_of(sig)
+        new_b = bands.select(
+            F.col("doc_id").alias("doc_b"), "b", "bk"
+        )
+        within = (
+            bands.join(new_b, ["b", "bk"])
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        )
+        if os.path.isdir(band_store):
+            old_bands = spark.read.parquet(band_store).select(
+                F.col("doc_id").alias("doc_a"), "b", "bk"
+            )
+            # index docs all precede this batch's ids (id-ordered
+            # arrival), so doc_a < doc_b needs no filter here
+            cross = old_bands.join(new_b, ["b", "bk"]).select(
+                "doc_a", "doc_b"
+            )
+            cand = within.unionByName(cross).distinct()
+            all_sig = spark.read.parquet(sig_store).unionByName(sig)
+        else:
+            cand = within.distinct()
+            all_sig = sig
+        sa = all_sig.select(
+            F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mha")
+        )
+        sb = all_sig.select(
+            F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mhb")
+        )
+        verified = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "j"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum(
+                    F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("matches")
+            )
+            .filter(F.col("matches") >= 4)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("matches").cast("double") / 8.0, 6).alias(
+                    "minhash_est"
+                ),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        sig.write.mode("append").parquet(sig_store)
+        bands.write.mode("append").parquet(band_store)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(pairs_dir)

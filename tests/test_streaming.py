@@ -351,3 +351,31 @@ def test_update_mode_converges_to_batch_counts(spark):
         assert seq == sorted(seq), f"{k}: non-monotone updates {seq}"
         assert len(seq) >= 2, f"{k}: only one update — no progression"
         assert seq[-1] == batch[k], k
+
+
+def test_stream_neardup_matches_batch_minhash(spark):
+    """Incremental streaming MinHash-LSH: the drained pair set must
+    EQUAL the batch portable-minhash twin's (same shingle→signature→
+    band kernels, so arrival slicing must not change the outcome),
+    each pair exactly once, ordered doc_a < doc_b, and the emitting
+    batch must be the LATER doc's batch (pairs surface at ingest of
+    the second copy, never retroactively re-emitted)."""
+    from collections import Counter
+
+    rows = REGISTRY["q_stream_neardup"].fn(spark, SF_DIR).collect()
+    batch = REGISTRY["q_dedup_minhash_portable"].fn(spark, SF_DIR).collect()
+    s_pairs = Counter((r.doc_a, r.doc_b) for r in rows)
+    b_pairs = {(r.doc_a, r.doc_b) for r in batch}
+    assert s_pairs, "stream emitted no near-dup pairs"
+    assert set(s_pairs) == b_pairs
+    assert all(v == 1 for v in s_pairs.values()), "pair re-emitted"
+    assert all(r.doc_a < r.doc_b for r in rows)
+    # id-ordered arrival: a pair with a larger doc_b can never surface
+    # in an earlier batch than a pair whose doc_b precedes it within
+    # the same batch partitioning — batch_id must be monotone in the
+    # bucket that contains doc_b, which the staged source makes
+    # monotone in doc_b itself.
+    by_b = sorted(rows, key=lambda r: r.doc_b)
+    assert all(
+        a.batch_id <= b.batch_id for a, b in zip(by_b, by_b[1:])
+    ), "batch_id not monotone in doc_b under id-ordered arrival"

@@ -67,6 +67,15 @@ HEADLINE = [
     "q_win_fill_forward",
     "q_agg_approx_topk",
     "q_str_urls",
+    # Round-4 addition: hybrid RRF — two distributed top-k arms + a
+    # 2·depth-row fusion join; wall time should stay scan-bound.
+    # (q_dedup_semantic and q_corpus_funnel are deliberately NOT
+    # amplified here: with the fixture's FIXED 10 labels, 100x data
+    # means ~10,000x within-cluster pairs — the quadratic blowup the
+    # cluster-size cap exists to prevent; amplifying data without
+    # amplifying the cluster count measures the misconfiguration,
+    # not the operator.)
+    "q_sim_hybrid_rrf",
 ]
 
 # Per-table key-offset recipe: which columns shift by replica*stride so
