@@ -1252,3 +1252,229 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id * 6 AS crawl_id,
+             'https://' || source || '.example.org/doc/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || COALESCE(lang, 'und') AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id * 6 + 1,
+             'HTTPS://' || UPPER(source) || '.EXAMPLE.ORG:443/doc/' ||
+             CAST(doc_id AS VARCHAR) || '/?utm_source=feed&lang=' || COALESCE(lang, 'und')
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id * 6 + 2,
+             'https://' || source || '.example.org/doc/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || COALESCE(lang, 'und') ||
+             '&utm_campaign=promo#sec-2'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id * 6 + 3,
+             'http://' || source || '.example.org/alt/' ||
+             CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id * 6 + 4,
+             'http://' || source || '.example.org:80/alt/' ||
+             CAST(doc_id AS VARCHAR) || '/'
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    parts AS (
+      SELECT crawl_id,
+             split_part(url, '#', 1) AS nofrag
+      FROM corpus
+    ),
+    split_q AS (
+      SELECT crawl_id,
+             split_part(nofrag, '?', 1) AS base,
+             CASE WHEN position('?' IN nofrag) > 0
+                  THEN substr(nofrag, position('?' IN nofrag) + 1)
+                  ELSE '' END AS qraw
+      FROM parts
+    ),
+    comps AS (
+      SELECT crawl_id,
+             lower(split_part(base, '://', 1)) AS scheme,
+             lower(split_part(split_part(base, '://', 2), '/', 1))
+               AS hostport,
+             substr(split_part(base, '://', 2),
+                    length(split_part(split_part(base, '://', 2),
+                                      '/', 1)) + 1) AS path,
+             qraw
+      FROM split_q
+    ),
+    norm AS (
+      SELECT crawl_id, scheme,
+             CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN substr(hostport, 1, length(hostport) - 4)
+                  WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN substr(hostport, 1, length(hostport) - 3)
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(path, '/+$', '') END AS pnorm,
+             COALESCE(array_to_string(list_sort(list_filter(
+               string_split(qraw, '&'),
+               p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '')
+               AS qnorm
+      FROM comps
+    ),
+    canon AS (
+      SELECT crawl_id,
+             scheme || '://' || host || pnorm ||
+             CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END
+               AS canonical_url
+      FROM norm
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_crawls,
+           CAST(MIN(crawl_id) AS BIGINT) AS keeper_crawl
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier stage that runs
+    BEFORE any content dedup: the same page fetched under scheme/host
+    case variants, default ports, trailing slashes, fragments, and
+    utm_* tracking params must collapse to one canonical URL so it is
+    fetched/stored once.  The corpus synthesizes those five messy
+    variants deterministically per doc (the fixture tables carry no
+    real URLs), then canonicalizes with pure JVM string expressions:
+
+      lower(scheme) + lower(host) − default port (:443/:80) − fragment
+      − trailing slash − utm_* params, surviving params sorted.
+
+    Emits each duplicate group (canonical URL, crawl count, min-id
+    keeper).  Scale shape: one map stage (string expressions inside
+    whole-stage codegen, no UDF, no regex beyond an anchored trailing
+    -slash strip) + one map-side-combined groupBy on the canonical
+    string — the exact-dedup template, linear at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("lang", F.lit("und")).alias("lang")
+    )
+    ds = F.col("doc_id").cast("string")
+    mk = lambda cid, url: d.select(  # noqa: E731
+        cid.cast("bigint").alias("crawl_id"), url.alias("url")
+    )
+    corpus = (
+        mk(
+            F.col("doc_id") * 6,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.org/doc/"), ds,
+                F.lit("?lang="), F.col("lang"),
+            ),
+        )
+        .unionByName(
+            mk(
+                F.col("doc_id") * 6 + 1,
+                F.concat(
+                    F.lit("HTTPS://"), F.upper("source"),
+                    F.lit(".EXAMPLE.ORG:443/doc/"), ds,
+                    F.lit("/?utm_source=feed&lang="), F.col("lang"),
+                ),
+            ).where(F.col("doc_id") % 3 == 0)
+        )
+        .unionByName(
+            mk(
+                F.col("doc_id") * 6 + 2,
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.org/doc/"), ds,
+                    F.lit("?lang="), F.col("lang"),
+                    F.lit("&utm_campaign=promo#sec-2"),
+                ),
+            ).where(F.col("doc_id") % 5 == 0)
+        )
+        .unionByName(
+            mk(
+                F.col("doc_id") * 6 + 3,
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.org/alt/"), ds,
+                ),
+            ).where(F.col("doc_id") % 7 == 0)
+        )
+        .unionByName(
+            mk(
+                F.col("doc_id") * 6 + 4,
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.org:80/alt/"), ds, F.lit("/"),
+                ),
+            ).where(F.col("doc_id") % 7 == 0)
+        )
+    )
+    canon = (
+        corpus.withColumn("nofrag", F.substring_index("url", "#", 1))
+        .withColumn("base", F.substring_index("nofrag", "?", 1))
+        .withColumn(
+            "qraw",
+            F.expr(
+                "CASE WHEN instr(nofrag, '?') > 0"
+                " THEN substring(nofrag, instr(nofrag, '?') + 1)"
+                " ELSE '' END"
+            ),
+        )
+        .withColumn(
+            "scheme", F.lower(F.substring_index("base", "://", 1))
+        )
+        .withColumn("rest", F.substring_index("base", "://", -1))
+        .withColumn(
+            "hostport", F.lower(F.substring_index("rest", "/", 1))
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                "substring(rest,"
+                " length(substring_index(rest, '/', 1)) + 1)"
+            ),
+        )
+        .withColumn(
+            "host",
+            F.expr(
+                "CASE WHEN scheme = 'https' AND hostport LIKE '%:443'"
+                " THEN substring(hostport, 1, length(hostport) - 4)"
+                " WHEN scheme = 'http' AND hostport LIKE '%:80'"
+                " THEN substring(hostport, 1, length(hostport) - 3)"
+                " ELSE hostport END"
+            ),
+        )
+        .withColumn(
+            "pnorm",
+            F.expr(
+                "CASE WHEN regexp_replace(path, '/+$', '') = ''"
+                " THEN '/' ELSE regexp_replace(path, '/+$', '') END"
+            ),
+        )
+        .withColumn(
+            "qnorm",
+            F.expr(
+                "array_join(array_sort(filter(split(qraw, '&'),"
+                " p -> NOT startswith(p, 'utm_') AND p <> '')), '&')"
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.expr(
+                "concat(scheme, '://', host, pnorm,"
+                " CASE WHEN qnorm = '' THEN ''"
+                " ELSE concat('?', qnorm) END)"
+            ),
+        )
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
+            F.min("crawl_id").cast("bigint").alias("keeper_crawl"),
+        )
+        .filter(F.col("n_crawls") > 1)
+    )

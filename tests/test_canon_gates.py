@@ -117,8 +117,13 @@ _COLLECT_WHITELIST = {
     "streaming/ops.py",
     # joins.py was whitelisted through round 2 (bloom summary collect);
     # the round-3 bloom rewrite folded that into a declarative
-    # cross-joined aggregate, so the engine's only remaining collect
-    # site is the streaming memory-sink harness above.
+    # cross-joined aggregate.
+    # PQ index build (q_sim_pq): codebook training on a deterministic
+    # CAPPED sample (≤4096 rows) + the 10-query LUT build — both
+    # bounded by constants, the standard ANN train-on-sample pattern
+    # (FAISS trains PQ codebooks the same way); the corpus-sized
+    # passes (encode, ADC scan) stay in mapInPandas.
+    "llm/similarity.py",
 }
 
 

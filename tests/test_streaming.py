@@ -379,3 +379,27 @@ def test_stream_neardup_matches_batch_minhash(spark):
     assert all(
         a.batch_id <= b.batch_id for a, b in zip(by_b, by_b[1:])
     ), "batch_id not monotone in doc_b under id-ordered arrival"
+
+
+def test_memory_sink_isolated_per_sf_dir(spark):
+    """Regression for the round-3 advisor's cache-aliasing finding:
+    the registry memoizes the returned spark.table() per (session,
+    sf_dir), so a FIXED memory-sink name would make A → B → A on one
+    session silently serve B's data under A's cache key.  Sink names
+    are sf_dir-tagged; running the same streaming query against two
+    dirs and re-reading the first must return the FIRST dir's counts."""
+    import pyspark.sql.functions as F
+
+    sf_a, sf_b = SF_DIR, "/root/testdata/sf0.01"
+    spec = REGISTRY["q_stream_tumbling"]
+    total_a = spec.fn(spark, sf_a).agg(
+        F.sum("n_events")
+    ).collect()[0][0]
+    total_b = spec.fn(spark, sf_b).agg(F.sum("n_events")).collect()[0][0]
+    assert total_a != total_b  # different scales → different corpora
+    again_a = spec.fn(spark, sf_a).agg(F.sum("n_events")).collect()[0][0]
+    assert again_a == total_a, (
+        "cached sf0.001 plan now reads another sf_dir's sink table"
+    )
+    n_events_a = table(spark, sf_a, "events").count()
+    assert total_a == n_events_a  # tumbling counts partition all events
