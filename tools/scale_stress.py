@@ -258,7 +258,13 @@ def main() -> None:
         "resource on a 1000-executor cluster — moves only the "
         "post-combine state; the shuffle growth ratio across factors "
         "is the linearity proof at the data-volume level, independent "
-        "of timing noise.",
+        "of timing noise.  Timed runs drain the FULL plan into the "
+        "noop sink (best-of-3, fresh plan each): results are executed "
+        "end-to-end but never row-converted onto the Python driver — "
+        "collect()-based timing (used through round 3) charged "
+        "operators for py4j transfer of million-row results, which "
+        "made q_win_fill_forward's linear window pass read as 11x "
+        "super-linear while its shuffle bytes grew exactly 10.0x.",
         "",
         "Dataset on disk: "
         + ", ".join(f"{t}x = {_dir_mb(d):,.0f} MB" for t, d in dirs)
