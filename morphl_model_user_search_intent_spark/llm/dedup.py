@@ -1254,6 +1254,78 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append a ``canonical_url`` column: lower scheme/host, strip the
+    default port (:443 for https, :80 for http), drop the fragment and
+    any trailing slashes, remove utm_* query params and sort the
+    survivors.  Pure JVM codegen string expressions (the only regex is
+    an anchored trailing-slash strip) — idempotent by construction
+    (property-tested: canonicalize(canonicalize(u)) == canonicalize(u))
+    and shared by q_dedup_url so the tested transform IS the shipped
+    one.  Intermediate columns are dropped."""
+    tmp = ["nofrag", "base", "qraw", "scheme", "rest", "hostport",
+           "path", "host", "pnorm", "qnorm"]
+    out = (
+        df.withColumn("nofrag", F.substring_index(url_col, "#", 1))
+        .withColumn("base", F.substring_index("nofrag", "?", 1))
+        .withColumn(
+            "qraw",
+            F.expr(
+                "CASE WHEN instr(nofrag, '?') > 0"
+                " THEN substring(nofrag, instr(nofrag, '?') + 1)"
+                " ELSE '' END"
+            ),
+        )
+        .withColumn(
+            "scheme", F.lower(F.substring_index("base", "://", 1))
+        )
+        .withColumn("rest", F.substring_index("base", "://", -1))
+        .withColumn(
+            "hostport", F.lower(F.substring_index("rest", "/", 1))
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                "substring(rest,"
+                " length(substring_index(rest, '/', 1)) + 1)"
+            ),
+        )
+        .withColumn(
+            "host",
+            F.expr(
+                "CASE WHEN scheme = 'https' AND hostport LIKE '%:443'"
+                " THEN substring(hostport, 1, length(hostport) - 4)"
+                " WHEN scheme = 'http' AND hostport LIKE '%:80'"
+                " THEN substring(hostport, 1, length(hostport) - 3)"
+                " ELSE hostport END"
+            ),
+        )
+        .withColumn(
+            "pnorm",
+            F.expr(
+                "CASE WHEN regexp_replace(path, '/+$', '') = ''"
+                " THEN '/' ELSE regexp_replace(path, '/+$', '') END"
+            ),
+        )
+        .withColumn(
+            "qnorm",
+            F.expr(
+                "array_join(array_sort(filter(split(qraw, '&'),"
+                " p -> NOT startswith(p, 'utm_') AND p <> '')), '&')"
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.expr(
+                "concat(scheme, '://', host, pnorm,"
+                " CASE WHEN qnorm = '' THEN ''"
+                " ELSE concat('?', qnorm) END)"
+            ),
+        )
+    )
+    return out.drop(*tmp)
+
+
 @register(
     "q_dedup_url",
     oracle="""
@@ -1412,64 +1484,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).where(F.col("doc_id") % 7 == 0)
         )
     )
-    canon = (
-        corpus.withColumn("nofrag", F.substring_index("url", "#", 1))
-        .withColumn("base", F.substring_index("nofrag", "?", 1))
-        .withColumn(
-            "qraw",
-            F.expr(
-                "CASE WHEN instr(nofrag, '?') > 0"
-                " THEN substring(nofrag, instr(nofrag, '?') + 1)"
-                " ELSE '' END"
-            ),
-        )
-        .withColumn(
-            "scheme", F.lower(F.substring_index("base", "://", 1))
-        )
-        .withColumn("rest", F.substring_index("base", "://", -1))
-        .withColumn(
-            "hostport", F.lower(F.substring_index("rest", "/", 1))
-        )
-        .withColumn(
-            "path",
-            F.expr(
-                "substring(rest,"
-                " length(substring_index(rest, '/', 1)) + 1)"
-            ),
-        )
-        .withColumn(
-            "host",
-            F.expr(
-                "CASE WHEN scheme = 'https' AND hostport LIKE '%:443'"
-                " THEN substring(hostport, 1, length(hostport) - 4)"
-                " WHEN scheme = 'http' AND hostport LIKE '%:80'"
-                " THEN substring(hostport, 1, length(hostport) - 3)"
-                " ELSE hostport END"
-            ),
-        )
-        .withColumn(
-            "pnorm",
-            F.expr(
-                "CASE WHEN regexp_replace(path, '/+$', '') = ''"
-                " THEN '/' ELSE regexp_replace(path, '/+$', '') END"
-            ),
-        )
-        .withColumn(
-            "qnorm",
-            F.expr(
-                "array_join(array_sort(filter(split(qraw, '&'),"
-                " p -> NOT startswith(p, 'utm_') AND p <> '')), '&')"
-            ),
-        )
-        .withColumn(
-            "canonical_url",
-            F.expr(
-                "concat(scheme, '://', host, pnorm,"
-                " CASE WHEN qnorm = '' THEN ''"
-                " ELSE concat('?', qnorm) END)"
-            ),
-        )
-    )
+    canon = canonicalize_url(corpus)
     return (
         canon.groupBy("canonical_url")
         .agg(

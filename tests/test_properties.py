@@ -527,3 +527,80 @@ def test_minhash_portable_matches_oracle_on_random_corpus(
     con.close()
     assert scols == sorted(dcols)
     assert srows == drows
+
+
+# URL strategy: scheme/host/path/query/fragment parts drawn so that
+# generated URLs cover case variants, default and non-default ports,
+# trailing slashes, utm_* and regular params, and fragments — the full
+# input domain canonicalize_url claims to normalize.
+_url_strategy = st.builds(
+    lambda scheme, up, host, port, segs, slash, params, frag: (
+        (scheme.upper() if up else scheme)
+        + "://"
+        + host
+        + port
+        + "/"
+        + "/".join(segs)
+        + ("/" if slash and segs else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https"]),
+    up=st.booleans(),
+    host=st.sampled_from(
+        ["a.example.org", "B.Example.ORG", "x.io", "WWW.X.IO"]
+    ),
+    port=st.sampled_from(["", ":443", ":80", ":8080"]),
+    segs=st.lists(
+        st.sampled_from(["doc", "alt", "p1", "Q2"]), max_size=3
+    ),
+    slash=st.booleans(),
+    params=st.lists(
+        st.sampled_from(
+            ["lang=en", "ref=search", "utm_source=feed",
+             "utm_campaign=promo", "q=a+b", "id=7"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "sec-2", "top"]),
+)
+
+
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=25))
+@_settings
+def test_url_canonicalization_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): a canonical
+    URL must be a fixed point of the transform, or dedup groups would
+    depend on how many times a crawler re-normalized a link.  Also:
+    no utm_ param, fragment, default port, or trailing slash survives,
+    and scheme/host come out lowered."""
+    from morphl_model_user_search_intent_spark.llm.dedup import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(df).select(
+        "url", F.col("canonical_url").alias("c1")
+    )
+    twice = canonicalize_url(
+        once.select(F.col("c1").alias("url"))
+    ).select(F.col("url").alias("c1b"), "canonical_url")
+    for r in twice.collect():
+        assert r.canonical_url == r.c1b, (r.c1b, r.canonical_url)
+    for r in once.collect():
+        c = r.c1
+        assert "#" not in c and "utm_" not in c, (r.url, c)
+        scheme, rest = c.split("://", 1)
+        hp = rest.split("/", 1)[0]
+        # only the DEFAULT port for the scheme is stripped —
+        # http://h:443 and https://h:80 are non-default and must stay
+        if scheme == "https":
+            assert not hp.endswith(":443"), c
+        if scheme == "http":
+            assert not hp.endswith(":80"), c
+        assert scheme == scheme.lower()
+        hostpart = rest.split("/", 1)[0]
+        assert hostpart == hostpart.lower(), (r.url, c)
+        pathpart = rest.split("?", 1)[0]
+        assert pathpart == "" or not pathpart.endswith("//"), c

@@ -107,30 +107,39 @@ def amplify(spark, out_dir: str, N: int) -> None:
         strides = {
             k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys
         }
-        copies = []
-        for i in range(N):
-            c = df
-            for k, stride in strides.items():
-                c = c.withColumn(
-                    k, (F.col(k) + F.lit(i * stride)).cast("bigint")
-                )
-            if t == "events":
-                # shift replica timestamps by a co-prime-ish number of
-                # seconds so amplified sessions/windows interleave
-                # instead of stacking N identical rows per instant
-                c = c.withColumn(
-                    "ts",
-                    F.timestamp_micros(
-                        F.unix_micros(F.col("ts"))
-                        + F.lit(i * 97_000_000)
-                    ),
-                )
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        # single parquet dir per table; events ts back to micros-compat
-        out.write.mode("overwrite").parquet(dst)
+        # chunk the union at 100 branches: a 1000-way unionByName is
+        # one plan with 1000 children — Catalyst analysis and codegen
+        # on it take longer than writing the data; ≤100-way unions
+        # appended sequentially stage the same rows in bounded plans
+        first = True
+        for lo in range(0, N, 100):
+            copies = []
+            for i in range(lo, min(lo + 100, N)):
+                c = df
+                for k, stride in strides.items():
+                    c = c.withColumn(
+                        k, (F.col(k) + F.lit(i * stride)).cast("bigint")
+                    )
+                if t == "events":
+                    # shift replica timestamps by a co-prime-ish number
+                    # of seconds so amplified sessions/windows
+                    # interleave instead of stacking N identical rows
+                    # per instant
+                    c = c.withColumn(
+                        "ts",
+                        F.timestamp_micros(
+                            F.unix_micros(F.col("ts"))
+                            + F.lit(i * 97_000_000)
+                        ),
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite" if first else "append").parquet(
+                dst
+            )
+            first = False
 
 
 def _stages(spark) -> dict[int, dict]:
