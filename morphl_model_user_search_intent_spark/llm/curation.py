@@ -1039,6 +1039,120 @@ def _register_mask() -> None:
 _register_mask()
 
 
+# Span-corruption flag: same exact-BIGINT Lehmer mix as _MASK_FLAG but
+# over BLOCK indices (+101 salt so the chosen spans differ from the
+# token-level mask's choices on the same document).  Bounds identical
+# to the mask note above: exact in both engines for any realistic doc.
+_SPAN_PCT = 15
+_SPAN_FLAG = (
+    "((((seed % 2147483647) + ({b} + 101) * 2654435761) % 2147483647)"
+    f" * 48271) % 2147483647 % 100 < {_SPAN_PCT}"
+)
+
+
+def _register_span_corrupt() -> None:
+    h32_of_digest = _H32.replace("md5({x})", "{d}")
+    seed_expr = h32_of_digest.format(d="dg")
+
+    def k_spark(b: str) -> str:
+        inner = _SPAN_FLAG.format(b="bb")
+        return (
+            f"CASE WHEN {b} = 0 THEN 0 ELSE "
+            f"size(filter(sequence(0, {b} - 1), bb -> {inner})) END"
+        )
+
+    def k_duck(b: str) -> str:
+        inner = _SPAN_FLAG.format(b="bb")
+        return (
+            f"CASE WHEN {b} = 0 THEN 0 ELSE "
+            f"len(list_filter(range(0, {b}), bb -> {inner})) END"
+        )
+
+    flag_b = _SPAN_FLAG.format(b="b")
+    spark_corrupted = (
+        "array_join(transform(sequence(0, nb - 1), b -> "
+        f"CASE WHEN {flag_b} THEN "
+        f"concat('<extra_id_', CAST({k_spark('b')} AS STRING), '>') "
+        "ELSE array_join(slice(toks, b * 3 + 1, 3), ' ') END), ' ')"
+    )
+    spark_targets = (
+        "array_join(transform("
+        f"filter(sequence(0, nb - 1), b -> {flag_b}), b -> "
+        f"concat('<extra_id_', CAST({k_spark('b')} AS STRING), '>', ' ', "
+        "array_join(slice(toks, b * 3 + 1, 3), ' '))), ' ')"
+    )
+    spark_nspans = (
+        f"CAST(size(filter(sequence(0, nb - 1), b -> {flag_b})) AS INT)"
+    )
+    duck_oracle = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS dg
+      FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, toks, (len(toks) + 2) // 3 AS nb,
+             {h32_of_digest.format(d='dg')} AS seed
+      FROM base
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, nb), b ->
+             CASE WHEN {flag_b}
+                  THEN concat('<extra_id_',
+                              CAST({k_duck('b')} AS VARCHAR), '>')
+                  ELSE array_to_string(
+                         toks[(b * 3 + 1):(b * 3 + 3)], ' ')
+             END), ' ') AS corrupted_text,
+           COALESCE(array_to_string(list_transform(
+             list_filter(range(0, nb), b -> {flag_b}), b ->
+               concat('<extra_id_', CAST({k_duck('b')} AS VARCHAR),
+                      '>', ' ',
+                      array_to_string(
+                        toks[(b * 3 + 1):(b * 3 + 3)], ' '))), ' '),
+             '') AS targets,
+           CAST(len(list_filter(range(0, nb), b -> {flag_b}))
+                AS INT) AS n_spans
+    FROM seeded
+    """
+
+    @register("q_corpus_span_corrupt", oracle=duck_oracle)
+    def q_corpus_span_corrupt(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """T5-style span corruption (Raffel et al. 2020): the document
+        is cut into fixed 3-token blocks; a deterministic hash-seeded
+        Lehmer draw (same exact-integer mix as q_corpus_mask, block
+        -granular, +101 salt) corrupts ~15% of blocks; each corrupted
+        block is replaced by an ordinal `<extra_id_k>` sentinel in the
+        input and emitted as `<extra_id_k> tok…` in the target — the
+        seq-to-seq denoising objective's data layout.
+
+        rand()-free: a task retry reproduces the same spans (the
+        q_corpus_mask discipline).  Shuffle-free scan-side plan; the
+        ordinal k is recomputed per block as |{{b' < b : flag(b')}}| —
+        O(blocks²) per document in pure codegen integer math, chosen
+        over a window (which would force a doc-keyed shuffle of every
+        token) because blocks ≈ tokens/3 per document is bounded by
+        document length, not corpus size.
+        """
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        return (
+            d.withColumn("dg", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("seed", F.expr(seed_expr))
+            .withColumn("toks", F.expr("split(trim(text), ' ')"))
+            .withColumn("nb", F.expr("(size(toks) + 2) div 3"))
+            .select(
+                "doc_id",
+                F.expr(spark_corrupted).alias("corrupted_text"),
+                F.expr(spark_targets).alias("targets"),
+                F.expr(spark_nspans).alias("n_spans"),
+            )
+        )
+
+
+_register_span_corrupt()
+
+
 _SEM_TAU = 0.35  # matches q_sim_threshold's fixture-calibrated τ
 
 
