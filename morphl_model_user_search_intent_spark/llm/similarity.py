@@ -1861,45 +1861,21 @@ def q_sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_pq", oracle=None)
-def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., "Product Quantization
-    for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
-    scale path that complements q_sim_ivf's routing.
+# ---- Product quantization (shared by q_sim_pq / q_sim_ivfpq) --------
+# 16 subspaces x 4 dims, 16 centroids each: finer subspaces beat more
+# centroids on these near-uniform fixture vectors (the hardest case
+# for PQ) — measured 0.94 vs 0.72 top-5 recall at equal code budget.
+_PQ_M, _PQ_KS, _PQ_SUB, _PQ_DEPTH = 16, 16, 4, 64
 
-    1. **Train** (bounded driver work, standard practice): codebooks
-       are fit on a deterministic CAPPED sample (every 3rd vector,
-       ≤4096 rows — FAISS trains PQ on ≤ a few hundred points per
-       centroid), 16 subspaces × 4 dims, 16 centroids each, seeded
-       Lloyd iterations in numpy.  O(sample), never O(corpus).
-       (16×4 beats 8×8 on these embeddings: the fixture vectors are
-       near-uniform — the hardest case for PQ — so finer subspaces
-       buy more recall than more centroids; measured 0.94 vs 0.72
-       top-5 recall at equal code budget.)
-    2. **Encode** (one vectorized mapInPandas pass): each 64-dim
-       float vector → 16 tinyint codes = nearest centroid per
-       subspace.  256 B → 16 B, the 16× compression that lets a
-       billion-vector index sit in executor memory.
-    3. **ADC scan**: per-query 16×16 lookup tables (query-subvector ·
-       centroid, plus the exact ‖centroid‖² table — subspaces are
-       orthogonal so ‖reconstruction‖² = Σₛ‖cₛ‖²); approximate cosine
-       = gather-sum over the code columns, vectorized across rows.
-       Scans the ENCODED corpus only — at 100 TB this pass is bounded
-       by pairing with the IVF router (scan only probed lists).
-    4. **Re-rank**: exact cosine (same fused fold as q_sim_knn, 6-dp
-       rounding, vec_id tie-break) on the top-64 ADC candidates per
-       query; emit top-5.
 
-    Rows-only (codebook training is seed-stable but not
-    SQL-expressible); tests/test_llm.py gates recall vs the exact
-    q_sim_knn top-5.
-    """
+def _pq_train_books(e: DataFrame):
+    """Codebooks from a bounded deterministic sample (every 3rd
+    vector, <=4096 rows — FAISS trains PQ on <= a few hundred points
+    per centroid): seeded Lloyd iterations in driver numpy,
+    O(sample), never O(corpus).  One of the file's two whitelisted
+    bounded-collect sites (tests/test_canon_gates.py)."""
     import numpy as np
 
-    m, ks, sub, adc_depth = 16, 16, 4, 64
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # -- train on a bounded deterministic sample ----------------------
     sample_rows = (
         e.filter(F.col("vec_id") % 3 == 0)
         .orderBy("vec_id")
@@ -1907,35 +1883,30 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    books = np.empty((m, ks, sub))
-    for s in range(m):
-        Xs = X[:, s * sub : (s + 1) * sub]
+    books = np.empty((_PQ_M, _PQ_KS, _PQ_SUB))
+    for s in range(_PQ_M):
+        Xs = X[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
         # deterministic spread init: every (n/ks)-th sample row
-        C = Xs[np.linspace(0, len(Xs) - 1, ks).astype(int)].copy()
+        C = Xs[np.linspace(0, len(Xs) - 1, _PQ_KS).astype(int)].copy()
         for _ in range(15):
             d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(-1)
             a = d2.argmin(1)
-            for j in range(ks):
+            for j in range(_PQ_KS):
                 if (a == j).any():
                     C[j] = Xs[a == j].mean(0)
         books[s] = C
+    return books
 
-    # -- encode: vectorized nearest-centroid per subspace -------------
-    def encode(batches):
-        for pdf in batches:
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            codes = np.empty((len(V), m), dtype=np.int8)
-            for s in range(m):
-                Vs = V[:, s * sub : (s + 1) * sub]
-                d2 = ((Vs[:, None, :] - books[s][None]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes)}
-            )
 
-    encoded = e.mapInPandas(encode, "vec_id bigint, codes array<tinyint>")
+def _pq_query_side(e: DataFrame, books):
+    """Query-side driver state (the second whitelisted bounded
+    collect): the raw 10-query matrix Q (used for list routing and
+    norm), plus the ADC lookup tables — lut_ip[q, s, j] = Q[q,
+    subspace s] . books[s, j] and cnorm2[s, j] = ||c_sj||**2
+    (subspaces are orthogonal, so ||reconstruction||**2 =
+    sum_s ||c_sj||**2 exactly)."""
+    import numpy as np
 
-    # -- per-query ADC lookup tables (10 queries → driver numpy) ------
     q_rows = sorted(
         e.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r["vec_id"],
@@ -1943,50 +1914,47 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in q_rows])
     qnorm = np.sqrt((Q * Q).sum(1))
-    # lut_ip[q, s, j] = Q[q, subspace s] · books[s, j]
     lut_ip = np.einsum(
-        "qsd,sjd->qsj", Q.reshape(len(Q), m, sub), books
+        "qsd,sjd->qsj", Q.reshape(len(Q), _PQ_M, _PQ_SUB), books
     )
-    cnorm2 = (books * books).sum(-1)  # [s, j] = ‖cₛⱼ‖²
+    cnorm2 = (books * books).sum(-1)
+    return Q, qids, qnorm, lut_ip, cnorm2
 
-    def adc(batches):
+
+def _pq_encode(e: DataFrame, books) -> DataFrame:
+    """One vectorized mapInPandas pass: 64-dim float vector -> 16
+    tinyint codes (nearest centroid per subspace).  256 B -> 16 B,
+    the 16x compression that lets a billion-vector index sit in
+    executor memory.  Non-vector columns pass through."""
+    import numpy as np
+
+    passthrough = [c for c in e.columns if c != "embedding"]
+
+    def encode(batches):
         for pdf in batches:
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            n = len(codes)
-            rn2 = np.zeros(n)
-            for s in range(m):
-                rn2 += cnorm2[s][codes[:, s]]
-            rnorm = np.sqrt(rn2)
-            out_q, out_v, out_c = [], [], []
-            for qi in range(len(qids)):
-                ip = np.zeros(n)
-                for s in range(m):
-                    ip += lut_ip[qi, s][codes[:, s]]
-                out_q.append(np.full(n, qids[qi]))
-                out_v.append(pdf["vec_id"].to_numpy())
-                out_c.append(ip / (qnorm[qi] * rnorm))
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "adc_cos": np.concatenate(out_c),
-                }
-            )
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), _PQ_M), dtype=np.int8)
+            for s in range(_PQ_M):
+                Vs = V[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                d2 = ((Vs[:, None, :] - books[s][None]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            out = {c: pdf[c] for c in passthrough}
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    scored = encoded.mapInPandas(
-        adc, "qid bigint, vec_id bigint, adc_cos double"
-    ).filter(F.col("vec_id") != F.col("qid"))
-    w_adc = Window.partitionBy("qid").orderBy(
-        F.col("adc_cos").desc(), F.col("vec_id")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in e.schema
+        if f.name != "embedding"
     )
-    cand = (
-        scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= adc_depth)
-        .select("qid", "vec_id")
-    )
+    return e.mapInPandas(encode, schema + ", codes array<tinyint>")
 
-    # -- exact re-rank of the bounded candidate set -------------------
-    en = _with_norm(e)
+
+def _pq_exact_rerank(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine (same fused fold as q_sim_knn, 6-dp rounding,
+    vec_id tie-break) on the bounded (qid, vec_id) candidate set;
+    emit top-5 per query."""
+    en = _with_norm(e.select("vec_id", "embedding"))
     q = en.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -2010,3 +1978,171 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+@register("q_sim_pq", oracle=None)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+    scale path that complements q_sim_ivf's routing.
+
+    Train (capped-sample driver numpy, _pq_train_books) -> encode
+    (vectorized mapInPandas, 16x compression) -> ADC scan (per-query
+    16x16 lookup tables; approximate cosine = gather-sum over the
+    code columns, vectorized across rows) -> exact re-rank of the
+    top-64 ADC candidates per query, emit top-5.  This variant
+    ADC-scans the WHOLE encoded corpus (the pure-PQ baseline);
+    q_sim_ivfpq is the routed form that bounds the scan to probed
+    lists.
+
+    Rows-only (codebook training is seed-stable but not
+    SQL-expressible); tests/test_llm.py gates recall vs the exact
+    q_sim_knn top-5 and asserts re-ranked cosines are bit-identical
+    to the exact path's.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_train_books(e)
+    encoded = _pq_encode(e, books)
+    _, qids, qnorm, lut_ip, cnorm2 = _pq_query_side(e, books)
+
+    def adc(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = len(codes)
+            rn2 = np.zeros(n)
+            for s in range(_PQ_M):
+                rn2 += cnorm2[s][codes[:, s]]
+            rnorm = np.sqrt(rn2)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                ip = np.zeros(n)
+                for s in range(_PQ_M):
+                    ip += lut_ip[qi, s][codes[:, s]]
+                out_q.append(np.full(n, qids[qi]))
+                out_v.append(pdf["vec_id"].to_numpy())
+                out_c.append(ip / (qnorm[qi] * rnorm))
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "adc_cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        adc, "qid bigint, vec_id bigint, adc_cos double"
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    cand = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= _PQ_DEPTH)
+        .select("qid", "vec_id")
+    )
+    return _pq_exact_rerank(e, cand)
+
+
+@register("q_sim_ivfpq", oracle=None)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the standard billion-vector serving index (FAISS
+    "IVFx,PQy"): q_sim_ivf's coarse router bounds WHICH lists are
+    scanned, q_sim_pq's codes bound the BYTES per scanned row.
+
+    1. Coarse quantizer: seeded MLlib KMeans (k=16); every vector
+       carries its list id (on disk the list id is a partition
+       column, so partition pruning IS the routing).
+    2. PQ-encode the corpus (shared _pq_encode kernel, 16 B/vector).
+    3. Route each query to its nprobe=8 nearest lists — centroids and
+       query vectors are both already driver-side numpy (the
+       centroid table is k x 64 floats; the queries came from the
+       same bounded collect the ADC LUTs use), so routing is one
+       10x16 matmul producing a 80-row (qid, cluster_id) probe frame.
+    4. ADC-scan ONLY the probed lists: broadcast the probe frame onto
+       the cluster-keyed encoded corpus — the scan touches
+       ~nprobe/k of the rows (50% here; 1-5% at production k) and
+       each row costs one 16-code gather-sum for ITS query alone.
+    5. Exact re-rank of the top-64 ADC candidates per query (shared
+       _pq_exact_rerank), emit top-5.
+
+    Rows-only; tests/test_llm.py gates the compounded recall (router
+    misses x PQ quantization error) against exact q_sim_knn and
+    checks every emitted neighbor lies in a probed list.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 8
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_train_books(e)
+    Q, qids, qnorm, lut_ip, cnorm2 = _pq_query_side(e, books)
+
+    ev = e.withColumn("v", array_to_vector("embedding"))
+    km = KMeans(
+        k=k, seed=42, featuresCol="v", predictionCol="cluster_id"
+    )
+    model = km.fit(ev)
+    assigned = model.transform(ev).drop("v")
+    encoded = _pq_encode(
+        assigned.select("vec_id", "cluster_id", "embedding"), books
+    )
+
+    cents = np.array(
+        [list(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+    csim = (Q @ cents.T) / (
+        qnorm[:, None] * np.sqrt((cents * cents).sum(1))[None, :]
+    )
+    probe = spark.createDataFrame(
+        [
+            (int(qids[qi]), int(c))
+            for qi in range(len(qids))
+            for c in np.argsort(-csim[qi])[:nprobe]
+        ],
+        "qid BIGINT, cluster_id INT",
+    )
+
+    qindex = {int(q): i for i, q in enumerate(qids)}
+
+    def adc_routed(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qidx = pdf["qid"].map(qindex).to_numpy()
+            n = len(codes)
+            rn2 = np.zeros(n)
+            ip = np.zeros(n)
+            for s in range(_PQ_M):
+                rn2 += cnorm2[s][codes[:, s]]
+                ip += lut_ip[qidx, s, codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "vec_id": pdf["vec_id"],
+                    "adc_cos": ip / (qnorm[qidx] * np.sqrt(rn2)),
+                }
+            )
+
+    routed = (
+        F.broadcast(probe)
+        .join(encoded, "cluster_id")
+        .select("qid", "vec_id", "codes")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    scored = routed.mapInPandas(
+        adc_routed, "qid bigint, vec_id bigint, adc_cos double"
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    cand = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= _PQ_DEPTH)
+        .select("qid", "vec_id")
+    )
+    return _pq_exact_rerank(e, cand)

