@@ -91,3 +91,133 @@ def q_source_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").alias("h_sum"),
         F.min("h").alias("h_min"),
     )
+
+
+# ---- Streaming variant (Spark 4 SimpleDataSourceStreamReader) -------
+
+N_STREAM_BATCHES = 10
+ROWS_PER_BATCH = 1_000
+
+
+class _SynthStreamReader:
+    """SimpleDataSourceStreamReader: offset = {"batch": k}.  Each
+    micro-batch emits ROWS_PER_BATCH deterministic rows (same Knuth
+    hash as the batch source over a continuing index), then the
+    source runs dry — processAllAvailable() terminates when read()
+    stops advancing the offset.  At scale the offset would be a
+    page token / Kafka offset; the contract (resume from any
+    committed offset, deterministic replay) is exactly what
+    readBetweenOffsets exercises on recovery."""
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def read(self, start):
+        # contract quirk: the prefetch wrapper copy.copy()s and
+        # next()s this return value, so it must be a list ITERATOR —
+        # a raw list fails next(), a generator fails copy/pickle
+        b = start["batch"]
+        if b >= N_STREAM_BATCHES:
+            return iter([]), start
+        return iter(self._rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._rows(b))
+        return rows
+
+    @staticmethod
+    def _rows(b: int) -> list:
+        # materialized list, not a generator: the simple stream
+        # reader's prefetched rows are PICKLED driver-side before
+        # they ship to the executor task
+        lo = b * ROWS_PER_BATCH
+        return [
+            (i, GROUPS[i % 5], (i * 2654435761) % 4294967296)
+            for i in range(lo, lo + ROWS_PER_BATCH)
+        ]
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """``readStream.format("synthetic_events_stream")``: a bounded
+    deterministic micro-batch stream through the Python data source
+    API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "i bigint, grp string, h bigint"
+
+    def simpleStreamReader(self, schema) -> _SynthStreamReader:
+        return _SynthStreamReader()
+
+
+_TOTAL_STREAM_ROWS = N_STREAM_BATCHES * ROWS_PER_BATCH
+
+
+@register(
+    "q_stream_pydatasource",
+    oracle=f"""
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS h_sum
+    FROM (
+      SELECT ['alpha','beta','gamma','delta','epsilon'][(i % 5) + 1]
+               AS grp,
+             (i * 2654435761) % 4294967296 AS h
+      FROM (SELECT UNNEST(generate_series(0, {_TOTAL_STREAM_ROWS - 1}))
+              AS i)
+    )
+    GROUP BY grp
+    """,
+)
+def q_stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through a CUSTOM Python streaming source
+    (Spark 4 ``simpleStreamReader``): ten deterministic micro-batches
+    flow offset-by-offset into a complete-mode aggregation; the memory
+    sink's final table is the full aggregate, so the end state is
+    oracle-checkable EXACTLY like a batch query — the determinism
+    contract (resume from any committed offset, replayable range
+    reads) is the one a Kafka/API connector must honor at scale.
+
+    The complete-mode plan keeps running state per group (5 keys —
+    bounded); the Python source feeds one task per micro-batch.
+    """
+    import os
+    import re
+
+    try:
+        spark.dataSource.register(SyntheticEventsStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    name = f"stream_pyds_sink_{tag}"
+    s = spark.readStream.format("synthetic_events_stream").load()
+    agg = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("h_sum"),
+    )
+    # default ASAP trigger, NOT availableNow: the simple stream
+    # reader prefetches one batch at a time, and availableNow would
+    # snapshot only the first prefetched batch as "available";
+    # processAllAvailable() drains until read() stops advancing the
+    # offset (the source runs dry after N_STREAM_BATCHES).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
