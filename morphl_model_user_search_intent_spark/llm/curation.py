@@ -1031,7 +1031,13 @@ def _register_mask() -> None:
         return d.select(
             "doc_id",
             F.array_join(masked, " ").alias("masked_text"),
-            F.array_join(targets, " ").alias("targets"),
+            # symmetric NULL guard: the oracle COALESCEs targets to ''
+            # — on a NULL text Spark's array_join(NULL) is NULL, so
+            # coalesce here too (latent until a fixture carries NULL
+            # text; same class as the round-3 dtype asymmetries)
+            F.coalesce(F.array_join(targets, " "), F.lit("")).alias(
+                "targets"
+            ),
             F.size(targets).alias("n_masked"),
         )
 
@@ -1139,12 +1145,19 @@ def _register_span_corrupt() -> None:
         return (
             d.withColumn("dg", F.md5(F.col("doc_id").cast("string")))
             .withColumn("seed", F.expr(seed_expr))
-            .withColumn("toks", F.expr("split(trim(text), ' ')"))
+            .withColumn("toks", tokens("text"))
             .withColumn("nb", F.expr("(size(toks) + 2) div 3"))
             .select(
                 "doc_id",
                 F.expr(spark_corrupted).alias("corrupted_text"),
-                F.expr(spark_targets).alias("targets"),
+                # coalesce mirrors the oracle's COALESCE: with no
+                # corrupted block the filtered array is EMPTY (join
+                # '' both engines), but a NULL text nulls the whole
+                # array — Spark array_join(NULL) is NULL where the
+                # oracle's COALESCE says '' (symmetric-guard rule)
+                F.coalesce(F.expr(spark_targets), F.lit("")).alias(
+                    "targets"
+                ),
                 F.expr(spark_nspans).alias("n_spans"),
             )
         )

@@ -1262,64 +1262,66 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     an anchored trailing-slash strip) — idempotent by construction
     (property-tested: canonicalize(canonicalize(u)) == canonicalize(u))
     and shared by q_dedup_url so the tested transform IS the shipped
-    one.  Intermediate columns are dropped."""
-    tmp = ["nofrag", "base", "qraw", "scheme", "rest", "hostport",
-           "path", "host", "pnorm", "qnorm"]
+    one.  Intermediate columns use a reserved ``_cu_`` prefix and are
+    dropped before return, so callers' own columns (host, path, …)
+    survive untouched — don't pass columns named ``_cu_*``."""
+    tmp = ["_cu_nofrag", "_cu_base", "_cu_qraw", "_cu_scheme", "_cu_rest", "_cu_hostport",
+           "_cu_path", "_cu_host", "_cu_pnorm", "_cu_qnorm"]
     out = (
-        df.withColumn("nofrag", F.substring_index(url_col, "#", 1))
-        .withColumn("base", F.substring_index("nofrag", "?", 1))
+        df.withColumn("_cu_nofrag", F.substring_index(url_col, "#", 1))
+        .withColumn("_cu_base", F.substring_index("_cu_nofrag", "?", 1))
         .withColumn(
-            "qraw",
+            "_cu_qraw",
             F.expr(
-                "CASE WHEN instr(nofrag, '?') > 0"
-                " THEN substring(nofrag, instr(nofrag, '?') + 1)"
+                "CASE WHEN instr(_cu_nofrag, '?') > 0"
+                " THEN substring(_cu_nofrag, instr(_cu_nofrag, '?') + 1)"
                 " ELSE '' END"
             ),
         )
         .withColumn(
-            "scheme", F.lower(F.substring_index("base", "://", 1))
+            "_cu_scheme", F.lower(F.substring_index("_cu_base", "://", 1))
         )
-        .withColumn("rest", F.substring_index("base", "://", -1))
+        .withColumn("_cu_rest", F.substring_index("_cu_base", "://", -1))
         .withColumn(
-            "hostport", F.lower(F.substring_index("rest", "/", 1))
+            "_cu_hostport", F.lower(F.substring_index("_cu_rest", "/", 1))
         )
         .withColumn(
-            "path",
+            "_cu_path",
             F.expr(
-                "substring(rest,"
-                " length(substring_index(rest, '/', 1)) + 1)"
+                "substring(_cu_rest,"
+                " length(substring_index(_cu_rest, '/', 1)) + 1)"
             ),
         )
         .withColumn(
-            "host",
+            "_cu_host",
             F.expr(
-                "CASE WHEN scheme = 'https' AND hostport LIKE '%:443'"
-                " THEN substring(hostport, 1, length(hostport) - 4)"
-                " WHEN scheme = 'http' AND hostport LIKE '%:80'"
-                " THEN substring(hostport, 1, length(hostport) - 3)"
-                " ELSE hostport END"
+                "CASE WHEN _cu_scheme = 'https' AND _cu_hostport LIKE '%:443'"
+                " THEN substring(_cu_hostport, 1, length(_cu_hostport) - 4)"
+                " WHEN _cu_scheme = 'http' AND _cu_hostport LIKE '%:80'"
+                " THEN substring(_cu_hostport, 1, length(_cu_hostport) - 3)"
+                " ELSE _cu_hostport END"
             ),
         )
         .withColumn(
-            "pnorm",
+            "_cu_pnorm",
             F.expr(
-                "CASE WHEN regexp_replace(path, '/+$', '') = ''"
-                " THEN '/' ELSE regexp_replace(path, '/+$', '') END"
+                "CASE WHEN regexp_replace(_cu_path, '/+$', '') = ''"
+                " THEN '/' ELSE regexp_replace(_cu_path, '/+$', '') END"
             ),
         )
         .withColumn(
-            "qnorm",
+            "_cu_qnorm",
             F.expr(
-                "array_join(array_sort(filter(split(qraw, '&'),"
+                "array_join(array_sort(filter(split(_cu_qraw, '&'),"
                 " p -> NOT startswith(p, 'utm_') AND p <> '')), '&')"
             ),
         )
         .withColumn(
             "canonical_url",
             F.expr(
-                "concat(scheme, '://', host, pnorm,"
-                " CASE WHEN qnorm = '' THEN ''"
-                " ELSE concat('?', qnorm) END)"
+                "concat(_cu_scheme, '://', _cu_host, _cu_pnorm,"
+                " CASE WHEN _cu_qnorm = '' THEN ''"
+                " ELSE concat('?', _cu_qnorm) END)"
             ),
         )
     )

@@ -101,8 +101,14 @@ def amplify(spark, out_dir: str, N: int) -> None:
             shutil.copyfile(os.path.join(SF_DIR, f"{t}.parquet"), dst)
     for t, keys in OFFSETS.items():
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if os.path.exists(dst):
+        done = os.path.join(out_dir, f"_AMPLIFIED_{t}")
+        if os.path.exists(done):
             continue
+        # a bare dst is NOT proof of completion: the chunked
+        # overwrite-then-append staging leaves a _SUCCESS-bearing
+        # partial dir if interrupted between chunks, which would
+        # silently mislabel every downstream number — re-stage it
+        shutil.rmtree(dst, ignore_errors=True)
         df = table(spark, SF_DIR, t)
         strides = {
             k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys
@@ -140,6 +146,8 @@ def amplify(spark, out_dir: str, N: int) -> None:
                 dst
             )
             first = False
+        with open(done, "w") as fh:
+            fh.write("ok")
 
 
 def _stages(spark) -> dict[int, dict]:
