@@ -46,7 +46,7 @@ from .operators import (  # noqa: F401
 )
 from .functions import scalar  # noqa: F401
 from .text import analysis  # noqa: F401
-from .llm import curation, dedup, multimodal, similarity  # noqa: F401
+from .llm import curation, dedup, index, multimodal, similarity  # noqa: F401
 from .udf import udfs  # noqa: F401
 from .ml import pipeline  # noqa: F401
 from .streaming import ops  # noqa: F401

@@ -1861,93 +1861,12 @@ def q_sim_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- Product quantization (shared by q_sim_pq / q_sim_ivfpq) --------
-# 16 subspaces x 4 dims, 16 centroids each: finer subspaces beat more
-# centroids on these near-uniform fixture vectors (the hardest case
-# for PQ) — measured 0.94 vs 0.72 top-5 recall at equal code budget.
-_PQ_M, _PQ_KS, _PQ_SUB, _PQ_DEPTH = 16, 16, 4, 64
-
-
-def _pq_train_books(e: DataFrame):
-    """Codebooks from a bounded deterministic sample (every 3rd
-    vector, <=4096 rows — FAISS trains PQ on <= a few hundred points
-    per centroid): seeded Lloyd iterations in driver numpy,
-    O(sample), never O(corpus).  One of the file's two whitelisted
-    bounded-collect sites (tests/test_canon_gates.py)."""
-    import numpy as np
-
-    sample_rows = (
-        e.filter(F.col("vec_id") % 3 == 0)
-        .orderBy("vec_id")
-        .limit(4096)
-        .collect()
-    )
-    X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    books = np.empty((_PQ_M, _PQ_KS, _PQ_SUB))
-    for s in range(_PQ_M):
-        Xs = X[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
-        # deterministic spread init: every (n/ks)-th sample row
-        C = Xs[np.linspace(0, len(Xs) - 1, _PQ_KS).astype(int)].copy()
-        for _ in range(15):
-            d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(-1)
-            a = d2.argmin(1)
-            for j in range(_PQ_KS):
-                if (a == j).any():
-                    C[j] = Xs[a == j].mean(0)
-        books[s] = C
-    return books
-
-
-def _pq_query_side(e: DataFrame, books):
-    """Query-side driver state (the second whitelisted bounded
-    collect): the raw 10-query matrix Q (used for list routing and
-    norm), plus the ADC lookup tables — lut_ip[q, s, j] = Q[q,
-    subspace s] . books[s, j] and cnorm2[s, j] = ||c_sj||**2
-    (subspaces are orthogonal, so ||reconstruction||**2 =
-    sum_s ||c_sj||**2 exactly)."""
-    import numpy as np
-
-    q_rows = sorted(
-        e.filter(F.col("vec_id") < _N_QUERIES).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qids = np.array([r["vec_id"] for r in q_rows])
-    qnorm = np.sqrt((Q * Q).sum(1))
-    lut_ip = np.einsum(
-        "qsd,sjd->qsj", Q.reshape(len(Q), _PQ_M, _PQ_SUB), books
-    )
-    cnorm2 = (books * books).sum(-1)
-    return Q, qids, qnorm, lut_ip, cnorm2
-
-
-def _pq_encode(e: DataFrame, books) -> DataFrame:
-    """One vectorized mapInPandas pass: 64-dim float vector -> 16
-    tinyint codes (nearest centroid per subspace).  256 B -> 16 B,
-    the 16x compression that lets a billion-vector index sit in
-    executor memory.  Non-vector columns pass through."""
-    import numpy as np
-
-    passthrough = [c for c in e.columns if c != "embedding"]
-
-    def encode(batches):
-        for pdf in batches:
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            codes = np.empty((len(V), _PQ_M), dtype=np.int8)
-            for s in range(_PQ_M):
-                Vs = V[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
-                d2 = ((Vs[:, None, :] - books[s][None]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            out = {c: pdf[c] for c in passthrough}
-            out["codes"] = list(codes)
-            yield pd.DataFrame(out)
-
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in e.schema
-        if f.name != "embedding"
-    )
-    return e.mapInPandas(encode, schema + ", codes array<tinyint>")
+# ---- Product quantization (q_sim_pq / q_sim_ivfpq) ------------------
+# Round 5: the PQ machinery moved to llm/index.py and became a
+# PERSISTED index (build → write → load → serve).  Both queries below
+# now LOAD codebooks/codes/centroids from the index parquet instead of
+# retraining and re-encoding per invocation (round-4 verdict, top
+# item) — at 100× query volume the retrain otherwise dominates.
 
 
 def _pq_exact_rerank(e: DataFrame, cand: DataFrame) -> DataFrame:
@@ -1986,11 +1905,12 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
     scale path that complements q_sim_ivf's routing.
 
-    Train (capped-sample driver numpy, _pq_train_books) -> encode
-    (vectorized mapInPandas, 16x compression) -> ADC scan (per-query
-    16x16 lookup tables; approximate cosine = gather-sum over the
-    code columns, vectorized across rows) -> exact re-rank of the
-    top-64 ADC candidates per query, emit top-5.  This variant
+    Serve-from-index (round 5): LOAD the persisted codebooks + codes
+    (llm/index.py — built once per corpus snapshot, idempotent) ->
+    ADC scan (per-query 16x16 lookup tables; approximate cosine =
+    gather-sum over the code columns, vectorized across rows) ->
+    exact re-rank of the top-64 ADC candidates per query, emit top-5.
+    No training and no encode pass at query time.  This variant
     ADC-scans the WHOLE encoded corpus (the pure-PQ baseline);
     q_sim_ivfpq is the routed form that bounds the scan to probed
     lists.
@@ -2000,25 +1920,31 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_knn top-5 and asserts re-ranked cosines are bit-identical
     to the exact path's.
     """
+    import os
+
     import numpy as np
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = _pq_train_books(e)
-    encoded = _pq_encode(e, books)
-    _, qids, qnorm, lut_ip, cnorm2 = _pq_query_side(e, books)
+    from .index import PQ_DEPTH, PQ_M, build_index, load_books, query_side
+
+    path = build_index(spark, sf_dir)
+    books = load_books(path)
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    e_idx = lists.select("vec_id", "embedding")
+    encoded = lists.select("vec_id", "codes")
+    _, qids, qnorm, lut_ip, cnorm2 = query_side(e_idx, books)
 
     def adc(batches):
         for pdf in batches:
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             n = len(codes)
             rn2 = np.zeros(n)
-            for s in range(_PQ_M):
+            for s in range(PQ_M):
                 rn2 += cnorm2[s][codes[:, s]]
             rnorm = np.sqrt(rn2)
             out_q, out_v, out_c = [], [], []
             for qi in range(len(qids)):
                 ip = np.zeros(n)
-                for s in range(_PQ_M):
+                for s in range(PQ_M):
                     ip += lut_ip[qi, s][codes[:, s]]
                 out_q.append(np.full(n, qids[qi]))
                 out_v.append(pdf["vec_id"].to_numpy())
@@ -2039,10 +1965,10 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= _PQ_DEPTH)
+        .filter(F.col("arank") <= PQ_DEPTH)
         .select("qid", "vec_id")
     )
-    return _pq_exact_rerank(e, cand)
+    return _pq_exact_rerank(e_idx, cand)
 
 
 @register("q_sim_ivfpq", oracle=None)
@@ -2051,49 +1977,52 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVFx,PQy"): q_sim_ivf's coarse router bounds WHICH lists are
     scanned, q_sim_pq's codes bound the BYTES per scanned row.
 
-    1. Coarse quantizer: seeded MLlib KMeans (k=16); every vector
-       carries its list id (on disk the list id is a partition
-       column, so partition pruning IS the routing).
-    2. PQ-encode the corpus (shared _pq_encode kernel, 16 B/vector).
-    3. Route each query to its nprobe=8 nearest lists — centroids and
-       query vectors are both already driver-side numpy (the
-       centroid table is k x 64 floats; the queries came from the
-       same bounded collect the ADC LUTs use), so routing is one
-       10x16 matmul producing a 80-row (qid, cluster_id) probe frame.
-    4. ADC-scan ONLY the probed lists: broadcast the probe frame onto
+    Serve-from-index (round 5): every artifact comes from the
+    PERSISTED index (llm/index.py) — no KMeans fit, no codebook
+    training, no encode pass at query time.
+
+    1. Load centroids + codebooks (driver-side pyarrow, k and m·ks
+       rows — the FAISS load-index-header step) and the list-
+       partitioned codes table.
+    2. Route each query to its nprobe=8 nearest lists — one 10×16
+       matmul producing an 80-row (qid, cluster_id) probe frame (the
+       query matrix comes from the same bounded collect the ADC LUTs
+       use).
+    3. ADC-scan ONLY the probed lists: broadcast the probe frame onto
        the cluster-keyed encoded corpus — the scan touches
        ~nprobe/k of the rows (50% here; 1-5% at production k) and
        each row costs one 16-code gather-sum for ITS query alone.
-    5. Exact re-rank of the top-64 ADC candidates per query (shared
-       _pq_exact_rerank), emit top-5.
+    4. Exact re-rank of the top-64 ADC candidates per query (shared
+       _pq_exact_rerank, raw vectors co-located in the index), emit
+       top-5.
 
     Rows-only; tests/test_llm.py gates the compounded recall (router
     misses x PQ quantization error) against exact q_sim_knn and
-    checks every emitted neighbor lies in a probed list.
+    checks every emitted neighbor lies in a probed list (probe sets
+    recomputed from the PERSISTED centroids).
     """
+    import os
+
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    k, nprobe = 16, 8
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = _pq_train_books(e)
-    Q, qids, qnorm, lut_ip, cnorm2 = _pq_query_side(e, books)
-
-    ev = e.withColumn("v", array_to_vector("embedding"))
-    km = KMeans(
-        k=k, seed=42, featuresCol="v", predictionCol="cluster_id"
-    )
-    model = km.fit(ev)
-    assigned = model.transform(ev).drop("v")
-    encoded = _pq_encode(
-        assigned.select("vec_id", "cluster_id", "embedding"), books
+    from .index import (
+        PQ_DEPTH,
+        PQ_M,
+        build_index,
+        load_books,
+        load_centroids,
+        query_side,
     )
 
-    cents = np.array(
-        [list(c) for c in model.clusterCenters()], dtype=np.float64
-    )
+    nprobe = 8
+    path = build_index(spark, sf_dir)
+    books = load_books(path)
+    cents = load_centroids(path)
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    e_idx = lists.select("vec_id", "embedding")
+    encoded = lists.select("vec_id", "cluster_id", "codes")
+    Q, qids, qnorm, lut_ip, cnorm2 = query_side(e_idx, books)
+
     csim = (Q @ cents.T) / (
         qnorm[:, None] * np.sqrt((cents * cents).sum(1))[None, :]
     )
@@ -2117,7 +2046,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(codes)
             rn2 = np.zeros(n)
             ip = np.zeros(n)
-            for s in range(_PQ_M):
+            for s in range(PQ_M):
                 rn2 += cnorm2[s][codes[:, s]]
                 ip += lut_ip[qidx, s, codes[:, s]]
             yield pd.DataFrame(
@@ -2142,7 +2071,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= _PQ_DEPTH)
+        .filter(F.col("arank") <= PQ_DEPTH)
         .select("qid", "vec_id")
     )
-    return _pq_exact_rerank(e, cand)
+    return _pq_exact_rerank(e_idx, cand)

@@ -365,7 +365,21 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per (micro-batch, event_type) with counts; the
     pytest twin asserts ≥2 batches ran and the per-type totals equal
     the batch aggregate (exactly-once across batch boundaries).
+
+    Sink discipline: each micro-batch APPENDS its aggregate rows to a
+    scratch parquet dir (tagged with its batch_id column) and the
+    result is read back once at the end — the aggregate never touches
+    the driver, so a 100×-longer stream costs zero driver memory
+    (round-4 verdict: the previous form accumulated per-batch rows
+    into a Python list).  Parquet append per batch is idempotent
+    under availableNow's exactly-once batch ids here; a restartable
+    production run would dedup on batch_id at read time.
     """
+    import os
+    import shutil
+
+    from ..sources.formats import SCRATCH
+
     src = _staged_four_files(spark, sf_dir)
     configure(spark)
     schema = spark.read.parquet(src).schema
@@ -376,29 +390,37 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = normalize_events_ts(s)
 
-    rows: list = []
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(SCRATCH, f"mb-counts-{tag}-{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
 
-    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for r in (
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
             batch_df.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
-            .collect()
-        ):
-            rows.append((batch_id, r["event_type"], r["n_events"]))
+            .select(
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "event_type",
+                "n_events",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
 
-    q = (
-        s.writeStream.foreachBatch(collect_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            s.writeStream.foreachBatch(append_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        return spark.read.parquet(out_dir).localCheckpoint()
     finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.createDataFrame(
-        rows, "batch_id bigint, event_type string, n_events bigint"
-    )
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @register("q_stream_countmin", oracle=None)
@@ -867,14 +889,22 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        s.writeStream.foreachBatch(on_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            s.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        # Materialize the pair set off the scratch tree
+        # (localCheckpoint pins the blocks in this session) so the
+        # per-pid sig/band/pairs stores can be removed — repeated
+        # runs were accumulating parquet trees in SCRATCH forever
+        # (round-4 advisor finding).
+        return spark.read.parquet(pairs_dir).localCheckpoint()
     finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.read.parquet(pairs_dir)
+        shutil.rmtree(base, ignore_errors=True)

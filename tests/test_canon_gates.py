@@ -111,41 +111,59 @@ def test_type_parity_gate_catches_the_r03_class(spark, duck):
 # review found exactly one violation (MMR's per-selection collect), and this
 # gate keeps the class extinct.
 
-_COLLECT_WHITELIST = {
-    # Streaming runners: foreachBatch sinks collect per-micro-batch results
-    # into the memory-sink harness (test/driver surface, not a query plan).
-    "streaming/ops.py",
-    # joins.py was whitelisted through round 2 (bloom summary collect);
-    # the round-3 bloom rewrite folded that into a declarative
-    # cross-joined aggregate.
-    # PQ index build (q_sim_pq): codebook training on a deterministic
-    # CAPPED sample (≤4096 rows) + the 10-query LUT build — both
-    # bounded by constants, the standard ANN train-on-sample pattern
-    # (FAISS trains PQ codebooks the same way); the corpus-sized
-    # passes (encode, ADC scan) stay in mapInPandas.
-    "llm/similarity.py",
+# FUNCTION-scoped whitelist (round-4 advisor: a file-level whitelist
+# over a 2000-line module silently passes any future unbounded collect
+# anywhere in it).  Key = engine-relative file, value = the exact
+# function names allowed to materialize; a collect anywhere else in
+# the file — including module level — is an offender.
+_COLLECT_WHITELIST: dict[str, set[str]] = {
+    # Persisted ANN index (llm/index.py): codebook training on a
+    # deterministic CAPPED sample (≤4096 rows) + the 10-query LUT
+    # build — both bounded by constants, the standard ANN
+    # train-on-sample pattern (FAISS trains PQ codebooks the same
+    # way); the corpus-sized passes (encode, ADC scan, serve) stay
+    # in mapInPandas / joins.
+    "llm/index.py": {"_pq_train_books", "query_side"},
 }
+# round-3: joins.py bloom summary collect → declarative rewrite;
+# round-5: streaming/ops.py foreachBatch driver-list accumulator →
+# per-batch parquet append; llm/similarity.py PQ training → persisted
+# index.  All three files are now collect-free and un-whitelisted.
 
 
 _MATERIALIZERS = {"collect", "toPandas", "toLocalIterator"}
 
 
-def _collect_call_lines(py: Path) -> list[int]:
-    """Line numbers of real ``.collect()/.toPandas()/.toLocalIterator()``
-    CALL sites, found via the AST — comments, docstrings, and
-    ``-quoted prose can't produce false positives OR (the round-2
-    advisor's finding) mask a genuine call sharing a line with quoted
-    text, the way the old line-based grep could."""
+def _collect_call_sites(py: Path) -> list[tuple[int, str]]:
+    """(line, enclosing-function) of every real
+    ``.collect()/.toPandas()/.toLocalIterator()`` CALL site, found via
+    the AST — comments, docstrings, and quoted prose can't produce
+    false positives OR (the round-2 advisor's finding) mask a genuine
+    call sharing a line with quoted text, the way a line-based grep
+    could.  The enclosing function is the INNERMOST def containing the
+    call ("<module>" if none), so the whitelist can name exact
+    functions instead of whole files."""
     import ast
 
     tree = ast.parse(py.read_text())
-    return sorted(
-        node.lineno
-        for node in ast.walk(tree)
-        if isinstance(node, ast.Call)
-        and isinstance(node.func, ast.Attribute)
-        and node.func.attr in _MATERIALIZERS
-    )
+    sites: list[tuple[int, str]] = []
+
+    def visit(node: ast.AST, fn: str) -> None:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            fn = node.name
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in _MATERIALIZERS
+        ):
+            sites.append((node.lineno, fn))
+        for child in ast.iter_child_nodes(node):
+            visit(child, fn)
+
+    visit(tree, "<module>")
+    return sorted(sites)
 
 
 def test_no_driver_side_collect_outside_whitelist():
@@ -155,24 +173,40 @@ def test_no_driver_side_collect_outside_whitelist():
     offenders = []
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
-        hits = _collect_call_lines(py)
-        if hits and rel not in _COLLECT_WHITELIST:
-            offenders.append(f"{rel}:{hits}")
+        allowed = _COLLECT_WHITELIST.get(rel, set())
+        hits = [
+            f"{rel}:{line} (in {fn})"
+            for line, fn in _collect_call_sites(py)
+            if fn not in allowed
+        ]
+        offenders.extend(hits)
     assert not offenders, (
-        "driver-side materialization outside the whitelist (keep "
-        f"operators distributed): {offenders}"
+        "driver-side materialization outside the function whitelist "
+        f"(keep operators distributed): {offenders}"
     )
 
 
 def test_collect_whitelist_is_tight():
-    """The whitelisted files must each have ≤2 collect sites — if one
-    grows a loop of collects, this trips and forces a re-review."""
+    """Each whitelisted FUNCTION must hold exactly one collect site,
+    and every whitelisted name must still exist — a stale entry (the
+    function was renamed or went collect-free) silently widens the
+    gate and must be pruned."""
     pkg = Path(__file__).resolve().parent.parent / (
         "morphl_model_user_search_intent_spark"
     )
-    for rel in sorted(_COLLECT_WHITELIST):
-        n = len(_collect_call_lines(pkg / rel))
-        assert n <= 2, f"{rel}: {n} collect sites (was ≤2 at review)"
+    for rel, allowed in sorted(_COLLECT_WHITELIST.items()):
+        by_fn: dict[str, int] = {}
+        for _line, fn in _collect_call_sites(pkg / rel):
+            by_fn[fn] = by_fn.get(fn, 0) + 1
+        for fn in sorted(allowed):
+            assert by_fn.get(fn, 0) >= 1, (
+                f"{rel}::{fn}: whitelisted but has no collect site — "
+                "prune the stale entry"
+            )
+            assert by_fn[fn] <= 1, (
+                f"{rel}::{fn}: {by_fn[fn]} collect sites (reviewed "
+                "at 1) — a collect loop grew here, re-review"
+            )
 
 
 def test_no_float_div_cast_to_int_in_oracles():

@@ -206,18 +206,22 @@ def test_pq_knn_recall(spark):
 def test_ivfpq_routed_recall(spark):
     """q_sim_ivfpq: compounded recall (router misses x PQ error) must
     clear the floor, emitted cosines must equal the exact path's for
-    shared pairs, and — recomputing the router independently with the
-    same seed — every emitted neighbor must lie in one of its query's
-    nprobe probed lists: an unrouted (whole-corpus) scan would emit
-    the exact top-5, which on this fixture includes neighbors outside
-    the probed lists, so this assertion genuinely distinguishes the
-    routed scan from the degenerate one."""
+    shared pairs, and — replaying the router from the PERSISTED
+    index's centroids and list assignments — every emitted neighbor
+    must lie in one of its query's nprobe probed lists: an unrouted
+    (whole-corpus) scan would emit the exact top-5, which on this
+    fixture includes neighbors outside the probed lists, so this
+    assertion genuinely distinguishes the routed scan from the
+    degenerate one."""
+    import os
+
     import numpy as np
     import pyspark.sql.functions as F
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.llm.index import (
+        build_index,
+        load_centroids,
+    )
 
     exact = {
         (r.qid, r.neighbor_id): r.cos_sim
@@ -233,23 +237,22 @@ def test_ivfpq_routed_recall(spark):
     for key in hits:
         assert got[key] == exact[key], key
 
-    # independent router replica (same seed/k as the query)
-    k, nprobe = 16, 8
-    e = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    ev = e.withColumn("v", array_to_vector("embedding"))
-    model = KMeans(
-        k=k, seed=42, featuresCol="v", predictionCol="cluster_id"
-    ).fit(ev)
+    # router replica straight from the persisted index artifacts
+    # (the query loads the same files, so this checks the routing
+    # LOGIC, with the index as the shared ground truth)
+    nprobe = 8
+    path = build_index(spark, SF_DIR)
+    idx = spark.read.parquet(os.path.join(path, "lists"))
     lists = {
         r.vec_id: r.cluster_id
-        for r in model.transform(ev).select("vec_id", "cluster_id").collect()
+        for r in idx.select("vec_id", "cluster_id").collect()
     }
-    cents = np.array(
-        [list(c) for c in model.clusterCenters()], dtype=np.float64
-    )
+    cents = load_centroids(path)
     qvecs = {
         r.vec_id: np.array(r.embedding, dtype=np.float64)
-        for r in e.filter(F.col("vec_id") < 10).collect()
+        for r in idx.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
     }
     cn = np.sqrt((cents * cents).sum(1))
     probed = {

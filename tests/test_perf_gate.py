@@ -56,7 +56,22 @@ def test_headline_query_within_budget(spark, name):
         # scale probes); a REAL plan/config regression reproduces,
         # a dip does not — so only fail if a second best-of-2
         # attempt also blows the budget.
+        first = best
         best = min(best, *(_timed(fn, spark) for _ in range(2)))
+        if best <= BUDGETS[name]:
+            # The retry rescued the run: make that VISIBLE so an
+            # intermittent-but-real regression (one that only
+            # sometimes lands under budget) leaves a trail in CI
+            # logs instead of silently widening the gate to
+            # best-of-4 (round-4 advisor finding).
+            import warnings
+
+            warnings.warn(
+                f"perf gate retry rescued {name}: first best-of-2 "
+                f"{first:.3f}s > {BUDGETS[name]}s budget, retry "
+                f"best {best:.3f}s — watch for recurrence",
+                stacklevel=1,
+            )
     assert best <= BUDGETS[name], (
         f"{name}: {best:.3f}s warm exceeds the {BUDGETS[name]}s budget "
         "(committed r03 warm × 2.5). If this follows a DELIBERATE plan "

@@ -417,6 +417,7 @@ def test_pydatasource_stream_resumes_from_checkpoint(spark):
     import time
 
     import pyspark.sql.functions as F
+    import pytest
 
     from morphl_model_user_search_intent_spark.sources.pysource import (
         GROUPS,
@@ -450,11 +451,24 @@ def test_pydatasource_stream_resumes_from_checkpoint(spark):
         q = start()
         # let a couple of micro-batches commit, then kill mid-stream
         deadline = time.time() + 60
+        made_progress = False
         while time.time() < deadline:
             p = q.lastProgress
             if p and p["batchId"] >= 2:
+                made_progress = True
                 break
             time.sleep(0.05)
+        if not made_progress:
+            # Separate the "startup stalled" failure (this host shows
+            # intermittent ~3x disk dips) from a genuine resume bug —
+            # without this, n_first == 0 falls through to the resume
+            # assertion below with a misleading message.
+            q.stop()
+            pytest.fail(
+                "no micro-batch progress within the 60s deadline "
+                "(source startup stall, NOT a checkpoint-resume "
+                f"failure; lastProgress={q.lastProgress})"
+            )
         q.stop()
         q.awaitTermination(30)
         try:
