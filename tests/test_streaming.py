@@ -102,6 +102,53 @@ def test_stateful_running_count_final_equals_batch(spark):
         assert batch[r.user_id] == r.n
 
 
+def test_stateful_tws_twin_matches_batch_and_declares_api(spark):
+    """q_stream_stateful_tws (transformWithStateInPandas where the
+    protobuf worker runtime exists, output-identical
+    applyInPandasWithState fallback otherwise): the final cumulative
+    count per user equals the batch count, multi-batch state really
+    accumulated (some user saw >1 micro-batch), and the API path the
+    run took matches what tws_available() says this environment
+    supports — so the selection logic is asserted, not trusted."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    out = REGISTRY["q_stream_stateful_tws"].fn(spark, SF_DIR)
+    expected_api = (
+        "transformWithStateInPandas"
+        if ops.tws_available()
+        else "applyInPandasWithState"
+    )
+    assert ops.LAST_STATEFUL_API == expected_api
+    rows = out.collect()
+    assert rows
+    final = {}
+    batches = {}
+    for r in rows:
+        if (
+            r.user_id not in final
+            or r.n_events_so_far > final[r.user_id]
+        ):
+            final[r.user_id] = r.n_events_so_far
+        batches[r.user_id] = max(
+            batches.get(r.user_id, 0), r.n_batches_seen
+        )
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, n in final.items():
+        assert batch[uid] == n, uid
+    # the 4-file staged source must have produced real multi-batch
+    # state accumulation for at least one returning user
+    assert max(batches.values()) >= 2
+
+
 def test_foreach_batch_serving_table_matches_batch(spark):
     import pyspark.sql.functions as F
 
