@@ -124,6 +124,60 @@ def window_query(spark, skew: bool):
     )
 
 
+def chunked_window_query(spark, skew: bool):
+    """q_sessionize_chunked's two-phase shape (local per (user, day)
+    sessionization + boundary merge on the per-session frame) over
+    the same skewed input as window_query — the MEASURED mitigation
+    for the serial-hot-key window row (round-4 verdict item 3).
+    Emits the same (user_id, sid, n) rows as window_query."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, AMP_DIR, "events")
+    if skew:
+        ev = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % HOT_FRAC_MOD < HOT_SHARE, F.lit(0))
+            .otherwise(F.col("user_id")),
+        )
+    ev = ev.withColumn("day", F.col("ts").cast("date"))
+    w1 = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w1)
+    )
+    new_local = (
+        F.when(F.lag("ts").over(w1).isNull(), 1)
+        .when(gap_us > 1800 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    run1 = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = (
+        ev.withColumn("nl", new_local)
+        .withColumn("lid", F.sum("nl").over(run1))
+        .groupBy("user_id", "day", "lid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("s_start")
+    bgap = F.unix_micros(F.col("s_start")) - F.unix_micros(
+        F.lag("s_end").over(w2)
+    )
+    new_g = (
+        F.when(F.lag("s_end").over(w2).isNull(), 1)
+        .when(bgap > 1800 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    run2 = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        local.withColumn("ng", new_g)
+        .withColumn("sid", F.sum("ng").over(run2))
+        .groupBy("user_id", "sid")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="skew-stress")
     results: dict[str, float] = {}
@@ -153,7 +207,22 @@ def main() -> None:
     results["window_uniform"] = _timed(lambda: window_query(spark, skew=False))
     results["window_skew"] = _timed(lambda: window_query(spark, skew=True))
 
+    # 4. the MEASURED mitigation: chunked two-phase sessionization
+    # (q_sessionize_chunked's shape) on the same 30%-hot input —
+    # phase 1 parallelizes the hot user across its days, phase 2's
+    # serial window sees per-SESSION rows only.  Must be
+    # row-identical to the serial form on the skewed input.
+    results["window_skew_chunked"] = _timed(
+        lambda: chunked_window_query(spark, skew=True)
+    )
+    a = window_query(spark, skew=True)
+    b = chunked_window_query(spark, skew=True)
+    # window_query emits n as a plain count (long); align names/types
+    a = a.select("user_id", "sid", F.col("n").cast("bigint").alias("n"))
+    chunk_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+
     r = {k: round(v, 3) for k, v in results.items()}
+    r["chunked_mismatch_rows"] = chunk_mismatch
     lines = [
         "# SKEW — hot-key behavior of the three operator classes",
         "",
@@ -173,18 +242,28 @@ def main() -> None:
         "| partial aggregation combines the hot key map-side; skew "
         "never reaches the network |",
         f"| Window (sessionize) on hot partition key | "
-        f"{r['window_uniform']} s | {r['window_skew']} s | — "
-        "| per-key windows are semantically serial per key: no engine "
-        "can split one user's ordered history.  Mitigation is "
-        "algebraic, not physical: restructure to a two-phase salted "
-        "form when the function is decomposable (q_agg_salted), or "
-        "bound per-key history upstream |",
+        f"{r['window_uniform']} s | {r['window_skew']} s | "
+        f"{r['window_skew_chunked']} s (chunked two-phase, "
+        f"q_sessionize_chunked; {r['chunked_mismatch_rows']} "
+        "mismatching rows vs serial) "
+        "| per-key windows are semantically serial per key — but the "
+        "SESSION algebra decomposes: local sessionization per "
+        "(user, day) chunk in parallel, then the same gap rule "
+        "applied across chunk boundaries on the tiny per-session "
+        "frame.  The hot user's wall-clock is bounded by its busiest "
+        "day, not its lifetime |",
         "",
         "The window row is the honest cost of skew: a single key "
-        "holding 30% of a 100 TB table serializes that 30% no matter "
-        "the engine.  Production guard: detect key skew in profiling "
-        "(q_profile_skew) BEFORE running per-key windows, and cap or "
-        "pre-split pathological keys at ingest.",
+        "holding 30% of a 100 TB table serializes that 30% for a "
+        "MONOLITHIC per-key window.  Round 5 lands the algebraic "
+        "fix as a first-class operator: q_sessionize_chunked "
+        "(operators/events.py) is oracle-identical to q_sessionize "
+        "and row-identical on this planted skew (the mismatch count "
+        "above is computed by exceptAll in both directions), while "
+        "the chunking caps the serial span.  Production guard "
+        "remains: detect key skew in profiling (q_profile_skew) "
+        "BEFORE running per-key windows, and bound chunk grain "
+        "(day → hour) if a single day still overwhelms.",
         "",
     ]
     with open(os.path.join(REPO, "SKEW.md"), "w") as f:
