@@ -397,6 +397,143 @@ _SERVE_ORACLE = """
 """
 
 
+def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental-rebuild exhibit: an index built from 80% of the
+    corpus, then the remaining 20% FOLDED IN without retraining —
+    delta vectors are routed to the nearest EXISTING centroid
+    (broadcast k-row centroid table, declarative rank-1 join) and
+    encoded with the EXISTING codebooks, then appended to the
+    partitioned lists.  This is how a production index absorbs a
+    day's append between full retrains: assignment + encode are one
+    distributed pass over the delta only; centroids/codebooks drift
+    is accepted until a scheduled retrain (the recall gates in
+    tests/test_ann_index.py are the drift monitor).
+
+    Staged to its own directory (``annindex-fold-{tag}``) with the
+    same atomic rename protocol — the PRIMARY index is immutable, so
+    q_sim_index_build/serve stay deterministic.  The folded lists
+    carry a ``src`` column ('base'/'delta') for the audit output.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    final = os.path.join(SCRATCH, f"annindex-fold-{tag}")
+    marker = os.path.join(final, "_STAGED")
+    if os.path.exists(marker):
+        return final
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    delta = e.filter(F.col("vec_id") % 5 == 4)
+
+    books = _pq_train_books(base)
+    ev = base.withColumn("v", array_to_vector("embedding"))
+    model = KMeans(
+        k=_K_LISTS, seed=42, featuresCol="v", predictionCol="cluster_id"
+    ).fit(ev)
+    base_assigned = model.transform(ev).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+
+    # delta routing: broadcast the k centroids, nearest by cosine —
+    # declarative (no driver numpy over the delta), the same rank-1
+    # shape serve_topk uses for queries
+    cents = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cluster_id int, cv array<double>",
+    ).withColumn("cnorm", F.sqrt(_dot("cv", "cv")))
+    w_r = Window.partitionBy("vec_id").orderBy(
+        F.col("d").desc(), F.col("cluster_id")
+    )
+    delta_assigned = (
+        delta.withColumn("vnorm", F.sqrt(_dot("embedding", "embedding")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d",
+            _dot("embedding", "cv") / (F.col("vnorm") * F.col("cnorm")),
+        )
+        .withColumn("r", F.row_number().over(w_r))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+
+    folded = pq_encode(
+        base_assigned.withColumn("src", F.lit("base")), books
+    ).unionByName(
+        pq_encode(delta_assigned.withColumn("src", F.lit("delta")), books)
+    )
+
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(tmp, "lists"))
+    )
+    cents.select("cluster_id", F.col("cv").alias("centroid")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    book_rows = [
+        (int(s), int(j), [float(x) for x in books[s, j]])
+        for s in range(PQ_M)
+        for j in range(PQ_KS)
+    ]
+    spark.createDataFrame(
+        book_rows, "s int, j int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codebooks")
+    )
+    with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+        fh.write(f"v{INDEX_VERSION}-fold")
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+    return final
+
+
+@register("q_sim_index_rebuild", oracle=None)
+def q_sim_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle step 3: incremental rebuild — fold an
+    unindexed append (20% of the corpus) into an index trained on the
+    other 80% WITHOUT retraining (existing centroids route the delta,
+    existing codebooks encode it; one distributed pass over the delta
+    only).  Returns the per-list occupancy audit split by provenance
+    (n_base/n_delta per list) from the folded index on disk.
+
+    Rows-only (KMeans assignment); tests/test_ann_index.py proves the
+    fold is COMPLETE and servable: exhaustive-probe serve over the
+    folded index is bit-identical to exact KNN over the full corpus.
+    """
+    path = build_folded_index(spark, sf_dir)
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    return (
+        lists.groupBy("cluster_id")
+        .agg(
+            F.sum(F.when(F.col("src") == "base", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("src") == "delta", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_delta"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register("q_sim_index_serve", oracle=_SERVE_ORACLE)
 def q_sim_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index SERVE step: load the persisted index (building it first

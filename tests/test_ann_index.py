@@ -96,6 +96,47 @@ def test_pruned_serve_recall_floor(spark):
     assert len(pruned & exact) / len(exact) >= 0.6
 
 
+def test_incremental_rebuild_fold_is_complete_and_servable(spark):
+    """q_sim_index_rebuild: folding the 20% delta into the 80%-trained
+    index (no retraining) must (a) place every corpus vector in
+    exactly one list, with both provenances represented, and (b)
+    yield an index whose exhaustive-probe serve is bit-identical to
+    exact KNN over the FULL corpus — i.e. the folded index is a
+    complete, correct serving artifact, not a lossy append."""
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _K_LISTS,
+        build_folded_index,
+        serve_topk,
+    )
+
+    rows = REGISTRY["q_sim_index_rebuild"].fn(spark, SF_DIR).collect()
+    n_base = sum(r.n_base for r in rows)
+    n_delta = sum(r.n_delta for r in rows)
+    import duckdb  # count the corpus independently of the index
+
+    n_corpus = (
+        duckdb.sql(
+            f"SELECT count(*) FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchone()[0]
+    )
+    assert n_base + n_delta == n_corpus
+    assert n_delta > 0 and n_base > 0
+
+    exact = {
+        (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    path = build_folded_index(spark, SF_DIR)
+    served = {
+        (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in serve_topk(
+            spark, path, nprobe=_K_LISTS, top_k=5
+        ).collect()
+    }
+    assert served == exact
+
+
 def test_append_delta_served_without_rebuild(spark):
     """The staleness contract: vectors appended AFTER the index was
     built are served from the unindexed delta set alongside the stale
