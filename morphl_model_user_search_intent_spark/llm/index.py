@@ -145,8 +145,6 @@ def build_index(
     and are renamed into place atomically — a concurrent builder
     either wins the rename or adopts the winner's complete copy.
     """
-    import numpy as np
-
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -414,8 +412,6 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     q_sim_index_build/serve stay deterministic.  The folded lists
     carry a ``src`` column ('base'/'delta') for the audit output.
     """
-    import numpy as np
-
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
