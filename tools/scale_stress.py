@@ -76,6 +76,16 @@ HEADLINE = [
     # amplifying the cluster count measures the misconfiguration,
     # not the operator.)
     "q_sim_hybrid_rrf",
+    # Round-5 additions: the skew-robust chunked sessionizer (two
+    # window grains + a per-session merge window — should track
+    # q_sessionize's linearity with a bounded constant overhead);
+    # serve-from-persisted-index (index BUILD is one-time per dir and
+    # excluded by the staging marker — the timed runs measure the
+    # load+route+score serve path only); and the routed IVF-PQ scan
+    # (nprobe/k-bounded ADC — the sublinear-scan exhibit).
+    "q_sessionize_chunked",
+    "q_sim_index_serve",
+    "q_sim_ivfpq",
 ]
 
 # Per-table key-offset recipe: which columns shift by replica*stride so
