@@ -226,12 +226,33 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     serial part grows with sessions, not events.  Oracle + the
     planted-30%-hot-user parity test (tests/test_events.py) gate it.
     """
-    ev = table(spark, sf_dir, "events").withColumn(
-        "day", F.col("ts").cast("date")
-    )
+    ev = table(spark, sf_dir, "events")
+    return sessionize_chunked(ev, F.col("ts").cast("date"))
+
+
+def sessionize_chunked(ev: DataFrame, chunk: "F.Column") -> DataFrame:
+    """Two-phase sessionization over an arbitrary ``chunk`` column.
+
+    CORRECT FOR ANY CHUNKING, not just time intervals: phase 1 can
+    only over-split (a within-chunk gap >30 min may be bridged by
+    another chunk's events), never under-split, and phase 2 heals
+    every false split because the merge test compares each local
+    session's start against the RUNNING MAX of all earlier session
+    ends (``max(s_end) over rows unbounded preceding → 1 preceding``)
+    — not ``lag(s_end)``.  With interval chunks (day/hour) the two
+    are identical (local sessions can't overlap), but under an
+    interleaved chunking an earlier long session can overlap several
+    later ones, and lag(s_end) would compare against the wrong
+    predecessor; the running max is the serial algorithm's exact
+    "distance to the covered timeline" test.  Grain independence is
+    property-tested in tests/test_events.py (day == hour == 6h ==
+    pathological event_id%3 == serial).
+    """
+    spark = ev.sparkSession
+    ev = ev.withColumn("chunk", chunk)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ev = ev.repartition(n_part, "user_id", "day")
-    w1 = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    ev = ev.repartition(n_part, "user_id", "chunk")
+    w1 = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
         F.lag("ts").over(w1)
     )
@@ -244,7 +265,7 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = (
         ev.withColumn("new_local", new_local)
         .withColumn("local_id", F.sum("new_local").over(run1))
-        .groupBy("user_id", "day", "local_id")
+        .groupBy("user_id", "chunk", "local_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("s_start"),
@@ -253,14 +274,18 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # phase 2: per-user window over LOCAL SESSIONS (tiny frame).
-    # s_start is unique per user (distinct local sessions of one user
-    # can never share an instant), so the order is total.
-    w2 = W.partitionBy("user_id").orderBy("s_start")
-    boundary_gap = F.unix_micros(F.col("s_start")) - F.unix_micros(
-        F.lag("s_end").over(w2)
+    # Order by (s_start, s_end, local ids) — with interval chunks
+    # s_start alone is already unique per user; the tie-breaks make
+    # the order total under arbitrary chunkings too.
+    w2 = W.partitionBy("user_id").orderBy(
+        "s_start", "s_end", "chunk", "local_id"
     )
+    prev_frontier = F.max(F.unix_micros(F.col("s_end"))).over(
+        w2.rowsBetween(W.unboundedPreceding, -1)
+    )
+    boundary_gap = F.unix_micros(F.col("s_start")) - prev_frontier
     new_global = (
-        F.when(F.lag("s_end").over(w2).isNull(), 1)
+        F.when(prev_frontier.isNull(), 1)
         .when(boundary_gap > 1800 * 1_000_000, 1)
         .otherwise(0)
     )

@@ -81,3 +81,54 @@ def test_chunked_sessionize_matches_serial_on_planted_hot_user(
     assert crossing, "fixture produced no midnight-crossing session"
     # and the hot user's sessions did split on the 2-hour breaks
     assert sum(1 for (u, _s) in serial if u == 999) > 10
+
+
+def test_chunked_sessionize_is_grain_independent(spark, tmp_path):
+    """The chunk column is an implementation knob, not a semantic
+    one: day, hour, 6-hour, and even a PATHOLOGICAL interleaved
+    chunking (event_id % 3 — chunks that are not time intervals, so
+    local sessions from different chunks overlap) must all produce
+    the identical session set.  The interleaved case specifically
+    exercises the running-max merge frontier: lag(s_end) would
+    compare against the wrong predecessor there."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.operators.events import (
+        sessionize_chunked,
+    )
+
+    sf_dir = _planted_skew_dir(spark, tmp_path)
+    ev = table(spark, sf_dir, "events")
+
+    def rows(chunk):
+        return {
+            (r.user_id, r.session_id): (
+                r.n_events,
+                r.session_start,
+                r.session_end,
+                r.session_value,
+            )
+            for r in sessionize_chunked(ev, chunk).collect()
+        }
+
+    by_day = rows(F.col("ts").cast("date"))
+    by_hour = rows(F.date_trunc("hour", F.col("ts")))
+    by_6h = rows(
+        (F.unix_micros(F.col("ts")) / F.lit(6 * 3600 * 1_000_000))
+        .cast("bigint")
+    )
+    interleaved = rows((F.col("event_id") % 3).cast("int"))
+    serial = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.session_value,
+        )
+        for r in REGISTRY["q_sessionize"].fresh(spark, sf_dir).collect()
+    }
+    assert by_day == serial
+    assert by_hour == serial
+    assert by_6h == serial
+    assert interleaved == serial
