@@ -35,10 +35,21 @@ sys.path.insert(0, REPO)
 HEAP = sys.argv[1] if len(sys.argv) > 1 else "1g"
 SCALE_DIR = sys.argv[2] if len(sys.argv) > 2 else ".scratch/scale100x"
 
-# The three headline queries that move the most shuffle bytes at 100x
+# The headline queries that move the most shuffle bytes at 100x
 # (SCALING.md): a fact-fact SMJ, a per-user window pass, and the
 # windowed top-k — the operator classes whose state grows with data.
-QUERIES = ["q_join_unshipped", "q_sessionize", "q_win_topk", "q_win_fill_forward"]
+# Round 5 adds its two shuffle-bearing newcomers: the chunked
+# sessionizer (two window grains + a merge window; largest shuffle
+# in SCALING.md's new rows) and the serve-from-index path (sorts the
+# per-query candidate set under the same squeezed heap).
+QUERIES = [
+    "q_join_unshipped",
+    "q_sessionize",
+    "q_win_topk",
+    "q_win_fill_forward",
+    "q_sessionize_chunked",
+    "q_sim_index_serve",
+]
 
 
 def _stages(spark) -> dict[int, dict] | None:
