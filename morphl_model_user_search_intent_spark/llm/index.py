@@ -133,30 +133,11 @@ def pq_encode(e: DataFrame, books) -> DataFrame:
     return e.mapInPandas(encode, schema + ", codes array<tinyint>")
 
 
-def build_index(
-    spark: SparkSession, sf_dir: str, force: bool = False
-) -> str:
-    """Build-and-persist (idempotent): returns the index dir, building
-    it only if the ``_STAGED`` marker is absent (or ``force``).
-
-    Build = train codebooks on a bounded sample, fit the seeded
-    coarse quantizer (MLlib KMeans), one distributed encode pass,
-    one partitioned write.  Writes land in a process-private tmp dir
-    and are renamed into place atomically — a concurrent builder
-    either wins the rename or adopts the winner's complete copy.
-    """
+def _fit_coarse(e: DataFrame):
+    """Seeded k=16 KMeans over ``e`` → (assigned rows with cluster_id,
+    centroid tuple list)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    final = index_path(sf_dir)
-    marker = os.path.join(final, "_STAGED")
-    if os.path.exists(marker) and not force:
-        return final
-    if force:
-        shutil.rmtree(final, ignore_errors=True)
-
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = _pq_train_books(e)
 
     ev = e.withColumn("v", array_to_vector("embedding"))
     model = KMeans(
@@ -165,22 +146,36 @@ def build_index(
     assigned = model.transform(ev).select(
         "vec_id", "embedding", "cluster_id"
     )
+    cent_rows = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return assigned, cent_rows
 
+
+def _stage_index(
+    spark: SparkSession,
+    final: str,
+    lists_df: DataFrame,
+    cent_rows: list,
+    books,
+    note: str,
+) -> str:
+    """Write lists/centroids/codebooks into a process-private tmp dir
+    and rename it into place atomically (shared by all three index
+    builders): a concurrent builder either wins the rename or adopts
+    the winner's complete copy."""
+    marker = os.path.join(final, "_STAGED")
     tmp = f"{final}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     (
-        pq_encode(assigned, books)
-        .write.mode("overwrite")
+        lists_df.write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(os.path.join(tmp, "lists"))
     )
-    cents = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(model.clusterCenters())
-    ]
     spark.createDataFrame(
-        cents, "cluster_id int, centroid array<double>"
+        cent_rows, "cluster_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tmp, "centroids")
     )
@@ -195,7 +190,7 @@ def build_index(
         os.path.join(tmp, "codebooks")
     )
     with open(os.path.join(tmp, "_STAGED"), "w") as fh:
-        fh.write(f"v{INDEX_VERSION}")
+        fh.write(note)
     try:
         os.rename(tmp, final)
     except OSError:
@@ -205,6 +200,36 @@ def build_index(
             shutil.rmtree(final, ignore_errors=True)
             os.rename(tmp, final)
     return final
+
+
+def build_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build-and-persist (idempotent): returns the index dir, building
+    it only if the ``_STAGED`` marker is absent (or ``force``).
+
+    Build = train codebooks on a bounded sample, fit the seeded
+    coarse quantizer (MLlib KMeans), one distributed encode pass,
+    one partitioned write (atomic — see _stage_index).
+    """
+    final = index_path(sf_dir)
+    marker = os.path.join(final, "_STAGED")
+    if os.path.exists(marker) and not force:
+        return final
+    if force:
+        shutil.rmtree(final, ignore_errors=True)
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_train_books(e)
+    assigned, cent_rows = _fit_coarse(e)
+    return _stage_index(
+        spark,
+        final,
+        pq_encode(assigned, books),
+        cent_rows,
+        books,
+        f"v{INDEX_VERSION}",
+    )
 
 
 # ---- driver-side index-metadata loads (bounded by constants) ----------
@@ -286,8 +311,14 @@ def serve_topk(
     lists = spark.read.parquet(os.path.join(path, "lists")).select(
         "vec_id", "embedding", "cluster_id"
     )
+    # Query vectors come from the FULL serving corpus — indexed lists
+    # plus the unindexed delta (an appended vector is queryable the
+    # moment it lands, before any rebuild).
+    q_src = lists.select("vec_id", "embedding")
+    if delta is not None:
+        q_src = q_src.unionByName(delta.select("vec_id", "embedding"))
     q = (
-        lists.filter(F.col("vec_id") < _N_QUERIES)
+        q_src.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
@@ -412,15 +443,11 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     q_sim_index_build/serve stay deterministic.  The folded lists
     carry a ``src`` column ('base'/'delta') for the audit output.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..sources.formats import SCRATCH
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     final = os.path.join(SCRATCH, f"annindex-fold-{tag}")
-    marker = os.path.join(final, "_STAGED")
-    if os.path.exists(marker):
+    if os.path.exists(os.path.join(final, "_STAGED")):
         return final
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -428,23 +455,13 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     delta = e.filter(F.col("vec_id") % 5 == 4)
 
     books = _pq_train_books(base)
-    ev = base.withColumn("v", array_to_vector("embedding"))
-    model = KMeans(
-        k=_K_LISTS, seed=42, featuresCol="v", predictionCol="cluster_id"
-    ).fit(ev)
-    base_assigned = model.transform(ev).select(
-        "vec_id", "embedding", "cluster_id"
-    )
+    base_assigned, cent_rows = _fit_coarse(base)
 
     # delta routing: broadcast the k centroids, nearest by cosine —
     # declarative (no driver numpy over the delta), the same rank-1
     # shape serve_topk uses for queries
     cents = spark.createDataFrame(
-        [
-            (int(i), [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cluster_id int, cv array<double>",
+        cent_rows, "cluster_id int, cv array<double>"
     ).withColumn("cnorm", F.sqrt(_dot("cv", "cv")))
     w_r = Window.partitionBy("vec_id").orderBy(
         F.col("d").desc(), F.col("cluster_id")
@@ -466,39 +483,38 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     ).unionByName(
         pq_encode(delta_assigned.withColumn("src", F.lit("delta")), books)
     )
+    return _stage_index(
+        spark, final, folded, cent_rows, books, f"v{INDEX_VERSION}-fold"
+    )
 
-    tmp = f"{final}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    (
-        folded.write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(os.path.join(tmp, "lists"))
+
+def build_half_index(spark: SparkSession, sf_dir: str) -> str:
+    """An index over the EVEN-vec_id half of the corpus (staged once
+    at ``annindex-half-{tag}``) — the 'stale index' fixture for the
+    streaming-append serving path (q_stream_index_append): the odd
+    half arrives later as a micro-batched stream and is served from
+    the delta store until a rebuild folds it in."""
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    final = os.path.join(SCRATCH, f"annindex-half-{tag}")
+    if os.path.exists(os.path.join(final, "_STAGED")):
+        return final
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 2 == 0)
     )
-    cents.select("cluster_id", F.col("cv").alias("centroid")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    book_rows = [
-        (int(s), int(j), [float(x) for x in books[s, j]])
-        for s in range(PQ_M)
-        for j in range(PQ_KS)
-    ]
-    spark.createDataFrame(
-        book_rows, "s int, j int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "codebooks")
+    books = _pq_train_books(e)
+    assigned, cent_rows = _fit_coarse(e)
+    return _stage_index(
+        spark,
+        final,
+        pq_encode(assigned, books),
+        cent_rows,
+        books,
+        f"v{INDEX_VERSION}-half",
     )
-    with open(os.path.join(tmp, "_STAGED"), "w") as fh:
-        fh.write(f"v{INDEX_VERSION}-fold")
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        if os.path.exists(marker):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(tmp, final)
-    return final
 
 
 @register("q_sim_index_rebuild", oracle=None)

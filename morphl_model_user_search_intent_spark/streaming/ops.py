@@ -949,6 +949,164 @@ def _staged_doc_buckets(
     return final
 
 
+def _staged_odd_vec_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 4
+) -> str:
+    """The ODD-vec_id half of embeddings.parquet staged as
+    ``n_buckets`` id-ranged files (written sequentially so
+    modification-time order == id order) — the vector APPEND stream
+    for q_stream_index_append; the even half is the pre-built stale
+    index (llm.index.build_half_index)."""
+    import os
+    import shutil
+    import time as _time
+
+    from ..io import table as _table
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    final = os.path.join(SCRATCH, f"stream-vecs-odd{n_buckets}-{tag}")
+    if os.path.exists(os.path.join(final, "_STAGED")):
+        return final
+    d = f"{final}.tmp-{os.getpid()}"
+    os.makedirs(d, exist_ok=True)
+    vecs = (
+        _table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    lo_hi = vecs.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    lo, span = lo_hi["lo"], (lo_hi["hi"] - lo_hi["lo"]) or 1
+    bounded = vecs.withColumn(
+        "_b",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"(vec_id - {lo}L) * {n_buckets} div {span}L").cast(
+                "int"
+            ),
+        ),
+    )
+    for b in range(n_buckets):
+        tmp = os.path.join(d, f"_tmp_{b}")
+        (
+            bounded.filter(F.col("_b") == b)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        src = next(
+            os.path.join(tmp, f)
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"bucket-{b}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (_time.time() + b, _time.time() + b))
+        shutil.rmtree(tmp)
+    with open(os.path.join(d, "_STAGED"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(d, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_STAGED")):
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(d, final)
+    return final
+
+
+@register(
+    "q_stream_index_append",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingestion: vectors ARRIVE as a micro-batched
+    stream and are queryable immediately — the live half of the
+    persisted-index lifecycle (llm/index.py).
+
+    Topology: the EVEN-vec_id half of the corpus is a pre-built
+    stale index (build_half_index, staged once); the ODD half
+    arrives as 4 id-ranged files drained with maxFilesPerTrigger=1,
+    each micro-batch APPENDING its vectors to a parquet delta store
+    (foreachBatch — no state, no driver accumulation).  After the
+    drain, one serve call (serve_topk, exhaustive probe) answers
+    top-5 from stale-index ∪ delta.
+
+    ORACLE-CHECKED end-to-end — rare for a streaming query: with the
+    exhaustive probe, index ∪ delta covers the whole corpus and the
+    rerank fold is bit-identical to q_sim_knn's, so the post-drain
+    serve must hash-match the same DuckDB brute-force oracle no
+    matter how the stream sliced the appends.  The pytest twin
+    additionally asserts ≥2 micro-batches really ran and the delta
+    store holds exactly the odd half.
+
+    At 100 TB this is the standard serving design: immutable index
+    snapshots + an append-only delta scanned brute-force (bounded by
+    the rebuild cadence), folded in by q_sim_index_rebuild's path.
+    """
+    import os
+    import shutil
+
+    from ..llm.index import _K_LISTS, build_half_index, serve_topk
+    from ..sources.formats import SCRATCH
+
+    configure(spark)
+    index_path = build_half_index(spark, sf_dir)
+    src = _staged_odd_vec_buckets(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    delta_dir = os.path.join(
+        SCRATCH, f"index-delta-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(delta_dir, ignore_errors=True)
+
+    def append_delta(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(delta_dir)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        q = (
+            s.writeStream.foreachBatch(append_delta)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        delta = spark.read.parquet(delta_dir)
+        return serve_topk(
+            spark, index_path, nprobe=_K_LISTS, top_k=5, delta=delta
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(delta_dir, ignore_errors=True)
+
+
 @register("q_stream_neardup", oracle=None)
 def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate detection: incremental MinHash-LSH

@@ -137,6 +137,36 @@ def test_incremental_rebuild_fold_is_complete_and_servable(spark):
     assert served == exact
 
 
+def test_streaming_index_append_serves_exactly(spark):
+    """q_stream_index_append: vectors arriving as a micro-batched
+    stream (odd half) are appended to the delta store and served
+    alongside the stale even-half index — the post-drain serve must
+    be bit-identical to exact KNN over the full corpus (the oracle
+    contract), and the stream must really have been incremental
+    (≥2 micro-batch files in the staged source; the even/odd split
+    covered the corpus)."""
+    import os
+
+    from morphl_model_user_search_intent_spark.streaming.ops import (
+        _staged_odd_vec_buckets,
+    )
+
+    exact = {
+        (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in REGISTRY["q_sim_knn"].fn(spark, SF_DIR).collect()
+    }
+    served = {
+        (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in REGISTRY["q_stream_index_append"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert served == exact and len(served) == 50
+    src = _staged_odd_vec_buckets(spark, SF_DIR)
+    buckets = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(buckets) >= 2  # real multi-batch drain
+
+
 def test_append_delta_served_without_rebuild(spark):
     """The staleness contract: vectors appended AFTER the index was
     built are served from the unindexed delta set alongside the stale
