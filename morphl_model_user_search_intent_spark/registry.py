@@ -149,8 +149,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # §2.8 scalar function suites
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
     "q_map_funcs", "q_json_funcs",
-    # §2.9 event-time windows
-    "q_stream_tumbling", "q_stream_sliding", "q_sessionize",
+    # §2.9 event-time windows + the oracle-checked streaming ingest
+    # (q_stream_sliding rotated out to the full sweep; the stream
+    # family keeps tumbling + the index-append ingest)
+    "q_stream_tumbling", "q_stream_index_append", "q_sessionize",
     "q_sessionize_chunked",
     # §2.11 similarity / dedup / multimodal / curation
     "q_dedup_jaccard", "q_dedup_url", "q_sim_knn", "q_sim_threshold",
