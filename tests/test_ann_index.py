@@ -74,6 +74,24 @@ def test_exhaustive_serve_is_bit_identical_to_exact(spark):
     assert served == exact and len(exact) == 50
 
 
+def test_pruned_serve_plan_partition_prunes_the_lists(spark):
+    """'Partition pruning IS the routing' must be true in the PLAN,
+    not just the docstring: the pruned serve's candidate-side lists
+    scan must carry a dynamicpruningexpression(cluster_id IN ...)
+    partition filter fed by the broadcast probe frame — so with
+    nprobe < k the file listing itself skips the unprobed list
+    directories."""
+    from morphl_model_user_search_intent_spark.llm.index import (
+        build_index,
+        serve_topk,
+    )
+
+    path = build_index(spark, SF_DIR)
+    df = serve_topk(spark, path, nprobe=4, top_k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cluster_id" in plan, plan[:2000]
+
+
 def test_pruned_serve_recall_floor(spark):
     """nprobe=8 of 16 lists: candidates come from half the corpus;
     within-probe scoring is exact, so misses are pure routing misses
