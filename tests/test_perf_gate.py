@@ -25,18 +25,23 @@ from morphl_model_user_search_intent_spark import REGISTRY
 
 SF_DIR = "/root/testdata/sf0.01"
 
-# seconds = measured warm × 2.5 (tools/perf_gate_calibrate.py)
+# seconds = measured warm × 2.5 (tools/perf_gate_calibrate.py,
+# recalibrated 2026-08-15 round 5; the two round-5 driver-window
+# keys are guarded alongside the bench headliners — q_sim_index_serve
+# assumes a staged index, so its budget covers load+serve, not build)
 BUDGETS = {
-    "q_agg_hash": 1.41,  # measured 0.563s warm
-    "q_join_unshipped": 1.53,  # measured 0.614s warm
-    "q_join_multiway": 0.85,  # measured 0.338s warm
-    "q_win_topk": 0.56,  # measured 0.223s warm
-    "q_agg_distinct": 0.62,  # measured 0.248s warm
-    "q_sessionize": 1.18,  # measured 0.470s warm
-    "q_stream_tumbling": 0.66,  # measured 0.264s warm
-    "q_sim_knn": 1.29,  # measured 0.518s warm
-    "q_text_wordcount": 0.42,  # measured 0.169s warm
-    "q_json_funcs": 0.52,  # measured 0.209s warm
+    "q_agg_hash": 1.41,  # measured 0.563s warm (r3 cal)
+    "q_join_unshipped": 1.53,  # measured 0.614s warm (r3 cal)
+    "q_join_multiway": 0.96,  # measured 0.382s warm
+    "q_win_topk": 0.56,  # measured 0.223s warm (r3 cal)
+    "q_agg_distinct": 0.62,  # measured 0.248s warm (r3 cal)
+    "q_sessionize": 1.35,  # measured 0.542s warm
+    "q_stream_tumbling": 0.66,  # measured 0.264s warm (r3 cal)
+    "q_sim_knn": 1.29,  # measured 0.518s warm (r3 cal)
+    "q_text_wordcount": 0.42,  # measured 0.169s warm (r3 cal)
+    "q_json_funcs": 0.54,  # measured 0.215s warm
+    "q_sessionize_chunked": 1.74,  # measured 0.698s warm
+    "q_sim_index_serve": 2.31,  # measured 0.922s warm
 }
 
 

@@ -24,6 +24,9 @@ HEADLINE = [
     "q_agg_hash", "q_join_unshipped", "q_join_multiway", "q_win_topk",
     "q_agg_distinct", "q_sessionize", "q_stream_tumbling", "q_sim_knn",
     "q_text_wordcount", "q_json_funcs",
+    # round-5 driver-window additions guarded against plan regressions
+    # (serve assumes a staged index — build cost excluded by marker)
+    "q_sessionize_chunked", "q_sim_index_serve",
 ]
 
 
