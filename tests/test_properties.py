@@ -604,3 +604,93 @@ def test_url_canonicalization_idempotent(spark, urls):
         assert hostpart == hostpart.lower(), (r.url, c)
         pathpart = rest.split("?", 1)[0]
         assert pathpart == "" or not pathpart.endswith("//"), c
+
+
+# ---- sessionization: chunked == independent ground truth ---------------
+# The planted-fixture test (tests/test_events.py) checks chunked ==
+# serial SPARK; this property checks both against an INDEPENDENT
+# pure-Python sessionizer on adversarial generated inputs — duplicate
+# timestamps (tie-break by event_id), gaps exactly AT the 1800 s
+# boundary (strictly-greater split rule), NULL values, single-event
+# users — under both an interval (day) and an interleaved (event_id%3)
+# chunking.
+
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=200_000),  # seconds offset
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=9999),  # value cents
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(_sess_rows)
+def test_chunked_sessionize_matches_python_ground_truth(spark, rows):
+    import datetime as dt
+
+    from morphl_model_user_search_intent_spark.operators.events import (
+        sessionize_chunked,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # snap some offsets onto exact 1800 s multiples so boundary gaps
+    # (split iff gap > 1800 s STRICTLY) are actually exercised
+    data = [
+        (
+            u,
+            i,  # event_id = generation order
+            base + dt.timedelta(seconds=(sec // 600) * 600),
+            None if cents is None else cents / 100.0,
+        )
+        for i, (u, sec, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "user_id bigint, event_id bigint, ts timestamp, value double",
+    )
+
+    # independent ground truth (pure Python, no Spark)
+    expected = {}
+    by_user: dict = {}
+    for u, eid, ts, v in data:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, eid, v in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sid += 1
+                expected[(u, sid)] = [0, ts, ts, 0, False]
+            e = expected[(u, sid)]
+            e[0] += 1
+            e[2] = max(e[2], ts)
+            if v is not None:
+                e[3] += round(v * 100)
+                e[4] = True
+            prev = ts
+    exp = {
+        k: (n, s, t, (units / 100.0) if has else None)
+        for k, (n, s, t, units, has) in expected.items()
+    }
+
+    for chunk in (
+        F.col("ts").cast("date"),
+        (F.col("event_id") % 3).cast("int"),
+    ):
+        got = {
+            (r.user_id, r.session_id): (
+                r.n_events,
+                r.session_start,
+                r.session_end,
+                r.session_value,
+            )
+            for r in sessionize_chunked(df, chunk).collect()
+        }
+        assert got == exp, (got, exp)
