@@ -77,6 +77,46 @@ def index_path(sf_dir: str) -> str:
     return os.path.join(SCRATCH, f"annindex-v{INDEX_VERSION}-{tag}")
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Snapshot identity of the embeddings table, from parquet FILE
+    METADATA (pyarrow footer reads — no Spark job, no data scan):
+    row count + byte size + newest mtime.  Persisted into the
+    ``_STAGED`` note so a fixture regenerated IN PLACE under the same
+    sf_dir basename invalidates the index instead of silently serving
+    stale lists (the round-5 advisory: q_sim_pq even took its query
+    vectors from the stale lists, so drift was internally consistent
+    and only an oracle run could expose it).  mtime makes the check
+    conservative — a byte-identical re-copy rebuilds needlessly, but
+    never the unsafe direction."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [p]
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    size = sum(os.path.getsize(f) for f in files)
+    mtime = max(int(os.path.getmtime(f)) for f in files)
+    return f"rows={n_rows} bytes={size} mtime={mtime}"
+
+
+def _note_current(final: str, note: str) -> bool:
+    """Does ``final`` hold a completed index whose ``_STAGED`` note
+    (version + corpus fingerprint) matches ``note`` exactly?"""
+    marker = os.path.join(final, "_STAGED")
+    try:
+        with open(marker) as fh:
+            return fh.read().strip() == note.strip()
+    except OSError:
+        return False
+
+
 def _pq_train_books(e: DataFrame):
     """Codebooks from a bounded deterministic sample (every 3rd
     vector, <=4096 rows — FAISS trains PQ on <= a few hundred points
@@ -191,15 +231,26 @@ def _stage_index(
     )
     with open(os.path.join(tmp, "_STAGED"), "w") as fh:
         fh.write(note)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        if os.path.exists(marker):  # concurrent builder won
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:  # markerless leftover from a crashed build
-            shutil.rmtree(final, ignore_errors=True)
+    # Publish: one atomic rename wins.  Crash-leftover recovery (a
+    # markerless final dir) must tolerate a CONCURRENT recoverer: two
+    # builders can both find the dir markerless, both rmtree it, and
+    # race the fallback rename — through round 5 the loser raised an
+    # unhandled OSError.  Now each failed rename re-checks the marker
+    # (rename is atomic and the marker is written pre-publish, so a
+    # marked final dir is a COMPLETE index — adopt it) and otherwise
+    # clears the leftover and retries; a stale-note final dir is the
+    # caller's concern (build_index re-checks the note), completeness
+    # is this loop's only contract.
+    for _ in range(10):
+        try:
             os.rename(tmp, final)
-    return final
+            return final
+        except OSError:
+            if os.path.exists(marker):  # a complete copy is in place
+                shutil.rmtree(tmp, ignore_errors=True)
+                return final
+            shutil.rmtree(final, ignore_errors=True)
+    raise OSError(f"could not publish staged index into {final}")
 
 
 def build_index(
@@ -211,13 +262,16 @@ def build_index(
     Build = train codebooks on a bounded sample, fit the seeded
     coarse quantizer (MLlib KMeans), one distributed encode pass,
     one partitioned write (atomic — see _stage_index).
+
+    Freshness: the ``_STAGED`` note carries the corpus fingerprint
+    (see _corpus_fingerprint); a note mismatch — new version OR a
+    regenerated embeddings table — rebuilds instead of serving stale.
     """
     final = index_path(sf_dir)
-    marker = os.path.join(final, "_STAGED")
-    if os.path.exists(marker) and not force:
+    note = f"v{INDEX_VERSION} {_corpus_fingerprint(sf_dir)}"
+    if _note_current(final, note) and not force:
         return final
-    if force:
-        shutil.rmtree(final, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = _pq_train_books(e)
@@ -228,7 +282,7 @@ def build_index(
         pq_encode(assigned, books),
         cent_rows,
         books,
-        f"v{INDEX_VERSION}",
+        note,
     )
 
 
@@ -447,8 +501,10 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     final = os.path.join(SCRATCH, f"annindex-fold-{tag}")
-    if os.path.exists(os.path.join(final, "_STAGED")):
+    note = f"v{INDEX_VERSION}-fold {_corpus_fingerprint(sf_dir)}"
+    if _note_current(final, note):
         return final
+    shutil.rmtree(final, ignore_errors=True)
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = e.filter(F.col("vec_id") % 5 != 4)
@@ -483,9 +539,7 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     ).unionByName(
         pq_encode(delta_assigned.withColumn("src", F.lit("delta")), books)
     )
-    return _stage_index(
-        spark, final, folded, cent_rows, books, f"v{INDEX_VERSION}-fold"
-    )
+    return _stage_index(spark, final, folded, cent_rows, books, note)
 
 
 def build_half_index(spark: SparkSession, sf_dir: str) -> str:
@@ -498,8 +552,10 @@ def build_half_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     final = os.path.join(SCRATCH, f"annindex-half-{tag}")
-    if os.path.exists(os.path.join(final, "_STAGED")):
+    note = f"v{INDEX_VERSION}-half {_corpus_fingerprint(sf_dir)}"
+    if _note_current(final, note):
         return final
+    shutil.rmtree(final, ignore_errors=True)
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -513,7 +569,7 @@ def build_half_index(spark: SparkSession, sf_dir: str) -> str:
         pq_encode(assigned, books),
         cent_rows,
         books,
-        f"v{INDEX_VERSION}-half",
+        note,
     )
 
 

@@ -13,12 +13,14 @@ store size is bounded by the watermark horizon (windows) or key count
 
 Stateful APIs: BOTH per-key state APIs are covered —
 q_stream_stateful uses the stable applyInPandasWithState, and
-q_stream_stateful_tws targets Spark 4's successor
-transformWithStateInPandas (named StatefulProcessor + ValueState),
-falling back to an output-identical applyInPandasWithState graph
-where the TWS worker's protobuf dependency is absent (this
-container; verified STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
-See :func:`tws_available`.
+q_stream_stateful_tws runs Spark 4's successor
+transformWithStateInPandas (named StatefulProcessor + ValueState)
+under the RocksDB state-store provider.  As of round 6 the REAL TWS
+codepath executes in this container: compat/protobuf_shim.py injects
+a pure-Python protobuf runtime found on disk into the worker
+PYTHONPATH (through round 5 the missing runtime forced the
+output-identical applyInPandasWithState fallback, which remains the
+path on hosts with no protobuf at all).  See :func:`tws_available`.
 """
 
 from __future__ import annotations
@@ -29,6 +31,19 @@ from pyspark.sql import functions as F
 from ..io import normalize_events_ts
 from ..registry import register
 from ..session import configure
+
+#: Spark's disk-backed state-store provider (rocksdbjni ships inside
+#: the pyspark 4 jars — no network needed).  The default in-memory
+#: HDFSBackedStateStoreProvider keeps every key's state on the heap;
+#: at 100 TB/day streaming state exceeds executor memory, so RocksDB
+#: (bounded block cache + SST files on local disk) is the provider a
+#: production deployment of these operators would run.  The TWS path
+#: requires it; the parity suite (tests/test_streaming.py) runs the
+#: whole stateful family under it via the rocksdb_session fixture.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
 
 
 def _staged_dir(sf_dir: str) -> str:
@@ -106,11 +121,37 @@ def _run_to_memory(
     different sf_dir on the same session would overwrite the shared
     memory table and turn the cached DataFrame for the first sf_dir
     into a silent reader of the second one's data.
+
+    Every stream drained here runs under :data:`ROCKSDB_PROVIDER`
+    (round 6): the in-memory default keeps all keyed state on the
+    executor heap, which is exactly what breaks first at 100 TB/day —
+    RocksDB spills state to local SST files with a bounded block
+    cache, so the whole streaming suite (and its twin-parity pytests)
+    now exercises the provider a production deployment would run.
+    The conf is a dynamic SQL conf read at query START, so setting it
+    here covers plans built earlier; it intentionally stays set on
+    the session afterwards (stateless batch queries ignore it).
     """
     import os
     import re
 
     spark = df.sparkSession
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_PROVIDER,
+        )
+        # Commit deltas as changelogs instead of zipping a full RocksDB
+        # snapshot every micro-batch — the recommended production
+        # setting (snapshot cost becomes periodic + async, commit cost
+        # ∝ batch change size, not total state size).
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    except Exception:  # pinned static on an exotic build — best effort
+        pass
     if sf_dir:
         tag = re.sub(
             r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
@@ -282,18 +323,20 @@ def tws_available() -> bool:
     protocol serializes state requests through protobuf — without the
     ``google.protobuf`` runtime the stream dies at initialization
     (verified in this container:
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  Environments
-    with protobuf installed take the real path; others fall back to
-    the semantically-identical applyInPandasWithState graph.  The
-    chosen path is recorded in :data:`LAST_STATEFUL_API` so tests can
-    assert the selection logic instead of trusting a docstring.
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  Round 6: the
+    :mod:`..compat.protobuf_shim` locates a pure-Python protobuf
+    runtime bundled in another public SDK on disk and injects it into
+    the worker PYTHONPATH, so the REAL TWS codepath now executes in
+    this container (end-to-end proof: the twin-parity pytest runs it
+    under the RocksDB provider).  Environments with neither pip
+    protobuf nor a bundled copy fall back to the semantically
+    identical applyInPandasWithState graph.  The path actually taken
+    is recorded in :data:`LAST_STATEFUL_API` AFTER a successful drain
+    so tests assert the selection, not a prediction.
     """
-    import importlib.util
+    from ..compat import protobuf_shim
 
-    try:
-        if importlib.util.find_spec("google.protobuf") is None:
-            return False
-    except ModuleNotFoundError:
+    if not protobuf_shim.enable():
         return False
     try:
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
@@ -359,15 +402,20 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxFilesPerTrigger=1``, so state provably accumulates across
     ≥4 micro-batches (n_batches_seen > 1 for returning users).
 
-    Runtime selection (honest about this container): the TWS Python
-    worker needs the protobuf runtime; where it is importable the
-    real API runs (under the RocksDB state-store provider TWS
-    requires), otherwise the SAME output contract is produced by an
+    Runtime selection: the TWS Python worker needs the protobuf
+    runtime; compat/protobuf_shim.py locates one on disk and injects
+    it into the worker PYTHONPATH, so the REAL API runs here (under
+    the RocksDB state-store provider TWS requires — set for every
+    drained stream by _run_to_memory).  On hosts with no protobuf at
+    all — or if the worker dies at runtime despite the driver-side
+    probe — the SAME output contract is produced by an
     applyInPandasWithState graph with a (n, b) tuple state.  Both
     paths emit one row per (user, micro-batch) in update mode, and
     the batch twin asserts the final row per user equals the batch
     count — tests/test_streaming.py also asserts the path taken
-    matches :func:`tws_available`.
+    matches :func:`tws_available`, and LAST_STATEFUL_API is only set
+    to the TWS value after a successful drain (a prediction is not a
+    proof).
 
     State is two longs per user — O(keys), the shape that scales.
     """
@@ -389,14 +437,13 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if tws_available():
-        LAST_STATEFUL_API = "transformWithStateInPandas"
-        provider_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(provider_key, None)
-        spark.conf.set(
-            provider_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+        from ..compat import protobuf_shim
+
+        # Workers need the protobuf runtime too: prepend the shim to
+        # the per-function worker env BEFORE the processor is wrapped.
+        protobuf_shim.inject_worker_env(spark)
+        # The RocksDB provider TWS requires is set by _run_to_memory
+        # for every drained stream.
         try:
             out = ev.groupBy("user_id").transformWithStateInPandas(
                 statefulProcessor=_make_tws_processor(),
@@ -404,14 +451,20 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputMode="Update",
                 timeMode="None",
             )
-            return _run_to_memory(
+            res = _run_to_memory(
                 out, "stream_stateful_tws_sink", "update", sf_dir
             )
-        finally:
-            if prev is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, prev)
+            # Only a DRAINED stream proves the TWS path ran; claiming
+            # it before the run (as rounds 4–5 did) mislabels the API
+            # when the worker runtime fails at initialization.
+            LAST_STATEFUL_API = "transformWithStateInPandas"
+            return res
+        except Exception:
+            # Runtime-only failure (e.g. worker protobuf init dies
+            # even though the driver-side probe passed): fall through
+            # to the output-identical applyInPandasWithState graph
+            # instead of propagating a dead stream.
+            pass
 
     LAST_STATEFUL_API = "applyInPandasWithState"
 

@@ -223,3 +223,53 @@ def test_append_delta_served_without_rebuild(spark):
         assert by_rank[1] == (qid + 100000, 1.0), (qid, by_rank[1])
         # the rest is the pre-append exact top-4, order preserved
         assert [by_rank[k][0] for k in (2, 3, 4, 5)] == exact4[qid]
+
+
+def test_regenerated_corpus_invalidates_the_index(spark, tmp_path):
+    """Round-5 advisory: the index was keyed only by sf_dir basename +
+    INDEX_VERSION, so regenerating the fixture in place silently
+    served a stale index (internally consistent — q_sim_pq takes its
+    query vectors from the stale lists — so only an oracle run could
+    see the drift).  The ``_STAGED`` note now carries a corpus
+    fingerprint; rewriting the embeddings table under the SAME sf_dir
+    must trigger a rebuild, and an untouched corpus must not."""
+    import shutil
+
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _corpus_fingerprint,
+        build_index,
+        index_path,
+    )
+
+    sf = str(tmp_path / "sfcopy")
+    os.makedirs(sf)
+    shutil.copyfile(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    path = build_index(spark, sf)
+    note1 = open(os.path.join(path, "_STAGED")).read()
+    assert _corpus_fingerprint(sf) in note1
+
+    # untouched corpus → instant reuse, same note
+    t0 = time.perf_counter()
+    assert build_index(spark, sf) == path
+    assert time.perf_counter() - t0 < 1.0
+    assert open(os.path.join(path, "_STAGED")).read() == note1
+
+    # regenerate the fixture IN PLACE: drop half the vectors
+    half = (
+        spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        .filter("vec_id % 2 = 0 OR vec_id < 10")
+    ).toPandas()
+    half.to_parquet(os.path.join(sf, "embeddings.parquet"))
+    assert _corpus_fingerprint(sf) not in note1
+
+    path2 = build_index(spark, sf)
+    assert path2 == index_path(sf)  # same location, new content
+    note2 = open(os.path.join(path2, "_STAGED")).read()
+    assert note2 != note1
+    n_indexed = spark.read.parquet(
+        os.path.join(path2, "lists")
+    ).count()
+    assert n_indexed == len(half)  # rebuilt over the NEW corpus

@@ -548,3 +548,54 @@ def test_pydatasource_stream_resumes_from_checkpoint(spark):
             assert n_first > 0
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_streams_materialize_rocksdb_state(spark, tmp_path):
+    """_run_to_memory pins the RocksDB state-store provider for every
+    drained stream; this proves RocksDB ran by its on-disk artifact
+    shape, not by reading a conf back.  The HDFS-backed default writes
+    ``N.delta``/``N.snapshot`` files per state partition; RocksDB
+    checkpoints ``N.zip`` (snapshot) / ``N.changelog`` uploads.  A
+    stateful aggregation with an explicit checkpoint under the same
+    provider conf must leave RocksDB-shaped state files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.streaming.ops import (
+        ROCKSDB_PROVIDER,
+        _stream_events,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    ev = _stream_events(spark, SF_DIR)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rocksdb_evidence")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    state_files = []
+    for root, _, files in os.walk(os.path.join(ckpt, "state")):
+        state_files += files
+    assert state_files, "no state checkpoint written"
+    rocks = [
+        f for f in state_files
+        if f.endswith((".zip", ".changelog"))
+    ]
+    hdfs_default = [f for f in state_files if f.endswith(".delta")]
+    assert rocks, f"no RocksDB-shaped state files: {state_files[:10]}"
+    assert not hdfs_default, (
+        f"HDFS-provider .delta files present: {hdfs_default[:5]}"
+    )

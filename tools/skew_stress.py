@@ -125,12 +125,18 @@ def window_query(spark, skew: bool):
 
 
 def chunked_window_query(spark, skew: bool):
-    """q_sessionize_chunked's two-phase shape (local per (user, day)
-    sessionization + boundary merge on the per-session frame) over
-    the same skewed input as window_query — the MEASURED mitigation
-    for the serial-hot-key window row (round-4 verdict item 3).
-    Emits the same (user_id, sid, n) rows as window_query."""
-    from pyspark.sql import Window as W
+    """THE SHIPPED OPERATOR (operators.events.sessionize_chunked, day
+    grain) over the same skewed input as window_query — the MEASURED
+    mitigation for the serial-hot-key window row (round-4 verdict
+    item 3).  Round 6 (advisory fix): this used to re-implement the
+    two-phase shape with lag(s_end) instead of the running-max
+    frontier the product operator uses, so the published SKEW.md
+    number could silently drift from q_sessionize_chunked's real
+    plan; now the benchmark calls the operator itself and merely
+    re-labels its output to window_query's (user_id, sid, n) frame."""
+    from morphl_model_user_search_intent_spark.operators.events import (
+        sessionize_chunked,
+    )
 
     ev = table(spark, AMP_DIR, "events")
     if skew:
@@ -139,42 +145,10 @@ def chunked_window_query(spark, skew: bool):
             F.when(F.col("event_id") % HOT_FRAC_MOD < HOT_SHARE, F.lit(0))
             .otherwise(F.col("user_id")),
         )
-    ev = ev.withColumn("day", F.col("ts").cast("date"))
-    w1 = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
-        F.lag("ts").over(w1)
-    )
-    new_local = (
-        F.when(F.lag("ts").over(w1).isNull(), 1)
-        .when(gap_us > 1800 * 1_000_000, 1)
-        .otherwise(0)
-    )
-    run1 = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
-    local = (
-        ev.withColumn("nl", new_local)
-        .withColumn("lid", F.sum("nl").over(run1))
-        .groupBy("user_id", "day", "lid")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("ts").alias("s_start"),
-            F.max("ts").alias("s_end"),
-        )
-    )
-    w2 = W.partitionBy("user_id").orderBy("s_start")
-    bgap = F.unix_micros(F.col("s_start")) - F.unix_micros(
-        F.lag("s_end").over(w2)
-    )
-    new_g = (
-        F.when(F.lag("s_end").over(w2).isNull(), 1)
-        .when(bgap > 1800 * 1_000_000, 1)
-        .otherwise(0)
-    )
-    run2 = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        local.withColumn("ng", new_g)
-        .withColumn("sid", F.sum("ng").over(run2))
-        .groupBy("user_id", "sid")
-        .agg(F.sum("n").cast("bigint").alias("n"))
+    return sessionize_chunked(ev, F.col("ts").cast("date")).select(
+        "user_id",
+        F.col("session_id").alias("sid"),
+        F.col("n_events").cast("bigint").alias("n"),
     )
 
 
