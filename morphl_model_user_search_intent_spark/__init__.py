@@ -50,7 +50,7 @@ from .llm import curation, dedup, index, multimodal, similarity  # noqa: F401
 from .udf import udfs  # noqa: F401
 from .ml import pipeline  # noqa: F401
 from .streaming import ops  # noqa: F401
-from .sources import formats, pysource  # noqa: F401
+from .sources import acid, formats, pysource  # noqa: F401
 from . import sql_surface  # noqa: F401
 
 __all__ = ["get_spark", "load", "table", "queries", "oracle_sql", "REGISTRY"]

@@ -303,6 +303,19 @@ def load_books(path: str):
     return books
 
 
+def load_centroid_rows(path: str) -> list:
+    """The k (cluster_id, centroid) rows as plain tuples — the
+    re-stageable form _stage_index takes — via pyarrow (k-row index
+    metadata, not a Spark job)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(path, "centroids")).to_pydict()
+    return [
+        (int(i), [float(x) for x in c])
+        for i, c in zip(t["cluster_id"], t["centroid"])
+    ]
+
+
 def load_centroids(path: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -480,6 +493,33 @@ _SERVE_ORACLE = """
 """
 
 
+def route_to_nearest_centroid(
+    delta: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Assign each delta vector to its nearest EXISTING centroid by
+    cosine: broadcast the k-row centroid table, rank-1 per vector —
+    one distributed pass over the delta, the same declarative shape
+    serve_topk routes queries with.  ``cents`` needs (cluster_id,
+    cv array<double>); returns (vec_id, embedding, cluster_id)."""
+    cents = cents.select(
+        "cluster_id", "cv", F.sqrt(_dot("cv", "cv")).alias("cnorm")
+    )
+    w_r = Window.partitionBy("vec_id").orderBy(
+        F.col("d").desc(), F.col("cluster_id")
+    )
+    return (
+        delta.withColumn("vnorm", F.sqrt(_dot("embedding", "embedding")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d",
+            _dot("embedding", "cv") / (F.col("vnorm") * F.col("cnorm")),
+        )
+        .withColumn("r", F.row_number().over(w_r))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+
+
 def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     """Incremental-rebuild exhibit: an index built from 80% of the
     corpus, then the remaining 20% FOLDED IN without retraining —
@@ -518,21 +558,8 @@ def build_folded_index(spark: SparkSession, sf_dir: str) -> str:
     # shape serve_topk uses for queries
     cents = spark.createDataFrame(
         cent_rows, "cluster_id int, cv array<double>"
-    ).withColumn("cnorm", F.sqrt(_dot("cv", "cv")))
-    w_r = Window.partitionBy("vec_id").orderBy(
-        F.col("d").desc(), F.col("cluster_id")
     )
-    delta_assigned = (
-        delta.withColumn("vnorm", F.sqrt(_dot("embedding", "embedding")))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "d",
-            _dot("embedding", "cv") / (F.col("vnorm") * F.col("cnorm")),
-        )
-        .withColumn("r", F.row_number().over(w_r))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cluster_id")
-    )
+    delta_assigned = route_to_nearest_centroid(delta, cents)
 
     folded = pq_encode(
         base_assigned.withColumn("src", F.lit("base")), books
@@ -620,3 +647,245 @@ def q_sim_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = build_index(spark, sf_dir)
     return serve_topk(spark, path, nprobe=_K_LISTS, top_k=_TOP_K)
+
+
+# ---- snapshot store: pointer-swapped snapshots + delta compaction ----
+# Round-5 verdict gap #3: the lifecycle could append (delta store) and
+# fold (build_folded_index), but nothing COMPACTED a grown delta or
+# retired stale snapshots — a long-lived index degrades toward
+# brute-forcing its delta.  The store below is the standard
+# manifest-pointer design (Iceberg/FAISS-ondisk shape reduced to its
+# essentials): immutable snapshot dirs + one CURRENT pointer file
+# swapped by atomic rename, an append-only delta dir, and a compactor
+# that folds the delta into a NEW snapshot, swaps the pointer, and
+# retires all but the previous snapshot (kept as a grace copy for
+# readers that resolved CURRENT before the swap).
+
+
+def snapshot_store_root(sf_dir: str) -> str:
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return os.path.join(SCRATCH, f"annindex-store-{tag}")
+
+
+def current_snapshot(root: str) -> str:
+    """Resolve the CURRENT pointer to a snapshot dir.  Readers call
+    this ONCE and then read only immutable snapshot files — the
+    snapshot-isolation read protocol."""
+    with open(os.path.join(root, "CURRENT")) as fh:
+        return os.path.join(root, "snapshots", fh.read().strip())
+
+
+def _swap_current(root: str, snap_name: str) -> None:
+    """Atomic pointer update: write a tmp file, rename over CURRENT
+    (same-directory rename is atomic on POSIX)."""
+    tmp = os.path.join(root, f"CURRENT.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(snap_name)
+    os.rename(tmp, os.path.join(root, "CURRENT"))
+
+
+def _folded_manifests(root: str) -> list[str]:
+    return sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.startswith("folded-") and f.endswith(".txt")
+    )
+
+
+def _folded_set(root: str) -> set[str]:
+    """Delta files already folded into some snapshot: logically
+    retired (excluded from every serve/compact listing) but kept ON
+    DISK for one grace cycle, so a reader that pinned its plan before
+    the pointer swap can still execute it — exactly the snapshot
+    grace rule, applied to the delta side."""
+    out: set[str] = set()
+    for m in _folded_manifests(root):
+        with open(m) as fh:
+            out.update(line.strip() for line in fh if line.strip())
+    return out
+
+
+def _delta_files(root: str) -> list[str]:
+    d = os.path.join(root, "delta")
+    if not os.path.isdir(d):
+        return []
+    folded = _folded_set(root)
+    return sorted(
+        p
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+        and (p := os.path.join(d, f)) not in folded
+    )
+
+
+def append_to_store(df: DataFrame, root: str) -> None:
+    """Append vectors (vec_id, embedding) to the store's delta set.
+    Spark's append mode adds new part-files without touching existing
+    ones, so appends are safe to race with a compactor (which folds
+    only the files it LISTED at entry and deletes only those)."""
+    df.select("vec_id", "embedding").write.mode("append").parquet(
+        os.path.join(root, "delta")
+    )
+
+
+def init_snapshot_store(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> str:
+    """Stage the compaction exercise fixture (idempotent per corpus
+    fingerprint): snapshot snap-000001 indexes the EVEN-vec_id half
+    of the corpus, the ODD half sits unindexed in the delta store —
+    exactly the post-append state q_stream_index_append leaves a
+    production store in, ready for compaction."""
+    root = root or snapshot_store_root(sf_dir)
+    ready = os.path.join(root, "_READY")
+    note = f"v{INDEX_VERSION}-store {_corpus_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    books = _pq_train_books(even)
+    assigned, cent_rows = _fit_coarse(even)
+    _stage_index(
+        spark,
+        os.path.join(root, "snapshots", "snap-000001"),
+        pq_encode(assigned, books),
+        cent_rows,
+        books,
+        note,
+    )
+    _swap_current(root, "snap-000001")
+    append_to_store(e.filter(F.col("vec_id") % 2 == 1), root)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+def serve_from_store(
+    spark: SparkSession, root: str, nprobe: int, top_k: int
+) -> DataFrame:
+    """Resolve CURRENT once, then serve index ∪ delta — the reader
+    protocol every serving replica runs."""
+    snap = current_snapshot(root)
+    files = _delta_files(root)
+    delta = spark.read.parquet(*files) if files else None
+    return serve_topk(spark, snap, nprobe=nprobe, top_k=top_k, delta=delta)
+
+
+def compact_index(
+    spark: SparkSession, root: str, folds: list[str] | None = None
+) -> str:
+    """Fold the delta store into a NEW snapshot and swap CURRENT.
+
+    Steps (each crash-safe: the pointer swap is the only publication
+    point, and everything before it writes into unpublished paths):
+
+    1. LIST the delta files to fold (pinned now — appends that land
+       during the compaction are untouched and simply remain in the
+       delta for the next cycle);
+    2. route the delta to the nearest EXISTING centroids and encode
+       with the EXISTING codebooks (one distributed pass over the
+       delta only — no retraining, q_sim_index_rebuild's machinery);
+    3. stage old-lists ∪ encoded-delta as the next snap-NNNNNN
+       (atomic rename via _stage_index);
+    4. atomically swap CURRENT to it;
+    5. retire exactly the folded delta files LOGICALLY (a
+       ``folded-<snap>.txt`` manifest excludes them from every later
+       listing) while leaving the bytes in place for one grace cycle
+       — a reader that pinned index+delta paths pre-swap can still
+       execute its plan;
+    6. garbage-collect the PREVIOUS cycle's retirements: snapshots
+       older than the grace copy, and delta files folded by earlier
+       manifests.
+
+    No-op (returns the current snapshot) when the delta is empty.
+    ``folds`` lets tests pin the fold set to prove step-1 isolation.
+    """
+    cur = current_snapshot(root)
+    folds = _delta_files(root) if folds is None else folds
+    if not folds:
+        return cur
+
+    delta = spark.read.parquet(*folds).select("vec_id", "embedding")
+    books = load_books(cur)
+    cents = spark.read.parquet(os.path.join(cur, "centroids")).select(
+        "cluster_id", F.col("centroid").alias("cv")
+    )
+    assigned = route_to_nearest_centroid(delta, cents)
+    old_lists = spark.read.parquet(os.path.join(cur, "lists")).select(
+        "vec_id", "embedding", "codes", "cluster_id"
+    )
+    new_lists = old_lists.unionByName(pq_encode(assigned, books))
+
+    cent_rows = load_centroid_rows(cur)
+    seq = int(os.path.basename(cur).split("-")[1]) + 1
+    snap_name = f"snap-{seq:06d}"
+    with open(os.path.join(cur, "_STAGED")) as fh:
+        base_note = fh.read().strip()
+    new_snap = _stage_index(
+        spark,
+        os.path.join(root, "snapshots", snap_name),
+        new_lists,
+        cent_rows,
+        books,
+        f"{base_note} compacted={seq}",
+    )
+    _swap_current(root, snap_name)
+    # gc the PREVIOUS cycle's logically-retired delta files, then
+    # logically retire this cycle's folds (manifest write is the
+    # publication point; the bytes stay for one grace cycle)
+    for m in _folded_manifests(root):
+        with open(m) as fh:
+            for line in fh:
+                try:
+                    os.remove(line.strip())
+                except OSError:
+                    pass
+        os.remove(m)
+    with open(os.path.join(root, f"folded-{snap_name}.txt"), "w") as fh:
+        fh.write("\n".join(folds))
+    # retire everything older than the grace copy (the snapshot that
+    # was CURRENT until this swap)
+    snaps = sorted(os.listdir(os.path.join(root, "snapshots")))
+    for s in snaps[:-2]:
+        shutil.rmtree(
+            os.path.join(root, "snapshots", s), ignore_errors=True
+        )
+    return new_snap
+
+
+@register("q_sim_index_compact", oracle=_SERVE_ORACLE)
+def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle step 4: DELTA COMPACTION.  Start from the
+    post-append state (snapshot over half the corpus + the other half
+    in the unindexed delta — init_snapshot_store), fold the delta into
+    a new snapshot (no retraining), swap the CURRENT pointer, retire
+    stale snapshots, and serve from the compacted store.
+
+    ORACLE-CHECKED end-to-end: after compaction the delta is empty
+    and the exhaustive-probe serve reads ONLY the new snapshot's
+    lists, so the result must hash-match the same DuckDB brute-force
+    oracle as q_sim_knn — compaction that lost, duplicated, or
+    mis-encoded any vector cannot pass.  tests/test_ann_index.py
+    additionally pins the before/during/after protocol: pre-compact
+    serve (index ∪ delta) is exact, a reader that resolved CURRENT
+    before the swap still reads its grace snapshot, appends landing
+    mid-compaction survive, and a second compact_index is a no-op.
+
+    At 100 TB: compaction cost ∝ delta (route+encode) + one rewrite
+    of the lists partition set — a background job on the rebuild
+    cadence; serve latency returns to pure-index (the SCALING.md
+    serve-vs-delta table measures why that matters).
+    """
+    from .similarity import _TOP_K
+
+    root = init_snapshot_store(spark, sf_dir)
+    compact_index(spark, root)
+    return serve_from_store(spark, root, nprobe=_K_LISTS, top_k=_TOP_K)

@@ -133,7 +133,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream groupBy(user_id, session_id) reuses this partitioning
     (subset-key clustering), so the whole query is still ONE shuffle.
     """
-    ev = table(spark, sf_dir, "events")
+    return sessionize(table(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """The monolithic per-user sessionizer (q_sessionize's body, as a
+    reusable transform over any events frame — see that docstring for
+    the plan discussion).  Prefer :func:`sessionize_auto` on inputs
+    whose key distribution is unknown: this form serializes each
+    user's whole history in one window partition."""
+    spark = ev.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ev = ev.repartition(n_part, "user_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -304,6 +313,113 @@ def sessionize_chunked(ev: DataFrame, chunk: "F.Column") -> DataFrame:
             (F.sum("v_units") / F.lit(100.0)).alias("session_value"),
         )
     )
+
+
+# ---- auto-skew dispatch (round-5 verdict item 7) --------------------
+# q_profile_skew detects hot keys and sessionize_chunked survives
+# them, but through round 5 nothing connected the two: a user calling
+# sessionize on skewed data still hit the monolithic window's serial
+# bound.  sessionize_auto closes the loop: one cheap sampled profile
+# of the key distribution picks the physical plan, and the choice is
+# recorded both in LAST_SESSIONIZE_PLAN (test hook) and as a named
+# ``observe()`` metric on the returned frame (production hook — the
+# QueryExecutionListener sees "sessionize_dispatch" with the sampled
+# hot-key share and the plan taken on every run).
+
+#: Fraction of (sampled) events one key must hold before the chunked
+#: plan wins.  Below it the monolithic single-shuffle plan is faster
+#: (no second window pass); above it the serial hot partition
+#: dominates wall-clock long before 5% of 100 TB fits one task.
+SESSIONIZE_SKEW_THRESHOLD = 0.05
+
+#: Plan chosen by the last sessionize_auto call:
+#: "monolithic" | "chunked".
+LAST_SESSIONIZE_PLAN: str | None = None
+
+
+def max_key_share(
+    df: DataFrame, key: str = "user_id", fraction: float = 0.1
+) -> float:
+    """Sampled share of the hottest key: one pass over a seeded
+    sample, a partial-aggregated groupBy, and a single summary row
+    back to the driver (bounded by construction — the canon gate
+    whitelists exactly this function).  At 100 TB the fraction drops
+    (1e-4 of 100 TB still samples millions of rows); the estimate
+    only needs to be right about ORDER OF MAGNITUDE to pick a plan."""
+    row = (
+        df.sample(fraction=fraction, seed=7)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    return float(row["mx"] / row["tot"]) if row["tot"] else 0.0
+
+
+def sessionize_auto(
+    ev: DataFrame,
+    threshold: float = SESSIONIZE_SKEW_THRESHOLD,
+    fraction: float = 0.1,
+) -> DataFrame:
+    """Skew-dispatched sessionization: profile-sample the user_id
+    distribution, run the monolithic single-shuffle plan on balanced
+    keys and the chunked two-phase plan (bounded serial span) when a
+    hot key exceeds ``threshold`` — both plans are oracle-identical,
+    so the dispatch changes physics, never results (the planted-skew
+    pytest proves both halves)."""
+    global LAST_SESSIONIZE_PLAN
+
+    share = max_key_share(ev, "user_id", fraction)
+    chunked = share > threshold
+    LAST_SESSIONIZE_PLAN = "chunked" if chunked else "monolithic"
+    out = (
+        sessionize_chunked(ev, F.col("ts").cast("date"))
+        if chunked
+        else sessionize(ev)
+    )
+    return out.observe(
+        f"sessionize_dispatch_{'chunked' if chunked else 'monolithic'}",
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max(F.lit(float(share))).alias("max_key_share_sampled"),
+        F.max(F.lit(int(chunked))).alias("chose_chunked"),
+    )
+
+
+@register(
+    "q_sessionize_auto",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM flags
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-dispatched sessionization (see :func:`sessionize_auto`) —
+    same oracle as q_sessionize/q_sessionize_chunked; on the balanced
+    driver fixture the profiler picks the monolithic plan, and the
+    planted-skew pytest (tests/test_events.py) proves the hot-key
+    path flips to chunked and still matches the serial ground truth."""
+    return sessionize_auto(table(spark, sf_dir, "events"))
 
 
 @register(

@@ -127,46 +127,49 @@ REGISTRY: dict[str, QuerySpec] = {}
 # covers the whole §2 core.  Every key listed here has a full DuckDB
 # oracle.  Keys not listed keep their insertion order after these.
 #
-# Round-5 rotation (round-4 verdict item 5): a STABLE window means new
-# operators never earn a driver-grade correctness row, so seven
-# redundant family members (cube/groupingsets/collect, frame/cume,
-# offset, intersect — each family keeps >=2 representatives, and the
-# rotated-out keys stay covered by the full-registry sweep) made room
-# for the round-4/5 additions: URL-canonical dedup, hybrid RRF
-# retrieval + its recall/MRR eval, T5 span corruption, the curation
-# funnel report, the persisted-ANN serve path, and the skew-robust
-# chunked sessionizer.
+# Round-6 rotation (round-5 verdict item 5): eight redundant family
+# members rotated out to the full sweep (filtered/rollup aggs,
+# analytic window, multi-key sort, except, sim threshold + retrieval
+# eval, null-semantics filter — every family keeps ≥1 representative
+# and the one-per-family gate still passes) to expose eight
+# never-driver-graded keys: a TPC-H pick (q09), the LOCF window, two
+# dedup scale paths (SemDeDup clusters + connected components), the
+# ACID table layer (MERGE + time travel), the auto-skew sessionize
+# dispatcher, and the ANN delta compaction.  Prior rotations:
+# round 5 swapped in the round-4/5 additions (URL dedup, hybrid RRF,
+# span corruption, curation funnel, index serve, chunked sessionize).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.4 aggregates (flagship first)
-    "q_agg_hash", "q_agg_distinct", "q_agg_filtered", "q_agg_rollup",
-    "q_agg_stats",
+    "q_agg_hash", "q_agg_distinct", "q_agg_stats",
     # §2.5 windows
-    "q_win_rank", "q_win_topk", "q_win_analytic",
+    "q_win_rank", "q_win_topk", "q_win_fill_forward",
     # §2.6 sorts
-    "q_sort_limit", "q_sort_multi",
+    "q_sort_limit",
     # §2.7 set ops + dedup
-    "q_set_union", "q_set_except", "q_dedup_exact",
+    "q_set_union", "q_dedup_exact",
     # §2.8 scalar function suites
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
     "q_map_funcs", "q_json_funcs",
     # §2.9 event-time windows + the oracle-checked streaming ingest
-    # (q_stream_sliding rotated out to the full sweep; the stream
-    # family keeps tumbling + the index-append ingest)
     "q_stream_tumbling", "q_stream_index_append", "q_sessionize",
-    "q_sessionize_chunked",
+    "q_sessionize_chunked", "q_sessionize_auto",
     # §2.11 similarity / dedup / multimodal / curation
-    "q_dedup_jaccard", "q_dedup_url", "q_sim_knn", "q_sim_threshold",
-    "q_sim_index_serve", "q_sim_hybrid_rrf", "q_sim_retrieval_eval",
+    "q_dedup_jaccard", "q_dedup_url", "q_dedup_semantic",
+    "q_dedup_clusters", "q_sim_knn", "q_sim_index_serve",
+    "q_sim_index_compact", "q_sim_hybrid_rrf",
     "q_corpus_span_corrupt", "q_corpus_funnel", "q_multimodal",
+    # lakehouse table ops (round 6)
+    "q_table_merge", "q_table_time_travel",
     # §2.12 UDFs
     "q_udf_scalar", "q_udf_pandas", "q_udf_grouped_agg",
     # §2.1 sources / sinks / scans
     "q_source_csv", "q_source_json", "q_sink_parquet",
     "q_scan_parquet", "q_scan_pushdown",
     # §2.2 projection / predicates
-    "q_project", "q_filter_pred", "q_filter_null", "q_case_when",
-    # §2.3 joins (one per family; remaining variants stay registered later)
+    "q_project", "q_filter_pred", "q_case_when",
+    # §2.3 joins + the TPC-H representative
     "q_join_broadcast", "q_join_shuffle", "q_join_asof", "q_join_anti",
+    "q_tpch_q09",
     # §2.10 text (bench headline)
     "q_text_wordcount",
 )

@@ -1,0 +1,222 @@
+"""Gates for the emulated ACID table layer (sources/acid.py): atomic
+commit protocol, snapshot isolation across PROCESSES, conflict
+detection, copy-on-write file pruning, time travel, vacuum retention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from morphl_model_user_search_intent_spark.io import table
+from morphl_model_user_search_intent_spark.sources.acid import (
+    CommitConflict,
+    _merge_source,
+    commit,
+    create_table,
+    latest_version,
+    list_versions,
+    merge_table,
+    read_manifest,
+    read_table,
+    vacuum,
+)
+
+from conftest import SF_DIR
+
+
+def _base(spark):
+    import pyspark.sql.functions as F
+
+    return table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+
+
+def _rowset(df):
+    return {
+        (r.o_orderkey, r.o_orderpriority, round(r.price, 2))
+        for r in df.collect()
+    }
+
+
+def test_merge_semantics_and_cow_file_pruning(spark, tmp_path):
+    """All three MERGE arms land, and the copy-on-write actually
+    prunes: data files with no matched key are carried BY REFERENCE
+    into the new manifest, not rewritten."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    # partition the table BY KEY RANGE so some files contain no
+    # matched key (every 7th/13th key touches most hash partitions;
+    # range partitioning concentrates the insert/no-match split)
+    create_table(spark, root, base.repartitionByRange(6, "o_orderkey"))
+    m1 = read_manifest(root, 1)
+
+    src = _merge_source(spark, SF_DIR)
+    # make one file provably untouched: exclude its key range from
+    # the source entirely
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = base.agg(F.max("o_orderkey")).collect()[0][0]
+    cut = lo + (hi - lo) // 6
+    src = src.filter(
+        (F.col("o_orderkey") > cut) | F.col("o_orderkey").isNull()
+    )
+    v2 = merge_table(spark, root, src, "o_orderkey")
+    assert v2 == 2
+    m2 = read_manifest(root, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried, "CoW rewrote every file — pruning failed"
+
+    # semantics: exact expected rowset from the same derivation
+    o = base
+    expected = _rowset(
+        o.filter(
+            (F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") <= cut)
+        )
+        .filter(
+            (F.col("o_orderkey") % 13 != 0) | (F.col("o_orderkey") <= cut)
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderkey") % 13 != 0)
+                & (F.col("o_orderkey") > cut)
+            ).select(
+                "o_orderkey",
+                "o_orderpriority",
+                (F.col("price") * 1.1).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 1000 == 0)
+                & (F.col("o_orderkey") + 10_000_000 > cut)
+            ).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("NEW-ROW").alias("o_orderpriority"),
+                (F.col("price") * 0.5).alias("price"),
+            )
+        )
+    )
+    assert _rowset(read_table(spark, root)) == expected
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Two writers racing the same parent version: exactly one wins,
+    the loser gets CommitConflict — the optimistic-concurrency
+    primitive every other guarantee builds on."""
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark).limit(100))
+    m = read_manifest(root)
+    # writer A wins version 2
+    assert commit(root, m["files"], "noop-a", parent=1) == 2
+    # writer B, still at parent 1, must not silently overwrite
+    with pytest.raises(CommitConflict):
+        commit(root, m["files"], "noop-b", parent=1)
+    assert latest_version(root) == 2
+    assert read_manifest(root, 2)["op"] == "noop-a"
+
+
+def test_snapshot_isolation_across_processes(spark, tmp_path):
+    """THE lakehouse contract, proven over two OS processes: a reader
+    in another process pins version 1, the writer (this process)
+    commits a MERGE on top, and the pinned reader — re-resolving
+    NOTHING — still reads exactly version 1's bytes.  The reader is
+    DuckDB, not Spark: the manifest protocol is engine-agnostic, and
+    a second JVM would prove less while costing more."""
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark))
+    v1_rows = _rowset(read_table(spark, root, 1))
+
+    reader = textwrap.dedent(
+        """
+        import json, os, sys
+        import duckdb
+        root = sys.argv[1]
+        md = os.path.join(root, "manifests")
+        latest = sorted(f for f in os.listdir(md) if f.startswith("m-"))[-1]
+        with open(os.path.join(md, latest)) as fh:
+            m = json.load(fh)
+        print(json.dumps({"pinned": m["version"]}), flush=True)
+        sys.stdin.readline()  # wait until the writer has committed v2
+        n, s = duckdb.sql(
+            "SELECT COUNT(*), ROUND(SUM(CAST(floor(price*100+0.5) AS BIGINT))/100.0, 2) "
+            "FROM read_parquet(" + repr(m["files"]) + ")"
+        ).fetchone()
+        print(json.dumps({"n": n, "sum": float(s)}), flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", reader, root],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        pinned = json.loads(proc.stdout.readline())
+        assert pinned["pinned"] == 1
+
+        # writer commits v2 while the reader holds its pin
+        v2 = merge_table(
+            spark, root, _merge_source(spark, SF_DIR), "o_orderkey"
+        )
+        assert v2 == 2
+
+        proc.stdin.write("go\n")
+        proc.stdin.flush()
+        got = json.loads(proc.stdout.readline())
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=120)
+
+    assert got["n"] == len(v1_rows)
+    expected_sum = round(
+        sum(int(p * 100 + 0.5) for _, _, p in v1_rows) / 100.0, 2
+    )
+    assert abs(got["sum"] - expected_sum) < 0.01
+    # and v2 is genuinely different (the reader didn't just get lucky)
+    assert read_table(spark, root, 2).count() != got["n"]
+
+
+def test_time_travel_and_vacuum_retention(spark, tmp_path):
+    """Every retained version reads back exactly; vacuum(keep_last=2)
+    deletes version 1's exclusive files and manifest, after which time
+    travel to it fails loudly while the kept versions still read."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(1000)
+    create_table(spark, root, base)
+    v1 = _rowset(read_table(spark, root, 1))
+    merge_table(spark, root, _merge_source(spark, SF_DIR), "o_orderkey")
+    v2 = _rowset(read_table(spark, root, 2))
+    # third version: delete everything below the median key
+    med = base.agg(F.expr("percentile(o_orderkey, 0.5)")).collect()[0][0]
+    src3 = read_table(spark, root, 2).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        (F.col("o_orderkey") < med).alias("_delete"),
+    ).filter(F.col("_delete"))
+    merge_table(spark, root, src3, "o_orderkey")
+    assert list_versions(root) == [1, 2, 3]
+    assert _rowset(read_table(spark, root, 1)) == v1  # stable history
+
+    removed = vacuum(root, keep_last=2)
+    assert removed, "vacuum deleted nothing"
+    assert all(not os.path.exists(f) for f in removed)
+    assert list_versions(root) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, 1)
+    assert _rowset(read_table(spark, root, 2)) == v2
+    n3 = read_table(spark, root, 3).count()
+    assert 0 < n3 < len(v2)

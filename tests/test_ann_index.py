@@ -273,3 +273,92 @@ def test_regenerated_corpus_invalidates_the_index(spark, tmp_path):
         os.path.join(path2, "lists")
     ).count()
     assert n_indexed == len(half)  # rebuilt over the NEW corpus
+
+
+def _serve_rows(df):
+    return {
+        (r.qid, r.rank): (r.neighbor_id, r.cos_sim) for r in df.collect()
+    }
+
+
+def test_compaction_protocol_before_during_after(spark, tmp_path):
+    """Delta compaction (round-5 verdict gap #3) end to end on an
+    isolated store: (before) index ∪ delta serve is exact; (during) a
+    reader that resolved CURRENT before the swap still reads its
+    grace snapshot; appends landing mid-compaction are NOT folded and
+    NOT deleted; (after) the compacted snapshot alone serves exactly,
+    the folded delta files are gone, re-compacting is a no-op, and a
+    second cycle retires the oldest snapshot."""
+    from pyspark.sql import functions as F
+
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _K_LISTS,
+        _delta_files,
+        append_to_store,
+        compact_index,
+        current_snapshot,
+        init_snapshot_store,
+        serve_from_store,
+        serve_topk,
+    )
+
+    root = init_snapshot_store(spark, SF_DIR, root=str(tmp_path / "st"))
+    exact = _serve_rows(REGISTRY["q_sim_knn"].fn(spark, SF_DIR))
+
+    # BEFORE: half-index + unindexed delta must already serve exactly
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+
+    # a reader pins CURRENT (and the delta files) before compaction
+    pinned_snap = current_snapshot(root)
+    pinned_delta = spark.read.parquet(*_delta_files(root))
+    pinned_plan = serve_topk(
+        spark, pinned_snap, nprobe=_K_LISTS, top_k=5, delta=pinned_delta
+    )
+    n_total = spark.read.parquet(
+        os.path.join(pinned_snap, "lists")
+    ).count() + pinned_delta.count()
+
+    # an append lands AFTER the compactor listed its fold set
+    folds = _delta_files(root)
+    extra = spark.createDataFrame(
+        [(10_000_000, [0.5] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    append_to_store(extra, root)
+
+    new_snap = compact_index(spark, root, folds=folds)
+    assert os.path.basename(new_snap) == "snap-000002"
+    assert os.path.basename(current_snapshot(root)) == "snap-000002"
+
+    # DURING: the pre-swap reader's snapshot survives (grace copy) and
+    # its pinned plan still answers exactly
+    assert os.path.isdir(pinned_snap)
+    assert _serve_rows(pinned_plan) == exact
+
+    # mid-compaction append: not folded, not deleted
+    left = _delta_files(root)
+    assert left and all(f not in folds for f in left)
+    n_new = spark.read.parquet(os.path.join(new_snap, "lists")).count()
+    assert n_new == n_total  # folded exactly the pinned set
+
+    # AFTER: drop the stray append; the snapshot alone serves exactly
+    for f in left:
+        os.remove(f)
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+    # empty delta → no-op
+    assert compact_index(spark, root) == current_snapshot(root)
+
+    # SECOND CYCLE: another append + compaction retires snap-000001
+    append_to_store(extra, root)
+    assert os.path.basename(compact_index(spark, root)) == "snap-000003"
+    snaps = sorted(os.listdir(os.path.join(root, "snapshots")))
+    assert snaps == ["snap-000002", "snap-000003"]
+    assert not _delta_files(root)
+    # the appended vector was folded into the new snapshot's lists
+    n3 = spark.read.parquet(
+        os.path.join(current_snapshot(root), "lists")
+    )
+    assert n3.filter(F.col("vec_id") == 10_000_000).count() == 1

@@ -124,6 +124,16 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
     # way); the corpus-sized passes (encode, ADC scan, serve) stay
     # in mapInPandas / joins.
     "llm/index.py": {"_pq_train_books", "query_side"},
+    # Auto-skew dispatch (operators/events.py): the sampled hot-key
+    # profile collects ONE summary row (max/total over a seeded
+    # sample) to choose monolithic vs chunked sessionization — the
+    # profile-then-plan step has to land on the driver by design.
+    "operators/events.py": {"max_key_share"},
+    # ACID table layer (sources/acid.py): copy-on-write MERGE plans
+    # its touched-file set on the driver — a DISTINCT over file
+    # paths, bounded by the snapshot's file count (metadata scale,
+    # the same driver-side planning step Delta/Iceberg perform).
+    "sources/acid.py": {"merge_table"},
 }
 # round-3: joins.py bloom summary collect → declarative rewrite;
 # round-5: streaming/ops.py foreachBatch driver-list accumulator →

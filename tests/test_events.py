@@ -132,3 +132,64 @@ def test_chunked_sessionize_is_grain_independent(spark, tmp_path):
     assert by_hour == serial
     assert by_6h == serial
     assert interleaved == serial
+
+
+def test_auto_dispatch_picks_chunked_on_skew_and_matches_serial(
+    spark, tmp_path
+):
+    """Round-5 verdict item 7: sessionize_auto must (a) pick the
+    monolithic plan on the balanced driver fixture, (b) flip to the
+    chunked plan on the planted 30%-hot-user fixture, and (c) return
+    serial-identical rows either way — the dispatch changes physics,
+    never results."""
+    from morphl_model_user_search_intent_spark.operators import events
+
+    # balanced fixture → monolithic (sf0.01: hottest user holds
+    # ~0.9% of events; sf0.001 is NOT balanced — its hottest user
+    # holds 8.8%, and the dispatcher correctly flips to chunked there)
+    REGISTRY["q_sessionize_auto"].fresh(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert events.LAST_SESSIONIZE_PLAN == "monolithic"
+
+    # planted hot key → chunked, rows identical to the serial form
+    sf_dir = _planted_skew_dir(spark, tmp_path)
+    auto = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.session_value,
+        )
+        for r in REGISTRY["q_sessionize_auto"]
+        .fresh(spark, sf_dir)
+        .collect()
+    }
+    assert events.LAST_SESSIONIZE_PLAN == "chunked"
+    serial = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.session_value,
+        )
+        for r in REGISTRY["q_sessionize"].fresh(spark, sf_dir).collect()
+    }
+    assert auto == serial
+
+
+def test_max_key_share_estimates_the_planted_share(spark, tmp_path):
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.operators.events import (
+        max_key_share,
+    )
+
+    sf_dir = _planted_skew_dir(spark, tmp_path)
+    # planted: 900 of 3000 events on one user → true share 0.30; the
+    # 10% sample only needs order-of-magnitude fidelity
+    share = max_key_share(table(spark, sf_dir, "events"), fraction=0.3)
+    assert 0.15 < share < 0.45
+    balanced = max_key_share(
+        table(spark, "/root/testdata/sf0.01", "events"), fraction=0.3
+    )
+    assert balanced < 0.05

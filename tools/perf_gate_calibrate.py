@@ -27,6 +27,11 @@ HEADLINE = [
     # round-5 driver-window additions guarded against plan regressions
     # (serve assumes a staged index — build cost excluded by marker)
     "q_sessionize_chunked", "q_sim_index_serve",
+    # round-6 driver-window additions (table reads assume the staged
+    # ACID exercise / compacted store — one-time staging excluded)
+    "q_sessionize_auto", "q_sim_index_compact", "q_table_merge",
+    "q_table_time_travel", "q_win_fill_forward", "q_tpch_q09",
+    "q_dedup_semantic", "q_dedup_clusters",
 ]
 
 
