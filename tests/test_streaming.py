@@ -599,3 +599,37 @@ def test_stateful_streams_materialize_rocksdb_state(spark, tmp_path):
     assert not hdfs_default, (
         f"HDFS-provider .delta files present: {hdfs_default[:5]}"
     )
+
+
+def test_tws_runtime_failure_falls_back_and_stays_honest(
+    spark, monkeypatch
+):
+    """Round-5 advisory: if TWS fails AT RUNTIME despite the
+    driver-side probe passing (e.g. the worker runtime dies at
+    initialization), the query must fall back to the
+    applyInPandasWithState graph and LAST_STATEFUL_API must record
+    the path that actually drained — never the prediction."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    def boom():
+        raise RuntimeError("planted TWS runtime failure")
+
+    monkeypatch.setattr(ops, "_make_tws_processor", boom)
+    out = REGISTRY["q_stream_stateful_tws"].fresh(spark, SF_DIR)
+    assert ops.LAST_STATEFUL_API == "applyInPandasWithState"
+    final = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events_so_far").alias("n"))
+        .collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch

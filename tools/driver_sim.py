@@ -205,6 +205,14 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
+    # DRIVER_SIM_SHARD=i/n partitions the key set (sorted order) for
+    # parallel full sweeps at big scale factors — one process per
+    # shard, disjoint and exhaustive by construction.
+    shard = os.environ.get("DRIVER_SIM_SHARD", "")
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        names = sorted(qs)
+        qs = {k: qs[k] for j, k in enumerate(names) if j % n == i}
     # DRIVER_SIM_FIRST=N replicates the driver's sampling: it checks
     # only the first N keys of queries() in registry order.
     first_n = int(os.environ.get("DRIVER_SIM_FIRST", "0"))

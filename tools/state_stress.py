@@ -138,10 +138,18 @@ def run_child(provider: str, workdir: str, timeout: int) -> dict:
             d = json.loads(line[7:])
             d["outcome"] = "completed"
             return d
-    tail = (r.stderr or "")[-2000:]
-    sig = "OutOfMemoryError" if "OutOfMemoryError" in tail else (
-        "killed" if r.returncode < 0 else f"rc={r.returncode}"
-    )
+    blob = (r.stderr or "") + (r.stdout or "")
+    sig = f"rc={r.returncode}" if r.returncode >= 0 else "killed"
+    for pat in (
+        "OutOfMemoryError",
+        "Java heap space",
+        "GC overhead limit",
+        "GCLocker",
+        "TOTAL_MEMORY_EXCEEDED",
+    ):
+        if pat in blob:
+            sig = f"OOM ({pat})"
+            break
     return {
         "provider": provider,
         "outcome": f"FAILED {sig} after {time.time()-t0:.0f}s",
