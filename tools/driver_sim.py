@@ -194,6 +194,18 @@ def main() -> int:
     print(f"entry(): {n} rows  {'OK' if n > 0 else 'FAIL'}")
 
     con = duckdb.connect()
+    # Bound the oracle engine: DuckDB defaults to ~80% of HOST RAM
+    # per process, which let a sharded big-SF sweep (six sims + six
+    # 24g Spark JVMs) drive the kernel OOM killer.  A bounded limit
+    # makes heavy oracles (recursive CTEs at sf1.0) spill to disk
+    # instead of ballooning.
+    duck_mem = os.environ.get("DRIVER_SIM_DUCK_MEM", "")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute("SET temp_directory='.tmp/duckspill'")
+    duck_threads = os.environ.get("DRIVER_SIM_DUCK_THREADS", "")
+    if duck_threads:
+        con.execute(f"SET threads TO {int(duck_threads)}")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dir (e.g. amplified sets)
@@ -213,6 +225,13 @@ def main() -> int:
         i, n = (int(x) for x in shard.split("/"))
         names = sorted(qs)
         qs = {k: qs[k] for j, k in enumerate(names) if j % n == i}
+    # DRIVER_SIM_SKIP_FILE: newline-separated exact key names to skip
+    # (resume support for interrupted big-SF sweeps).
+    skip_file = os.environ.get("DRIVER_SIM_SKIP_FILE", "")
+    if skip_file:
+        with open(skip_file) as fh:
+            done = {line.strip() for line in fh if line.strip()}
+        qs = {k: f for k, f in qs.items() if k not in done}
     # DRIVER_SIM_FIRST=N replicates the driver's sampling: it checks
     # only the first N keys of queries() in registry order.
     first_n = int(os.environ.get("DRIVER_SIM_FIRST", "0"))
