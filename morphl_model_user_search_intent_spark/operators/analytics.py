@@ -898,11 +898,11 @@ def q_orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS sy,
              CAST(SUM(CAST(l_quantity AS BIGINT)
                       * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
                   AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS BIGINT)
-                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             CAST(SUM(CAST(l_quantity AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
                   AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
@@ -932,21 +932,26 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines: identical operands + identical IEEE op order ⇒ identical
     doubles.  One map-side-combinable aggregation, no second pass —
     the textbook moment-sum trick that makes regression embarrassingly
-    parallel at 100 TB.  Headroom: Σy² of cent-scale values caps at
-    ~1e14·rows; BIGINT holds to ~1e4-row-groups × sf1e4 — promote to
-    DECIMAL(38,0) sums if a single group ever exceeds ~1e4 billion
-    rows.
+    parallel at 100 TB.  Headroom: y² of cent-scale values is ~1e14
+    per row, so a BIGINT Σy² overflows past ~1e4 rows per group — the
+    sf1.0 sweep hit exactly that (ARITHMETIC_OVERFLOW at 2M rows per
+    returnflag).  The cross-moment sums therefore accumulate in
+    128-bit exactness (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — good to
+    ~1e38, i.e. ~1e24 rows per group) and convert to DOUBLE once;
+    both engines round the same exact integer, so the hash still
+    matches.  Per-row products stay within BIGINT (y² ≤ ~1e14).
     """
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    big = "decimal(38,0)"
     s = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
         F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+        F.sum((x * y).cast(big)).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -47,23 +47,56 @@ ROCKSDB_PROVIDER = (
 
 
 def _staged_dir(sf_dir: str) -> str:
-    """The file stream source requires a DIRECTORY; stage a symlink to
-    the (read-only) fixture parquet under the repo-local scratch."""
+    """The file stream source requires a DIRECTORY; stage symlinks to
+    the (read-only) fixture parquet under the repo-local scratch.
+
+    The fixture may be a single parquet FILE (the generated testdata)
+    or a Spark-written DIRECTORY of part files (amplified staging like
+    scale10x).  A directory must be staged as flat per-FILE symlinks:
+    Spark's file listing does not recurse into non-partition
+    subdirectories, so a symlinked subdir yields zero footers and
+    UNABLE_TO_INFER_SCHEMA — the sf1.0 sweep caught exactly that in
+    the three `_staged_dir`-fed streaming keys.  Staged atomically
+    (tmp dir + rename; losers adopt the winner)."""
     import os
+    import shutil
 
     from ..sources.formats import SCRATCH
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(SCRATCH, f"stream-events-{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    src = os.path.join(sf_dir, "events.parquet")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)  # pre-round-6 subdir layout
+    tmp = f"{d}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [src]
+    for i, f in enumerate(files):
+        link = os.path.join(tmp, f"events-{i:05d}.parquet")
         try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+            os.symlink(f, link)
         except OSError:  # symlinks unavailable → copy
-            import shutil
-
-            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+            shutil.copyfile(f, link)
+    with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+        fh.write(src)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if os.path.exists(done):  # concurrent stager won
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
     return d
 
 
