@@ -613,43 +613,87 @@ def q_sim_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The subsample caps pairs at (n/10)²/2; the production path is the
     LSH/IVF-pruned variant, not all-pairs.
     """
-    def _idot(x: str, y: str):  # exact Σ qxᵢ·qyᵢ over BIGINTs
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u * v),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        )
+    import os as _os
 
-    q = F.transform(
-        "embedding", lambda x: F.round(x * 32768).cast("bigint")
-    )
+    path = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+
+    def gen(batches):
+        # Blocked numpy kernel, the q_sim_threshold treatment (round
+        # 3): the previous BroadcastNestedLoopJoin evaluated three
+        # interpreted zip_with folds PER PAIR — ~6 µs/pair, which the
+        # sf1.0 sweep turned into a multi-hour stall (5k sampled
+        # vectors → 12.5M pairs × 3 folds).  Each task loads the
+        # sampled comparison side once, quantizes exactly as the
+        # oracle (ROUND half-away-from-zero at 2^15), computes exact
+        # int64 dot blocks, and pre-aggregates per label pair — only
+        # ~|labels|² partial rows cross Arrow.
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def quant(X):  # ROUND(x * 32768) half away from zero, exact
+            Y = X * 32768.0
+            return (
+                np.where(Y < 0, -1.0, 1.0) * np.floor(np.abs(Y) + 0.5)
+            ).astype(np.int64)
+
+        t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+        ids_all = np.asarray(t["vec_id"])
+        keep = ids_all % 10 == 0
+        ids_b = ids_all[keep]
+        labs_b = np.asarray(t["label"])[keep]  # int32 labels
+        Qb = quant(
+            np.stack(t["embedding"].to_pylist())[keep].astype(np.float64)
+        )
+        nsq_b = (Qb * Qb).sum(1)  # ≤ 64·2^30 — exact int64
+        vocab = {int(s): i for i, s in enumerate(sorted(set(labs_b)))}
+        lb_idx = np.array([vocab[int(s)] for s in labs_b])
+        L = len(vocab)
+        inv = sorted(vocab, key=vocab.get)
+
+        for pdf in batches:
+            ids_a = pdf["vec_id"].to_numpy()
+            Qa = quant(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+            nsq_a = (Qa * Qa).sum(1)
+            la_idx = np.array([vocab[int(s)] for s in pdf["label"]])
+            # identical IEEE shape to the SQL: CAST(dot AS DOUBLE) /
+            # sqrt(CAST(nsqa AS DOUBLE) * CAST(nsqb AS DOUBLE))
+            dp = Qa @ Qb.T  # exact int64 blocks
+            cos = dp.astype(np.float64) / np.sqrt(
+                nsq_a.astype(np.float64)[:, None]
+                * nsq_b.astype(np.float64)[None, :]
+            )
+            mask = ids_a[:, None] < ids_b[None, :]  # each pair once
+            cell = la_idx[:, None] * L + lb_idx[None, :]
+            n = np.bincount(cell[mask], minlength=L * L)
+            sc = np.bincount(
+                cell[mask], weights=cos[mask], minlength=L * L
+            )
+            nz = np.nonzero(n)[0]
+            yield pd.DataFrame(
+                {
+                    "label_a": np.array(
+                        [inv[c // L] for c in nz], dtype="int32"
+                    ),
+                    "label_b": np.array(
+                        [inv[c % L] for c in nz], dtype="int32"
+                    ),
+                    "n": n[nz].astype("int64"),
+                    "sc": sc[nz],
+                }
+            )
+
     e = table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
-    a = e.select(
-        F.col("vec_id").alias("ida"),
-        F.col("label").alias("label_a"),
-        q.alias("va"),
+    partials = e.mapInPandas(
+        gen, "label_a int, label_b int, n bigint, sc double"
     )
-    b = e.select(
-        F.col("vec_id").alias("idb"),
-        F.col("label").alias("label_b"),
-        q.alias("vb"),
-    )
-    cos = F.col("dp").cast("double") / F.sqrt(
-        F.col("nsqa").cast("double") * F.col("nsqb").cast("double")
-    )
-    return (
-        a.join(b, F.col("ida") < F.col("idb"))
-        .withColumn("dp", _idot("va", "vb"))
-        .withColumn("nsqa", _idot("va", "va"))
-        .withColumn("nsqb", _idot("vb", "vb"))
-        .select("label_a", "label_b", cos.alias("c"))
-        .groupBy("label_a", "label_b")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.sum("c") / F.count("*"), 6).alias("mean_cos"),
-        )
+    return partials.groupBy("label_a", "label_b").agg(
+        F.sum("n").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("sc") / F.sum("n"), 6).alias("mean_cos"),
     )
 
 

@@ -31,7 +31,7 @@ from ..registry import register
 SCALE = 1_000_000_000_000  # rank mass 1.0 in integer units
 
 _PR_ITER = """
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT e.dst AS node,
              base.b + (17 * CAST(SUM(r{j}.r // deg.outdeg) AS BIGINT)) // 20
                AS r
@@ -44,18 +44,25 @@ _PR_ITER = """
 
 _PR_ORACLE = (
     """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      -- MATERIALIZED hints throughout: DuckDB inlines plain CTEs, so
+      -- the unrolled 5-iteration chain re-expanded the 25M-edge
+      -- self-join per reference — at sf1.0 the oracle spilled >60 GB
+      -- and died on disk; materialization computes each stage once.
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY 1, 2
     ),
-    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+    deg AS MATERIALIZED (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
             FROM e GROUP BY src),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
     base AS (SELECT (3 * 1000000000000) // (20 * n) AS b FROM nn),
-    r0 AS (SELECT src AS node, 1000000000000 // nn.n AS r
+    r0 AS MATERIALIZED (
+           SELECT src AS node, 1000000000000 // nn.n AS r
            FROM deg CROSS JOIN nn),"""
     + ",".join(_PR_ITER.format(k=k, j=k - 1) for k in range(1, 6))
     + """
@@ -129,8 +136,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_graph_twohop",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      -- MATERIALIZED hints throughout: DuckDB inlines plain CTEs, so
+      -- the unrolled 5-iteration chain re-expanded the 25M-edge
+      -- self-join per reference — at sf1.0 the oracle spilled >60 GB
+      -- and died on disk; materialization computes each stage once.
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -648,8 +660,13 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_graph_degree_dist",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      -- MATERIALIZED hints throughout: DuckDB inlines plain CTEs, so
+      -- the unrolled 5-iteration chain re-expanded the 25M-edge
+      -- self-join per reference — at sf1.0 the oracle spilled >60 GB
+      -- and died on disk; materialization computes each stage once.
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -729,13 +746,17 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 3
 
+# MATERIALIZED: each peel round references the previous edge set
+# THREE times (degree count + two keep joins); DuckDB inlines plain
+# CTEs, so the unrolled rounds re-expanded the base 25M-edge
+# self-join ~3^r times — the sf1.0 oracle spilled to disk death.
 _KCORE_PEEL = """
-    deg{r} AS (
+    deg{r} AS MATERIALIZED (
       SELECT src, CAST(COUNT(*) AS BIGINT) AS d
       FROM e{p} GROUP BY src
     ),
-    keep{r} AS (SELECT src FROM deg{r} WHERE d >= {k}),
-    e{r} AS (
+    keep{r} AS MATERIALIZED (SELECT src FROM deg{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
       SELECT e.src, e.dst FROM e{p} e
       JOIN keep{r} ka ON ka.src = e.src
       JOIN keep{r} kb ON kb.src = e.dst
@@ -746,8 +767,9 @@ _KCORE_PEEL = """
     "q_graph_kcore",
     oracle=(
         """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
