@@ -369,13 +369,25 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Truncated-EWMA weights alpha=0.3, K=10 terms: w_k = a(1-a)^k rounded
 # to 6 dp, plus running normalizers.  Both engines receive these as
 # the SAME decimal literals, so the weighted sums are bit-identical.
-_EWMA_W = [round(0.3 * 0.7 ** k, 6) for k in range(10)]
-_EWMA_CUM = [round(sum(_EWMA_W[: i + 1]), 6) for i in range(10)]
+# Weights as EXACT micro-units (w·1e6 integers).  Round 5 multiplied
+# float lags by float weight literals in a fixed order — ulp-identical
+# only if neither engine fuses or reassociates, and the sf1.0 sweep
+# found days whose true EWMA sits EXACTLY on a 6-dp half-way boundary,
+# where the engines' ROUND() disagree by one ulp (…548906 vs …548905).
+# The fix removes floats entirely until the last step: integer cents ×
+# integer micro-weights give an EXACT numerator (HUGEINT/DECIMAL(38,0)
+# accumulation, the q_stats_regression headroom discipline), the
+# half-up rounding to 6 dp is done in INTEGER arithmetic
+# (r = (num6·1e6 + c/2) div c — both engines produce the same bigint),
+# and the only float op left is one division of identical operands,
+# which is bit-identical by IEEE.  No ROUND() anywhere.
+_EWMA_W6 = [int(round(round(0.3 * 0.7 ** k, 6) * 1e6)) for k in range(10)]
+_EWMA_CUM100 = [100 * sum(_EWMA_W6[: i + 1]) for i in range(10)]
 _EWMA_TERMS_SQL = " + ".join(
-    f"COALESCE(LAG(rev, {k}) OVER w * {wk!r}, 0.0)"
-    for k, wk in enumerate(_EWMA_W)
+    f"COALESCE(CAST(LAG(cents, {k}) OVER w AS HUGEINT) * {w6}, 0)"
+    for k, w6 in enumerate(_EWMA_W6)
 )
-_EWMA_CUM_SQL = "[" + ", ".join(repr(c) for c in _EWMA_CUM) + "]"
+_EWMA_CUM_SQL = "[" + ", ".join(str(c) for c in _EWMA_CUM100) + "]"
 
 
 @register(
@@ -383,21 +395,22 @@ _EWMA_CUM_SQL = "[" + ", ".join(repr(c) for c in _EWMA_CUM) + "]"
     oracle=f"""
     WITH daily AS (
       SELECT o_orderdate AS day,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                  AS DOUBLE) / 100.0 AS rev
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY o_orderdate
     ),
     lagged AS (
-      SELECT day, rev,
-             {_EWMA_TERMS_SQL} AS num,
+      SELECT day, cents,
+             {_EWMA_TERMS_SQL} AS num6,
              LEAST(ROW_NUMBER() OVER w, 10) AS n_avail
       FROM daily
       WINDOW w AS (ORDER BY day)
     )
-    SELECT day, rev,
-           ROUND(num / list_extract({_EWMA_CUM_SQL},
-                                    CAST(n_avail AS INT)), 6)
-             AS ewma
+    SELECT day, CAST(cents AS DOUBLE) / 100.0 AS rev,
+           CAST((num6 * 1000000
+                 + list_extract({_EWMA_CUM_SQL},
+                                CAST(n_avail AS INT)) // 2)
+                // list_extract({_EWMA_CUM_SQL}, CAST(n_avail AS INT))
+                AS DOUBLE) / 1000000.0 AS ewma
     FROM lagged
     """,
 )
@@ -422,32 +435,50 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        (
-            F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
-            ).cast("double")
-            / 100.0
-        ).alias("rev")
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
     )
     w = W.orderBy("day")
+    big = "decimal(38,0)"
     terms = [
-        F.coalesce(F.lag("rev", k).over(w) * F.lit(wk), F.lit(0.0))
-        for k, wk in enumerate(_EWMA_W)
+        F.coalesce(
+            (F.lag("cents", k).over(w) * F.lit(w6)).cast(big),
+            F.lit(0).cast(big),
+        )
+        for k, w6 in enumerate(_EWMA_W6)
     ]
-    num = functools.reduce(operator.add, terms)
+    num6 = functools.reduce(operator.add, terms)
     n_avail = F.least(F.row_number().over(w), F.lit(10))
     lagged = daily.select(
-        "day", "rev", num.alias("num"), n_avail.alias("n_avail")
+        "day", "cents", num6.alias("num6"), n_avail.alias("n_avail")
     )
-    cum = F.array(*[F.lit(c) for c in _EWMA_CUM])
-    return lagged.select(
+    cum = F.array(*[F.lit(c) for c in _EWMA_CUM100])
+    # integer half-up at 6 dp: whole part via exact decimal division
+    # of the remainder-stripped numerator (an exact multiple of c, so
+    # the division is exact at any scale), fractional micro-part via
+    # bigint ops (rem < c ≤ 1e8, so rem·1e6 fits bigint), no carry
+    # special-case needed (a full carry just lands in the next whole)
+    c_dec = F.col("c_b").cast("decimal(20,0)")
+    step = (
+        lagged.withColumn(
+            "c_b", F.element_at(cum, F.col("n_avail").cast("int"))
+        )
+        .withColumn("rem", F.pmod(F.col("num6"), c_dec))
+        .withColumn(
+            "whole",
+            ((F.col("num6") - F.col("rem")) / c_dec).cast("bigint"),
+        )
+        .withColumn(
+            "micro",
+            F.expr("(CAST(rem AS BIGINT) * 1000000 + c_b DIV 2) DIV c_b"),
+        )
+    )
+    r = F.col("whole") * F.lit(1000000) + F.col("micro")
+    return step.select(
         "day",
-        "rev",
-        F.round(
-            F.col("num")
-            / F.element_at(cum, F.col("n_avail").cast("int")),
-            6,
-        ).alias("ewma"),
+        (F.col("cents").cast("double") / 100.0).alias("rev"),
+        (r.cast("double") / F.lit(1000000.0)).alias("ewma"),
     )
 
 
