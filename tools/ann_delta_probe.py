@@ -5,11 +5,15 @@ before any rebuild by brute-force-scanning the unindexed delta beside
 the routed index.  That is the right trade at small delta — and
 degrades toward brute force as the delta grows, which is exactly what
 q_sim_index_compact's fold-and-swap resets.  This probe MEASURES that
-curve: exhaustive-correctness serve (nprobe=k) over a fixed indexed
-corpus with delta sets of 0/10/25/50/100% of corpus size (appended
-copies with shifted vec_ids), then the post-compaction point — the
-SAME 100%-grown corpus after the delta is folded into the snapshot —
-to show serve returning to the pure-index cost at equal data size.
+curve on the PRUNED production probe (nprobe=4 of 16 — the routed
+serve whose whole point is reading a fraction of the corpus): a fixed
+indexed corpus with delta sets of 0/10/25/50/100% of corpus size
+(appended copies with shifted vec_ids), then the post-compaction
+point — the SAME 100%-grown corpus after the delta is folded into the
+snapshot — showing serve returning to routed-scan cost at equal data
+size.  The delta is scanned brute-force by EVERY query regardless of
+nprobe, which is exactly the degradation compaction resets; the
+exhaustive probe would hide it behind a full-corpus scan.
 
 Timing: noop-sink drain, fresh plan per run, best-of-3 (this host
 shows ~3x disk dips; see SCALING.md's methodology note).  Run on an
@@ -47,6 +51,7 @@ from morphl_model_user_search_intent_spark.sources.formats import (  # noqa: E40
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 FRACTIONS = (0.0, 0.1, 0.25, 0.5, 1.0)
+NPROBE = 4  # pruned production probe; _K_LISTS = 16
 
 
 def _drain(df) -> None:
@@ -70,12 +75,13 @@ def main() -> None:
     idx = build_index(spark, SF_DIR)
 
     rows = []
-    delta_root = os.path.join(SCRATCH, "delta-probe")
+    tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    delta_root = os.path.join(SCRATCH, f"delta-probe-{tag}")
     for frac in FRACTIONS:
         if frac == 0.0:
             rows.append(
                 ("0%", 0, _best3(
-                    lambda: serve_topk(spark, idx, _K_LISTS, 5)
+                    lambda: serve_topk(spark, idx, NPROBE, 5)
                 ))
             )
             continue
@@ -98,7 +104,7 @@ def main() -> None:
                 n_delta,
                 _best3(
                     lambda: serve_topk(
-                        spark, idx, _K_LISTS, 5,
+                        spark, idx, NPROBE, 5,
                         delta=spark.read.parquet(d),
                     )
                 ),
@@ -108,7 +114,7 @@ def main() -> None:
     # post-compaction point: the SAME fully-grown corpus (index half +
     # 100% delta) folded into one snapshot — serve cost returns to the
     # pure-index shape at equal data size.
-    store = os.path.join(SCRATCH, "delta-probe-store")
+    store = os.path.join(SCRATCH, f"delta-probe-store-{tag}")
     shutil.rmtree(store, ignore_errors=True)
     os.makedirs(os.path.join(store, "snapshots"), exist_ok=True)
     from morphl_model_user_search_intent_spark.llm import index as ix
@@ -128,11 +134,11 @@ def main() -> None:
         store,
     )
     pre = _best3(
-        lambda: serve_from_store(spark, store, _K_LISTS, 5)
+        lambda: serve_from_store(spark, store, NPROBE, 5)
     )
     compact_index(spark, store)
     post = _best3(
-        lambda: serve_from_store(spark, store, _K_LISTS, 5)
+        lambda: serve_from_store(spark, store, NPROBE, 5)
     )
 
     lines = [
@@ -140,8 +146,8 @@ def main() -> None:
         "",
         f"Generated by `python tools/ann_delta_probe.py {SF_DIR}` "
         f"(indexed corpus {n_corpus:,} vectors; delta = appended "
-        "copies with shifted ids; exhaustive-correctness probe "
-        "nprobe=k; noop drain, fresh plans, best-of-3).  The delta is "
+        "copies with shifted ids; PRUNED production probe nprobe="
+        f"{NPROBE}/16; noop drain, fresh plans, best-of-3).  The delta is "
         "scanned brute-force by EVERY query — the curve below is the "
         "degradation q_sim_index_compact's fold-and-swap resets: the "
         "last two rows hold data size CONSTANT (corpus + 100% delta) "

@@ -236,8 +236,11 @@ def main() -> None:
         "above is computed by exceptAll in both directions), while "
         "the chunking caps the serial span.  Production guard "
         "remains: detect key skew in profiling (q_profile_skew) "
-        "BEFORE running per-key windows, and bound chunk grain "
-        "(day → hour) if a single day still overwhelms.",
+        "BEFORE running per-key windows — or let q_sessionize_auto "
+        "(round 6) do it: it samples the key distribution and "
+        "dispatches monolithic vs chunked automatically, logging "
+        "the choice via observe().  Bound chunk grain (day → hour) "
+        "if a single day still overwhelms.",
         "",
     ]
     with open(os.path.join(REPO, "SKEW.md"), "w") as f:
