@@ -86,6 +86,14 @@ HEADLINE = [
     "q_sessionize_chunked",
     "q_sim_index_serve",
     "q_sim_ivfpq",
+    # Round-6 additions: the auto-skew dispatcher (its sampled
+    # profile pass is PART of the timed cost — the dispatch overhead
+    # must stay a constant fraction as data grows) and the committed
+    # ACID table read-back (a manifest-pinned parquet scan — the
+    # proof that the table layer adds no read-path overhead; its
+    # one-time create+merge staging is excluded by the _READY note).
+    "q_sessionize_auto",
+    "q_table_merge",
 ]
 
 # Per-table key-offset recipe: which columns shift by replica*stride so
