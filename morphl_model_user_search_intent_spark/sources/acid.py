@@ -225,6 +225,27 @@ def merge_table(
     raise CommitConflict(f"merge lost {max_retries} races in {root}")
 
 
+def append_table(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Append-commit: write new data files, publish a manifest holding
+    (old ∪ new).  Appends COMMUTE, so a :class:`CommitConflict` (a
+    concurrent writer won the version) is resolved by simply re-reading
+    the new latest manifest and retrying — no replay of the data write,
+    the already-written files are version-agnostic until referenced.
+    This is the streaming-ingest commit type: one append per
+    micro-batch gives exactly-once table growth with a version per
+    batch (see streaming/ops.py:q_stream_table_ingest)."""
+    files = _write_files(df, root)
+    for _ in range(20):
+        m = read_manifest(root)
+        try:
+            return commit(
+                root, m["files"] + files, "append", m["version"]
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost 20 races in {root}")
+
+
 def vacuum(root: str, keep_last: int = 2) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
     older ones and every data file only they referenced.  This is the

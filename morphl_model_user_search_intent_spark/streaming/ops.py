@@ -1320,3 +1320,94 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(pairs_dir).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+#: Table root used by the last q_stream_table_ingest run (test hook:
+#: the pytest asserts one committed version per micro-batch and
+#: snapshot-stable historical reads).
+LAST_INGEST_ROOT: str | None = None
+
+
+@register(
+    "q_stream_table_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_units
+    FROM events
+    """,
+)
+def q_stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the ACID table layer: each micro-batch
+    COMMITS one append version through the manifest protocol
+    (sources/acid.py) — the streaming-lakehouse write path (Delta's
+    streaming sink shape) built on this repo's own commit primitive.
+
+    Topology: the 4-file time-bucketed stage drained with
+    ``maxFilesPerTrigger=1`` → foreachBatch calls
+    :func:`..sources.acid.append_table`, so the table history gains
+    one version per micro-batch (v1 = empty create, v2..v5 = the four
+    batches) and every historical version remains a stable snapshot.
+
+    ORACLE-CHECKED end-to-end: the final table read must equal the
+    whole events table row-for-row no matter how the stream sliced
+    the appends — a lost, duplicated, or double-committed batch
+    cannot hash-match.  The pytest twin additionally asserts ≥4
+    committed versions, per-version monotone growth, and that
+    version k's snapshot re-reads identically after later commits.
+
+    Scale: appends commute (conflict = re-read + retry, no data
+    rewrite), so N concurrent writers/streams interleave safely; each
+    micro-batch writes only its own files and the manifest grows by
+    reference — exactly how a 100 TB/day stream lands in a lake table.
+    """
+    import os
+    import shutil
+
+    from ..sources.acid import append_table, create_table, read_table
+    from ..sources.formats import SCRATCH
+
+    global LAST_INGEST_ROOT
+
+    configure(spark)
+    src = _staged_time_buckets(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(SCRATCH, f"stream-acid-{tag}-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    LAST_INGEST_ROOT = root
+
+    cols = [
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_units"),
+    ]
+    # v1: the empty table (schema from a zero-row slice)
+    create_table(
+        spark,
+        root,
+        spark.read.parquet(src).select(*cols).limit(0),
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_table(spark, root, batch_df.select(*cols))
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return read_table(spark, root)

@@ -220,3 +220,85 @@ def test_time_travel_and_vacuum_retention(spark, tmp_path):
     assert _rowset(read_table(spark, root, 2)) == v2
     n3 = read_table(spark, root, 3).count()
     assert 0 < n3 < len(v2)
+
+
+def test_random_commit_sequences_match_a_dict_model(spark, tmp_path):
+    """Model-based check: a random sequence of APPEND / MERGE
+    (update+insert+delete) commits against the table must equal a
+    plain Python dict applying the same operations — and EVERY
+    retained historical version must re-read as the model's state at
+    that version.  Seeded (deterministic); complements the
+    oracle-checked single-merge exhibit with sequence coverage."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        list_versions,
+        merge_table,
+        read_table,
+    )
+
+    rng = random.Random(20260815)
+    root = str(tmp_path / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_orderpriority string, price double"
+        )
+
+    model: dict[int, tuple[str, float]] = {
+        k: (f"P{k % 5}", float(k * 10)) for k in range(0, 400, 2)
+    }
+    create_table(
+        spark, root, df_of([(k, p, v) for k, (p, v) in model.items()])
+    )
+    history = {1: dict(model)}
+
+    next_key = 1000
+    for _ in range(6):
+        op = rng.choice(["append", "merge"])
+        if op == "append":
+            rows = [
+                (next_key + i, "NEW", float(next_key + i))
+                for i in range(rng.randint(1, 30))
+            ]
+            next_key += 100
+            v = append_table(spark, root, df_of(rows))
+            for k, p, val in rows:
+                model[k] = (p, val)
+        else:
+            keys = sorted(model)
+            upd = rng.sample(keys, min(20, len(keys)))
+            dele = rng.sample(
+                [k for k in keys if k not in upd], min(10, len(keys) - len(upd))
+            )
+            ins = [(next_key + i, "INS", 1.0) for i in range(5)]
+            next_key += 100
+            src_rows = (
+                [(k, "UPD", model[k][1] + 1.0, False) for k in upd]
+                + [(k, model[k][0], model[k][1], True) for k in dele]
+                + [(k, p, v, False) for k, p, v in ins]
+            )
+            src = spark.createDataFrame(
+                src_rows,
+                "o_orderkey bigint, o_orderpriority string, "
+                "price double, _delete boolean",
+            )
+            v = merge_table(spark, root, src, "o_orderkey")
+            for k in upd:
+                model[k] = ("UPD", model[k][1] + 1.0)
+            for k in dele:
+                del model[k]
+            for k, p, val in ins:
+                model[k] = (p, val)
+        history[v] = dict(model)
+
+    # final state and EVERY retained version match the model's history
+    for v in list_versions(root):
+        got = {
+            r.o_orderkey: (r.o_orderpriority, r.price)
+            for r in read_table(spark, root, v).collect()
+        }
+        assert got == history[v], f"version {v} diverged"

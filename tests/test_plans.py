@@ -311,3 +311,34 @@ def test_shuffle_hash_hint_respected(spark):
     plan = explain_str(_df(spark, "q_join_shuffle_hash"), "simple")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_table_merge_read_is_pure_pinned_scan(spark):
+    """The committed ACID table read must be ONE vectorized parquet
+    scan of manifest-pinned files — no join, no exchange, no Python:
+    the table layer adds zero read-path overhead."""
+    plan = explain_str(_df(spark, "q_table_merge"), "simple")
+    assert plan.count("Scan parquet") == 1
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    # and the scan reads the acid data files, not the source table
+    assert "acidtable-" in explain_str(_df(spark, "q_table_merge"))
+
+
+def test_sessionize_auto_carries_observe_metrics(spark):
+    """The dispatcher's choice must be observable: the plan carries
+    the named CollectMetrics node (observe()) so a listener sees the
+    sampled hot-key share and the plan taken on every run."""
+    plan = explain_str(_df(spark, "q_sessionize_auto"))
+    assert "CollectMetrics" in plan
+    assert "sessionize_dispatch_" in plan
+    assert "max_key_share_sampled" in plan
+
+
+def test_index_compact_serve_scans_snapshot_not_source(spark):
+    """Post-compaction serve reads ONLY the compacted snapshot's
+    lists (annindex-store snapshots dir) — never the embeddings
+    source table and never a delta path."""
+    plan = explain_str(_df(spark, "q_sim_index_compact"))
+    assert "annindex-store-" in plan and "snapshots" in plan
+    assert "embeddings.parquet" not in plan

@@ -633,3 +633,37 @@ def test_tws_runtime_failure_falls_back_and_stays_honest(
         .collect()
     }
     assert final == batch
+
+
+def test_table_ingest_commits_one_version_per_batch(spark):
+    """q_stream_table_ingest: the streaming lakehouse write path.
+    Beyond the driver's oracle (final table ≡ events), the HISTORY
+    must be right: one committed version per micro-batch on top of
+    the empty create, per-version row counts strictly growing, and an
+    early version re-reading IDENTICALLY after later commits landed
+    (streaming appends never mutate a published snapshot)."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        list_versions,
+        read_manifest,
+        read_table,
+    )
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    out = REGISTRY["q_stream_table_ingest"].fn(spark, SF_DIR)
+    root = ops.LAST_INGEST_ROOT
+    versions = list_versions(root)
+    assert versions[0] == 1 and len(versions) >= 5  # create + ≥4 batches
+    assert read_manifest(root, 1)["op"] == "create"
+    assert all(
+        read_manifest(root, v)["op"] == "append" for v in versions[1:]
+    )
+    counts = [read_table(spark, root, v).count() for v in versions]
+    assert counts[0] == 0
+    assert all(a < b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] == out.count()
+    # snapshot stability: version 2 (first batch) unchanged by later
+    # commits — same rows now as the manifest's files held at commit
+    v2_rows = {r.event_id for r in read_table(spark, root, 2).collect()}
+    assert len(v2_rows) == counts[1]
+    all_rows = {r.event_id for r in out.collect()}
+    assert v2_rows < all_rows
