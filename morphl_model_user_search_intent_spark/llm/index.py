@@ -889,3 +889,41 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = init_snapshot_store(spark, sf_dir)
     compact_index(spark, root)
     return serve_from_store(spark, root, nprobe=_K_LISTS, top_k=_TOP_K)
+
+
+def delta_fraction(root: str) -> float:
+    """Unindexed share of the store: delta rows / total rows, from
+    parquet FOOTER metadata only (no Spark job — the same
+    metadata-scale planning read the fingerprint check uses)."""
+    import pyarrow.parquet as pq
+
+    def _rows(paths) -> int:
+        return sum(pq.read_metadata(p).num_rows for p in paths)
+
+    snap = current_snapshot(root)
+    lists_dir = os.path.join(snap, "lists")
+    snap_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lists_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    n_delta = _rows(_delta_files(root))
+    n_index = _rows(snap_files)
+    total = n_index + n_delta
+    return (n_delta / total) if total else 0.0
+
+
+def maybe_compact(
+    spark: SparkSession, root: str, threshold: float = 0.2
+) -> str | None:
+    """The compaction POLICY: fold the delta when its share of the
+    serving corpus exceeds ``threshold`` (every query brute-force
+    scans the whole delta, so its share is also its marginal serve
+    cost — SCALING.md's serve-vs-delta table is the measured curve
+    this threshold walks).  Returns the new snapshot path when a
+    compaction ran, None when the store is within budget — the
+    idempotent check a scheduler calls after every ingest cycle."""
+    if delta_fraction(root) <= threshold:
+        return None
+    return compact_index(spark, root)

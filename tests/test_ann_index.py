@@ -362,3 +362,38 @@ def test_compaction_protocol_before_during_after(spark, tmp_path):
         os.path.join(current_snapshot(root), "lists")
     )
     assert n3.filter(F.col("vec_id") == 10_000_000).count() == 1
+
+
+def test_maybe_compact_policy_thresholds(spark, tmp_path):
+    """The compaction policy: below threshold it is a no-op (same
+    CURRENT, delta untouched); above it, it folds and the delta
+    share returns to zero — and serve stays exact through both."""
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _K_LISTS,
+        current_snapshot,
+        delta_fraction,
+        init_snapshot_store,
+        maybe_compact,
+        serve_from_store,
+    )
+
+    root = init_snapshot_store(spark, SF_DIR, root=str(tmp_path / "st"))
+    exact = _serve_rows(REGISTRY["q_sim_knn"].fn(spark, SF_DIR))
+    frac = delta_fraction(root)
+    assert 0.45 < frac < 0.55  # odd half unindexed by construction
+
+    # generous threshold → no-op
+    before = current_snapshot(root)
+    assert maybe_compact(spark, root, threshold=0.9) is None
+    assert current_snapshot(root) == before
+    assert delta_fraction(root) == frac
+
+    # realistic threshold → fold
+    new = maybe_compact(spark, root, threshold=0.2)
+    assert new is not None and current_snapshot(root) == new
+    assert delta_fraction(root) == 0.0
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+    # idempotent: nothing left to fold
+    assert maybe_compact(spark, root, threshold=0.2) is None
