@@ -302,3 +302,89 @@ def test_random_commit_sequences_match_a_dict_model(spark, tmp_path):
             for r in read_table(spark, root, v).collect()
         }
         assert got == history[v], f"version {v} diverged"
+
+
+def test_concurrent_multiprocess_appenders_land_exactly_once(
+    spark, tmp_path
+):
+    """Optimistic concurrency under a REAL multi-process race: four
+    OS processes each append 5 versions concurrently (pyarrow writers
+    — the commit protocol is engine-agnostic), racing os.link for
+    every version number.  Afterwards: exactly 1 + 20 versions, a
+    contiguous version chain (every parent = version - 1), and the
+    final table holds every writer's rows exactly once."""
+    import subprocess
+    import textwrap
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        list_versions,
+        read_manifest,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(-1, "BASE", 0.0)],
+            "o_orderkey bigint, o_orderpriority string, price double",
+        ),
+    )
+
+    writer = textwrap.dedent(
+        """
+        import json, os, sys, time, uuid
+        sys.path.insert(0, "/root/repo")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from morphl_model_user_search_intent_spark.sources.acid import (
+            CommitConflict, commit, read_manifest)
+        root, wid = sys.argv[1], int(sys.argv[2])
+        for j in range(5):
+            keys = [10_000 * wid + 10 * j + i for i in range(3)]
+            t = pa.table({
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_orderpriority": pa.array(
+                    [f"W{wid}"] * 3, pa.string()),
+                "price": pa.array([float(k) for k in keys],
+                                  pa.float64()),
+            })
+            f = os.path.join(root, "data", uuid.uuid4().hex + ".parquet")
+            pq.write_table(t, f)
+            while True:  # commit-retry: appends commute
+                m = read_manifest(root)
+                try:
+                    commit(root, m["files"] + [f], f"append-w{wid}",
+                           m["version"])
+                    break
+                except CommitConflict:
+                    time.sleep(0.005)
+        print("done", wid)
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", writer, root, str(w)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(4)
+    ]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    versions = list_versions(root)
+    assert versions == list(range(1, 22))  # create + 4×5 appends
+    for v in versions[1:]:
+        assert read_manifest(root, v)["parent"] == v - 1
+    rows = read_table(spark, root).collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)) == 1 + 4 * 5 * 3
+    by_writer = {
+        w: sorted(k for k in keys if 10_000 * w <= k < 10_000 * (w + 1))
+        for w in range(1, 4)
+    }
+    by_writer[0] = sorted(k for k in keys if 0 <= k < 10_000)
+    for w, ks in by_writer.items():
+        assert len(ks) == 15, f"writer {w} lost rows: {ks}"
