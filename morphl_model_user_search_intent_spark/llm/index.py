@@ -50,6 +50,7 @@ from ..io import table
 from ..registry import register
 
 INDEX_VERSION = 1
+_STORE_PROTOCOL = 2  # snapshot-store on-disk protocol (see init_snapshot_store)
 _K_LISTS = 16  # coarse quantizer lists (IVF k)
 
 # PQ geometry — 16 subspaces x 4 dims, 16 centroids each: finer
@@ -686,25 +687,26 @@ def _swap_current(root: str, snap_name: str) -> None:
     os.rename(tmp, os.path.join(root, "CURRENT"))
 
 
-def _folded_manifests(root: str) -> list[str]:
-    return sorted(
-        os.path.join(root, f)
-        for f in os.listdir(root)
-        if f.startswith("folded-") and f.endswith(".txt")
-    )
-
-
 def _folded_set(root: str) -> set[str]:
-    """Delta files already folded into some snapshot: logically
-    retired (excluded from every serve/compact listing) but kept ON
-    DISK for one grace cycle, so a reader that pinned its plan before
-    the pointer swap can still execute it — exactly the snapshot
-    grace rule, applied to the delta side."""
-    out: set[str] = set()
-    for m in _folded_manifests(root):
-        with open(m) as fh:
-            out.update(line.strip() for line in fh if line.strip())
-    return out
+    """Delta files already folded into the CURRENT snapshot's lists:
+    logically retired (excluded from every serve/compact listing) but
+    kept ON DISK for one grace cycle, so a reader that pinned its
+    plan before the pointer swap can still execute it — exactly the
+    snapshot grace rule, applied to the delta side.
+
+    The fold list lives INSIDE the snapshot dir (``folded.txt``,
+    written before the CURRENT swap) and is resolved through the
+    snapshot CURRENT points to, so the pointer swap is the SINGLE
+    publication point: a reader racing the compactor sees either
+    (old snapshot, folds still in delta) or (new snapshot, folds
+    excluded) — never the folded vectors twice — and a crash at any
+    intermediate step leaves the old state fully consistent."""
+    try:
+        snap = current_snapshot(root)
+        with open(os.path.join(snap, "folded.txt")) as fh:
+            return {line.strip() for line in fh if line.strip()}
+    except OSError:
+        return set()
 
 
 def _delta_files(root: str) -> list[str]:
@@ -740,7 +742,11 @@ def init_snapshot_store(
     production store in, ready for compaction."""
     root = root or snapshot_store_root(sf_dir)
     ready = os.path.join(root, "_READY")
-    note = f"v{INDEX_VERSION}-store {_corpus_fingerprint(sf_dir)}"
+    # _STORE_PROTOCOL bumps when the store's on-disk protocol changes
+    # (2: fold lists moved from root-level manifests into the
+    # snapshot's folded.txt so the CURRENT swap is the single
+    # publication point) — forces a rebuild of stale-layout stores.
+    note = f"v{INDEX_VERSION}.{_STORE_PROTOCOL}-store {_corpus_fingerprint(sf_dir)}"
     try:
         if open(ready).read().strip() == note:
             return root
@@ -784,8 +790,9 @@ def compact_index(
 ) -> str:
     """Fold the delta store into a NEW snapshot and swap CURRENT.
 
-    Steps (each crash-safe: the pointer swap is the only publication
-    point, and everything before it writes into unpublished paths):
+    Steps (the pointer swap is the SINGLE publication point —
+    everything before it writes into unpublished paths, everything
+    after it is garbage collection of already-retired state):
 
     1. LIST the delta files to fold (pinned now — appends that land
        during the compaction are untouched and simply remain in the
@@ -794,21 +801,28 @@ def compact_index(
        with the EXISTING codebooks (one distributed pass over the
        delta only — no retraining, q_sim_index_rebuild's machinery);
     3. stage old-lists ∪ encoded-delta as the next snap-NNNNNN
-       (atomic rename via _stage_index);
-    4. atomically swap CURRENT to it;
-    5. retire exactly the folded delta files LOGICALLY (a
-       ``folded-<snap>.txt`` manifest excludes them from every later
-       listing) while leaving the bytes in place for one grace cycle
-       — a reader that pinned index+delta paths pre-swap can still
-       execute its plan;
-    6. garbage-collect the PREVIOUS cycle's retirements: snapshots
-       older than the grace copy, and delta files folded by earlier
-       manifests.
+       (atomic rename via _stage_index), then write the fold list
+       INTO the staged snapshot dir (``folded.txt``) — still
+       unpublished, since readers only reach snapshots through
+       CURRENT.  The list carries forward any not-yet-GC'd folds
+       from the previous cycle so a crash between a past swap and
+       its GC can never resurrect a folded file into the delta;
+    4. atomically swap CURRENT to it — the publication point: the
+       new snapshot and its fold-exclusions become visible together;
+    5. garbage-collect the PREVIOUS cycle's retirements (their grace
+       cycle ends at this swap): delta files folded by the previous
+       snapshot, and snapshots older than the grace copy.
+
+    Crash anywhere before step 4 leaves CURRENT on the old snapshot
+    with the delta fully live (the orphan staged dir is reclaimed by
+    the next compaction); crash after step 4 leaves stale-but-
+    excluded delta bytes that the next cycle GCs.
 
     No-op (returns the current snapshot) when the delta is empty.
     ``folds`` lets tests pin the fold set to prove step-1 isolation.
     """
     cur = current_snapshot(root)
+    prev_folded = _folded_set(root)
     folds = _delta_files(root) if folds is None else folds
     if not folds:
         return cur
@@ -829,30 +843,34 @@ def compact_index(
     snap_name = f"snap-{seq:06d}"
     with open(os.path.join(cur, "_STAGED")) as fh:
         base_note = fh.read().strip()
+    target = os.path.join(root, "snapshots", snap_name)
+    # reclaim a crash-orphaned staged dir from a previous attempt
+    # (CURRENT cannot point at `target`: its seq is past CURRENT's)
+    shutil.rmtree(target, ignore_errors=True)
     new_snap = _stage_index(
         spark,
-        os.path.join(root, "snapshots", snap_name),
+        target,
         new_lists,
         cent_rows,
         books,
         f"{base_note} compacted={seq}",
     )
+    # stage the fold list inside the snapshot (pre-publish); carry
+    # forward previous-cycle folds still on disk so a crash between
+    # the upcoming swap and GC can't resurrect them next cycle
+    carried = [p for p in sorted(prev_folded) if os.path.exists(p)]
+    with open(os.path.join(new_snap, "folded.txt"), "w") as fh:
+        fh.write("\n".join(list(folds) + carried))
     _swap_current(root, snap_name)
-    # gc the PREVIOUS cycle's logically-retired delta files, then
-    # logically retire this cycle's folds (manifest write is the
-    # publication point; the bytes stay for one grace cycle)
-    for m in _folded_manifests(root):
-        with open(m) as fh:
-            for line in fh:
-                try:
-                    os.remove(line.strip())
-                except OSError:
-                    pass
-        os.remove(m)
-    with open(os.path.join(root, f"folded-{snap_name}.txt"), "w") as fh:
-        fh.write("\n".join(folds))
-    # retire everything older than the grace copy (the snapshot that
-    # was CURRENT until this swap)
+    # gc the PREVIOUS cycle's logically-retired delta files (their
+    # grace cycle ended at the swap) ...
+    for p in prev_folded:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    # ... and everything older than the grace copy (the snapshot
+    # that was CURRENT until this swap)
     snaps = sorted(os.listdir(os.path.join(root, "snapshots")))
     for s in snaps[:-2]:
         shutil.rmtree(

