@@ -27,6 +27,15 @@ the driver's comparison against BASELINE.md is like-for-like.
 Best-of-2 damps single-run scheduler/GC noise (observed ±20% on
 sub-second queries at local[32]) without hiding real regressions — a
 plan that got slower is slower on both runs.
+
+Round-7 drift bookkeeping (the r5→r6 +11.6% ambient-drift question):
+alongside the best-of-2 per-query numbers, the JSON now carries
+``value_bo3`` / ``queries_bo3`` — the same queries re-ranked
+best-of-3 (one extra sample each) — plus ``samples`` with every raw
+timing.  A real plan regression moves best-of-2 and best-of-3
+together; host-disk drift shows as a spread between them and across
+the raw samples, so next round's comparison is answerable from the
+artifact alone.
 """
 
 from __future__ import annotations
@@ -71,16 +80,23 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     names += sorted(set(os.environ.get("BENCH_EXTRA", "").split(",")) & set(REGISTRY) - set(names))
     per_query: dict[str, float] = {}
+    per_query_bo3: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     cached: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
         spec.fresh(spark, SF_DIR).collect()  # warm: listing + JIT
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fresh(spark, SF_DIR).collect()  # full build + execute
             samples.append(time.perf_counter() - t0)
-        per_query[name] = round(min(samples), 4)
+        # headline `value` stays best-of-2 of the FIRST two samples —
+        # method-identical to every earlier round and to BASELINE.md;
+        # best-of-3 is the drift-bookkeeping companion
+        per_query[name] = round(min(samples[:2]), 4)
+        per_query_bo3[name] = round(min(samples), 4)
+        raw[name] = [round(s, 4) for s in samples]
         # plan-cache path: same engine call a library user makes twice
         spec.fn(spark, SF_DIR).collect()
         samples = []
@@ -97,6 +113,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "value_bo3": round(sum(per_query_bo3.values()), 4),
+                "queries_bo3": per_query_bo3,
+                "samples": raw,
                 "cached_value": round(sum(cached.values()), 4),
                 "cached_queries": cached,
                 "sf": _sf_from_dir(SF_DIR),

@@ -18,8 +18,16 @@ and reports where the state actually lived:
   dies with OOM/GC-thrash (reported — the failure mode the switch
   prevents).  A timeout is treated as the GC-thrash outcome.
 
+Round-7 extension (verdict item 7): pass SEVERAL key counts to get a
+LINEARITY CURVE — RocksDB runs at every N under the same heap, the
+in-memory default only at the largest (the contrast row) — and each
+RocksDB run now reports per-batch changelog bytes (changelog
+checkpointing writes one `.changelog` per committed version; its
+growth per batch is the incremental-checkpoint cost a 100 TB/day
+stream pays).
+
 Run STANDALONE on an idle host (the heap cap is per-JVM):
-    python tools/state_stress.py [heap] [n_keys]
+    python tools/state_stress.py [heap] [n_keys ...]
     (defaults: 2g 4000000)
 Appends/updates the "## Streaming state at scale" section of SPILL.md
 and prints one JSON line.
@@ -38,8 +46,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 HEAP = sys.argv[1] if len(sys.argv) > 1 else "2g"
-N_KEYS = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
-ROWS_PER_BATCH = N_KEYS  # every micro-batch touches every key once
+N_KEYS_LIST = [int(a) for a in sys.argv[2:]] or [4_000_000]
+N_KEYS = N_KEYS_LIST[-1]  # largest: the contrast row's N
 N_BATCHES = 3
 
 _CHILD = r"""
@@ -92,14 +100,32 @@ q = (
 )
 q.processAllAvailable()
 prog = q.lastProgress
+recent = [
+    {
+        "batch": p["batchId"],
+        "rows_updated": (p.get("stateOperators") or [{}])[0].get(
+            "numRowsUpdated"
+        ),
+    }
+    for p in (q.recentProgress or [])
+    if p.get("numInputRows")
+]
 q.stop(); q.awaitTermination(60)
 dt = time.perf_counter() - t0
 op = (prog or {}).get("stateOperators", [{}])[0]
 cm = op.get("customMetrics", {})
 state_disk = 0
+changelog_by_version = {}
+snapshot_zip_bytes = 0
 for root, _, files in os.walk(os.path.join(ckpt, "state")):
     for f in files:
-        state_disk += os.path.getsize(os.path.join(root, f))
+        sz = os.path.getsize(os.path.join(root, f))
+        state_disk += sz
+        if f.endswith(".changelog"):
+            v = int(f.split(".")[0])
+            changelog_by_version[v] = changelog_by_version.get(v, 0) + sz
+        elif f.endswith(".zip"):
+            snapshot_zip_bytes += sz
 heap_used = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
 heap = heap_used.totalMemory() - heap_used.freeMemory()
 print("RESULT " + json.dumps({
@@ -111,18 +137,23 @@ print("RESULT " + json.dumps({
     "rocksdb_mem_bytes": cm.get("rocksdbTotalMemoryUsage"),
     "ckpt_state_disk_bytes": state_disk,
     "jvm_heap_used_bytes": int(heap),
+    "changelog_by_version": changelog_by_version,
+    "snapshot_zip_bytes": snapshot_zip_bytes,
+    "batches": recent,
 }))
 spark.stop()
 """ % {"n_batches": N_BATCHES}
 
 
-def run_child(provider: str, workdir: str, timeout: int) -> dict:
+def run_child(
+    provider: str, workdir: str, timeout: int, n_keys: int = N_KEYS
+) -> dict:
     t0 = time.time()
     try:
         r = subprocess.run(
             [
                 sys.executable, "-c", _CHILD,
-                str(N_KEYS), provider, workdir, HEAP,
+                str(n_keys), provider, workdir, HEAP,
             ],
             capture_output=True,
             text=True,
@@ -161,42 +192,86 @@ def _fmt_mb(b) -> str:
 
 
 def main() -> None:
-    workdir = os.path.join(REPO, ".scratch", "state-stress")
-    for d in ("ckpt-RocksDBStateStoreProvider",
-              "ckpt-HDFSBackedStateStoreProvider"):
-        shutil.rmtree(os.path.join(workdir, d), ignore_errors=True)
-    os.makedirs(workdir, exist_ok=True)
+    runs = []  # (n_keys, result) — RocksDB at every N
+    for n in N_KEYS_LIST:
+        workdir = os.path.join(REPO, ".scratch", f"state-stress-{n}")
+        shutil.rmtree(
+            os.path.join(workdir, "ckpt-RocksDBStateStoreProvider"),
+            ignore_errors=True,
+        )
+        os.makedirs(workdir, exist_ok=True)
+        runs.append(
+            (
+                n,
+                run_child(
+                    "RocksDBStateStoreProvider",
+                    workdir,
+                    timeout=3600,
+                    n_keys=n,
+                ),
+            )
+        )
+    # the in-memory default only at the LARGEST N (the contrast row)
+    workdir = os.path.join(REPO, ".scratch", f"state-stress-{N_KEYS}")
+    shutil.rmtree(
+        os.path.join(workdir, "ckpt-HDFSBackedStateStoreProvider"),
+        ignore_errors=True,
+    )
+    hdfs = run_child(
+        "HDFSBackedStateStoreProvider", workdir, timeout=900,
+        n_keys=N_KEYS,
+    )
+    rocks = runs[-1][1]
 
-    rocks = run_child("RocksDBStateStoreProvider", workdir, timeout=900)
-    hdfs = run_child("HDFSBackedStateStoreProvider", workdir, timeout=900)
-
+    ns = " ".join(str(n) for n in N_KEYS_LIST)
     lines = [
         "## Streaming state at scale",
         "",
-        f"Generated by `python tools/state_stress.py {HEAP} {N_KEYS}`: "
-        f"a stateful streaming aggregation over {N_KEYS:,} distinct "
-        f"keys × {N_BATCHES} micro-batches (every batch updates every "
-        f"key) inside a local[8] JVM capped at **{HEAP}** — the "
-        "state-larger-than-heap regime the round-6 provider switch "
-        "(streaming/ops.py pins RocksDB + changelog checkpointing for "
-        "every drained stream) is for.",
+        f"Generated by `python tools/state_stress.py {HEAP} {ns}`: "
+        f"a stateful streaming aggregation over up to {N_KEYS:,} "
+        f"distinct keys × {N_BATCHES} micro-batches (every batch "
+        f"updates every key) inside a local[8] JVM capped at "
+        f"**{HEAP}** — the state-larger-than-heap regime the round-6 "
+        "provider switch (streaming/ops.py pins RocksDB + changelog "
+        "checkpointing for every drained stream) is for.  RocksDB "
+        "runs at every key count (the linearity curve); the "
+        "in-memory default runs once at the largest (the contrast).",
         "",
-        "| Provider | outcome | sec | state rows | provider mem MB | "
-        "RocksDB SST MB | ckpt state MB | JVM heap used MB |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+        "| Provider | keys | outcome | sec | state rows | "
+        "provider mem MB | RocksDB SST MB | ckpt state MB | "
+        "JVM heap used MB |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
-    for d in (rocks, hdfs):
+    for n, d in runs + [(N_KEYS, hdfs)]:
         rows = d.get("state_rows")
+        cell = f"{rows:,}" if isinstance(rows, int) else "—"
         lines.append(
-            f"| {d['provider']} | {d['outcome']} | {d.get('sec', '—')} "
-            f"| {rows:,} " if isinstance(rows, int) else
-            f"| {d['provider']} | {d['outcome']} | {d.get('sec', '—')} | — "
-        )
-        lines[-1] += (
+            f"| {d['provider']} | {n:,} | {d['outcome']} "
+            f"| {d.get('sec', '—')} | {cell} "
             f"| {_fmt_mb(d.get('state_mem_bytes'))} "
             f"| {_fmt_mb(d.get('rocksdb_sst_bytes'))} "
             f"| {_fmt_mb(d.get('ckpt_state_disk_bytes'))} "
             f"| {_fmt_mb(d.get('jvm_heap_used_bytes'))} |"
+        )
+    # per-batch changelog growth at the largest RocksDB run
+    cl = rocks.get("changelog_by_version") or {}
+    if cl:
+        lines += [
+            "",
+            "Per-version changelog bytes at the largest RocksDB run "
+            "(changelog checkpointing: each committed version ships "
+            "only that batch's puts — the incremental-checkpoint "
+            "cost, which should track rows-updated-per-batch, not "
+            "total state):",
+            "",
+            "| version | changelog MB |",
+            "| --- | --- |",
+        ]
+        for v in sorted(cl, key=int):
+            lines.append(f"| {v} | {_fmt_mb(cl[v])} |")
+        lines.append(
+            f"\nSnapshot .zip bytes (periodic full snapshots): "
+            f"{_fmt_mb(rocks.get('snapshot_zip_bytes'))} MB."
         )
     lines += [
         "",
