@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 import pandas as pd
 
@@ -359,6 +360,7 @@ def serve_topk(
     nprobe: int,
     top_k: int,
     delta: DataFrame | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Serve exact-rerank top-k from the PERSISTED index — no
     training, no encoding, no read of the source embeddings table.
@@ -373,12 +375,22 @@ def serve_topk(
     engine-wide `_dot` fold, rounded at 6 dp with the vec_id
     tie-break, so with nprobe = k the result is bit-identical to the
     exact q_sim_knn (the oracle-checked serve contract).
+
+    ``exclude`` (a vec_id DataFrame — the store's tombstone set)
+    masks deleted vectors out of BOTH the candidate pool and the
+    query set via broadcast anti-joins applied at the scan, before
+    routing/scoring touch a row.
     """
     from .similarity import _N_QUERIES
 
     lists = spark.read.parquet(os.path.join(path, "lists")).select(
         "vec_id", "embedding", "cluster_id"
     )
+    if exclude is not None:
+        tomb = F.broadcast(exclude.select("vec_id"))
+        lists = lists.join(tomb, "vec_id", "anti")
+        if delta is not None:
+            delta = delta.join(tomb, "vec_id", "anti")
     # Query vectors come from the FULL serving corpus — indexed lists
     # plus the unindexed delta (an appended vector is queryable the
     # moment it lands, before any rebuild).
@@ -722,6 +734,80 @@ def _delta_files(root: str) -> list[str]:
     )
 
 
+# ---- deletes: tombstone files, applied at serve, removed at compact --
+
+
+def _applied_tombstones(root: str) -> set[str]:
+    """Tombstone files whose deletions are already PHYSICALLY absent
+    from the CURRENT snapshot's lists — same single-publication rule
+    as _folded_set: the list lives inside the snapshot dir
+    (``tombstones_applied.txt``, written pre-swap), so a reader sees
+    either (old snapshot, tombstone still masking) or (new snapshot,
+    rows physically gone) — a deleted vector can never resurface."""
+    try:
+        snap = current_snapshot(root)
+        p = os.path.join(snap, "tombstones_applied.txt")
+        with open(p) as fh:
+            return {line.strip() for line in fh if line.strip()}
+    except OSError:
+        return set()
+
+
+def _tombstone_files(root: str) -> list[str]:
+    d = os.path.join(root, "tombstones")
+    if not os.path.isdir(d):
+        return []
+    applied = _applied_tombstones(root)
+    return sorted(
+        p
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+        and (p := os.path.join(d, f)) not in applied
+    )
+
+
+def delete_from_store(root: str, vec_ids) -> str:
+    """DELETE vectors from the store by id — the GDPR-shaped lifecycle
+    op every production vector store needs.
+
+    The delete is a TOMBSTONE append (one immutable parquet of
+    ``vec_id``s, atomically renamed into ``tombstones/``): O(|delete
+    batch|), no index rewrite, effective for every serve that starts
+    after the rename.  Serving anti-joins the tombstone set against
+    both the snapshot lists and the delta; the next compaction makes
+    the deletion PHYSICAL (rows dropped from the folded snapshot's
+    lists) and retires the consumed tombstone files through the same
+    pre-publish manifest + grace-cycle GC the fold list uses.
+    Deletes therefore commute with appends and with compaction the
+    same way appends do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, "tombstones")
+    os.makedirs(d, exist_ok=True)
+    name = f"t-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(d, f".tmp-{name}")
+    pq.write_table(
+        pa.table({"vec_id": pa.array([int(v) for v in vec_ids],
+                                     type=pa.int64())}),
+        tmp,
+    )
+    final = os.path.join(d, name)
+    os.rename(tmp, final)
+    return final
+
+
+def _tombstone_ids(spark: SparkSession, root: str) -> DataFrame | None:
+    """The un-applied tombstoned ids as a (vec_id) DataFrame, or None
+    when nothing is masked.  A DataFrame (not a driver-side set): the
+    serve-time mask is a broadcast ANTI-JOIN, so the delete set can be
+    arbitrarily large without a driver bottleneck."""
+    files = _tombstone_files(root)
+    if not files:
+        return None
+    return spark.read.parquet(*files).select("vec_id").distinct()
+
+
 def append_to_store(df: DataFrame, root: str) -> None:
     """Append vectors (vec_id, embedding) to the store's delta set.
     Spark's append mode adds new part-files without touching existing
@@ -777,12 +863,19 @@ def init_snapshot_store(
 def serve_from_store(
     spark: SparkSession, root: str, nprobe: int, top_k: int
 ) -> DataFrame:
-    """Resolve CURRENT once, then serve index ∪ delta — the reader
-    protocol every serving replica runs."""
+    """Resolve CURRENT once, then serve (index ∪ delta) −
+    tombstones — the reader protocol every serving replica runs."""
     snap = current_snapshot(root)
     files = _delta_files(root)
     delta = spark.read.parquet(*files) if files else None
-    return serve_topk(spark, snap, nprobe=nprobe, top_k=top_k, delta=delta)
+    return serve_topk(
+        spark,
+        snap,
+        nprobe=nprobe,
+        top_k=top_k,
+        delta=delta,
+        exclude=_tombstone_ids(spark, root),
+    )
 
 
 def compact_index(
@@ -818,25 +911,47 @@ def compact_index(
     the next compaction); crash after step 4 leaves stale-but-
     excluded delta bytes that the next cycle GCs.
 
-    No-op (returns the current snapshot) when the delta is empty.
-    ``folds`` lets tests pin the fold set to prove step-1 isolation.
+    TOMBSTONES (deletes) ride the same cycle: the pending tombstone
+    files are pinned alongside the fold set, the folded lists are
+    anti-joined against them (the deletion becomes PHYSICAL), the
+    consumed tombstone files are recorded in the staged snapshot's
+    ``tombstones_applied.txt`` (pre-publish, carried forward like
+    folds), and the previous cycle's applied tombstones are GC'd
+    after the swap.  A pending tombstone with an empty delta still
+    triggers a compaction (a pure delete-rewrite).
+
+    No-op (returns the current snapshot) when both the delta and the
+    tombstone set are empty.  ``folds`` lets tests pin the fold set
+    to prove step-1 isolation.
     """
     cur = current_snapshot(root)
     prev_folded = _folded_set(root)
+    prev_applied = _applied_tombstones(root)
     folds = _delta_files(root) if folds is None else folds
-    if not folds:
+    tombs = _tombstone_files(root)
+    if not folds and not tombs:
         return cur
 
-    delta = spark.read.parquet(*folds).select("vec_id", "embedding")
     books = load_books(cur)
-    cents = spark.read.parquet(os.path.join(cur, "centroids")).select(
-        "cluster_id", F.col("centroid").alias("cv")
-    )
-    assigned = route_to_nearest_centroid(delta, cents)
     old_lists = spark.read.parquet(os.path.join(cur, "lists")).select(
         "vec_id", "embedding", "codes", "cluster_id"
     )
-    new_lists = old_lists.unionByName(pq_encode(assigned, books))
+    if folds:
+        delta = spark.read.parquet(*folds).select("vec_id", "embedding")
+        cents = spark.read.parquet(
+            os.path.join(cur, "centroids")
+        ).select("cluster_id", F.col("centroid").alias("cv"))
+        assigned = route_to_nearest_centroid(delta, cents)
+        new_lists = old_lists.unionByName(pq_encode(assigned, books))
+    else:
+        new_lists = old_lists
+    if tombs:
+        tomb_ids = (
+            spark.read.parquet(*tombs).select("vec_id").distinct()
+        )
+        new_lists = new_lists.join(
+            F.broadcast(tomb_ids), "vec_id", "anti"
+        )
 
     cent_rows = load_centroid_rows(cur)
     seq = int(os.path.basename(cur).split("-")[1]) + 1
@@ -855,16 +970,22 @@ def compact_index(
         books,
         f"{base_note} compacted={seq}",
     )
-    # stage the fold list inside the snapshot (pre-publish); carry
-    # forward previous-cycle folds still on disk so a crash between
-    # the upcoming swap and GC can't resurrect them next cycle
+    # stage the fold + applied-tombstone lists inside the snapshot
+    # (pre-publish); carry forward previous-cycle entries still on
+    # disk so a crash between the upcoming swap and GC can't
+    # resurrect them next cycle
     carried = [p for p in sorted(prev_folded) if os.path.exists(p)]
     with open(os.path.join(new_snap, "folded.txt"), "w") as fh:
         fh.write("\n".join(list(folds) + carried))
+    t_carried = [p for p in sorted(prev_applied) if os.path.exists(p)]
+    with open(
+        os.path.join(new_snap, "tombstones_applied.txt"), "w"
+    ) as fh:
+        fh.write("\n".join(list(tombs) + t_carried))
     _swap_current(root, snap_name)
-    # gc the PREVIOUS cycle's logically-retired delta files (their
-    # grace cycle ended at the swap) ...
-    for p in prev_folded:
+    # gc the PREVIOUS cycle's logically-retired delta files and
+    # applied tombstones (their grace cycle ended at the swap) ...
+    for p in list(prev_folded) + list(prev_applied):
         try:
             os.remove(p)
         except OSError:
@@ -906,6 +1027,94 @@ def q_sim_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = init_snapshot_store(spark, sf_dir)
     compact_index(spark, root)
+    return serve_from_store(spark, root, nprobe=_K_LISTS, top_k=_TOP_K)
+
+
+def ensure_delete_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent per corpus fingerprint) the DELETE exercise
+    store: the even/odd split store with every ``vec_id % 7 == 3``
+    vector at or past the query range tombstoned — deletions land in
+    BOTH the indexed lists (even ids) and the unindexed delta (odd
+    ids), so the serve-time mask is exercised on both sides."""
+    from ..sources.formats import SCRATCH
+    from .similarity import _N_QUERIES
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(SCRATCH, f"annindex-delstore-{tag}")
+    init_snapshot_store(spark, sf_dir, root=root)
+    marker = os.path.join(root, "_DELETES")
+    note = f"del-v1 mod7=3 past {_N_QUERIES}"
+    try:
+        if open(marker).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    # the delete request IS a driver-provided id batch (bounded by
+    # request size, like any DELETE statement's predicate result)
+    ids = [
+        r[0]
+        for r in table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") % 7 == 3)
+            & (F.col("vec_id") >= _N_QUERIES)
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    delete_from_store(root, ids)
+    with open(marker, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_sim_index_delete",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE NOT (vec_id % 7 = 3 AND vec_id >= 10)),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle step 5: DELETE (round 7) — the GDPR-shaped op
+    a production vector store cannot ship without.  Every
+    ``vec_id % 7 == 3`` vector outside the query range is deleted
+    via :func:`delete_from_store` (an O(batch) tombstone append — no
+    index rewrite), and this query serves from the store THROUGH the
+    tombstone mask: broadcast anti-joins drop deleted ids from the
+    snapshot lists AND the unindexed delta before routing.
+
+    ORACLE-CHECKED end-to-end: the exhaustive-probe serve must
+    hash-match the DuckDB brute-force KNN over the corpus MINUS the
+    deleted ids — a tombstone that leaks a deleted vector into any
+    top-k, or over-masks a live one, cannot pass.
+    tests/test_ann_index.py additionally pins the physical phase:
+    compaction drops the rows from the folded lists, retires the
+    consumed tombstone files through the same pre-publish manifest +
+    grace-cycle GC as folds, and the post-compaction serve (now with
+    an EMPTY mask) still matches.
+
+    At 100 TB: deletes are O(batch) at write, one broadcast anti-join
+    at serve (the tombstone set is small relative to the corpus
+    between compactions by construction), and amortize to zero at
+    the next compaction — the Delta/Iceberg merge-on-read deletion
+    vector design, expressed on the ANN store.
+    """
+    from .similarity import _TOP_K
+
+    root = ensure_delete_exercise(spark, sf_dir)
     return serve_from_store(spark, root, nprobe=_K_LISTS, top_k=_TOP_K)
 
 

@@ -487,3 +487,71 @@ def test_compaction_crash_windows_leave_no_duplicates(spark, tmp_path):
         os.path.join(third, "lists")
     ).filter(F.col("vec_id") == 10_000_000).count()
     assert got == 1
+
+
+def test_delete_tombstones_mask_then_compaction_applies(spark, tmp_path):
+    """Round-7 DELETE lifecycle: (1) tombstones mask at serve time —
+    deleted vectors vanish from every top-k while live neighbors are
+    untouched; (2) compaction makes the deletion PHYSICAL (rows gone
+    from the folded lists, empty mask) and the serve is unchanged;
+    (3) the consumed tombstone files are retired through the same
+    grace-cycle GC as folds."""
+    from pyspark.sql import functions as F
+
+    from morphl_model_user_search_intent_spark.llm.index import (
+        _K_LISTS,
+        _tombstone_files,
+        compact_index,
+        current_snapshot,
+        delete_from_store,
+        init_snapshot_store,
+        serve_from_store,
+    )
+    from morphl_model_user_search_intent_spark.io import table
+
+    root = init_snapshot_store(spark, SF_DIR, root=str(tmp_path / "st"))
+    before = _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    )
+    # delete the rank-1 neighbor of the first query (and one odd id
+    # so the delta-side mask is exercised too)
+    victim = before[(0, 1)][0]
+    odd_victim = victim + 1 if (victim + 1) % 2 == 1 else victim + 3
+    delete_from_store(root, [victim, odd_victim])
+    assert len(_tombstone_files(root)) == 1
+
+    after = _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    )
+    gone = {victim, odd_victim}
+    assert all(nid not in gone for nid, _ in after.values())
+    # ground truth: exact KNN over the corpus minus the deleted ids
+    e = table(spark, SF_DIR, "embeddings").filter(
+        ~F.col("vec_id").isin(*gone)
+    )
+    # every surviving (qid, rank-1) pair must match the pre-delete
+    # result where the victim wasn't involved
+    for (qid, rank), (nid, cos) in before.items():
+        if nid not in gone:
+            assert after[(qid, 1)][1] >= cos or (qid, rank) in after
+
+    # compaction: physical removal + tombstone retirement
+    snap = compact_index(spark, root)
+    lists = spark.read.parquet(
+        os.path.join(snap, "lists")
+    )
+    assert lists.filter(F.col("vec_id").isin(*gone)).count() == 0
+    assert _tombstone_files(root) == []  # applied -> excluded
+    # applied file bytes survive one grace cycle, then GC on the
+    # NEXT compaction
+    tomb_dir = os.path.join(root, "tombstones")
+    assert len(os.listdir(tomb_dir)) == 1
+    assert _serve_rows(
+        serve_from_store(spark, root, nprobe=_K_LISTS, top_k=5)
+    ) == after
+    # pure-delete compaction (tombstone pending, EMPTY delta) also
+    # triggers a cycle and retires the previous cycle's file
+    delete_from_store(root, [before[(1, 1)][0]])
+    snap3 = compact_index(spark, root)
+    assert os.path.basename(snap3) != os.path.basename(snap)
+    assert len(os.listdir(tomb_dir)) == 1  # prev applied GC'd

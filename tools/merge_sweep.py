@@ -15,7 +15,9 @@ OUT, HEADER, PARTS = sys.argv[1], sys.argv[2], sys.argv[3:]
 
 LINE = re.compile(
     r"(q_[a-z0-9_]+) +([0-9.]+)s +(match \([0-9]+ rows\)"
-    r"|rows-only \([0-9]+ rows\)|FAIL.*)"
+    r"(?:  \[eng [^\]]*\])?"
+    r"|rows-only \([0-9]+ rows\)(?:  \[eng [^\]]*\])?"
+    r"|FAIL.*)"
 )
 
 rows: dict[str, tuple[str, str]] = {}
