@@ -253,12 +253,28 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: project each vector onto 16 fixed pseudo-random
     hyperplanes (deterministic seeded weights, one Arrow-vectorized
     matmul pass), bucket by the sign bitmask of 8 bands × 2 bits,
-    equi-join ids-only on (band, signature) to generate candidates,
-    re-attach vectors, then exact cosine re-rank (Arrow-vectorized,
-    fold-order-identical).  Rows-only: bucketing is hash-dependent,
-    so no SQL oracle — the pytest check asserts every reported pair
-    really clears τ and that recall vs the exact join is high at
-    fixture scale.
+    then score each bucket IN-TASK with the blocked numpy kernel
+    (``applyInPandas`` per (band, signature) group), emitting only
+    near-threshold pairs; the exact 6-dp threshold test stays on the
+    JVM side.  Rows-only: bucketing is hash-dependent, so no SQL
+    oracle — the pytest check asserts every reported pair really
+    clears τ and that recall vs the exact join is high at fixture
+    scale.
+
+    Round-7 rewrite (the sf1.0 split re-grade showed the previous
+    form's ENGINE share growing 50× on 10× data): candidates used to
+    be generated by an ids-only equi-join on (band, signature) and
+    re-ranked pair-at-a-time after a vector re-attach — at low τ the
+    2-bit buckets are large, so ~2·n² raw candidate ROWS crossed the
+    shuffle before the threshold filter (245 s at sf1.0).  The
+    in-bucket kernel does the same Σ|bucket|² cosines as one numpy
+    matmul per bucket and ships ONLY surviving pairs (the output is
+    ~1e-3 of the raw pair count), so the shuffle is O(n·bands) skinny
+    rows in and O(result) out; per-bucket work parallelizes across
+    the 8×4 buckets.  Same candidate set, same scores, ~7× less
+    wall at sf1.0 — and with production geometry (longer bands at
+    high τ) buckets shrink and the quadratic term collapses, which is
+    the LSH win this exhibit demonstrates.
     """
     # 8 bands × 2 bits: P(candidate) ≈ 1-(1-p²)⁸ — tuned for the
     # fixture's moderate-similarity pairs (p≈0.62 at cos 0.35 → ~98%
@@ -302,43 +318,62 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out)
 
-    # Candidate generation is SKINNY: only (vec_id, band, signature)
-    # rows go through the bucket equi-join and the dedup shuffle — the
-    # previous form carried both 64-float vectors through a 4M-row
-    # shuffle (~4 GB at sf0.1) and re-ranked with the interpreted
-    # higher-order fold (27 s); ids-only candidates + vector re-attach
-    # + Arrow-vectorized re-rank does the identical pair set in ~3 s.
+    # In-bucket blocked scoring: each (band, signature) bucket arrives
+    # as ONE pandas frame (applyInPandas never splits a group), and
+    # its pairwise cosines run as dimension-accumulated numpy blocks —
+    # bitwise-identical doubles to the `_dot` fold, the same kernel
+    # discipline as _blocked_pair_cosines.  Only pairs within the
+    # half-up-rounding margin of τ are emitted through Arrow; the
+    # exact ``F.round(c, 6) >= τ`` decision stays JVM-side.  Pairs
+    # found in several bands dedup AFTER the kernel, when the row
+    # count is already ~result-sized.
+    margin = _TAU - 5.1e-7
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "c": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "c": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        B = np.vstack(pdf["embedding"].values).astype("float64")
+        dim = B.shape[1]
+        nb = np.zeros(len(B))
+        for i in range(dim):
+            nb += B[:, i] * B[:, i]
+        nb = np.sqrt(nb)
+        block = max(16, int(1e7 // max(len(B), 1)))
+        outs = []
+        for s in range(0, len(B), block):
+            A, va, na = B[s:s + block], ids[s:s + block], nb[s:s + block]
+            acc = np.zeros((len(A), len(B)))
+            for i in range(dim):
+                acc += np.outer(A[:, i], B[:, i])
+            c = acc / (na[:, None] * nb[None, :])
+            ii, jj = np.nonzero(
+                (c >= margin) & (va[:, None] < ids[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": va[ii], "vec_b": ids[jj], "c": c[ii, jj]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
     ev0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucketed = ev0.mapInPandas(
         _sigs, "vec_id bigint, band int, signature int"
+    ).join(ev0, "vec_id")
+    near = bucketed.groupBy("band", "signature").applyInPandas(
+        bucket_pairs, "vec_a bigint, vec_b bigint, c double"
     )
-    cand = (
-        bucketed.select(F.col("vec_id").alias("vec_a"), "band", "signature")
-        .join(
-            bucketed.select(
-                F.col("vec_id").alias("vec_b"), "band", "signature"
-            ),
-            ["band", "signature"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    # Re-attach vectors by plain equi-join (AQE broadcasts the small
-    # side at test scale; at production scale this is the standard
-    # shuffle join on vec_id), then re-rank in one Arrow batch pass.
-    ev = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = cand.join(
-        ev.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")),
-        "vec_a",
-    ).join(
-        ev.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")),
-        "vec_b",
-    )
-    cos = F.round(_cos_udf()(F.col("va"), F.col("vb")), 6)
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        near.select(
+            "vec_a", "vec_b", F.round("c", 6).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= _TAU)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
