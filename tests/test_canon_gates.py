@@ -123,7 +123,14 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
     # train-on-sample pattern (FAISS trains PQ codebooks the same
     # way); the corpus-sized passes (encode, ADC scan, serve) stay
     # in mapInPandas / joins.
-    "llm/index.py": {"_pq_train_books", "query_side"},
+    # ...plus the DELETE exercise staging (round 7): a delete request
+    # IS a driver-provided id batch — the collect materializes the
+    # staged batch (bounded by request size, like any DELETE
+    # statement's predicate result), and the serve-time mask stays a
+    # distributed anti-join.
+    "llm/index.py": {
+        "_pq_train_books", "query_side", "ensure_delete_exercise",
+    },
     # Auto-skew dispatch (operators/events.py): the sampled hot-key
     # profile collects ONE summary row (max/total over a seeded
     # sample) to choose monolithic vs chunked sessionization — the
