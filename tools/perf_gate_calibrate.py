@@ -32,6 +32,13 @@ HEADLINE = [
     "q_sessionize_auto", "q_sim_index_compact", "q_table_merge",
     "q_table_time_travel", "q_win_fill_forward", "q_tpch_q09",
     "q_dedup_semantic", "q_dedup_clusters",
+    # round-7 driver-window rotation (delete store staged once;
+    # triangles = the vectorized edge-build rewrite this gate must
+    # keep honest)
+    "q_graph_triangles", "q_scd2_intervals", "q_sim_quantized",
+    "q_text_bpe_encode", "q_join_asof_tolerance", "q_udf_grouped_map",
+    "q_udtf_explode_sessions", "q_embed_text_long",
+    "q_sim_index_delete",
 ]
 
 
