@@ -361,6 +361,7 @@ def serve_topk(
     top_k: int,
     delta: DataFrame | None = None,
     exclude: DataFrame | None = None,
+    include: DataFrame | None = None,
 ) -> DataFrame:
     """Serve exact-rerank top-k from the PERSISTED index — no
     training, no encoding, no read of the source embeddings table.
@@ -380,6 +381,14 @@ def serve_topk(
     masks deleted vectors out of BOTH the candidate pool and the
     query set via broadcast anti-joins applied at the scan, before
     routing/scoring touch a row.
+
+    ``include`` (a vec_id DataFrame — a metadata predicate's match
+    set) restricts the CANDIDATE pool only, pre-filter-style: the
+    semi join lands before routing/scoring, so every scored candidate
+    already satisfies the filter and top-k recall never degrades the
+    way post-filtering (score first, filter the top-k after) does.
+    Queries are deliberately NOT filtered — a query vector may search
+    a slice it doesn't belong to.
     """
     from .similarity import _N_QUERIES
 
@@ -397,6 +406,15 @@ def serve_topk(
     q_src = lists.select("vec_id", "embedding")
     if delta is not None:
         q_src = q_src.unionByName(delta.select("vec_id", "embedding"))
+    if include is not None:
+        # Candidate-side only, AFTER q_src is derived.  A semi join —
+        # not broadcast-pinned: the match set of an attribute
+        # predicate is corpus-scale in the worst case, so the planner
+        # (AQE) picks broadcast only when the filtered side is small.
+        keep = include.select("vec_id")
+        lists = lists.join(keep, "vec_id", "semi")
+        if delta is not None:
+            delta = delta.join(keep, "vec_id", "semi")
     q = (
         q_src.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -1116,6 +1134,66 @@ def q_sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_delete_exercise(spark, sf_dir)
     return serve_from_store(spark, root, nprobe=_K_LISTS, top_k=_TOP_K)
+
+
+@register(
+    "q_sim_index_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid AND e.label % 2 = 1
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_sim_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle step 6: FILTERED vector search (round 7) — the
+    other operation no production vector store ships without:
+    "nearest neighbors WHERE <metadata predicate>" (tenant isolation,
+    language slices, freshness windows).  The filter here is
+    ``label % 2 = 1`` over the embeddings metadata; candidates are
+    restricted PRE-scoring (a semi join on the match set lands before
+    routing), which is the pre-filter design: top-k is computed
+    inside the filtered slice, so k results are always k results —
+    post-filtering an unfiltered top-k can return fewer than k and
+    silently loses recall for selective predicates.
+
+    ORACLE-CHECKED: exhaustive probe under the filter must hash-match
+    DuckDB's brute-force KNN over exactly the filtered corpus — a
+    candidate that leaks past the predicate, or a match the semi join
+    drops, cannot pass.
+
+    At 100 TB: the predicate is evaluated on a column-pruned scan of
+    the attribute sidecar (vec_id + label only — the vectors are
+    never read from the source table), and the semi join is the
+    standard attribute-store/bitmap intersection of filtered ANN
+    re-expressed relationally; AQE broadcasts the match set when the
+    predicate is selective.  The zero-shuffle variant (attributes
+    co-located inside the lists partitions at build time) is the
+    documented storage-level upgrade when one filter column
+    dominates.
+    """
+    from .similarity import _TOP_K
+
+    path = build_index(spark, sf_dir)
+    keep = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("label") % 2 == 1)
+        .select("vec_id")
+    )
+    return serve_topk(
+        spark, path, nprobe=_K_LISTS, top_k=_TOP_K, include=keep
+    )
 
 
 def delta_fraction(root: str) -> float:

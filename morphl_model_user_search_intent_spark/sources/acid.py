@@ -47,7 +47,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import units_nn
@@ -102,6 +102,7 @@ def commit(
     op: str,
     parent: int,
     txn: dict | None = None,
+    change_files: list[str] | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
@@ -123,6 +124,12 @@ def commit(
     }
     if txn is not None:
         manifest["txn"] = txn
+    if change_files is not None:
+        # Delta's _change_data / cdc action: row-level change files
+        # written by the SAME transaction, published atomically with
+        # it — a CDC reader of this version reads these files instead
+        # of reconstructing the feed from a snapshot diff.
+        manifest["change_files"] = sorted(change_files)
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -141,14 +148,15 @@ def commit(
     return v
 
 
-def _write_files(df: DataFrame, root: str) -> list[str]:
-    """Materialize ``df`` as new immutable data files under ``data/``
+def _write_files(df: DataFrame, root: str, subdir: str = "data") -> list[str]:
+    """Materialize ``df`` as new immutable files under ``root/subdir/``
     and return their paths.  Written into a private staging dir by a
     normal distributed Spark job, then renamed (same filesystem) to
     uuid names — invisible until some manifest references them."""
     staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
-    data = os.path.join(root, "data")
+    data = os.path.join(root, subdir)
+    os.makedirs(data, exist_ok=True)
     out = []
     for f in sorted(os.listdir(staging)):
         if f.endswith(".parquet"):
@@ -182,6 +190,7 @@ def merge_table(
     on: str,
     version: int | None = None,
     max_retries: int = 3,
+    cdc: bool = False,
 ) -> int:
     """SQL-MERGE over the table, copy-on-write at file granularity.
 
@@ -201,6 +210,20 @@ def merge_table(
       4. commit (old − touched) + new.  On :class:`CommitConflict`
          (a writer slipped in) the merge re-reads the NEW snapshot and
          replays — source derivations are pure, so replay is safe.
+
+    ``cdc=True`` additionally writes the commit's row-level CHANGE
+    FEED (insert / delete / update_preimage / update_postimage rows,
+    one extra ``_change_type`` column) as parquet under
+    ``root/change/`` and records it in the manifest — Delta's CDF
+    ``_change_data`` design.  The change rows fall out of the join
+    the merge already performs (matched base rows ARE the pre-images;
+    upserts split into post-images and inserts by whether their key
+    matched), so the marginal cost is one extra write of
+    changed-rows-sized data, and readers get the feed as a plain
+    file read instead of a snapshot diff (:func:`table_changes`
+    stays as the reconstruction fallback for commits written without
+    CDC, exactly like Delta's fallback-disallowed vs CDF-enabled
+    tables).
     """
     for _ in range(max_retries):
         m = read_manifest(root, version)
@@ -240,12 +263,61 @@ def merge_table(
             f for f in m["files"]
             if os.path.basename(f) not in set(touched)
         ]
+        change_files = None
+        if cdc:
+            matched = base.filter(F.col("_file").isin(touched)).drop(
+                "_file"
+            )
+            # a matched key with ANY non-delete source row is an
+            # update; a matched key with only delete rows is a delete
+            fate = source.groupBy(on).agg(
+                F.max(
+                    F.when(~F.col("_delete"), 1).otherwise(0)
+                ).alias("_upserted")
+            )
+            pre = matched.join(fate, on, "inner")
+            matched_keys = matched.select(on)
+
+            def tag(df: DataFrame, ct: str) -> DataFrame:
+                return df.withColumn("_change_type", F.lit(ct))
+
+            feed = (
+                tag(
+                    pre.filter(F.col("_upserted") == 0).drop("_upserted"),
+                    "delete",
+                )
+                .unionByName(
+                    tag(
+                        pre.filter(F.col("_upserted") == 1).drop(
+                            "_upserted"
+                        ),
+                        "update_preimage",
+                    )
+                )
+                .unionByName(
+                    tag(
+                        upserts.join(matched_keys, on, "semi"),
+                        "update_postimage",
+                    )
+                )
+                .unionByName(
+                    tag(
+                        upserts.join(matched_keys, on, "anti"),
+                        "insert",
+                    )
+                )
+            )
+            change_files = _write_files(feed, root, subdir="change")
         try:
             return commit(
-                root, kept + new_files, "merge", parent=m["version"]
+                root,
+                kept + new_files,
+                "merge",
+                parent=m["version"],
+                change_files=change_files,
             )
         except CommitConflict:
-            for f in new_files:  # orphaned by the lost race
+            for f in new_files + (change_files or []):  # lost the race
                 try:
                     os.remove(f)
                 except OSError:
@@ -449,7 +521,7 @@ def ensure_acid_exercise(
     configure(spark)
     root = root or os.path.join(SCRATCH, f"acidtable-{_tag(sf_dir)}")
     ready = os.path.join(root, "_READY")
-    note = f"acid-v1 {_orders_fingerprint(sf_dir)}"
+    note = f"acid-v2cdc {_orders_fingerprint(sf_dir)}"
     try:
         if open(ready).read().strip() == note:
             return root
@@ -464,7 +536,9 @@ def ensure_acid_exercise(
     # ≥4 data files so the CoW merge demonstrably carries untouched
     # files by reference instead of rewriting the table
     create_table(spark, root, base.repartition(4))
-    merge_table(spark, root, _merge_source(spark, sf_dir), "o_orderkey")
+    merge_table(
+        spark, root, _merge_source(spark, sf_dir), "o_orderkey", cdc=True
+    )
     with open(ready, "w") as fh:
         fh.write(note)
     return root
@@ -552,3 +626,375 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(1).unionByName(summarize(2))
+
+
+def table_changes(
+    spark: SparkSession, root: str, version: int, key: str
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED for one commit (the Delta
+    ``table_changes`` / Iceberg changelog read): emits
+    insert / delete / update_preimage / update_postimage rows for
+    version ``version`` relative to its parent.
+
+    The crucial scale property: cost is proportional to the CHANGED
+    FILES, never the table.  The manifest diff identifies files the
+    commit removed (pre-images of every rewritten/deleted row) and
+    added (post-images); only those are read.  Copy-on-write rewrites
+    carry untouched rows into the added files too, so a full-outer
+    join on the key with null-safe column comparison separates real
+    changes from carried rows — a carried row is bit-identical on
+    both sides and emits nothing.  At 100 TB a MERGE touching 0.1%
+    of files yields a CDC read over 0.2% of the data (pre + post),
+    not two full snapshots diffed (the q_snapshot_diff formulation,
+    which stays as the query-layer fallback for tables without a
+    manifest history).
+    """
+    m2 = read_manifest(root, version)
+    m1 = read_manifest(root, m2["parent"])
+    f1, f2 = set(m1["files"]), set(m2["files"])
+    removed = sorted(f1 - f2)
+    added = sorted(f2 - f1)
+    cols = [c for c in read_table(spark, root, version).columns if c != key]
+
+    def _side(files: list[str], prefix: str) -> DataFrame:
+        base = (
+            spark.read.parquet(*files)
+            if files
+            else read_table(spark, root, version).limit(0)
+        )
+        return base.select(
+            key,
+            *[F.col(c).alias(f"{prefix}_{c}") for c in cols],
+            F.lit(True).alias(f"{prefix}_present"),
+        )
+
+    j = _side(removed, "pre").join(_side(added, "post"), key, "full_outer")
+    in_pre = F.coalesce(F.col("pre_present"), F.lit(False))
+    in_post = F.coalesce(F.col("post_present"), F.lit(False))
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"pre_{c}").eqNullSafe(F.col(f"post_{c}"))
+
+    def img(prefix: str, ct: str) -> Column:
+        return F.struct(
+            *[F.col(f"{prefix}_{c}").alias(c) for c in cols],
+            F.lit(ct).alias("_change_type"),
+        )
+
+    changes = (
+        F.when(in_pre & ~in_post, F.array(img("pre", "delete")))
+        .when(~in_pre & in_post, F.array(img("post", "insert")))
+        .when(
+            in_pre & in_post & ~same,
+            F.array(
+                img("pre", "update_preimage"),
+                img("post", "update_postimage"),
+            ),
+        )
+        .otherwise(F.array())  # carried by CoW rewrite — not a change
+    )
+    return (
+        j.select(key, F.explode(changes).alias("_chg"))
+        .select(key, *[F.col(f"_chg.{c}") for c in cols], "_chg._change_type")
+    )
+
+
+@register(
+    "q_table_cdc",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'update_preimage' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE), 'update_postimage'
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'NEW-ROW',
+           CAST(o_totalprice * 0.5 AS DOUBLE), 'insert'
+    FROM orders WHERE o_orderkey % 1000 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE), 'delete'
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read of the MERGE commit (round 7) — the
+    table layer's third read path after snapshot and time travel:
+    downstream incremental consumers (a feature store refresh, a
+    search-index updater, the streaming ANN ingest) subscribe to
+    row-level changes instead of re-diffing snapshots.
+
+    ORACLE-CHECKED against the closed-form merge rule: the emitted
+    feed must contain exactly one update_preimage + update_postimage
+    pair per re-priced key, one insert per spawned key, one delete
+    per retired key — and NOTHING for the untouched rows that CoW
+    rewriting carried through the touched files (the correctness trap
+    of file-diff CDC, caught here by the null-safe column compare).
+
+    Scale: reads only the commit's removed+added files (manifest
+    diff, metadata-scale) — see :func:`table_changes`.
+    """
+    root = ensure_acid_exercise(spark, sf_dir)
+    return table_changes(spark, root, version=2, key="o_orderkey")
+
+
+def optimize_table(
+    spark: SparkSession, root: str, target_files: int = 2
+) -> int:
+    """OPTIMIZE (bin-packing compaction) as a committed table op: read
+    the latest snapshot, rewrite it as ``target_files`` right-sized
+    files (shuffle-free coalesce — pure concatenation, no row moves
+    across existing partition boundaries beyond file stitching), and
+    commit a version that references ONLY the compacted files.  The
+    rewrite changes no row, so a concurrent reader pinned to the old
+    manifest and one on the new version see identical content; old
+    files stay until vacuum retires their versions.
+
+    At 100 TB this runs per-partition on the small-file tail (the
+    streaming-ingest residue q_stream_table_ingest accumulates one
+    commit per micro-batch), not on the whole table; compaction
+    commits race with writers through the same optimistic protocol as
+    every other commit.
+    """
+    parent = latest_version(root)
+    snap = read_table(spark, root, version=parent)
+    files = _write_files(snap.coalesce(target_files), root)
+    return commit(root, files, "optimize", parent=parent)
+
+
+def ensure_optimize_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the OPTIMIZE exhibit on its own root so the
+    extra version never perturbs the shared two-version exercise:
+    v1 create (4 files) → v2 MERGE (fragmented: carried + rewritten +
+    insert files) → v3 OPTIMIZE."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-opt-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_OPT")
+    note = f"acid-opt {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ensure_acid_exercise(spark, sf_dir, root=root)
+    optimize_table(spark, root, target_files=2)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_optimize",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'NEW-ROW' AS o_orderpriority,
+           CAST(o_totalprice * 0.5 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (round 7) — table-layer small-file compaction,
+    completing the maintenance loop: MERGE fragments, streaming
+    ingest fragments worse (one commit per micro-batch), OPTIMIZE
+    bin-packs, vacuum reclaims.  This query reads the table AFTER an
+    OPTIMIZE commit; the oracle is the same closed-form merge result,
+    so the check proves the compaction was lossless through the full
+    write→commit→read cycle (q_sink_compact proves the same at the
+    bare-file layer; here the rewrite is also a versioned, atomic,
+    time-travelable commit — tests pin the file-count drop, the
+    version history, and v2≡v3 content equality)."""
+    root = ensure_optimize_exercise(spark, sf_dir)
+    return read_table(spark, root)
+
+
+def read_changes(
+    spark: SparkSession, root: str, version: int, key: str
+) -> DataFrame:
+    """Read one commit's change feed from its CDC FILES (written by a
+    ``cdc=True`` merge and published atomically in the manifest) —
+    the cheap path: a plain file read of already-materialized change
+    rows.  Commits written without CDC fall back to
+    :func:`table_changes` (manifest file-diff reconstruction on
+    ``key``)."""
+    m = read_manifest(root, version)
+    cf = m.get("change_files")
+    if not cf:
+        return table_changes(spark, root, version, key)
+    return spark.read.parquet(*cf)
+
+
+_CDC_ORACLE = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'update_preimage' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE), 'update_postimage'
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'NEW-ROW',
+           CAST(o_totalprice * 0.5 AS DOUBLE), 'insert'
+    FROM orders WHERE o_orderkey % 1000 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE), 'delete'
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@register("q_table_cdc_files", oracle=_CDC_ORACLE)
+def q_table_cdc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-SIDE CDC (round 7): the same change feed as q_table_cdc,
+    but read from the ``_change_data``-style files the MERGE itself
+    wrote and committed atomically with the version — Delta's CDF
+    design.  Both mechanisms are oracle-checked against the same
+    closed form, so the pair proves write-side capture ≡ file-diff
+    reconstruction ≡ the merge rule.
+
+    Why both exist: reconstruction (q_table_cdc) reads pre+post of
+    every TOUCHED file and joins them — right when CDC wasn't enabled
+    at write time; CDC files cost one changed-rows-sized write at
+    commit and make every downstream read a plain scan — right for
+    tables with standing incremental consumers, and the ONLY form a
+    streaming reader can tail without re-planning joins per batch
+    (q_stream_table_cdc)."""
+    root = ensure_acid_exercise(spark, sf_dir)
+    return read_changes(spark, root, version=2, key="o_orderkey").select(
+        "o_orderkey", "o_orderpriority", "price", "_change_type"
+    )
+
+
+def ensure_cdc_stream_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the streaming-CDC exhibit on its own root:
+    v1 create, then THREE successive cdc=True merges, each applying
+    the o_orderkey % 3 == {0,1,2} slice of the standard three-arm
+    merge source — disjoint slices, so the union of the three change
+    feeds is exactly the full closed-form feed, arriving as three
+    separately-committed file groups a streaming reader tails."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-cdcs-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_CDCS")
+    note = f"acid-cdcs {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(spark, root, base.repartition(4))
+    src = _merge_source(spark, sf_dir)
+    for slice_id in range(3):
+        merge_table(
+            spark,
+            root,
+            src.filter(F.col("o_orderkey") % 3 == slice_id),
+            "o_orderkey",
+            cdc=True,
+        )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_stream_table_cdc",
+    oracle="""
+    WITH feed AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price,
+             'update_preimage' AS _change_type
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT CAST(o_totalprice * 1.1 AS DOUBLE), 'update_postimage'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT CAST(o_totalprice * 0.5 AS DOUBLE), 'insert'
+      FROM orders WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT CAST(o_totalprice AS DOUBLE), 'delete'
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0)
+             AS total_price
+    FROM feed GROUP BY _change_type
+    """,
+)
+def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-feed read of the ACID table (round 7) — the
+    read-side twin of q_stream_table_ingest: three separately-
+    committed cdc=True merges leave their change files under
+    ``change/``, and a Structured Streaming file source tails that
+    directory (maxFilesPerTrigger=1 forces multiple micro-batches —
+    each commit's feed arrives incrementally, exactly how a
+    downstream feature store or search-index updater consumes a
+    lakehouse CDF).  The complete-mode aggregate over the drained
+    stream is ORACLE-CHECKED against the closed-form merge rule —
+    counts AND integer-unit price sums per change type, so a lost
+    micro-batch, a doubled file, or a mis-tagged image cannot pass.
+
+    At 100 TB: the reader's work per trigger is proportional to ONE
+    commit's change files; state is 4 groups.  (A versioned-offset
+    reader over the manifest log — start/end version semantics — is
+    what Delta ships; the file-source form here has the same cost
+    shape because change files are append-only and immutable.)
+    """
+    import re
+
+    root = ensure_cdc_stream_exercise(spark, sf_dir)
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    name = f"stream_table_cdc_sink_{tag}"
+    schema = (
+        "o_orderkey bigint, o_orderpriority string, "
+        "price double, _change_type string"
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "change"))
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(units_nn("price", 100)) / F.lit(100.0)).alias(
+            "total_price"
+        ),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

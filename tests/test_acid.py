@@ -22,8 +22,11 @@ from morphl_model_user_search_intent_spark.sources.acid import (
     latest_version,
     list_versions,
     merge_table,
+    optimize_table,
+    read_changes,
     read_manifest,
     read_table,
+    table_changes,
     vacuum,
 )
 
@@ -485,3 +488,95 @@ def test_vacuum_orphan_sweep_and_conflict_reclaim(spark, tmp_path):
         for f in read_manifest(root, v)["files"]:
             assert os.path.exists(f)
     os.remove(new)
+
+
+def test_cdc_write_side_matches_diff_reconstruction(spark, tmp_path):
+    """The change feed a cdc=True MERGE writes at commit time must be
+    row-identical to the feed reconstructed afterwards by diffing the
+    commit's removed/added files — two independent mechanisms, one
+    truth.  Also pins the feed's internal invariants: pre/post image
+    pairing and zero leakage of CoW-carried (unchanged) rows."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 2000)
+    create_table(spark, root, base.repartition(4))
+    src = _merge_source(spark, SF_DIR).filter(
+        (F.col("o_orderkey") % 10_000_000) <= 2000
+    )
+    v = merge_table(spark, root, src, "o_orderkey", cdc=True)
+
+    def feedset(df):
+        return {
+            (r.o_orderkey, r.o_orderpriority, round(r.price, 2),
+             r._change_type)
+            for r in df.collect()
+        }
+
+    written = feedset(read_changes(spark, root, v, key="o_orderkey"))
+    diffed = feedset(table_changes(spark, root, v, key="o_orderkey"))
+    assert written == diffed and written
+
+    # image pairing: same key set for pre and post updates
+    pre = {k for (k, _, _, t) in written if t == "update_preimage"}
+    post = {k for (k, _, _, t) in written if t == "update_postimage"}
+    assert pre == post and pre
+
+    # no carried rows: every emitted key belongs to a merge arm
+    for k, _, _, t in written:
+        orig = k - 10_000_000 if t == "insert" else k
+        assert orig % 7 == 0 or orig % 13 == 0 or orig % 1000 == 0
+
+    # the manifest records the change files and they live under change/
+    m = read_manifest(root, v)
+    assert m["change_files"]
+    assert all(os.sep + "change" + os.sep in f for f in m["change_files"])
+
+
+def test_cdc_conflict_loser_reclaims_change_files(spark, tmp_path):
+    """An explicit-version cdc merge that loses its commit race must
+    remove its staged CHANGE files along with its data files — no
+    orphan growth in change/ under contention."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 1000)
+    create_table(spark, root, base)
+    src = _merge_source(spark, SF_DIR).filter(
+        (F.col("o_orderkey") % 10_000_000) <= 1000
+    )
+    # another writer takes version 2 first
+    commit(root, read_manifest(root, 1)["files"], "noop", parent=1)
+    with pytest.raises(CommitConflict):
+        merge_table(spark, root, src, "o_orderkey", version=1, cdc=True)
+    change_dir = os.path.join(root, "change")
+    leftovers = os.listdir(change_dir) if os.path.isdir(change_dir) else []
+    assert leftovers == []
+
+
+def test_optimize_compacts_preserving_content_and_history(
+    spark, tmp_path
+):
+    """OPTIMIZE is a lossless, versioned re-layout: fewer files, same
+    rows, op recorded, prior versions still readable (time travel),
+    and vacuum afterwards reclaims the pre-compaction files."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 3000)
+    create_table(spark, root, base.repartition(6))
+    before = read_manifest(root, 1)
+    v = optimize_table(spark, root, target_files=2)
+    after = read_manifest(root, v)
+    assert after["op"] == "optimize"
+    assert len(after["files"]) < len(before["files"])
+    assert len(after["files"]) <= 2
+    assert _rowset(read_table(spark, root)) == _rowset(
+        read_table(spark, root, version=1)
+    )
+    # old version still pinned-readable until vacuumed past
+    assert read_table(spark, root, version=1).count() == base.count()
+    removed = vacuum(root, keep_last=1)
+    for f in before["files"]:
+        assert not os.path.exists(f)
+    assert removed
