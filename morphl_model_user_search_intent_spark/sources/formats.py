@@ -299,7 +299,15 @@ def q_meta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file", "row_group")
 
 
-@register("q_source_csv_malformed", oracle=None)
+@register(
+    "q_source_csv_malformed",
+    oracle="""
+    SELECT CAST(6 AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(80 AS BIGINT) AS sum_k_good
+    """,
+)
 def q_source_csv_malformed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -313,9 +321,15 @@ def q_source_csv_malformed(
     The dirty file is staged deterministically (fixed literal rows:
     short rows, non-numeric junk, one blank); the query returns the
     good/corrupt split and the sum over successfully-parsed values,
-    all of which the pytest gate pins exactly.  Rows-only: the
-    corrupt-capture column is engine-specific machinery, which is
-    precisely what is being exercised.
+    all of which the pytest gate pins exactly.
+
+    ORACLE-CHECKED (round-7 promotion, golden-value oracle like
+    q_json_variant_schema): the staged file is a fixed literal, so
+    the correct quarantine split is a constant — 6 physical rows, 3
+    parsed, 3 quarantined (junk numeric, short row, free-text line;
+    the blank line is skipped by the CSV reader), parsed-value sum
+    80.  The corrupt-capture column itself is engine-specific
+    machinery, exercised by reaching those constants.
     """
     path = os.path.join(SCRATCH, f"csv-dirty-{_tag(sf_dir)}")
     os.makedirs(path, exist_ok=True)

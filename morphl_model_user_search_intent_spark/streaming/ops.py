@@ -225,12 +225,26 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_watermark_sink", "append", sf_dir)
 
 
-@register("q_stream_dedup", oracle=None)
+@register(
+    "q_stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: the stream unioned with itself (every
     event duplicated) → ``dropDuplicatesWithinWatermark`` on event_id
     → exactly one survivor per event (state bounded by the watermark
-    horizon, unlike unbounded ``dropDuplicates``)."""
+    horizon, unlike unbounded ``dropDuplicates``).
+
+    ORACLE-CHECKED (round-7 promotion): event_id is unique in the
+    fixture, so the drained sink must be exactly the events table's
+    (event_id, user_id, event_type) projection — a doubled survivor,
+    a dropped event, or a mixed-up payload all hash-mismatch.  Safe
+    to oracle because determinism holds under availableNow here: both
+    union branches read the same files in the same micro-batch, so
+    each event meets its duplicate inside one batch and the watermark
+    never classifies either copy late (the APPEND-mode window
+    queries, whose unemitted tail depends on the final watermark,
+    stay rows-only with twin tests)."""
     ev = _stream_events(spark, sf_dir)
     doubled = ev.unionByName(ev)
     deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
