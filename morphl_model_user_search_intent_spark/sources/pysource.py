@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..registry import register
 
@@ -209,6 +214,155 @@ def q_stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot only the first prefetched batch as "available";
     # processAllAvailable() drains until read() stops advancing the
     # offset (the source runs dry after N_STREAM_BATCHES).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+# ---- versioned-offset CDC stream source over the ACID table ----
+
+
+class _TableChangesStreamReader(DataSourceStreamReader):
+    """FULL ``DataSourceStreamReader`` (not the simple driver-side
+    variant): offsets are TABLE VERSIONS resolved from the manifest
+    log, ``partitions(start, end)`` maps the version window to that
+    window's committed change FILES (metadata-scale, driver-side —
+    exactly Delta CDF's startingVersion/endingVersion planning), and
+    ``read(partition)`` executes IN THE EXECUTOR, one task per change
+    file, via a pyarrow scan.  This is the piece the
+    ``simpleStreamReader`` sources (q_stream_pydatasource) can't
+    show: distributed row reading with the driver touching only
+    offsets and file lists."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def initialOffset(self) -> dict:
+        return {"version": 1}  # stream changes committed AFTER v1
+
+    def latestOffset(self) -> dict:
+        from .acid import latest_version
+
+        return {"version": latest_version(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        from .acid import read_manifest
+
+        files: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            files.extend(read_manifest(self.root, v).get("change_files", []))
+        # a window of cdc-less commits still needs ≥1 (empty) task
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            partition.value,
+            columns=[
+                "o_orderkey", "o_orderpriority", "price", "_change_type"
+            ],
+        )
+        for row in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+            yield row
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TableChangesStreamSource(DataSource):
+    """``readStream.format("acid_table_changes").option("root", ...)``:
+    the lakehouse change feed as a first-class streaming source with
+    version offsets (resume = replay from any committed version)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acid_table_changes"
+
+    def schema(self) -> str:
+        return (
+            "o_orderkey bigint, o_orderpriority string, "
+            "price double, _change_type string"
+        )
+
+    def streamReader(self, schema) -> _TableChangesStreamReader:
+        return _TableChangesStreamReader(self.options["root"])
+
+
+@register(
+    "q_stream_table_cdc_source",
+    oracle="""
+    WITH feed AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price,
+             'update_preimage' AS _change_type
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT CAST(o_totalprice * 1.1 AS DOUBLE), 'update_postimage'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT CAST(o_totalprice * 0.5 AS DOUBLE), 'insert'
+      FROM orders WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT CAST(o_totalprice AS DOUBLE), 'delete'
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0)
+             AS total_price
+    FROM feed GROUP BY _change_type
+    """,
+)
+def q_stream_table_cdc_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The table change feed consumed through the VERSIONED-OFFSET
+    custom streaming source (round 7) — the Delta-shaped upgrade of
+    q_stream_table_cdc's directory-tailing file source: offsets are
+    manifest versions, so a consumer resumes from any committed
+    version and replays deterministically; partition planning is
+    driver-side metadata only; rows are read executor-side, one task
+    per change file.  Drained through a complete-mode aggregate and
+    ORACLE-CHECKED against the same closed-form merge rule (counts +
+    integer-unit price sums per change type) — the two CDC consumers
+    must agree with each other and with the rule.
+    """
+    import os
+    import re
+
+    from ..functions.exact import units_nn
+    from .acid import ensure_cdc_stream_exercise
+
+    root = ensure_cdc_stream_exercise(spark, sf_dir)
+    try:
+        spark.dataSource.register(TableChangesStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    name = f"stream_cdc_src_sink_{tag}"
+    s = (
+        spark.readStream.format("acid_table_changes")
+        .option("root", root)
+        .load()
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(units_nn("price", 100)) / F.lit(100.0)).alias(
+            "total_price"
+        ),
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
