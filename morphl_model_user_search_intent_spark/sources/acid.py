@@ -413,7 +413,10 @@ def vacuum(
     root: str, keep_last: int = 2, orphan_grace: float | None = None
 ) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
-    older ones and every data file only they referenced.  This is the
+    older ones and every data AND change file only they referenced
+    (a long-lived CDC table otherwise accrues unbounded ``change/``
+    history — the same reclamation Delta's VACUUM applies to
+    ``_change_data``).  This is the
     retention horizon — time travel reaches exactly the kept versions,
     and a cross-process reader is safe for as long as its pinned
     version stays within it (the same contract Delta's VACUUM
@@ -430,28 +433,39 @@ def vacuum(
     keep = set(vs[-keep_last:])
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        referenced.update(m["files"])
+        # a retained version's CDC files are part of its readable
+        # surface (read_changes) — protected like its data files
+        referenced.update(m.get("change_files", []))
     removed = []
     for v in vs:
         if v in keep:
             continue
-        for f in read_manifest(root, v)["files"]:
+        m = read_manifest(root, v)
+        for f in m["files"] + m.get("change_files", []):
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
         os.remove(_manifest_path(root, v))
     if orphan_grace is not None:
         cutoff = time.time() - orphan_grace
-        data = os.path.join(root, "data")
         ref_names = {os.path.basename(f) for f in referenced}
-        for f in sorted(os.listdir(data)):
-            p = os.path.join(data, f)
-            try:
-                if f not in ref_names and os.path.getmtime(p) < cutoff:
-                    os.remove(p)
-                    removed.append(p)
-            except OSError:
-                pass
+        for sub in ("data", "change"):
+            d = os.path.join(root, sub)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                p = os.path.join(d, f)
+                try:
+                    if (
+                        f not in ref_names
+                        and os.path.getmtime(p) < cutoff
+                    ):
+                        os.remove(p)
+                        removed.append(p)
+                except OSError:
+                    pass
     return removed
 
 

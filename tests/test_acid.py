@@ -580,3 +580,37 @@ def test_optimize_compacts_preserving_content_and_history(
     for f in before["files"]:
         assert not os.path.exists(f)
     assert removed
+
+
+def test_vacuum_reclaims_expired_change_files(spark, tmp_path):
+    """CDC files follow the same retention as data files: a retained
+    version's change files survive vacuum (its feed stays readable),
+    an expired version's are deleted — change/ cannot grow without
+    bound on a long-lived CDC table."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 2000)
+    create_table(spark, root, base.repartition(2))
+    src = _merge_source(spark, SF_DIR).filter(
+        (F.col("o_orderkey") % 10_000_000) <= 2000
+    )
+    v2 = merge_table(
+        spark, root, src.filter(F.col("o_orderkey") % 2 == 0),
+        "o_orderkey", cdc=True,
+    )
+    v3 = merge_table(
+        spark, root, src.filter(F.col("o_orderkey") % 2 == 1),
+        "o_orderkey", cdc=True,
+    )
+    cf2 = read_manifest(root, v2)["change_files"]
+    cf3 = read_manifest(root, v3)["change_files"]
+    assert cf2 and cf3
+
+    removed = vacuum(root, keep_last=1)  # retains only v3
+    for f in cf2:
+        assert not os.path.exists(f) and f in removed
+    for f in cf3:
+        assert os.path.exists(f)
+    # the retained feed still reads
+    assert read_changes(spark, root, v3, key="o_orderkey").count() > 0
