@@ -202,7 +202,12 @@ def main() -> int:
     duck_mem = os.environ.get("DRIVER_SIM_DUCK_MEM", "")
     if duck_mem:
         con.execute(f"SET memory_limit='{duck_mem}'")
-        con.execute("SET temp_directory='.tmp/duckspill'")
+        # per-process spill dir, parents pre-created: DuckDB does not
+        # mkdir -p the parent, and sharded sweeps must not share (or
+        # clean up) each other's spill space
+        spill = os.path.join(REPO, ".tmp", f"duckspill-{os.getpid()}")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
     duck_threads = os.environ.get("DRIVER_SIM_DUCK_THREADS", "")
     if duck_threads:
         con.execute(f"SET threads TO {int(duck_threads)}")
