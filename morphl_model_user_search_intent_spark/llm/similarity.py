@@ -2195,3 +2195,150 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     return _pq_exact_rerank(e_idx, cand)
+
+
+# ---- late-interaction (MaxSim / ColBERT-style) retrieval ----
+
+_MAXSIM_DIMS = 8
+_MAXSIM_TOKS = 6  # first K tokens per document
+_MAXSIM_QUERIES = 5  # doc_id < 5 are the standing queries
+_MAXSIM_TOPK = 3
+
+
+def _nib_sql(h: str, d: int) -> str:
+    """1..16 integer component d of a token's md5-nibble vector —
+    ``instr`` + ``substr`` + ``md5`` spell identically in Spark SQL
+    and DuckDB, so the 'token embedding' is exactly reproducible
+    cross-engine (the q_embed_text_long portability trick, reduced
+    to one nibble per dimension, +1 so norms are never zero)."""
+    return f"instr('0123456789abcdef', substr({h}, {d}, 1))"
+
+
+def _maxsim_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h, n2): the first ``_MAXSIM_TOKS`` whitespace
+    tokens per document with their md5 hex and integer squared norm."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim("text"), " "), 1, _MAXSIM_TOKS)
+    n2 = " + ".join(
+        f"{_nib_sql('h', k)} * {_nib_sql('h', k)}"
+        for k in range(1, _MAXSIM_DIMS + 1)
+    )
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("h", F.md5("tok"))
+        .withColumn("n2", F.expr(n2))
+        .select("doc_id", "pos", "h", "n2")
+    )
+
+
+@register(
+    "q_sim_maxsim",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, md5(l[pos]) AS h
+      FROM (
+        SELECT doc_id,
+               list_slice(string_split(trim(text), ' '), 1,
+                          {_MAXSIM_TOKS}) AS l,
+               unnest(generate_series(1, len(
+                 list_slice(string_split(trim(text), ' '), 1,
+                            {_MAXSIM_TOKS})))) AS pos
+        FROM documents)
+    ),
+    v AS (
+      SELECT doc_id, pos, h,
+             {' + '.join(f"{_nib_sql('h', k)} * {_nib_sql('h', k)}"
+                         for k in range(1, _MAXSIM_DIMS + 1))} AS n2
+      FROM tok
+    ),
+    pairs AS (
+      SELECT q.doc_id AS qid, q.pos AS qpos, d.doc_id AS did,
+             CAST(ROUND(1000000.0 * (
+               {' + '.join(f"{_nib_sql('q.h', k)} * {_nib_sql('d.h', k)}"
+                           for k in range(1, _MAXSIM_DIMS + 1))}
+             ) / (sqrt(q.n2) * sqrt(d.n2))) AS BIGINT) AS cu
+      FROM v q JOIN v d
+        ON q.doc_id < {_MAXSIM_QUERIES} AND d.doc_id <> q.doc_id
+    ),
+    best AS (
+      SELECT qid, qpos, did, MAX(cu) AS mcu
+      FROM pairs GROUP BY qid, qpos, did
+    ),
+    score AS (
+      SELECT qid, did, CAST(SUM(mcu) AS BIGINT) AS units
+      FROM best GROUP BY qid, did
+    )
+    SELECT qid, did, units / 1000000.0 AS score, rank FROM (
+      SELECT qid, did, units,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY units DESC, did) AS BIGINT) AS rank
+      FROM score)
+    WHERE rank <= {_MAXSIM_TOPK}
+    """,
+)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim): instead of one
+    vector per document, every TOKEN has a vector; a query-document
+    score sums, over the query's tokens, the best cosine any document
+    token achieves — token-level matching that single-vector cosine
+    blurs away.  Token vectors here are the md5-nibble integers (the
+    engine's portable-embedding discipline), so the whole operator is
+    value-hash oracle-checkable; a learned encoder drops into the
+    same plan by replacing ``_maxsim_tokens``.
+
+    Plan shape (the part that matters at 100 TB): the query side is
+    TINY (5 docs × ≤6 tokens) and is broadcast; candidates stream
+    through ONE scan — per candidate token the pair cosine against
+    every query token is computed in-task (integer dot of md5
+    nibbles, one IEEE division, rounded to integer micro-units), then
+    two map-side-combinable aggregations (MAX per query token, SUM
+    per document) reduce ~30 rows per candidate token to one row per
+    (query, candidate).  Cost is linear in corpus tokens × query
+    tokens — the late-interaction serving shape — with no candidate
+    re-attach join and no driver involvement; integer units make the
+    sum order-free cross-engine.
+    """
+    t = _maxsim_tokens(spark, sf_dir)
+    q = (
+        t.filter(F.col("doc_id") < _MAXSIM_QUERIES)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("pos").alias("qpos"),
+            F.col("h").alias("qh"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    dot = " + ".join(
+        f"{_nib_sql('qh', k)} * {_nib_sql('h', k)}"
+        for k in range(1, _MAXSIM_DIMS + 1)
+    )
+    pairs = (
+        t.join(F.broadcast(q), F.col("doc_id") != F.col("qid"))
+        .withColumn(
+            "cu",
+            F.round(
+                F.lit(1000000.0)
+                * F.expr(dot)
+                / (F.sqrt("qn2") * F.sqrt("n2"))
+            ).cast("bigint"),
+        )
+    )
+    best = pairs.groupBy("qid", "qpos", F.col("doc_id").alias("did")).agg(
+        F.max("cu").alias("mcu")
+    )
+    score = best.groupBy("qid", "did").agg(
+        F.sum("mcu").cast("bigint").alias("units")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("units").desc(), F.col("did")
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _MAXSIM_TOPK)
+        .select(
+            "qid",
+            "did",
+            (F.col("units") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )

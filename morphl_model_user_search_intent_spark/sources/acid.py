@@ -1012,3 +1012,43 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+@register(
+    "q_table_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+           'create' AS op, FALSE AS has_cdc
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'merge', TRUE
+    """,
+)
+def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the ACID table (round 7): the commit log
+    as a queryable relation — version, parent, operation, and whether
+    the commit published a CDC feed — read from the manifest log
+    alone (metadata-scale: no data file is opened).  Completes the
+    table's read API alongside snapshot, time-travel, and
+    change-feed reads; a production operator uses exactly this to
+    decide what to vacuum, where to start a CDC consumer, and which
+    commit introduced a regression.
+
+    The exercise table has a closed-form history (v1 create, v2
+    cdc MERGE), so the relation is fully oracle-checkable.  Driver-
+    side work is one JSON read per retained manifest — the same
+    bounded metadata walk every other table op does."""
+    root = ensure_acid_exercise(spark, sf_dir)
+    rows = []
+    for v in list_versions(root):
+        m = read_manifest(root, v)
+        rows.append(
+            (
+                m["version"],
+                m["parent"],
+                m["op"],
+                bool(m.get("change_files")),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version bigint, parent bigint, op string, has_cdc boolean"
+    )
