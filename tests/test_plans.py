@@ -342,3 +342,70 @@ def test_index_compact_serve_scans_snapshot_not_source(spark):
     plan = explain_str(_df(spark, "q_sim_index_compact"))
     assert "annindex-store-" in plan and "snapshots" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_maxsim_broadcasts_queries_and_combines_map_side(spark):
+    """q_sim_maxsim's scale contract: the tiny query-token side is
+    BROADCAST (no shuffle of the corpus-token stream to meet it) and
+    both reductions are partial/final HashAggregates (MAX per query
+    token, SUM per doc combine map-side before the exchange)."""
+    plan = explain_str(_df(spark, "q_sim_maxsim"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2x (partial + final)
+
+
+def test_filtered_serve_prefilters_before_scoring(spark):
+    """q_sim_index_filtered's contract: the metadata predicate lands
+    as a semi JOIN on the candidate scan — before the window-ranked
+    scoring — and the label filter is pushed into the sidecar scan."""
+    plan = explain_str(_df(spark, "q_sim_index_filtered"), "simple")
+    assert "LeftSemi" in plan
+    # the predicate reaches the attribute scan, not a post-filter
+    assert "label" in plan
+    assert "Window" in plan  # scoring still rank-based downstream
+
+
+def test_table_cdc_reads_only_changed_files(spark, tmp_path):
+    """table_changes' scale contract: the feed is built from the
+    commit's removed+added files only — the scan must NOT read the
+    carried (untouched) data files of either snapshot.  Needs a
+    range-partitioned table so the merge provably carries files (the
+    hash-partitioned driver exercise touches all 4 at sf0.001)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table,
+        merge_table,
+        read_manifest,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(spark, root, base.repartitionByRange(6, "o_orderkey"))
+    hi = base.agg(F.max("o_orderkey")).collect()[0][0]
+    src = base.filter(F.col("o_orderkey") > hi * 5 // 6).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 2).alias("price"),
+        F.lit(False).alias("_delete"),
+    )
+    merge_table(spark, root, src, "o_orderkey")
+    m1, m2 = read_manifest(root, 1), read_manifest(root, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried  # the range merge must carry most files
+    changed = (set(m1["files"]) | set(m2["files"])) - carried
+    assert changed
+    feed = table_changes(spark, root, version=2, key="o_orderkey")
+    scanned = {
+        os.path.basename(f.replace("file:", "")) for f in feed.inputFiles()
+    }
+    assert scanned == {os.path.basename(f) for f in changed}
