@@ -1052,3 +1052,61 @@ def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, parent bigint, op string, has_cdc boolean"
     )
+
+
+@register(
+    "q_table_cdc_apply",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'NEW-ROW' AS o_orderpriority,
+           CAST(o_totalprice * 0.5 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the downstream consumer's side of the change feed:
+    materialize a mirror of version 2 from the version-1 snapshot plus
+    version 2's change rows alone, never reading version 2's data
+    files.  Apply algebra: drop every key the feed deletes or
+    re-images (anti join on delete/update_preimage keys), then append
+    the feed's insert and update_postimage rows.  The oracle is the
+    full post-MERGE table, so a feed that is incomplete (missed
+    change), redundant (leaked a CoW-carried row), or mis-tagged
+    cannot reconstruct it — this is the end-to-end proof that the CDC
+    feed carries EXACTLY the commit's delta, which the per-row checks
+    of q_table_cdc imply but don't compose.
+
+    At 100 TB this is the standing pattern for keeping a downstream
+    mirror (feature store, search index, reporting replica) in sync:
+    cost per sync is O(snapshot keys anti-joined) + O(feed), with the
+    anti join's build side being the feed's key set — small relative
+    to the mirror by construction.
+    """
+    root = ensure_acid_exercise(spark, sf_dir)
+    v1 = read_table(spark, root, version=1)
+    feed = read_changes(spark, root, version=2, key="o_orderkey")
+    gone = (
+        feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    arriving = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("o_orderkey", "o_orderpriority", "price")
+    # no broadcast pin: a routine feed's key set is tiny and AQE
+    # broadcasts it; a massive commit (bulk backfill, GDPR wipe) must
+    # be allowed to fall back to a shuffle anti join
+    return v1.join(gone, "o_orderkey", "anti").unionByName(arriving)
