@@ -1110,3 +1110,142 @@ def q_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts it; a massive commit (bulk backfill, GDPR wipe) must
     # be allowed to fall back to a shuffle anti join
     return v1.join(gone, "o_orderkey", "anti").unionByName(arriving)
+
+
+@register(
+    "q_table_cdc_incremental",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderpriority, CAST(o_totalprice * 1.1 AS DOUBLE)
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT 'NEW-ROW', CAST(o_totalprice * 0.5 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0)
+             AS total_price
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def q_table_cdc_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental VIEW MAINTENANCE over the change feed (round 7):
+    a per-priority (count, revenue) aggregate mirror is brought from
+    version 1 to version 2 WITHOUT rescanning the table — the classic
+    delta-processing identity ``agg(v2) = agg(v1) + agg(feed⁺) −
+    agg(feed⁻)``, with inserts/update-postimages signed +1 and
+    deletes/update-preimages signed −1.  Counts and integer price
+    units are both group-mergeable, so the signed feed aggregate
+    combines with the v1 aggregate in one tiny union.
+
+    The ORACLE is the full recompute over the post-MERGE table, so a
+    sign error, a missed image, or a CoW-carried leak breaks the
+    hash.  q_agg_incremental proves partial-state merging across
+    partitions of one scan; this proves it across COMMITS — at
+    100 TB the difference between refreshing a dashboard with a
+    feed-sized job and a table-sized one.
+    """
+    root = ensure_acid_exercise(spark, sf_dir)
+    v1 = read_table(spark, root, version=1)
+    feed = read_changes(spark, root, version=2, key="o_orderkey")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1)
+    parts = (
+        v1.select(
+            "o_orderpriority",
+            F.lit(1).alias("w"),
+            units_nn("price", 100).alias("u"),
+        )
+        .unionByName(
+            feed.select(
+                "o_orderpriority",
+                sign.alias("w"),
+                (sign * units_nn("price", 100)).alias("u"),
+            )
+        )
+    )
+    return parts.groupBy("o_orderpriority").agg(
+        F.sum("w").cast("bigint").alias("n_rows"),
+        (F.sum("u") / F.lit(100.0)).alias("total_price"),
+    )
+
+
+def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE (Delta's CLONE): initialize a NEW table whose
+    first manifest references the SOURCE's current data files by
+    path — a metadata-only copy (no data byte moves), giving an
+    instant writable fork: the clone's later commits copy-on-write
+    into its OWN data dir, never touching the source, while shared
+    files stay shared until either side's vacuum horizon retires its
+    references.  (Like Delta, vacuuming the SOURCE past a version the
+    clone still references breaks the clone — the documented shallow-
+    clone caveat; a deep clone is this plus a file copy.)"""
+    m = read_manifest(src_root)
+    os.makedirs(_manifest_dir(dst_root), exist_ok=True)
+    os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
+    return commit(
+        dst_root,
+        m["files"],
+        f"clone:{os.path.basename(src_root.rstrip('/'))}@v{m['version']}",
+        parent=0,
+    )
+
+
+@register(
+    "q_table_clone",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'NEW-ROW' AS o_orderpriority,
+           CAST(o_totalprice * 0.5 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table fork: shallow-clone the post-MERGE exercise
+    table into a fresh root and read the CLONE back — the oracle (the
+    closed-form merge result) passing against the clone proves the
+    metadata-only fork reads byte-identically to its source.  The
+    pytest twin additionally pins the zero-copy property (the clone's
+    manifest references the source's physical files) and write
+    isolation (a merge on the clone leaves the source's snapshot
+    untouched).  At 100 TB a shallow clone is how experiments fork a
+    production table in O(metadata) — the table-layer analogue of the
+    ANN store's pointer-swapped snapshots."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    src = ensure_acid_exercise(spark, sf_dir)
+    dst = os.path.join(SCRATCH, f"acidtable-clone-{_tag(sf_dir)}")
+    note = f"clone-of {_orders_fingerprint(sf_dir)}"
+    ready = os.path.join(dst, "_READY_CLONE")
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_table(spark, src, dst)
+        with open(ready, "w") as fh:
+            fh.write(note)
+    return read_table(spark, dst)

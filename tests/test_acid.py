@@ -614,3 +614,43 @@ def test_vacuum_reclaims_expired_change_files(spark, tmp_path):
         assert os.path.exists(f)
     # the retained feed still reads
     assert read_changes(spark, root, v3, key="o_orderkey").count() > 0
+
+
+def test_shallow_clone_is_zero_copy_and_write_isolated(spark, tmp_path):
+    """CLONE's two structural guarantees: (a) zero-copy — the clone's
+    first manifest references the source's physical files, no data
+    byte moves; (b) write isolation — a merge committed on the clone
+    rewrites into the clone's own data dir and the source snapshot is
+    bit-stable."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        clone_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = _base(spark).filter(F.col("o_orderkey") <= 2000)
+    create_table(spark, src, base.repartition(3))
+    v = clone_table(spark, src, dst)
+    assert v == 1
+    # zero-copy: identical physical file list
+    assert read_manifest(dst, 1)["files"] == read_manifest(src)["files"]
+    assert os.listdir(os.path.join(dst, "data")) == []
+    before = _rowset(read_table(spark, src))
+    assert _rowset(read_table(spark, dst)) == before
+
+    # write isolation: merge on the CLONE only
+    upd = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 3).alias("price"),
+        F.lit(False).alias("_delete"),
+    )
+    merge_table(spark, dst, upd, "o_orderkey")
+    assert _rowset(read_table(spark, src)) == before  # source untouched
+    got = _rowset(read_table(spark, dst))
+    assert got != before
+    # the clone's new files live under ITS data dir
+    new = set(read_manifest(dst)["files"]) - set(read_manifest(src)["files"])
+    assert new and all(f.startswith(dst + os.sep) for f in new)
