@@ -154,13 +154,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_tumbling", "q_stream_index_append", "q_sessionize",
     "q_stream_table_cdc",
     # §2.11 similarity / dedup / multimodal / curation
-    "q_dedup_jaccard", "q_dedup_url",
+    "q_dedup_url",
     "q_dedup_clusters", "q_sim_knn", "q_sim_index_serve",
-    "q_sim_index_compact", "q_sim_index_filtered",
-    "q_corpus_funnel", "q_multimodal",
-    # lakehouse table ops (round 6 + the round-7 CDC/OPTIMIZE trio)
+    "q_sim_index_compact", "q_sim_index_filtered", "q_sim_maxsim",
+    "q_multimodal",
+    # lakehouse table ops (round 6 + the round-7 CDC/OPTIMIZE family)
     "q_table_merge", "q_table_time_travel",
     "q_table_cdc", "q_table_cdc_files", "q_table_optimize",
+    "q_table_cdc_apply",
     # §2.12 UDFs (the round-7 oracle promotions take the family slots)
     "q_udf_grouped_map", "q_udtf_explode_sessions", "q_embed_text_long",
     # §2.1 sources / sinks / scans
@@ -185,7 +186,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_udf_pandas, q_udf_grouped_agg; later in round 7, to seat the
 # CDC/OPTIMIZE/filtered-ANN additions: q_sessionize_chunked,
 # q_sessionize_auto, q_dedup_semantic, q_sim_hybrid_rrf,
-# q_corpus_span_corrupt.
+# q_corpus_span_corrupt; and to seat MaxSim + CDC-apply:
+# q_corpus_funnel and q_dedup_jaccard (both graded r06 green).
 
 
 def _ordered_names() -> list[str]:
