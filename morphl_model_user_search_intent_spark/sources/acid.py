@@ -1249,3 +1249,178 @@ def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as fh:
             fh.write(note)
     return read_table(spark, dst)
+
+
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file zone map from the parquet FOOTER only: {col: [min,
+    max]} plus the row count — the statistics Delta add-files /
+    Iceberg manifests carry, harvested at write time so the read side
+    never opens a data page to plan."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in cols or c.statistics is None:
+                continue
+            st = c.statistics
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {
+        "rows": md.num_rows,
+        "cols": {c: [mins[c], maxs[c]] for c in mins if c in maxs},
+    }
+
+
+def commit_stats(root: str, files: list[str], cols: list[str]) -> dict:
+    """Stats block for a manifest: {basename: {rows, cols:{c:[lo,hi]}}}.
+    Keyed by uuid basename (unique by construction) so the block
+    survives path-representation differences."""
+    return {
+        os.path.basename(f): _file_stats(f, cols) for f in files
+    }
+
+
+def scan_table(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot scan: resolve the manifest, drop every
+    data file whose recorded [min, max] zone for ``col`` cannot
+    intersect [lo, hi], and read only the survivors — file-level data
+    skipping at the TABLE layer (Delta data skipping / Iceberg
+    min-max manifest pruning), complementing the parquet row-group
+    skipping the scan itself still does inside each kept file.  Files
+    without recorded stats are read (skipping must never be lossy).
+    The residual predicate is applied after the scan, so the result
+    is exactly the unpruned filter's."""
+    m = read_manifest(root, version)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        s = stats.get(os.path.basename(f), {}).get("cols", {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            keep.append(f)
+    base = (
+        spark.read.parquet(*keep)
+        if keep
+        else read_table(spark, root, version).limit(0)
+    )
+    return base.filter(F.col(col).between(lo, hi))
+
+
+def ensure_skipping_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the data-skipping exhibit: orders written
+    range-clustered on o_orderkey across 8 files with per-file stats
+    recorded in the manifest — the layout a clustered/Z-ordered
+    OPTIMIZE leaves behind, where key-range predicates prune most
+    files."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-skip-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_SKIP")
+    note = f"acid-skip {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    files = _write_files(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    m = {
+        "files": files,
+        "stats": commit_stats(root, files, ["o_orderkey"]),
+    }
+    v = 1
+    manifest_path = _manifest_path(root, v)
+    payload = {
+        "version": v,
+        "parent": 0,
+        "op": "create",
+        "ts": time.time(),
+        **{"files": sorted(files)},
+        "stats": m["stats"],
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(payload, fh)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_skipping",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q_table_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-LAYER DATA SKIPPING (round 7): per-file min/max zone
+    maps harvested from parquet footers at write time and recorded in
+    the manifest let a key-range scan drop non-intersecting files
+    BEFORE Spark plans the read — at 100 TB the difference between
+    listing a handful of files and scanning a table, and the reason
+    Delta/Iceberg commit file stats with every add.  The oracle is
+    the plain WHERE over the full table, so pruning can never be
+    lossy; the pytest plan gate asserts the scan's inputFiles really
+    shrank (q_meta_skipping proves the same idea on bare files —
+    here the zone maps live in the committed manifest, surviving
+    engine restarts and readable by any client)."""
+    root = ensure_skipping_exercise(spark, sf_dir)
+    return scan_table(spark, root, "o_orderkey", 1000, 2000)
+
+
+@register(
+    "q_table_count_metadata",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    """,
+)
+def q_table_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates: COUNT(*) from the manifest's
+    recorded per-file row counts, MIN/MAX of the clustered key from
+    the per-file zone maps — zero data pages opened, the trick behind
+    Delta/Iceberg's instant SELECT COUNT(*)/MIN/MAX — oracle-checked
+    against the full-scan answers.  Cost at any table size: one
+    manifest read."""
+    root = ensure_skipping_exercise(spark, sf_dir)
+    stats = read_manifest(root).get("stats", {})
+    n = sum(s["rows"] for s in stats.values())
+    lo = min(s["cols"]["o_orderkey"][0] for s in stats.values())
+    hi = max(s["cols"]["o_orderkey"][1] for s in stats.values())
+    return spark.createDataFrame(
+        [(n, lo, hi)], "n_rows bigint, first_key bigint, last_key bigint"
+    )

@@ -421,3 +421,30 @@ def q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         VALUES ('Z-SENTINEL', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))
     """)
     return spark.sql(f"SELECT priority, n_orders, revenue FROM {name}")
+
+
+# Shared-text (runs verbatim in Spark SQL and DuckDB): the GROUP BY
+# ALL / ORDER BY ALL shorthand both dialects added — every
+# non-aggregate select item becomes a grouping key, every select item
+# an order key, so the query stays valid as dimensions are added,
+# the exploratory-SQL ergonomics reason warehouses adopted it.
+_SQL_GROUP_BY_ALL = """
+    SELECT o_orderpriority,
+           CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AS recent,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("q_sql_group_by_all", oracle=_SQL_GROUP_BY_ALL)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (Spark 4 parser surface),
+    one SQL text for both engines — grouping keys and order keys are
+    inferred from the select list.  Catalyst expands it to the same
+    logical aggregate the explicit spelling builds, so pushdown /
+    partial-final aggregation apply unchanged."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_GROUP_BY_ALL)

@@ -409,3 +409,66 @@ def test_table_cdc_reads_only_changed_files(spark, tmp_path):
         os.path.basename(f.replace("file:", "")) for f in feed.inputFiles()
     }
     assert scanned == {os.path.basename(f) for f in changed}
+
+
+def test_table_skipping_prunes_files_by_zone_maps(spark):
+    """q_table_skipping's scale contract: the manifest's per-file
+    min/max zones must drop non-intersecting files BEFORE the scan is
+    planned — inputFiles is a strict subset — while a file with no
+    recorded stats is conservatively kept (skipping is never lossy)."""
+    import os
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        ensure_skipping_exercise,
+        read_manifest,
+        scan_table,
+    )
+
+    root = ensure_skipping_exercise(spark, SF_DIR)
+    m = read_manifest(root)
+    all_files = {os.path.basename(f) for f in m["files"]}
+    assert len(all_files) == 8
+
+    pruned = scan_table(spark, root, "o_orderkey", 1000, 2000)
+    scanned = {
+        os.path.basename(f.replace("file:", ""))
+        for f in pruned.inputFiles()
+    }
+    assert scanned < all_files  # strict subset: zones really pruned
+    # correctness of the pruned read vs the unpruned filter
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        read_table,
+    )
+
+    full = (
+        read_table(spark, root)
+        .filter(F.col("o_orderkey").between(1000, 2000))
+        .count()
+    )
+    assert pruned.count() == full
+
+    # losslessness: strip one kept file's stats -> it must be scanned
+    victim = sorted(m["stats"])[0]
+    stats2 = {k: v for k, v in m["stats"].items() if k != victim}
+    m2 = dict(m, stats=stats2)
+    import json
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _manifest_path,
+    )
+
+    with open(_manifest_path(root, 1), "w") as fh:
+        json.dump(m2, fh)
+    try:
+        again = scan_table(spark, root, "o_orderkey", 1000, 2000)
+        scanned2 = {
+            os.path.basename(f.replace("file:", ""))
+            for f in again.inputFiles()
+        }
+        assert victim in scanned2  # no stats -> conservatively kept
+        assert again.count() == full
+    finally:
+        with open(_manifest_path(root, 1), "w") as fh:
+            json.dump(m, fh)
