@@ -103,6 +103,7 @@ def commit(
     parent: int,
     txn: dict | None = None,
     change_files: list[str] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
@@ -130,6 +131,12 @@ def commit(
         # it — a CDC reader of this version reads these files instead
         # of reconstructing the feed from a snapshot diff.
         manifest["change_files"] = sorted(change_files)
+    if stats is not None:
+        # Delta add-file stats / Iceberg manifest metrics: per-file
+        # zone maps + row counts, committed with the version so
+        # scan_table prunes and q_table_count_metadata answers from
+        # metadata alone (see commit_stats / _file_stats).
+        manifest["stats"] = stats
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -1354,22 +1361,13 @@ def ensure_skipping_exercise(spark: SparkSession, sf_dir: str) -> str:
         ),
         root,
     )
-    m = {
-        "files": files,
-        "stats": commit_stats(root, files, ["o_orderkey"]),
-    }
-    v = 1
-    manifest_path = _manifest_path(root, v)
-    payload = {
-        "version": v,
-        "parent": 0,
-        "op": "create",
-        "ts": time.time(),
-        **{"files": sorted(files)},
-        "stats": m["stats"],
-    }
-    with open(manifest_path, "w") as fh:
-        json.dump(payload, fh)
+    commit(
+        root,
+        files,
+        "create",
+        parent=0,
+        stats=commit_stats(root, files, ["o_orderkey"]),
+    )
     with open(ready, "w") as fh:
         fh.write(note)
     return root
