@@ -284,6 +284,28 @@ def merge_table(
             )
             pre = matched.join(fate, on, "inner")
             matched_keys = matched.select(on)
+            # No-op replacements (a source row identical to its base
+            # row) change nothing in the table, and the file-diff
+            # reconstruction (table_changes) provably cannot see
+            # them — so the write-side feed must not emit them either
+            # or the two CDC mechanisms diverge.  One value-compare
+            # join over MATCHED keys only (bounded by touched rows)
+            # keeps the feeds identical: "the feed is what changed."
+            cols = [c for c in matched.columns if c != on]
+            same = F.lit(True)
+            for c in cols:
+                same = same & F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+            changed_keys = (
+                matched.join(
+                    upserts.select(
+                        on,
+                        *[F.col(c).alias(f"_new_{c}") for c in cols],
+                    ),
+                    on,
+                )
+                .filter(~same)
+                .select(on)
+            )
 
             def tag(df: DataFrame, ct: str) -> DataFrame:
                 return df.withColumn("_change_type", F.lit(ct))
@@ -295,15 +317,15 @@ def merge_table(
                 )
                 .unionByName(
                     tag(
-                        pre.filter(F.col("_upserted") == 1).drop(
-                            "_upserted"
-                        ),
+                        pre.filter(F.col("_upserted") == 1)
+                        .drop("_upserted")
+                        .join(changed_keys, on, "semi"),
                         "update_preimage",
                     )
                 )
                 .unionByName(
                     tag(
-                        upserts.join(matched_keys, on, "semi"),
+                        upserts.join(changed_keys, on, "semi"),
                         "update_postimage",
                     )
                 )
@@ -1244,7 +1266,16 @@ def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     src = ensure_acid_exercise(spark, sf_dir)
     dst = os.path.join(SCRATCH, f"acidtable-clone-{_tag(sf_dir)}")
-    note = f"clone-of {_orders_fingerprint(sf_dir)}"
+    # the note must pin the SOURCE TABLE's physical identity, not just
+    # the fixture's: a restaged source gets new uuid files, and a
+    # stale clone would keep referencing the deleted ones (the
+    # shallow-clone source-vacuum caveat, surfacing as a fixture bug)
+    src_m = read_manifest(src)
+    src_id = hash(tuple(src_m["files"])) & 0xFFFFFFFF
+    note = (
+        f"clone-of {_orders_fingerprint(sf_dir)} "
+        f"src-v{src_m['version']}-{src_id:08x}"
+    )
     ready = os.path.join(dst, "_READY_CLONE")
     try:
         ok = open(ready).read().strip() == note

@@ -654,3 +654,50 @@ def test_shallow_clone_is_zero_copy_and_write_isolated(spark, tmp_path):
     # the clone's new files live under ITS data dir
     new = set(read_manifest(dst)["files"]) - set(read_manifest(src)["files"])
     assert new and all(f.startswith(dst + os.sep) for f in new)
+
+
+def test_cdc_noop_replacements_emit_nothing(spark, tmp_path):
+    """A MERGE source row identical to its base row changes nothing;
+    the write-side feed must not emit an update pair for it (the
+    file-diff reconstruction provably cannot see it, and the two CDC
+    mechanisms must stay interchangeable)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 1000)
+    create_table(spark, root, base.repartition(2))
+    # source: every key <= 500 re-sent UNCHANGED, every key % 9 == 0
+    # genuinely re-priced
+    noop = base.filter(F.col("o_orderkey") <= 500).filter(
+        F.col("o_orderkey") % 9 != 0
+    )
+    real = base.filter(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 2).alias("price"),
+    )
+    src = (
+        noop.unionByName(real)
+        .withColumn("_delete", F.lit(False))
+    )
+    v = merge_table(spark, root, src, "o_orderkey", cdc=True)
+
+    feed = read_changes(spark, root, v, key="o_orderkey")
+    upd = feed.filter(F.col("_change_type") == "update_postimage")
+    keys = {r.o_orderkey for r in upd.select("o_orderkey").collect()}
+    assert keys == {
+        r.o_orderkey for r in real.select("o_orderkey").collect()
+    }
+    assert feed.filter(F.col("_change_type") == "insert").count() == 0
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    # and the two mechanisms still agree
+    diff = table_changes(spark, root, v, key="o_orderkey")
+
+    def fs(df):
+        return {
+            (r.o_orderkey, r.o_orderpriority, round(r.price, 2),
+             r._change_type)
+            for r in df.collect()
+        }
+
+    assert fs(feed) == fs(diff)
