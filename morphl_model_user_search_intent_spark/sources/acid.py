@@ -198,6 +198,8 @@ def merge_table(
     version: int | None = None,
     max_retries: int = 3,
     cdc: bool = False,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """SQL-MERGE over the table, copy-on-write at file granularity.
 
@@ -231,8 +233,25 @@ def merge_table(
     stays as the reconstruction fallback for commits written without
     CDC, exactly like Delta's fallback-disallowed vs CDF-enabled
     tables).
+
+    ``txn_app``/``txn_version`` give the merge the same idempotence
+    ledger as :func:`append_table` (the Delta ``txn`` action): a
+    replayed (app, version) is a no-op returning the latest table
+    version — what a foreachBatch consumer applying a change feed
+    needs, since foreachBatch is at-least-once on retry and a
+    replayed MERGE of an already-applied delta would re-fire its
+    update arm against already-updated rows.
     """
+    txn = None
+    if txn_app is not None:
+        if txn_version is None:
+            raise ValueError("txn_app requires txn_version")
+        txn = {"app": txn_app, "version": int(txn_version)}
     for _ in range(max_retries):
+        if txn is not None:
+            done = committed_txn_version(root, txn_app)
+            if done is not None and done >= txn_version:
+                return latest_version(root)  # replayed batch: no-op
         m = read_manifest(root, version)
         # Tag base rows with their file's uuid BASENAME, not the full
         # path: _metadata.file_path is a URI whose representation
@@ -343,6 +362,7 @@ def merge_table(
                 kept + new_files,
                 "merge",
                 parent=m["version"],
+                txn=txn,
                 change_files=change_files,
             )
         except CommitConflict:
@@ -1209,7 +1229,12 @@ def q_table_cdc_incremental(
     )
 
 
-def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> int:
+def clone_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
     """SHALLOW CLONE (Delta's CLONE): initialize a NEW table whose
     first manifest references the SOURCE's current data files by
     path — a metadata-only copy (no data byte moves), giving an
@@ -1219,7 +1244,7 @@ def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> int:
     references.  (Like Delta, vacuuming the SOURCE past a version the
     clone still references breaks the clone — the documented shallow-
     clone caveat; a deep clone is this plus a file copy.)"""
-    m = read_manifest(src_root)
+    m = read_manifest(src_root, version)
     os.makedirs(_manifest_dir(dst_root), exist_ok=True)
     os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
     return commit(

@@ -1435,3 +1435,123 @@ def q_stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return read_table(spark, root)
+
+
+@register(
+    "q_stream_table_mirror",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'NEW-ROW' AS o_orderpriority,
+           CAST(o_totalprice * 0.5 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_stream_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MIRROR maintenance (round 7) — the full lakehouse
+    streaming loop in one oracle-checked query: the source table's
+    change feed streams through the versioned-offset CDC source
+    (q_stream_table_cdc_source's reader), and foreachBatch MERGES each
+    micro-batch's delta into a DOWNSTREAM ACID table that was
+    shallow-cloned from the source's version 1.  Update post-images
+    and inserts become upsert arms, deletes become delete arms,
+    pre-images drop (the post-image carries the key).  Each applied
+    batch commits with the txn ledger (app = the mirror's consumer id,
+    version = batch id), so foreachBatch's at-least-once replay
+    upgrades to exactly-once mirror growth — the same contract
+    q_stream_table_ingest proves for appends, here proven for MERGE.
+
+    The ORACLE is the closed-form final source state: the mirror must
+    converge to EXACTLY the source's latest version through feed
+    application alone (it never reads a source data file after the
+    initial clone) — incomplete feeds, replayed deltas, or mis-tagged
+    images cannot converge.  At 100 TB: per-sync cost is O(feed) +
+    the merge's touched files; the initial clone is O(metadata).
+    """
+    import os
+    import re
+    import shutil
+
+    from ..sources.acid import (
+        _orders_fingerprint,
+        clone_table,
+        configure,
+        ensure_cdc_stream_exercise,
+        merge_table,
+        read_manifest,
+        read_table,
+    )
+    from ..sources.formats import SCRATCH, _tag
+    from ..sources.pysource import TableChangesStreamSource
+
+    configure(spark)
+    src = ensure_cdc_stream_exercise(spark, sf_dir)
+    dst = os.path.join(SCRATCH, f"acidtable-mirror-{_tag(sf_dir)}")
+    src_m = read_manifest(src)
+    src_id = hash(tuple(src_m["files"])) & 0xFFFFFFFF
+    note = (
+        f"mirror-of {_orders_fingerprint(sf_dir)} "
+        f"src-v{src_m['version']}-{src_id:08x}"
+    )
+    ready = os.path.join(dst, "_READY_MIRROR")
+    try:
+        if open(ready).read().strip() == note:
+            return read_table(spark, dst)
+    except OSError:
+        pass
+    shutil.rmtree(dst, ignore_errors=True)
+    clone_table(spark, src, dst, version=1)
+
+    try:
+        spark.dataSource.register(TableChangesStreamSource)
+    except Exception:
+        pass  # already registered in this session
+
+    app = f"mirror-{_tag(sf_dir)}"
+
+    def apply_batch(batch, batch_id: int) -> None:
+        import pyspark.sql.functions as BF
+
+        delta = (
+            batch.filter(BF.col("_change_type") != "update_preimage")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                "price",
+                (BF.col("_change_type") == "delete").alias("_delete"),
+            )
+        )
+        merge_table(
+            batch.sparkSession,
+            dst,
+            delta,
+            "o_orderkey",
+            cdc=False,
+            txn_app=app,
+            txn_version=batch_id,
+        )
+
+    s = (
+        spark.readStream.format("acid_table_changes")
+        .option("root", src)
+        .load()
+    )
+    q = s.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return read_table(spark, dst)

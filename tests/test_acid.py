@@ -701,3 +701,44 @@ def test_cdc_noop_replacements_emit_nothing(spark, tmp_path):
         }
 
     assert fs(feed) == fs(diff)
+
+
+def test_merge_txn_replay_is_noop(spark, tmp_path):
+    """merge_table with a txn identity: replaying the same (app,
+    batch) is a no-op — the contract that upgrades a foreachBatch CDC
+    consumer from at-least-once to exactly-once MERGE application
+    (q_stream_table_mirror)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 1000)
+    create_table(spark, root, base)
+    src = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 2).alias("price"),
+        F.lit(False).alias("_delete"),
+    )
+    v2 = merge_table(
+        spark, root, src, "o_orderkey", txn_app="m", txn_version=0
+    )
+    assert v2 == 2
+    after = _rowset(read_table(spark, root))
+    # replay: same app+batch -> no new version, same content
+    v_again = merge_table(
+        spark, root, src, "o_orderkey", txn_app="m", txn_version=0
+    )
+    assert v_again == 2
+    assert latest_version(root) == 2
+    assert _rowset(read_table(spark, root)) == after
+    # the NEXT batch still applies
+    src2 = base.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 3).alias("price"),
+        F.lit(False).alias("_delete"),
+    )
+    v3 = merge_table(
+        spark, root, src2, "o_orderkey", txn_app="m", txn_version=1
+    )
+    assert v3 == 3
