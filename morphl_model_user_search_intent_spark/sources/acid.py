@@ -1478,3 +1478,87 @@ def q_table_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, lo, hi)], "n_rows bigint, first_key bigint, last_key bigint"
     )
+
+
+def maybe_optimize(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 16,
+    target_files: int = 2,
+) -> int | None:
+    """The compaction POLICY for the table layer (the twin of the ANN
+    store's maybe_compact): OPTIMIZE when the current snapshot's file
+    count exceeds ``max_files`` — the small-file pressure a
+    commit-per-micro-batch streaming ingest builds up — else no-op.
+    Idempotent; a scheduler calls it after every ingest cycle.
+    Returns the new version when a compaction ran, None otherwise."""
+    if len(read_manifest(root)["files"]) <= max_files:
+        return None
+    return optimize_table(spark, root, target_files=target_files)
+
+
+@register(
+    "q_table_add_column",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE),
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-layer SCHEMA EVOLUTION (round 7): an append commits rows
+    carrying a NEW column; the snapshot read resolves the union
+    schema (old files surface NULL for the added column — parquet
+    mergeSchema under the manifest's file pinning), while TIME TRAVEL
+    to the pre-evolution version still returns the original schema —
+    the two properties that make additive evolution safe: new readers
+    see the wide schema, pinned readers are undisturbed.  Both are
+    pytest-pinned; this query oracle-checks the evolved read.
+
+    At 100 TB evolution must be a metadata act: no data file is
+    rewritten — the commit is one manifest referencing old + new
+    files, exactly Delta/Iceberg's add-column semantics (drop/rename
+    need column-id indirection, the documented next step)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-evo-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_EVO")
+    note = f"acid-evo {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        o = table(spark, sf_dir, "orders")
+        create_table(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("price"),
+            ),
+        )
+        append_table(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("price"),
+                F.col("o_orderpriority").alias("channel"),
+            ),
+        )
+        with open(ready, "w") as fh:
+            fh.write(note)
+    m = read_manifest(root)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*m["files"])
+        .select("o_orderkey", "price", "channel")
+    )

@@ -742,3 +742,56 @@ def test_merge_txn_replay_is_noop(spark, tmp_path):
         spark, root, src2, "o_orderkey", txn_app="m", txn_version=1
     )
     assert v3 == 3
+
+
+def test_schema_evolution_and_optimize_policy(spark, tmp_path):
+    """Additive schema evolution: post-evolution reads resolve the
+    union schema (old rows NULL for the new column), a pinned
+    time-travel read still returns the ORIGINAL schema, and no data
+    file is rewritten by the evolution commit.  Plus the OPTIMIZE
+    policy: maybe_optimize is a no-op under the file-count threshold
+    and compacts above it."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        maybe_optimize,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 1000)
+    create_table(
+        spark, root, base.select("o_orderkey", "price").repartition(3)
+    )
+    v1_files = set(read_manifest(root, 1)["files"])
+    append_table(
+        spark,
+        root,
+        base.select(
+            (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+            "price",
+            F.lit("web").alias("channel"),
+        ).repartition(3),
+    )
+    # evolution is additive metadata: v1's files all carried
+    assert v1_files < set(read_manifest(root, 2)["files"])
+    m = read_manifest(root, 2)
+    wide = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    assert set(wide.columns) == {"o_orderkey", "price", "channel"}
+    n_old = wide.filter(F.col("channel").isNull()).count()
+    assert n_old == base.count()
+    # pinned pre-evolution read: original schema, undisturbed
+    assert set(read_table(spark, root, version=1).columns) == {
+        "o_orderkey",
+        "price",
+    }
+
+    # optimize policy: below threshold -> no-op; above -> compaction
+    assert maybe_optimize(spark, root, max_files=100) is None
+    v = maybe_optimize(spark, root, max_files=2, target_files=2)
+    assert v == 3
+    assert len(read_manifest(root, v)["files"]) <= 2
+    got = spark.read.option("mergeSchema", "true").parquet(
+        *read_manifest(root, v)["files"]
+    )
+    assert got.count() == 2 * base.count()
