@@ -477,77 +477,97 @@ def test_pydatasource_stream_resumes_from_checkpoint(spark):
         spark.dataSource.register(SyntheticEventsStreamSource)
     except Exception:
         pass
-    ckpt = tempfile.mkdtemp(prefix="pyds-resume-")
-    name = "pyds_resume_sink"
 
-    def start():
-        s = spark.readStream.format("synthetic_events_stream").load()
-        agg = s.groupBy("grp").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("h").cast("bigint").alias("h_sum"),
-        )
-        return (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+    class _StartupStall(Exception):
+        """Source produced no micro-batch inside the deadline —
+        host-load noise, not a resume defect."""
+
+    def scenario(attempt: int) -> None:
+        ckpt = tempfile.mkdtemp(prefix="pyds-resume-")
+        name = f"pyds_resume_sink_{attempt}"
+
+        def start():
+            s = spark.readStream.format(
+                "synthetic_events_stream"
+            ).load()
+            agg = s.groupBy("grp").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("h").cast("bigint").alias("h_sum"),
+            )
+            return (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        try:
+            q = start()
+            # let a couple of micro-batches commit, then kill mid-stream
+            deadline = time.time() + 60
+            made_progress = False
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p["batchId"] >= 2:
+                    made_progress = True
+                    break
+                time.sleep(0.05)
+            if not made_progress:
+                # Separate "startup stalled" (this host shows
+                # intermittent ~3x disk dips; a concurrent sweep makes
+                # it worse) from a genuine resume bug — stall retries
+                # once on a FRESH checkpoint (r7: the best-of-2 the
+                # perf gate needed for the same reason); a real
+                # resume defect still fails both attempts.
+                last = q.lastProgress
+                q.stop()
+                raise _StartupStall(f"lastProgress={last}")
+            q.stop()
+            q.awaitTermination(30)
+            try:
+                n_first = (
+                    spark.table(name)
+                    .agg(F.sum("n_rows"))
+                    .collect()[0][0]
+                    or 0
+                )
+            except Exception:  # stopped before the sink's 1st commit
+                n_first = 0
+
+            q2 = start()
+            q2.processAllAvailable()
+            q2.stop()
+            q2.awaitTermination(30)
+
+            total = N_STREAM_BATCHES * ROWS_PER_BATCH
+            rows = {r.grp: r for r in spark.table(name).collect()}
+            assert set(rows) == set(GROUPS)
+            assert sum(r.n_rows for r in rows.values()) == total
+            exact: dict[str, int] = {g: 0 for g in GROUPS}
+            counts: dict[str, int] = {g: 0 for g in GROUPS}
+            for i in range(total):
+                g = GROUPS[i % 5]
+                exact[g] += (i * 2654435761) % 4294967296
+                counts[g] += 1
+            for g in GROUPS:
+                assert rows[g].n_rows == counts[g], g
+                assert rows[g].h_sum == exact[g], g
+            if n_first < total:  # the restart really resumed mid-way
+                assert n_first > 0
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     try:
-        q = start()
-        # let a couple of micro-batches commit, then kill mid-stream
-        deadline = time.time() + 60
-        made_progress = False
-        while time.time() < deadline:
-            p = q.lastProgress
-            if p and p["batchId"] >= 2:
-                made_progress = True
-                break
-            time.sleep(0.05)
-        if not made_progress:
-            # Separate the "startup stalled" failure (this host shows
-            # intermittent ~3x disk dips) from a genuine resume bug —
-            # without this, n_first == 0 falls through to the resume
-            # assertion below with a misleading message.
-            q.stop()
-            pytest.fail(
-                "no micro-batch progress within the 60s deadline "
-                "(source startup stall, NOT a checkpoint-resume "
-                f"failure; lastProgress={q.lastProgress})"
-            )
-        q.stop()
-        q.awaitTermination(30)
+        scenario(0)
+    except _StartupStall:
         try:
-            n_first = (
-                spark.table(name).agg(F.sum("n_rows")).collect()[0][0]
-                or 0
+            scenario(1)
+        except _StartupStall as e:
+            pytest.fail(
+                "no micro-batch progress within the 60s deadline on "
+                f"two fresh attempts (source startup stall; {e})"
             )
-        except Exception:  # stopped before the sink's first commit
-            n_first = 0
-
-        q2 = start()
-        q2.processAllAvailable()
-        q2.stop()
-        q2.awaitTermination(30)
-
-        total = N_STREAM_BATCHES * ROWS_PER_BATCH
-        rows = {r.grp: r for r in spark.table(name).collect()}
-        assert set(rows) == set(GROUPS)
-        assert sum(r.n_rows for r in rows.values()) == total
-        exact: dict[str, int] = {g: 0 for g in GROUPS}
-        counts: dict[str, int] = {g: 0 for g in GROUPS}
-        for i in range(total):
-            g = GROUPS[i % 5]
-            exact[g] += (i * 2654435761) % 4294967296
-            counts[g] += 1
-        for g in GROUPS:
-            assert rows[g].n_rows == counts[g], g
-            assert rows[g].h_sum == exact[g], g
-        if n_first < total:  # the restart really resumed mid-stream
-            assert n_first > 0
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_stateful_streams_materialize_rocksdb_state(spark, tmp_path):
