@@ -1562,3 +1562,57 @@ def q_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(*m["files"])
         .select("o_orderkey", "price", "channel")
     )
+
+
+def restore_table(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE (Delta's RESTORE TABLE ... VERSION AS OF): roll the
+    table back to a retained historical version by committing a NEW
+    version that references the OLD version's files — history moves
+    only forward, the bad commits stay inspectable (and vacuumable),
+    and the restore itself is one metadata-only commit that a
+    concurrent writer can race like any other.  Requires the target
+    version to still be retained (vacuum past it and the files are
+    gone — the same precondition Delta documents)."""
+    m = read_manifest(root, version)
+    return commit(
+        root,
+        m["files"],
+        f"restore:v{version}",
+        parent=latest_version(root),
+    )
+
+
+@register(
+    "q_table_restore",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    """,
+)
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (round 7) — the undo button that completes the
+    maintenance set: the exercise table (v1 create → v2 MERGE) is
+    rolled back to v1 by a forward metadata-only commit, and this
+    query reads the result — the oracle is the ORIGINAL orders
+    projection, so the restore must byte-exactly resurrect v1 while
+    v2 stays in history (op recorded, pytest pins the history shape
+    and that no data file was copied).  Runs on its own root so the
+    shared two-version exercise keeps its shape."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-restore-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_RESTORE")
+    note = f"acid-restore {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        ensure_acid_exercise(spark, sf_dir, root=root)
+        restore_table(spark, root, version=1)
+        with open(ready, "w") as fh:
+            fh.write(note)
+    return read_table(spark, root)

@@ -795,3 +795,40 @@ def test_schema_evolution_and_optimize_policy(spark, tmp_path):
         *read_manifest(root, v)["files"]
     )
     assert got.count() == 2 * base.count()
+
+
+def test_restore_is_metadata_only_and_history_preserving(spark, tmp_path):
+    """RESTORE commits forward: v3 references v1's physical files (no
+    copy), v2 stays retained and readable, and a post-restore write
+    builds on the restored state."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        restore_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).filter(F.col("o_orderkey") <= 1000)
+    create_table(spark, root, base)
+    v1_rows = _rowset(read_table(spark, root))
+    merge_table(spark, root, _merge_source(spark, SF_DIR), "o_orderkey")
+    v2_rows = _rowset(read_table(spark, root))
+    assert v2_rows != v1_rows
+
+    v3 = restore_table(spark, root, version=1)
+    assert v3 == 3
+    m1, m3 = read_manifest(root, 1), read_manifest(root, 3)
+    assert m3["files"] == m1["files"]  # zero-copy rollback
+    assert m3["op"] == "restore:v1"
+    assert _rowset(read_table(spark, root)) == v1_rows
+    assert _rowset(read_table(spark, root, version=2)) == v2_rows
+
+    # history continues forward from the restored state
+    src = base.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * 2).alias("price"),
+        F.lit(False).alias("_delete"),
+    )
+    merge_table(spark, root, src, "o_orderkey")
+    assert latest_version(root) == 4
