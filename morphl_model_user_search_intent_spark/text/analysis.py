@@ -2888,3 +2888,170 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         (F.floor(tpw * 1e6 + 0.5) / 1e6).alias("tokens_per_word"),
     )
+
+
+@register(
+    "q_text_prf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(len) / COUNT(*) AS avglen
+              FROM dl),
+    seed AS (SELECT * FROM (VALUES ('hash', 1.0), ('join', 1.0),
+                                   ('scan', 1.0)) AS s(word, w)),
+    tf1 AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks WHERE word IN (SELECT word FROM seed)
+            GROUP BY 1, 2),
+    df1 AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf1 GROUP BY word),
+    s1 AS (
+      SELECT tf1.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+               * tf1.tf * 2.2
+               / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+             ), 6) AS bm25
+      FROM tf1
+      JOIN df1 ON df1.word = tf1.word
+      JOIN dl ON dl.doc_id = tf1.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf1.doc_id
+      ORDER BY bm25 DESC, tf1.doc_id LIMIT 3
+    ),
+    expansion AS (
+      SELECT word, 0.5 AS w
+      FROM toks
+      WHERE doc_id IN (SELECT doc_id FROM s1)
+        AND len(word) >= 4
+        AND word NOT IN (SELECT word FROM seed)
+      GROUP BY word
+      ORDER BY CAST(COUNT(*) AS BIGINT) DESC, word LIMIT 2
+    ),
+    terms AS (SELECT * FROM seed UNION ALL SELECT * FROM expansion),
+    tf2 AS (SELECT t.doc_id, t.word, q.w,
+                   CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks t JOIN terms q ON q.word = t.word
+            GROUP BY 1, 2, 3),
+    df2 AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf2 GROUP BY word)
+    SELECT doc_id, prf_score, rank FROM (
+      SELECT tf2.doc_id,
+             ROUND(SUM(
+               tf2.w
+               * ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+               * tf2.tf * 2.2
+               / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+             ), 6) AS prf_score,
+             CAST(row_number() OVER (
+               ORDER BY ROUND(SUM(
+                 tf2.w
+                 * ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+                 * tf2.tf * 2.2
+                 / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+               ), 6) DESC, tf2.doc_id) AS BIGINT) AS rank
+      FROM tf2
+      JOIN df2 ON df2.word = tf2.word
+      JOIN dl ON dl.doc_id = tf2.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf2.doc_id)
+    WHERE rank <= 10
+    """,
+)
+def q_text_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion) —
+    the two-pass retrieval upgrade between plain BM25 and a learned
+    ranker: pass 1 scores the seed query {hash, join, scan}, the
+    top-3 documents are ASSUMED relevant, their two most frequent
+    long terms (≥4 chars, seed excluded) join the query at half
+    weight, and pass 2 re-scores the expanded query for the final
+    top-10.  Every stage is exact integer counts + one 6-dp-rounded
+    closed form, so the whole two-pass pipeline is value-hash
+    oracle-checkable.
+
+    Plan shape: the expansion term set is derived DISTRIBUTED (a semi
+    join against the pass-1 winners, never a collect) and both term
+    relations broadcast into the token stream — the corpus-sized toks
+    relation is scanned twice and shuffled only by its partial
+    aggregations, which is the two-pass cost PRF inherently pays (and
+    why it's served from inverted indexes in production — the BM25
+    candidate-generator shape q_sim_hybrid_rrf composes)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("len")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("len") / F.count("*")).alias("avglen"),
+    )
+    seed = spark.createDataFrame(
+        [("hash", 1.0), ("join", 1.0), ("scan", 1.0)],
+        "word string, w double",
+    )
+
+    def bm25(tf_rel: DataFrame, weighted: bool) -> DataFrame:
+        df_rel = tf_rel.groupBy("word").agg(
+            F.count("*").cast("double").alias("df")
+        )
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        term = (
+            idf
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen"))
+            )
+        )
+        if weighted:
+            term = F.col("w") * term
+        return (
+            tf_rel.join(F.broadcast(df_rel), "word")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term), 6).alias("score"))
+        )
+
+    tf1 = (
+        toks.join(F.broadcast(seed.select("word")), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    s1 = (
+        bm25(tf1, weighted=False)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(3)
+    )
+    expansion = (
+        toks.join(s1.select("doc_id"), "doc_id", "semi")
+        .filter(F.length("word") >= 4)
+        .join(seed.select("word"), "word", "anti")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(2)
+        .select("word", F.lit(0.5).alias("w"))
+    )
+    terms = seed.unionByName(expansion)
+    tf2 = (
+        toks.join(F.broadcast(terms), "word")
+        .groupBy("doc_id", "word", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        bm25(tf2, weighted=True)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.col("score").alias("prf_score"), "rank")
+    )
