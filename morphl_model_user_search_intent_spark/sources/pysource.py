@@ -243,11 +243,17 @@ class _TableChangesStreamReader(DataSourceStreamReader):
     show: distributed row reading with the driver touching only
     offsets and file lists."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, starting_version: int = 1) -> None:
         self.root = root
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": 1}  # stream changes committed AFTER v1
+        # stream changes committed AFTER startingVersion — a consumer
+        # whose downstream snapshot corresponds to version V must pass
+        # startingVersion=V or it silently replays (< V) or skips
+        # (> V) commits; the default 1 matches a consumer bootstrapped
+        # from the table's initial create
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         from .acid import latest_version
@@ -297,7 +303,12 @@ class TableChangesStreamSource(DataSource):
         )
 
     def streamReader(self, schema) -> _TableChangesStreamReader:
-        return _TableChangesStreamReader(self.options["root"])
+        # DSv2 option keys travel through a case-insensitive map and
+        # may surface lower-cased — accept either spelling
+        sv = self.options.get(
+            "startingVersion", self.options.get("startingversion", 1)
+        )
+        return _TableChangesStreamReader(self.options["root"], int(sv))
 
 
 @register(

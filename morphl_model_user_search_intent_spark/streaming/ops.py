@@ -1498,10 +1498,17 @@ def q_stream_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ensure_cdc_stream_exercise(spark, sf_dir)
     dst = os.path.join(SCRATCH, f"acidtable-mirror-{_tag(sf_dir)}")
     src_m = read_manifest(src)
-    src_id = hash(tuple(src_m["files"])) & 0xFFFFFFFF
+    # deterministic digest — Python's str hash is salted per process
+    # (PYTHONHASHSEED), which would invalidate the note every run and
+    # silently re-run the full CDC mirror on every new process
+    import hashlib
+
+    src_id = hashlib.md5(
+        "\n".join(src_m["files"]).encode()
+    ).hexdigest()[:8]
     note = (
         f"mirror-of {_orders_fingerprint(sf_dir)} "
-        f"src-v{src_m['version']}-{src_id:08x}"
+        f"src-v{src_m['version']}-{src_id}"
     )
     ready = os.path.join(dst, "_READY_MIRROR")
     try:
@@ -1541,9 +1548,14 @@ def q_stream_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             txn_version=batch_id,
         )
 
+    # the mirror's downstream snapshot is the clone pinned at source
+    # version 1 — pass that version explicitly so the CDC source
+    # starts exactly where the clone left off, rather than relying on
+    # the reader's default happening to coincide
     s = (
         spark.readStream.format("acid_table_changes")
         .option("root", src)
+        .option("startingVersion", 1)
         .load()
     )
     q = s.writeStream.foreachBatch(apply_batch).start()

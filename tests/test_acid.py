@@ -832,3 +832,259 @@ def test_restore_is_metadata_only_and_history_preserving(spark, tmp_path):
     )
     merge_table(spark, root, src, "o_orderkey")
     assert latest_version(root) == 4
+
+
+# ---- round 8: partitioned table layout (verdict item 1) -------------
+
+
+def _pbase(spark):
+    import pyspark.sql.functions as F
+
+    return table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+
+
+def test_partitioned_create_records_values_and_prunes(spark, tmp_path):
+    """Partition values land per file in the manifest, and manifest
+    resolution prunes by partition predicate BEFORE listing files —
+    strict subset, partition-exact, never lossy."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = _pbase(spark)
+    create_table_partitioned(
+        spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+    )
+    m = read_manifest(root)
+    assert m["partition_cols"] == ["o_year"]
+    # every file carries a recorded partition value
+    assert set(m["partitions"]) == {
+        os.path.basename(f) for f in m["files"]
+    }
+    years = {v["o_year"] for v in m["partitions"].values()}
+    assert years == {
+        r[0] for r in base.select("o_year").distinct().collect()
+    }
+    pruned = resolve_files(m, {"o_year": 1995})
+    assert 0 < len(pruned) < len(m["files"])  # strict subset
+    assert all(
+        m["partitions"][os.path.basename(f)]["o_year"] == 1995
+        for f in pruned
+    )
+    # pruned read ≡ unpruned filter (pruning is never lossy)
+    got = read_table(spark, root, partition_filter={"o_year": 1995})
+    want = read_table(spark, root).filter("o_year = 1995")
+    # inputFiles returns URIs — compare uuid basenames
+    assert sorted(os.path.basename(f) for f in got.inputFiles()) == sorted(
+        os.path.basename(f) for f in pruned
+    )
+    assert _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
+
+
+def test_partitioned_merge_confined_to_touched_partitions(
+    spark, tmp_path
+):
+    """A MERGE whose source touches only year 1995 carries every other
+    partition's files BY IDENTICAL PATH into the new manifest, rewrites
+    only in-partition files holding matched keys, and carries their
+    partition values + stats verbatim."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _part_merge_source,
+        create_table_partitioned,
+        merge_table_partitioned,
+    )
+
+    root = str(tmp_path / "t")
+    create_table_partitioned(
+        spark, root, _pbase(spark).repartition(2, "o_orderkey"),
+        ["o_year"],
+    )
+    m1 = read_manifest(root)
+    merge_table_partitioned(
+        spark, root, _part_merge_source(spark, SF_DIR), "o_orderkey"
+    )
+    m2 = read_manifest(root)
+    out1995 = {
+        f
+        for f in m1["files"]
+        if m1["partitions"][os.path.basename(f)]["o_year"] != 1995
+    }
+    # untouched partitions: identical physical paths carried forward
+    assert out1995 <= set(m2["files"])
+    for f in out1995:
+        b = os.path.basename(f)
+        assert m2["partitions"][b] == m1["partitions"][b]
+        assert m2["stats"][b] == m1["stats"][b]
+    # every 1995 file held a matched key (every key%7/13/500 family is
+    # dense at this SF with 2 files), so all were rewritten
+    in1995_old = {
+        f
+        for f in m1["files"]
+        if m1["partitions"][os.path.basename(f)]["o_year"] == 1995
+    }
+    assert not (in1995_old & set(m2["files"]))
+    new = set(m2["files"]) - set(m1["files"])
+    assert all(
+        m2["partitions"][os.path.basename(f)]["o_year"] == 1995
+        for f in new
+    )
+    # content: the 1995 slice follows the merge rule; others untouched
+    got = read_table(spark, root, partition_filter={"o_year": 1995})
+    o = _pbase(spark).filter("o_year = 1995")
+    keep = o.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 13 != 0)
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).withColumn("price", F.col("price") * 1.1)
+    ins = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        F.lit("NEW-PART").alias("o_orderpriority"),
+        (F.col("price") * 0.5).alias("price"),
+        "o_year",
+    )
+    want = keep.unionByName(upd).unionByName(ins)
+    assert _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
+
+
+def test_partitioned_merge_into_new_partition_is_pure_insert(
+    spark, tmp_path
+):
+    """A source targeting a partition the table does not have yet (the
+    daily-ingest case) plans over ZERO existing files and lands as
+    pure inserts in the new partition."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        merge_table_partitioned,
+    )
+
+    root = str(tmp_path / "t")
+    create_table_partitioned(
+        spark, root, _pbase(spark).repartition(2, "o_orderkey"),
+        ["o_year"],
+    )
+    m1 = read_manifest(root)
+    src = (
+        _pbase(spark)
+        .filter("o_year = 1995")
+        .limit(100)
+        .select(
+            (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+            "o_orderpriority",
+            "price",
+            F.lit(2099).cast("bigint").alias("o_year"),
+            F.lit(False).alias("_delete"),
+        )
+    )
+    merge_table_partitioned(spark, root, src, "o_orderkey")
+    m2 = read_manifest(root)
+    assert set(m1["files"]) <= set(m2["files"])  # nothing rewritten
+    got = read_table(spark, root, partition_filter={"o_year": 2099})
+    assert got.count() == 100
+    assert {r[0] for r in got.select("o_year").distinct().collect()} == {
+        2099
+    }
+
+
+def test_partitioned_optimize_compacts_only_selected_partition(
+    spark, tmp_path
+):
+    """OPTIMIZE WHERE o_year=1996 compacts that partition to one file,
+    carries every other file by reference, and changes no row."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        optimize_table_partitioned,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    create_table_partitioned(
+        spark, root, _pbase(spark).repartition(4, "o_orderkey"),
+        ["o_year"],
+    )
+    m1 = read_manifest(root)
+    before = _rowset(read_table(spark, root).drop("o_year"))
+    optimize_table_partitioned(
+        spark, root, {"o_year": 1996}, target_files=1
+    )
+    m2 = read_manifest(root)
+    sel_old = set(resolve_files(m1, {"o_year": 1996}))
+    assert len(sel_old) == 4
+    assert not (sel_old & set(m2["files"]))  # compacted away
+    assert set(m1["files"]) - sel_old <= set(m2["files"])  # carried
+    new = set(m2["files"]) - set(m1["files"])
+    assert len(new) == 1  # one right-sized file
+    assert m2["partitions"][os.path.basename(next(iter(new)))] == {
+        "o_year": 1996
+    }
+    assert _rowset(read_table(spark, root).drop("o_year")) == before
+    # metadata row counts survive the compaction
+    assert sum(s["rows"] for s in m2["stats"].values()) == sum(
+        s["rows"] for s in m1["stats"].values()
+    )
+
+
+def test_optimize_conflict_loser_reclaims_and_replays(spark, tmp_path):
+    """ADVICE r7: optimize_table races a concurrent commit through the
+    same optimistic protocol — the loser reclaims its files and
+    replays against the NEW snapshot, so the interleaved commit's rows
+    survive the compaction."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources import acid
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(1000)
+    create_table(spark, root, base.repartition(4))
+    extra = base.select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "price",
+    ).limit(10)
+
+    real_commit = acid.commit
+    raced = {"done": False}
+
+    def racing_commit(root_, files, op, parent, **kw):
+        if op == "optimize" and not raced["done"]:
+            raced["done"] = True
+            # interleave a real append BEFORE the optimize publishes
+            from morphl_model_user_search_intent_spark.sources.acid import (
+                append_table,
+            )
+
+            append_table(spark, root_, extra)
+        return real_commit(root_, files, op, parent, **kw)
+
+    data_dir = os.path.join(root, "data")
+    n_before = len(os.listdir(data_dir))
+    acid.commit = racing_commit
+    try:
+        v = acid.optimize_table(spark, root, target_files=2)
+    finally:
+        acid.commit = real_commit
+    assert raced["done"]
+    m = read_manifest(root, v)
+    assert m["op"] == "optimize"
+    # the replayed compaction includes the interleaved append's rows
+    assert read_table(spark, root).count() == 1010
+    # the lost round's files were reclaimed: only the final snapshot's
+    # files plus the pre-optimize history remain on disk
+    on_disk = {
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+    }
+    referenced = set()
+    for ver in list_versions(root):
+        referenced.update(read_manifest(root, ver)["files"])
+    assert on_disk == referenced

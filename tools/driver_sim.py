@@ -208,6 +208,26 @@ def main() -> int:
         spill = os.path.join(REPO, ".tmp", f"duckspill-{os.getpid()}")
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET temp_directory='{spill}'")
+        # reclaim our spill dir on exit, and reap stale dirs whose
+        # owning pid is gone — repeated sharded sweeps otherwise
+        # accumulate duckspill-* directories unboundedly
+        import atexit
+        import shutil as _sh
+
+        atexit.register(_sh.rmtree, spill, ignore_errors=True)
+        tmp_root = os.path.join(REPO, ".tmp")
+        for d in os.listdir(tmp_root):
+            if not d.startswith("duckspill-"):
+                continue
+            try:
+                pid = int(d.split("-", 1)[1])
+                os.kill(pid, 0)  # raises if the owner is gone
+            except ValueError:
+                continue
+            except OSError:
+                _sh.rmtree(
+                    os.path.join(tmp_root, d), ignore_errors=True
+                )
     duck_threads = os.environ.get("DRIVER_SIM_DUCK_THREADS", "")
     if duck_threads:
         con.execute(f"SET threads TO {int(duck_threads)}")
