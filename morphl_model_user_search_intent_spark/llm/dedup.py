@@ -1495,3 +1495,170 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_crawls") > 1)
     )
+
+
+# High half of the portable 64-bit SimHash signature: hex chars 9-16
+# of the SAME md5 digest (chars 1-8 are _H32T_DG's low half) — one
+# md5 per token yields 64 independent bits, same trick both engines
+# evaluate with identical integer arithmetic.
+_H32T_HI_DG = "(" + " + ".join(
+    f"(CAST(instr('0123456789abcdef', substring({{d}}, {i + 9}, 1))"
+    f" - 1 AS BIGINT)) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+_SIMHASH_TAU = 8  # max Hamming distance over 64 bits
+
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_H32T_DG.format(d='dg')} AS hlo,
+             {_H32T_HI_DG.format(d='dg')} AS hhi
+      FROM (SELECT doc_id, md5(w) AS dg FROM tok)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN SUM(CASE WHEN b < 32
+                           THEN ((hlo >> b) & 1)
+                           ELSE ((hhi >> (b - 32)) & 1)
+                           END * 2 - 1) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS bit
+      FROM h CROSS JOIN
+           (SELECT UNNEST(generate_series(0, 63)) AS b) bs
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END)
+                  AS BIGINT) AS slo,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)
+                  AS BIGINT) AS shi
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, slo, shi, k,
+             CASE k WHEN 0 THEN slo & 65535
+                    WHEN 1 THEN (slo >> 16) & 65535
+                    WHEN 2 THEN shi & 65535
+                    ELSE (shi >> 16) & 65535 END AS bk
+      FROM sig CROSS JOIN
+           (SELECT UNNEST(generate_series(0, 3)) AS k) ks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.slo AS salo, a.shi AS sahi,
+             b2.slo AS sblo, b2.shi AS sbhi
+      FROM bands a JOIN bands b2
+        ON a.k = b2.k AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(salo, sblo))
+                + bit_count(xor(sahi, sbhi)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(salo, sblo)) + bit_count(xor(sahi, sbhi))
+          <= {_SIMHASH_TAU}
+    """,
+)
+def q_dedup_simhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash with PORTABLE md5-derived token hashes (round 8: the
+    q_dedup_minhash_portable promotion recipe applied to SimHash —
+    r7 verdict item 2).  Unlike q_dedup_simhash (rows-only: its
+    xxhash64 family is JVM-internal), every stage here hash-checks
+    against DuckDB: a 64-bit signature (two 32-bit halves from hex
+    chars 1-8 / 9-16 of ONE md5 per distinct token) from per-bit
+    majority votes, 4 bands of 16 bits (65k buckets per band — the
+    same bucket granularity as the production 64-bit variant, so
+    candidate volume stays ~n²/65536 per band, not n²/256), and
+    exact Hamming (bit_count of XOR over both halves) ≤ 8 as the
+    acceptance predicate.
+
+    Scale shape is identical to q_dedup_simhash: the signature is one
+    explode + hash-agg pass (64 conditional sums, all whole-stage
+    codegen), banding is bit arithmetic, candidates come from joining
+    band buckets — never all pairs.  Band collisions are
+    deterministic integers, identical in both engines.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+    )
+    h = tok.withColumn("dg", F.md5("w")).select(
+        "doc_id",
+        F.expr(_H32T_DG.format(d="dg")).alias("hlo"),
+        F.expr(_H32T_HI_DG.format(d="dg")).alias("hhi"),
+    )
+
+    def bit_of(b: int) -> F.Column:
+        col, off = ("hlo", b) if b < 32 else ("hhi", b - 32)
+        return F.shiftright(F.col(col), off).bitwiseAND(1)
+
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(bit_of(b) * 2 - 1).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+
+    def half(lo: int) -> F.Column:
+        acc = F.lit(0)
+        for b in range(lo, lo + 32):
+            acc = acc + F.when(
+                F.col(f"v{b}") > 0, F.lit(1 << (b - lo))
+            ).otherwise(F.lit(0))
+        return acc.cast("bigint")
+
+    sig = votes.select(
+        "doc_id", half(0).alias("slo"), half(32).alias("shi")
+    )
+    band_exprs = [
+        F.col("slo").bitwiseAND(65535),
+        F.shiftright(F.col("slo"), 16).bitwiseAND(65535),
+        F.col("shi").bitwiseAND(65535),
+        F.shiftright(F.col("shi"), 16).bitwiseAND(65535),
+    ]
+    bands = sig.select(
+        "doc_id",
+        "slo",
+        "shi",
+        F.posexplode(F.array(*band_exprs)).alias("k", "bk"),
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("slo").alias("sblo"),
+        F.col("shi").alias("sbhi"),
+        "k",
+        "bk",
+    )
+    cand = (
+        bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("slo").alias("salo"),
+            F.col("shi").alias("sahi"),
+            "k",
+            "bk",
+        )
+        .join(b2, ["k", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "salo", "sahi", "sblo", "sbhi")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("salo").bitwiseXOR(F.col("sblo"))
+    ) + F.bit_count(F.col("sahi").bitwiseXOR(F.col("sbhi")))
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _SIMHASH_TAU)
+    )

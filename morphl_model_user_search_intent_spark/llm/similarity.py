@@ -28,6 +28,27 @@ _N_QUERIES = 10
 _TOP_K = 5
 _TAU = 0.35  # max pairwise cosine in the fixtures is ~0.48
 
+# Exact top-k oracle, shared by q_sim_knn and every serving path that
+# becomes exact under exhaustive parameters (q_sim_index_serve's
+# nprobe=k recipe; round 8: q_sim_pq_exhaustive / q_sim_ivfpq_exhaustive
+# with the ADC depth cut removed).
+_KNN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {_TOP_K}
+    """
+
 
 def _dot(a: str | Column, b: str | Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential left-to-right.
@@ -161,22 +182,7 @@ def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 
 @register(
     "q_sim_knn",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
-    scored AS (
-      SELECT q.qid, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
-      FROM q JOIN e ON e.vec_id <> q.qid
-    )
-    SELECT qid, neighbor_id, cos_sim, rank FROM (
-      SELECT qid, neighbor_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid
-                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
-      FROM scored)
-    WHERE rank <= {_TOP_K}
-    """,
+    oracle=_KNN_ORACLE,
 )
 def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors (B8).
@@ -2019,32 +2025,20 @@ def _pq_exact_rerank(e: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-@register("q_sim_pq", oracle=None)
-def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jegou et al., "Product Quantization
-    for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
-    scale path that complements q_sim_ivf's routing.
-
-    Serve-from-index (round 5): LOAD the persisted codebooks + codes
-    (llm/index.py — built once per corpus snapshot, idempotent) ->
-    ADC scan (per-query 16x16 lookup tables; approximate cosine =
-    gather-sum over the code columns, vectorized across rows) ->
-    exact re-rank of the top-64 ADC candidates per query, emit top-5.
-    No training and no encode pass at query time.  This variant
-    ADC-scans the WHOLE encoded corpus (the pure-PQ baseline);
-    q_sim_ivfpq is the routed form that bounds the scan to probed
-    lists.
-
-    Rows-only (codebook training is seed-stable but not
-    SQL-expressible); tests/test_llm.py gates recall vs the exact
-    q_sim_knn top-5 and asserts re-ranked cosines are bit-identical
-    to the exact path's.
-    """
+def _pq_serve(
+    spark: SparkSession, sf_dir: str, depth: int | None
+) -> DataFrame:
+    """Shared PQ serving path: persisted index → ADC scan of the whole
+    encoded corpus → exact re-rank of the per-query ADC top-``depth``
+    (``None`` = no cut: every scored candidate is re-ranked, making
+    the output EXACT — the oracle-promotion lever).  Both q_sim_pq
+    (production depth) and q_sim_pq_exhaustive (oracle twin) execute
+    THIS code; they differ only in the cut."""
     import os
 
     import numpy as np
 
-    from .index import PQ_DEPTH, PQ_M, build_index, load_books, query_side
+    from .index import PQ_M, build_index, load_books, query_side
 
     path = build_index(spark, sf_dir)
     books = load_books(path)
@@ -2080,15 +2074,64 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = encoded.mapInPandas(
         adc, "qid bigint, vec_id bigint, adc_cos double"
     ).filter(F.col("vec_id") != F.col("qid"))
-    w_adc = Window.partitionBy("qid").orderBy(
-        F.col("adc_cos").desc(), F.col("vec_id")
-    )
-    cand = (
-        scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= PQ_DEPTH)
-        .select("qid", "vec_id")
-    )
+    if depth is None:
+        cand = scored.select("qid", "vec_id")
+    else:
+        w_adc = Window.partitionBy("qid").orderBy(
+            F.col("adc_cos").desc(), F.col("vec_id")
+        )
+        cand = (
+            scored.withColumn("arank", F.row_number().over(w_adc))
+            .filter(F.col("arank") <= depth)
+            .select("qid", "vec_id")
+        )
     return _pq_exact_rerank(e_idx, cand)
+
+
+@register("q_sim_pq", oracle=None)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+    scale path that complements q_sim_ivf's routing.
+
+    Serve-from-index (round 5): LOAD the persisted codebooks + codes
+    (llm/index.py — built once per corpus snapshot, idempotent) ->
+    ADC scan (per-query 16x16 lookup tables; approximate cosine =
+    gather-sum over the code columns, vectorized across rows) ->
+    exact re-rank of the top-64 ADC candidates per query, emit top-5.
+    No training and no encode pass at query time.  This variant
+    ADC-scans the WHOLE encoded corpus (the pure-PQ baseline);
+    q_sim_ivfpq is the routed form that bounds the scan to probed
+    lists.
+
+    Rows-only (the ADC top-64 cut makes the result approximate;
+    recall is gated in tests/test_llm.py vs the exact q_sim_knn
+    top-5, and re-ranked cosines are asserted bit-identical to the
+    exact path's).  q_sim_pq_exhaustive runs THIS code with the cut
+    removed and is fully oracle-checked.
+    """
+    from .index import PQ_DEPTH
+
+    return _pq_serve(spark, sf_dir, depth=PQ_DEPTH)
+
+
+@register("q_sim_pq_exhaustive", oracle=_KNN_ORACLE)
+def q_sim_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serve with the ADC cut REMOVED (round 8: the
+    q_sim_index_serve promotion recipe applied to the PQ re-rank tail
+    — r7 verdict item 2): every ADC-scored candidate is exact
+    re-ranked, so the output is provably the exact top-5 and the
+    whole path — index load, LUT construction, vectorized ADC scan,
+    candidate plumbing, re-rank join, tie-breaks — hash-checks
+    against the same SQL as q_sim_knn.  A bug anywhere in the shared
+    serving code (q_sim_pq differs only in the depth argument) breaks
+    this hash even though the production cut masks it behind a
+    recall number.
+
+    Scale: candidate set is queries × corpus here (fine at test SFs);
+    the production path bounds it with PQ_DEPTH — this key exists to
+    pin correctness of the machinery, not the pruning."""
+    return _pq_serve(spark, sf_dir, depth=None)
 
 
 @register("q_sim_ivfpq", oracle=None)
@@ -2120,21 +2163,52 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses x PQ quantization error) against exact q_sim_knn and
     checks every emitted neighbor lies in a probed list (probe sets
     recomputed from the PERSISTED centroids).
+    q_sim_ivfpq_exhaustive runs THIS code with nprobe=k and the ADC
+    cut removed and is fully oracle-checked.
     """
+    from .index import PQ_DEPTH
+
+    return _ivfpq_serve(spark, sf_dir, nprobe=8, depth=PQ_DEPTH)
+
+
+@register("q_sim_ivfpq_exhaustive", oracle=_KNN_ORACLE)
+def q_sim_ivfpq_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ serve with EXHAUSTIVE parameters (round 8 promotion,
+    r7 verdict item 2): nprobe = k (every list probed — the
+    q_sim_index_serve recipe) AND the ADC depth cut removed (the
+    q_sim_pq_exhaustive recipe), which makes the routed serving path
+    provably exact and therefore hash-checkable against the same SQL
+    as q_sim_knn.  This pins the full production machinery — centroid
+    routing, probe-frame broadcast, list-pruned ADC scan with
+    per-row-single-query LUT gathers, re-rank join, tie-breaks —
+    while q_sim_ivfpq (same code, production nprobe=8/depth=64)
+    carries the recall-gated pruning."""
+    from .index import _K_LISTS
+
+    return _ivfpq_serve(
+        spark, sf_dir, nprobe=_K_LISTS, depth=None
+    )
+
+
+def _ivfpq_serve(
+    spark: SparkSession, sf_dir: str, nprobe: int, depth: int | None
+) -> DataFrame:
+    """Shared IVF-PQ serving path (see q_sim_ivfpq for the plan) —
+    parameterized by ``nprobe`` (lists probed per query) and the ADC
+    re-rank ``depth`` (``None`` = re-rank every scored candidate)."""
     import os
 
     import numpy as np
 
     from .index import (
-        PQ_DEPTH,
         PQ_M,
         build_index,
         load_books,
         load_centroids,
         query_side,
     )
-
-    nprobe = 8
     path = build_index(spark, sf_dir)
     books = load_books(path)
     cents = load_centroids(path)
@@ -2186,14 +2260,17 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = routed.mapInPandas(
         adc_routed, "qid bigint, vec_id bigint, adc_cos double"
     )
-    w_adc = Window.partitionBy("qid").orderBy(
-        F.col("adc_cos").desc(), F.col("vec_id")
-    )
-    cand = (
-        scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= PQ_DEPTH)
-        .select("qid", "vec_id")
-    )
+    if depth is None:
+        cand = scored.select("qid", "vec_id")
+    else:
+        w_adc = Window.partitionBy("qid").orderBy(
+            F.col("adc_cos").desc(), F.col("vec_id")
+        )
+        cand = (
+            scored.withColumn("arank", F.row_number().over(w_adc))
+            .filter(F.col("arank") <= depth)
+            .select("qid", "vec_id")
+        )
     return _pq_exact_rerank(e_idx, cand)
 
 

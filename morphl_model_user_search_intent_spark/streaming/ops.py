@@ -205,13 +205,31 @@ def _run_to_memory(
     return spark.table(name)
 
 
-@register("q_stream_watermark", oracle=None)
+@register(
+    "q_stream_watermark",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n_events FROM agg
+    WHERE bucket + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation in append mode: late data
     beyond 10 minutes is dropped and only finalized windows emit.
 
-    Batch twin: q_stream_tumbling — parity modulo the final
-    not-yet-closed window (asserted in tests).
+    ORACLE-CHECKED (round-8 promotion, the q_stream_session_window
+    recipe): under availableNow the final no-data batch advances the
+    watermark to max(ts) − 10 min and exactly the windows whose end
+    the watermark has passed emit — the closed form is the batch
+    hourly count filtered to finalized buckets (end = bucket + 1 h ≤
+    watermark).  A dropped emission, a double emission, or a
+    watermark mis-advance hash-mismatches; the open tail is excluded
+    on both sides by the same arithmetic.
     """
     ev = _stream_events(spark, sf_dir)
     agg = (
@@ -258,14 +276,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_session_window", oracle=None)
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                       >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flags
+    ), agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE session_end
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization: ``F.session_window(ts, '30
     minutes')`` per user — merging windows maintained in the state
     store, emitted when the watermark passes their gap.
 
-    Batch twin: q_sessionize (lag-gap + running sum) — identical
-    session boundaries, asserted in tests.
+    ORACLE-CHECKED (round-8 promotion, the q_stream_dedup recipe):
+    the drained append-mode sink is deterministic under availableNow —
+    the final no-data batch advances the watermark to max(ts) − 10 min
+    and every session whose end (last event + 30-min gap) the
+    watermark has passed emits exactly once, so the closed form is
+    the batch sessionizer (lag-gap ≥ 30 min in integer microseconds —
+    session_window's half-open [ts, ts+gap) intervals make an
+    exactly-30-minute gap a BREAK, unlike q_sessionize's strict->)
+    filtered to finalized windows.  A lost emission, a double
+    emission, a watermark mis-advance, or a boundary-comparator drift
+    all hash-mismatch.  The still-open tail is excluded on both sides
+    by the same watermark arithmetic.
     """
     ev = _stream_events(spark, sf_dir)
     agg = (
@@ -282,7 +339,18 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_session_sink", "append", sf_dir)
 
 
-@register("q_stream_join", oracle=None)
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS c_user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each click joined to the purchases of
     the same user within the following hour — both sides unbounded
@@ -292,8 +360,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever; with them it is bounded by one hour of traffic per side,
     which is the property that survives a 100 TB/day stream.
 
-    Batch twin: the identical join over the static events table
-    (asserted row-for-row in tests/test_streaming.py).
+    ORACLE-CHECKED (round-8 promotion): an INNER time-range join's
+    emitted set is exactly the batch join — matches emit as they are
+    found and state eviction can never cancel a row that already
+    matched; under availableNow both sides drain the same staged
+    files, so no match is split across an eviction boundary.  (The
+    OUTER variant stays rows-only: its null-padded rows depend on
+    watermark timing by construction.)
     """
     ev = _stream_events(spark, sf_dir)
     clicks = (
@@ -586,7 +659,20 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@register("q_stream_static_join", oracle=None)
+@register(
+    "q_stream_static_join",
+    oracle="""
+    WITH j AS (
+      SELECT date_trunc('hour', e.ts) AS bucket, c.c_mktsegment
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    )
+    SELECT bucket, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM j GROUP BY bucket, c_mktsegment
+    HAVING bucket + INTERVAL 1 HOUR
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (customer market segment keyed by user_id), then a
@@ -597,8 +683,12 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The static side is planned as a regular batch relation inside the
     streaming query — broadcast per micro-batch, re-read on restart,
     no state store cost (unlike stream-stream joins, which this
-    complements — q_stream_join).  Twin test: the identical batch
-    join+window must agree on all finalized windows.
+    complements — q_stream_join).
+
+    ORACLE-CHECKED (round-8 promotion): the drained append sink is
+    the batch join + hourly count filtered to finalized windows
+    (the q_stream_watermark recipe) — the static enrichment adds no
+    nondeterminism because the dimension is immutable for the run.
     """
     from ..io import table as load_table
 
