@@ -28,6 +28,13 @@ Best-of-2 damps single-run scheduler/GC noise (observed ±20% on
 sub-second queries at local[32]) without hiding real regressions — a
 plan that got slower is slower on both runs.
 
+Round-8 warm-up discipline (r7 verdict item 3): each query runs TWO
+untimed executions before the timed samples — one was not enough (the
+JVM's tiered JIT keeps recompiling through the first executions, so
+r7's first timed samples were systematically slowest).  The JSON also
+carries ``load_1m``/``idle_host`` so ambient contention is visible in
+the artifact.
+
 Round-7 drift bookkeeping (the r5→r6 +11.6% ambient-drift question):
 alongside the best-of-2 per-query numbers, the JSON now carries
 ``value_bo3`` / ``queries_bo3`` — the same queries re-ranked
@@ -83,9 +90,17 @@ def main() -> None:
     per_query_bo3: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     cached: dict[str, float] = {}
+    load_1m = round(os.getloadavg()[0], 2)
     for name in names:
         spec = REGISTRY[name]
-        spec.fresh(spark, SF_DIR).collect()  # warm: listing + JIT
+        # TWO untimed warm-ups (round 8, r7 verdict item 3): one warms
+        # file listing + codegen compilation, but the JVM's tiered JIT
+        # keeps recompiling hot loops through the first few executions
+        # — with a single warm-up the first TIMED sample was still
+        # systematically the slowest (r7 samples: monotone-decreasing
+        # on most headlines), contaminating round-over-round deltas.
+        for _ in range(2):
+            spec.fresh(spark, SF_DIR).collect()
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -118,6 +133,11 @@ def main() -> None:
                 "samples": raw,
                 "cached_value": round(sum(cached.values()), 4),
                 "cached_queries": cached,
+                # idle-host bookkeeping: 1-minute loadavg sampled
+                # BEFORE the run — a drifted total with load_1m >> 1
+                # is ambient contention, not a regression
+                "load_1m": load_1m,
+                "idle_host": load_1m < 4.0,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
