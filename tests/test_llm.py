@@ -548,3 +548,63 @@ def test_corpus_funnel_chains(spark):
     for r in rows:
         assert r.n_in - r.n_dropped == r.n_out
         assert 0 <= r.n_out <= r.n_in
+
+
+def test_cc_pointer_doubling_chain_converges_logarithmically(spark):
+    """r7 verdict item 4: a 4096-node CHAIN (diameter 4095 — the
+    adversarial case that silently hit the old 50-round O(diameter)
+    cap) must converge in O(log n) rounds under pointer doubling and
+    label every node with the component min."""
+    import math
+
+    from morphl_model_user_search_intent_spark.llm.dedup import (
+        cc_min_labels,
+    )
+
+    n = 4096
+    chain = spark.range(1, n).selectExpr("id AS src", "id + 1 AS dst")
+    edges = chain.union(chain.selectExpr("dst AS src", "src AS dst"))
+    labels, rounds = cc_min_labels(edges)
+    assert rounds <= 2 * int(math.log2(n)) + 2, rounds
+    assert labels.filter("lbl != 1").isEmpty()
+    assert labels.count() == n
+
+
+def test_cc_pointer_doubling_multi_component(spark):
+    """Three disjoint components of different shapes (chain, star,
+    triangle) each resolve to their own min label — pointer doubling
+    must never leak labels across components."""
+    from morphl_model_user_search_intent_spark.llm.dedup import (
+        cc_min_labels,
+    )
+
+    rows = (
+        [(i, i + 1) for i in range(10, 20)]          # chain 10..20
+        + [(100, v) for v in range(101, 106)]         # star at 100
+        + [(200, 201), (201, 202), (202, 200)]        # triangle
+    )
+    pairs = spark.createDataFrame(rows, "src bigint, dst bigint")
+    edges = pairs.union(pairs.selectExpr("dst AS src", "src AS dst"))
+    labels, _ = cc_min_labels(edges)
+    got = {r.node: r.lbl for r in labels.collect()}
+    for v in range(10, 21):
+        assert got[v] == 10
+    for v in range(100, 106):
+        assert got[v] == 100
+    for v in (200, 201, 202):
+        assert got[v] == 200
+
+
+def test_cc_nonconvergence_raises_loudly(spark):
+    """max_rounds exhausted must RAISE, never silently return a
+    half-converged labeling (the r7 'silent cap' blemish)."""
+    import pytest as _pytest
+
+    from morphl_model_user_search_intent_spark.llm.dedup import (
+        cc_min_labels,
+    )
+
+    chain = spark.range(1, 64).selectExpr("id AS src", "id + 1 AS dst")
+    edges = chain.union(chain.selectExpr("dst AS src", "src AS dst"))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        cc_min_labels(edges, max_rounds=2)
