@@ -35,8 +35,13 @@ _JACCARD_TAU = 0.5
 # Shared DuckDB CTE block: exact 3-shingle Jaccard pairs above τ.
 # q_dedup_jaccard selects from it directly; q_dedup_clusters builds a
 # recursive reachability query on top of the same pair set.
+# The expensive members are MATERIALIZED (round 8, r7 verdict item 5):
+# without the hint DuckDB inlines the shingle pipeline into every
+# consumer and the sf1.0 funnel oracle needed an 80 GB memory_limit to
+# fit its spill budget; materialized, each stage evaluates once and
+# spills as a finished temp relation — the whole sweep runs at ≤16 GB.
 _PAIRS_CTE = f"""
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(string_split(trim(text), ' ')) - 1),
                i -> string_split(trim(text), ' ')[i] || ' ' ||
@@ -46,14 +51,14 @@ _PAIRS_CTE = f"""
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
               FROM sh GROUP BY doc_id),
-    common AS (
+    common AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_common
       FROM sh a JOIN sh b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b,
              ROUND(CAST(n_common AS DOUBLE)
                    / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard

@@ -1088,3 +1088,108 @@ def test_optimize_conflict_loser_reclaims_and_replays(spark, tmp_path):
     for ver in list_versions(root):
         referenced.update(read_manifest(root, ver)["files"])
     assert on_disk == referenced
+
+
+_MERGE_WRITER = """
+import json, os, random, sys, time, uuid
+sys.path.insert(0, "/root/repo")
+import pyarrow as pa
+import pyarrow.parquet as pq
+from morphl_model_user_search_intent_spark.sources.acid import (
+    CommitConflict, commit, read_manifest)
+
+root, wid, n_writers = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+rng = random.Random(wid)
+# upsert every key ≡ wid (mod n_writers): disjoint KEY sets but
+# overlapping FILES — the contention case that loses updates if a
+# conflict loser re-commits instead of replaying against the winner
+retries = 0
+while True:
+    m = read_manifest(root)
+    touched, kept, parts = [], [], []
+    my = lambda k: k % n_writers == wid
+    for f in m["files"]:
+        t = pq.read_table(f)
+        ks = t.column("o_orderkey").to_pylist()
+        if any(my(k) for k in ks):
+            touched.append(f)
+            mask = pa.array([not my(k) for k in ks])
+            parts.append(t.filter(mask))  # survivors carried forward
+        else:
+            kept.append(f)
+    src_keys = sorted(
+        k for f in touched
+        for k in pq.read_table(f, columns=["o_orderkey"])
+                   .column("o_orderkey").to_pylist()
+        if my(k))
+    ups = pa.table({
+        "o_orderkey": pa.array(src_keys, pa.int64()),
+        "o_orderpriority": pa.array([f"W{wid}"] * len(src_keys)),
+        "price": pa.array([k * 10.0 + wid + 1 for k in src_keys]),
+    })
+    out = pa.concat_tables(parts + [ups]) if parts else ups
+    nf = os.path.join(root, "data", uuid.uuid4().hex + ".parquet")
+    pq.write_table(out, nf)
+    try:
+        commit(root, kept + [nf], f"merge-w{wid}", m["version"])
+        break
+    except CommitConflict:
+        os.remove(nf)           # reclaim, then REPLAY against the
+        retries += 1            # new snapshot (kept/touched re-plan)
+        time.sleep(rng.uniform(0, 0.01) * min(2 ** retries, 32))
+print(json.dumps({"wid": wid, "retries": retries}))
+"""
+
+
+def test_concurrent_multiprocess_merge_writers_no_lost_updates(
+    spark, tmp_path
+):
+    """r7 verdict item 7: N concurrent MERGE writers race the same
+    files at CoW granularity.  Each writer upserts a disjoint key
+    slice, but slices interleave within every data file, so every
+    commit rewrites files other writers planned against — a loser
+    that re-published its stale rewrite (instead of replaying) would
+    resurrect pre-winner rows.  After all writers land: contiguous
+    version chain, exactly one row per key, and EVERY writer's upsert
+    present — no lost updates."""
+    import subprocess
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        list_versions,
+        read_manifest,
+        read_table,
+    )
+
+    n_writers, n_keys = 4, 64
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "BASE", 0.0) for k in range(n_keys)],
+        "o_orderkey bigint, o_orderpriority string, price double",
+    )
+    create_table(spark, root, base.repartition(4))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MERGE_WRITER, root, str(w),
+             str(n_writers)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_writers)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    versions = list_versions(root)
+    assert versions == list(range(1, n_writers + 2))  # create + 4 merges
+    for v in versions[1:]:
+        assert read_manifest(root, v)["parent"] == v - 1
+    rows = {r.o_orderkey: r for r in read_table(spark, root).collect()}
+    assert len(rows) == n_keys
+    for k in range(n_keys):
+        w = k % n_writers
+        assert rows[k].o_orderpriority == f"W{w}", (k, rows[k])
+        assert rows[k].price == k * 10.0 + w + 1
