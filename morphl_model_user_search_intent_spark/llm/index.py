@@ -1196,6 +1196,163 @@ def q_sim_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Selectivity crossover for filtered serve (round 8, r7 verdict item
+# 8): below this match-set share, PRE-filtering (semi join before
+# routing) wins — the candidate pool shrinks by 1/selectivity; above
+# it the semi join mostly passes rows through and POST-filtering an
+# over-fetched unfiltered top-k' is cheaper (no per-candidate join at
+# scan width — one bounded join on the k'-row result).  Measured at
+# sf0.1 (SCALING.md round-8 filtered-ANN table): pre wins ≤0.3, post
+# wins ≥0.5; the gap widens with corpus size because the semi join
+# costs scan-width work while the post join is k'-row-bounded.
+FILTER_SELECTIVITY_CROSSOVER = 0.5
+FILTER_OVERFETCH = 4  # k' = k·overfetch/selectivity (then verified)
+
+LAST_FILTER_PLAN: str | None = None  # test hook, like LAST_SESSIONIZE_PLAN
+
+
+def serve_topk_filtered(
+    spark: SparkSession,
+    path: str,
+    keep: DataFrame,
+    nprobe: int,
+    top_k: int,
+    threshold: float = FILTER_SELECTIVITY_CROSSOVER,
+) -> DataFrame:
+    """Selectivity-adaptive FILTERED serve: dispatch between
+    pre-filtering (serve_topk's ``include`` semi join — right when
+    the predicate is selective) and post-filtering (serve the
+    unfiltered top-k' with k' = k·overfetch/selectivity, keep the
+    matches, re-rank — right near selectivity 1.0, where the semi
+    join does no pruning and just adds a corpus-wide join).
+
+    Selectivity is measured exactly with two column-pruned counts
+    (match set + sidecar corpus — metadata-cheap, the same profiling
+    cost sessionize_auto pays for its skew sample).
+
+    The post path is EXACT, not best-effort: scoring uses the same
+    (cos desc, vec_id) total order as the filtered truth, so the
+    matching members of the unfiltered top-k' prefix ARE the filtered
+    top-k whenever the prefix holds ≥ k matches per query — and that
+    completeness is VERIFIED (one scalar aggregate); a deficient
+    query set falls back to the pre-filter plan, so the dispatch can
+    change physics but never results.  Both paths are oracle-equal
+    (q_sim_index_filtered_auto) and the dispatch is pytest-pinned at
+    planted selectivities via LAST_FILTER_PLAN + observe() metrics.
+    """
+    import math
+
+    global LAST_FILTER_PLAN
+
+    keep = keep.select("vec_id")
+    n_total = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .select("vec_id")
+        .count()
+    )
+    n_keep = keep.count()
+    sel = (n_keep / n_total) if n_total else 0.0
+    if sel <= threshold:
+        LAST_FILTER_PLAN = "pre"
+        out = serve_topk(
+            spark, path, nprobe=nprobe, top_k=top_k, include=keep
+        )
+    else:
+        LAST_FILTER_PLAN = "post"
+        kprime = min(
+            n_total, math.ceil(top_k * FILTER_OVERFETCH / sel)
+        )
+        raw = serve_topk(spark, path, nprobe=nprobe, top_k=kprime)
+        w = Window.partitionBy("qid").orderBy("rank")
+        filtered = (
+            raw.join(
+                keep.select(F.col("vec_id").alias("neighbor_id")),
+                "neighbor_id",
+                "semi",
+            )
+            .withColumn(
+                "new_rank", F.row_number().over(w).cast("bigint")
+            )
+        )
+        # completeness: every query needs ≥ k matches INSIDE the
+        # unfiltered prefix, else its filtered top-k may extend past
+        # k' — scalar check, pre-filter fallback on deficiency
+        per_q = filtered.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        n_queries = raw.select("qid").distinct().count()
+        complete = (
+            per_q.filter(F.col("n") >= top_k).count() == n_queries
+        )
+        if not complete:
+            LAST_FILTER_PLAN = "post_fallback_pre"
+            out = serve_topk(
+                spark, path, nprobe=nprobe, top_k=top_k, include=keep
+            )
+        else:
+            out = (
+                filtered.filter(F.col("new_rank") <= top_k)
+                .select(
+                    "qid",
+                    "neighbor_id",
+                    "cos_sim",
+                    F.col("new_rank").alias("rank"),
+                )
+            )
+    return out.observe(
+        f"filtered_serve_dispatch_{LAST_FILTER_PLAN}",
+        F.count(F.lit(1)).alias("n_results"),
+        F.max(F.lit(float(sel))).alias("selectivity"),
+    )
+
+
+@register(
+    "q_sim_index_filtered_auto",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid AND e.label % 10 != 0
+    )
+    SELECT qid, neighbor_id, cos_sim, rank FROM (
+      SELECT qid, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_sim_index_filtered_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Selectivity-ADAPTIVE filtered vector search (round 8, r7
+    verdict item 8): the predicate here matches ~90% of the corpus
+    (``label % 10 != 0``), the regime where q_sim_index_filtered's
+    always-pre-filter design pays a corpus-wide semi join for almost
+    no pruning — the dispatcher measures the selectivity and takes
+    the POST-filter path (over-fetched unfiltered top-k', verified
+    complete, re-ranked).  ORACLE-CHECKED against brute-force KNN
+    over exactly the filtered corpus, same as the pre-filter key —
+    the two keys together prove both dispatch arms oracle-equal; the
+    pytest pins which arm ran at planted selectivities and the
+    deficiency fallback."""
+    from .similarity import _TOP_K
+
+    path = build_index(spark, sf_dir)
+    keep = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("label") % 10 != 0)
+        .select("vec_id")
+    )
+    return serve_topk_filtered(
+        spark, path, keep, nprobe=_K_LISTS, top_k=_TOP_K
+    )
+
+
 def delta_fraction(root: str) -> float:
     """Unindexed share of the store: delta rows / total rows, from
     parquet FOOTER metadata only (no Spark job — the same

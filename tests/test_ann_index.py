@@ -607,3 +607,57 @@ def test_filtered_serve_pre_filters_and_holds_recall(spark):
     assert all(len(v) == _TOP_K for v in by_q.values())  # k means k
     got = {(r.qid, r.neighbor_id) for r in pruned}
     assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_filtered_serve_dispatch_at_planted_selectivities(spark):
+    """r7 verdict item 8: the adaptive filtered serve must take the
+    PRE arm at low selectivity, the POST arm at high selectivity,
+    produce identical results either way, and fall back loudly-
+    correctly when the post prefix cannot hold k matches."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.llm import index as ix
+
+    path = ix.build_index(spark, SF_DIR)
+    e = table(spark, SF_DIR, "embeddings").select("vec_id", "label")
+
+    def run(keep, **kw):
+        return {
+            (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in ix.serve_topk_filtered(
+                spark, path, keep, nprobe=16, top_k=5, **kw
+            ).collect()
+        }
+
+    def ref(keep):
+        return {
+            (r.qid, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in ix.serve_topk(
+                spark, path, nprobe=16, top_k=5, include=keep
+            ).collect()
+        }
+
+    # ~10% selectivity → pre-filter arm
+    low = e.filter(F.col("label") % 10 == 0).select("vec_id")
+    got = run(low)
+    assert ix.LAST_FILTER_PLAN == "pre"
+    assert got == ref(low)
+
+    # ~90% selectivity → post-filter arm, result identical to pre
+    high = e.filter(F.col("label") % 10 != 0).select("vec_id")
+    got = run(high)
+    assert ix.LAST_FILTER_PLAN == "post"
+    assert got == ref(high)
+
+    # deficiency: a 3-member match set cannot yield 5 results per
+    # query — the post arm must detect it and fall back to pre
+    tiny = (
+        e.filter(F.col("vec_id") >= 10)  # outside the query range
+        .orderBy("vec_id")
+        .limit(3)
+        .select("vec_id")
+    )
+    got = run(tiny, threshold=0.0)  # force the post arm
+    assert ix.LAST_FILTER_PLAN == "post_fallback_pre"
+    assert got == ref(tiny)
