@@ -107,6 +107,8 @@ def commit(
     stats: dict | None = None,
     partition_cols: list[str] | None = None,
     partitions: dict | None = None,
+    dv_files: list[str] | None = None,
+    dv_key: str | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
@@ -152,6 +154,15 @@ def commit(
         # on these BEFORE any file is listed to Spark
         # (see resolve_files / read_table partition_filter).
         manifest["partitions"] = partitions
+    if dv_files is not None:
+        # DELETION VECTORS (round 8): merge-on-read DELETE sidecars —
+        # (_file basename, key) tombstone rows a snapshot read
+        # anti-joins out per file (Delta's deletion vectors / Iceberg
+        # position deletes, expressed relationally on the key).  A
+        # delete commit costs O(batch), never a data-file rewrite;
+        # OPTIMIZE folds the mask in and clears the list.
+        manifest["dv_files"] = sorted(dv_files)
+        manifest["dv_key"] = dv_key
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -246,13 +257,35 @@ def read_table(
     ``partition_filter`` ({col: value-or-values}) prunes the manifest's
     file list by recorded partition values before Spark plans the scan
     (:func:`resolve_files`) and applies the residual predicate so the
-    result is exactly the unpruned filter's."""
+    result is exactly the unpruned filter's.
+
+    A snapshot carrying DELETION VECTORS (merge-on-read deletes —
+    :func:`delete_from_table`) is read THROUGH the mask: one anti join
+    on (file basename, key) against the DV sidecar rows, per-file so
+    a key deleted from one file and re-inserted by a later append (a
+    NEW file) survives.  The DV set is small between compactions by
+    construction (it is the un-folded delete backlog), so the join's
+    build side broadcasts."""
     m = read_manifest(root, version)
     files = resolve_files(m, partition_filter)
     if not files:
         base = spark.read.parquet(*m["files"]).limit(0)
     else:
         base = spark.read.parquet(*files)
+    dvf = m.get("dv_files")
+    if dvf and files:
+        key = m["dv_key"]
+        dv = spark.read.parquet(*dvf).select("_file", key)
+        base = (
+            base.withColumn(
+                "_file",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .join(dv, ["_file", key], "anti")
+            .drop("_file")
+        )
     if partition_filter:
         for c, want in partition_filter.items():
             allowed = (
@@ -329,7 +362,93 @@ def _write_files_partitioned(
             out.append(os.path.join(data, name))
             parts[name] = vals
     shutil.rmtree(staging, ignore_errors=True)
+    if not out:
+        # empty frame: partitionBy writes no leaf dirs at all — fall
+        # back to one plain (0-row) file so an empty CREATE still has
+        # a readable schema; a file with no recorded partition value
+        # is always kept by resolve_files (pruning is never lossy)
+        return _write_files(df, root, subdir=subdir), {}
     return out, parts
+
+
+def _apply_dv(spark: SparkSession, m: dict, base: DataFrame) -> DataFrame:
+    """Apply a manifest's deletion-vector mask to a base frame that
+    already carries a ``_file`` basename column (no-op without DVs)."""
+    dvf = m.get("dv_files")
+    if not dvf:
+        return base
+    dv = spark.read.parquet(*dvf).select("_file", m["dv_key"])
+    return base.join(dv, ["_file", m["dv_key"]], "anti")
+
+
+def _file_col() -> Column:
+    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+
+def delete_from_table(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    on: str,
+    max_retries: int = 3,
+) -> int:
+    """MERGE-ON-READ DELETE via deletion-vector sidecars (round 8) —
+    the other half of the Delta/Iceberg delete story next to CoW
+    MERGE: instead of rewriting every file that holds a matched key,
+    write the (file basename, key) tombstone pairs as a small sidecar
+    parquet under ``root/dv/`` and commit a version whose manifest
+    carries (parent's DV list ∪ the new sidecar).  Write cost is
+    O(delete batch); NO data file is touched — at 100 TB the
+    difference between a GDPR wipe that costs minutes and one that
+    rewrites the table.  Readers anti-join the mask per file
+    (:func:`read_table`); OPTIMIZE folds it in and clears the list;
+    vacuum protects retained versions' sidecars like data files.
+
+    The tombstones are scoped per-file (a semi join over the
+    DV-masked snapshot plans them), so a later re-insert of the same
+    key — which lands in a NEW file — is never masked.  Re-deleting
+    an already-deleted key is a no-op by construction (the masked
+    snapshot no longer matches it).  Conflicts replay like every
+    other commit."""
+    if keys.columns != [on]:
+        keys = keys.select(on)
+    for _ in range(max_retries):
+        m = read_manifest(root)
+        base = _apply_dv(
+            spark,
+            m,
+            spark.read.parquet(*m["files"]).withColumn(
+                "_file", _file_col()
+            ),
+        )
+        if m.get("dv_key") not in (None, on):
+            raise ValueError(
+                f"table's deletion vectors are keyed on {m['dv_key']!r},"
+                f" not {on!r}"
+            )
+        dv_rows = base.join(keys, on, "semi").select("_file", on)
+        new_dv = _write_files(dv_rows, root, subdir="dv")
+        try:
+            # stats are NOT carried: the parent's per-file row counts
+            # no longer describe the masked snapshot — absent metadata
+            # beats wrong metadata (OPTIMIZE re-harvests after folding)
+            return commit(
+                root,
+                m["files"],
+                "delete",
+                parent=m["version"],
+                partition_cols=m.get("partition_cols"),
+                partitions=m.get("partitions"),
+                dv_files=m.get("dv_files", []) + new_dv,
+                dv_key=on,
+            )
+        except CommitConflict:
+            for f in new_dv:  # lost the race — reclaim and replay
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(f"delete lost {max_retries} races in {root}")
 
 
 def merge_table(
@@ -402,9 +521,12 @@ def merge_table(
         # and a silent mismatch would keep every touched file in
         # `kept` — duplicating all matched rows.  Basenames are
         # uuid-unique by construction (_write_files).
-        base = spark.read.parquet(*m["files"]).withColumn(
-            "_file",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        base = _apply_dv(
+            spark,
+            m,
+            spark.read.parquet(*m["files"]).withColumn(
+                "_file", _file_col()
+            ),
         )
         by_base = {os.path.basename(f): f for f in m["files"]}
         keys = source.select(on).distinct()
@@ -499,6 +621,12 @@ def merge_table(
             )
             change_files = _write_files(feed, root, subdir="change")
         try:
+            # deletion vectors carry forward verbatim: entries for the
+            # rewritten (dropped) files become inert — their basenames
+            # are gone from the manifest — while entries for carried
+            # files keep masking; the touched files were rewritten
+            # THROUGH the mask (base is DV-masked), so no deleted row
+            # survives the rewrite
             return commit(
                 root,
                 kept + new_files,
@@ -506,6 +634,8 @@ def merge_table(
                 parent=m["version"],
                 txn=txn,
                 change_files=change_files,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
             )
         except CommitConflict:
             for f in new_files + (change_files or []):  # lost the race
@@ -592,11 +722,76 @@ def append_table(
                 return latest_version(root)
         try:
             return commit(
-                root, m["files"] + files, "append", m["version"], txn=txn
+                root,
+                m["files"] + files,
+                "append",
+                m["version"],
+                txn=txn,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
             )
         except CommitConflict:
             continue
     _reclaim()  # exhausted: reclaim, or the files orphan forever
+    raise CommitConflict(f"append lost 20 races in {root}")
+
+
+def append_table_partitioned(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Append-commit into a PARTITIONED table: one hive-partitioned
+    distributed write, then the same commute-and-retry publication as
+    :func:`append_table` (same txn idempotence ledger for streaming
+    exactly-once), with the new files' partition values and row-count
+    stats MERGED into the carried-forward maps — the streaming-ingest
+    write path for date-partitioned lake tables, where every
+    micro-batch lands only in the partitions its rows touch."""
+    pcols = read_manifest(root)["partition_cols"]
+    txn = None
+    if txn_app is not None:
+        if txn_version is None:
+            raise ValueError("txn_app requires txn_version")
+        done = committed_txn_version(root, txn_app)
+        if done is not None and done >= txn_version:
+            return latest_version(root)  # replayed batch: no-op
+        txn = {"app": txn_app, "version": int(txn_version)}
+    files, parts = _write_files_partitioned(df, root, pcols)
+    new_stats = commit_stats(root, files, [])
+
+    def _reclaim() -> None:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    for _ in range(20):
+        m = read_manifest(root)
+        if txn is not None:
+            done = committed_txn_version(root, txn_app)
+            if done is not None and done >= txn_version:
+                _reclaim()  # a racing replay already won
+                return latest_version(root)
+        try:
+            return commit(
+                root,
+                m["files"] + files,
+                "append",
+                m["version"],
+                txn=txn,
+                partition_cols=pcols,
+                partitions={**m.get("partitions", {}), **parts},
+                stats={**m.get("stats", {}), **new_stats},
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
+            )
+        except CommitConflict:
+            continue
+    _reclaim()
     raise CommitConflict(f"append lost 20 races in {root}")
 
 
@@ -627,14 +822,21 @@ def vacuum(
         m = read_manifest(root, v)
         referenced.update(m["files"])
         # a retained version's CDC files are part of its readable
-        # surface (read_changes) — protected like its data files
+        # surface (read_changes) — protected like its data files;
+        # deletion-vector sidecars are part of its CORRECTNESS (an
+        # unmasked read resurrects deleted rows) — protected likewise
         referenced.update(m.get("change_files", []))
+        referenced.update(m.get("dv_files", []))
     removed = []
     for v in vs:
         if v in keep:
             continue
         m = read_manifest(root, v)
-        for f in m["files"] + m.get("change_files", []):
+        for f in (
+            m["files"]
+            + m.get("change_files", [])
+            + m.get("dv_files", [])
+        ):
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
@@ -642,7 +844,7 @@ def vacuum(
     if orphan_grace is not None:
         cutoff = time.time() - orphan_grace
         ref_names = {os.path.basename(f) for f in referenced}
-        for sub in ("data", "change"):
+        for sub in ("data", "change", "dv"):
             d = os.path.join(root, sub)
             if not os.path.isdir(d):
                 continue
@@ -1873,10 +2075,11 @@ def merge_table_partitioned(
         by_base = {os.path.basename(f): f for f in cand}
         keys = source.select(on).distinct()
         if cand:
-            base = spark.read.parquet(*cand).withColumn(
-                "_file",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
+            base = _apply_dv(
+                spark,
+                m,
+                spark.read.parquet(*cand).withColumn(
+                    "_file", _file_col()
                 ),
             )
             touched = [
@@ -1929,6 +2132,8 @@ def merge_table_partitioned(
                 partition_cols=pcols,
                 partitions=partitions,
                 stats=stats,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
             )
         except CommitConflict:
             for f in new_files:  # lost the race — reclaim and replay
@@ -1965,7 +2170,21 @@ def optimize_table_partitioned(
         ]
         if not sel:
             return m["version"]  # nothing to compact: no-op
-        snap = spark.read.parquet(*sel).coalesce(target_files)
+        # compaction reads THROUGH the deletion-vector mask: the
+        # rewritten files carry no deleted row (their DV entries go
+        # inert with the old basenames); unselected files' entries
+        # carry forward and keep masking
+        snap = (
+            _apply_dv(
+                spark,
+                m,
+                spark.read.parquet(*sel).withColumn(
+                    "_file", _file_col()
+                ),
+            )
+            .drop("_file")
+            .coalesce(target_files)
+        )
         new_files, new_parts = _write_files_partitioned(
             snap, root, pcols
         )
@@ -1994,6 +2213,8 @@ def optimize_table_partitioned(
                 partition_cols=pcols,
                 partitions=partitions,
                 stats=stats,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
             )
         except CommitConflict:
             for f in new_files:
@@ -2207,3 +2428,308 @@ def q_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg[key] = agg.get(key, 0) + stats[base]["rows"]
     rows = [(int(k[0]), n) for k, n in sorted(agg.items())]
     return spark.createDataFrame(rows, "o_year bigint, n_rows bigint")
+
+
+# ---- deletion vectors (round 8: merge-on-read DELETE) ----------------
+
+
+def ensure_dv_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the deletion-vector exhibit: v1 = orders
+    projection across 4 files, v2 = DELETE every 11th key as a
+    deletion-vector commit (no data file rewritten)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-dv-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_DV")
+    note = f"acid-dv {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(spark, root, base.repartition(4))
+    doomed = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey"
+    )
+    delete_from_table(spark, root, doomed, "o_orderkey")
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+_DV_ORACLE = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+"""
+
+
+@register("q_table_delete_dv", oracle=_DV_ORACLE)
+def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE (round 8): every 11th key deleted as a
+    DELETION-VECTOR commit — O(batch) tombstone sidecar, zero data
+    files rewritten (pytest pins the file list identical v1→v2) —
+    and this query reads the table THROUGH the mask.  The oracle is
+    the plain complement filter, so an under-masked (resurrected) or
+    over-masked (lost) row cannot hash-match; time travel to v1 still
+    shows every row (pytest).  This is the Delta deletion-vector /
+    Iceberg position-delete design expressed relationally on the
+    key: the write side is what makes frequent small deletes (GDPR
+    erasure queues) affordable at 100 TB, the fold at OPTIMIZE
+    (q_table_dv_fold) is what keeps the read-side mask from growing
+    without bound."""
+    root = ensure_dv_exercise(spark, sf_dir)
+    return read_table(spark, root)
+
+
+@register("q_table_dv_fold", oracle=_DV_ORACLE)
+def q_table_dv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR FOLD (round 8): OPTIMIZE over a DV-carrying
+    table reads through the mask and commits compacted files with the
+    DV list CLEARED — deleted rows leave the physical data, the
+    read-side anti join disappears, and the retired sidecars await
+    vacuum.  Same oracle as q_table_delete_dv: the fold must be
+    exactly mask-preserving.  The pytest additionally pins the
+    physical phase: post-fold manifest has no dv_files, fewer files,
+    and v2 (masked) ≡ v3 (folded) content."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-dvfold-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_DVFOLD")
+    note = f"acid-dvfold {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        create_table(spark, root, base.repartition(4))
+        delete_from_table(
+            spark,
+            root,
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        optimize_table(spark, root, target_files=2)
+        with open(ready, "w") as fh:
+            fh.write(note)
+    return read_table(spark, root)
+
+
+# ---- Z-ORDER clustering (round 8) ------------------------------------
+
+
+def _morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Bit-interleaved (Morton / Z-order) key of two ``bits``-wide
+    non-negative ints — pure bitwise column arithmetic, all
+    whole-stage codegen.  Interleaving makes file ranges of the sorted
+    key axis-aligned boxes in (x, y) space, so per-file min/max zones
+    on BOTH columns stay tight and either column's predicate prunes."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(x, b).bitwiseAND(1).cast("bigint"),
+                2 * b + 1,
+            )
+            + F.shiftleft(
+                F.shiftright(y, b).bitwiseAND(1).cast("bigint"), 2 * b
+            )
+        )
+    return z
+
+
+def optimize_table_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    target_files: int = 16,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (c1, c2) as a committed table op: read
+    the snapshot (through any deletion-vector mask), normalize the two
+    cluster columns to 16-bit ranks, range-partition + sort on the
+    Morton interleave, rewrite as ``target_files`` files, and commit
+    with per-file zone maps harvested for BOTH columns — after which
+    :func:`scan_table` / :func:`scan_table_multi` prune on either
+    column (linear clustering only ever serves its one sort column).
+    The normalization min/max is one tiny 4-value aggregate; the
+    rewrite is one distributed range-shuffle — the same cost shape as
+    a plain OPTIMIZE.  Concurrency: the usual optimistic replay."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        snap = read_table(spark, root, version=parent)
+        c1, c2 = (F.col(c) for c in cols[:2])
+        lo1, hi1, lo2, hi2 = snap.agg(
+            F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+        ).collect()[0]
+        span1 = max(hi1 - lo1, 1)
+        span2 = max(hi2 - lo2, 1)
+        nx = ((c1 - F.lit(lo1)) * 65535 / F.lit(span1)).cast("bigint")
+        ny = ((c2 - F.lit(lo2)) * 65535 / F.lit(span2)).cast("bigint")
+        clustered = (
+            snap.withColumn("_z", _morton_key(nx, ny))
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        files = _write_files(clustered, root)
+        try:
+            return commit(
+                root,
+                files,
+                f"zorder:{','.join(cols[:2])}",
+                parent=parent,
+                stats=commit_stats(root, files, list(cols[:2])),
+            )
+        except CommitConflict:
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(f"zorder lost {max_retries} races in {root}")
+
+
+def scan_table_multi(
+    spark: SparkSession,
+    root: str,
+    ranges: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned scan on MULTIPLE columns: drop every file whose
+    recorded [min, max] zone cannot intersect ANY of the given
+    ``{col: (lo, hi)}`` ranges — the read side of Z-ordering, where a
+    2-D box query prunes on both axes.  Files without recorded stats
+    for a column are kept (never lossy); residual predicates applied
+    after the scan."""
+    m = read_manifest(root, version)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        cols = stats.get(os.path.basename(f), {}).get("cols", {})
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            s = cols.get(c)
+            if s is not None and (s[0] > hi or s[1] < lo):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    base = (
+        spark.read.parquet(*keep)
+        if keep
+        else read_table(spark, root, version).limit(0)
+    )
+    for c, (lo, hi) in ranges.items():
+        base = base.filter(F.col(c).between(lo, hi))
+    return base
+
+
+def ensure_zorder_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the Z-order exhibit: orders created across
+    16 key-clustered files (the pre-existing linear layout), then
+    OPTIMIZE ZORDER BY (o_orderkey, o_custkey) — 16 Morton-clustered
+    files with two-column zone maps in the manifest."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-z-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_Z")
+    note = f"acid-z {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    files = _write_files(
+        base.repartitionByRange(16, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    commit(
+        root,
+        files,
+        "create",
+        parent=0,
+        stats=commit_stats(root, files, ["o_orderkey", "o_custkey"]),
+    )
+    optimize_table_zorder(
+        spark, root, ["o_orderkey", "o_custkey"], target_files=16
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_zorder",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc
+               FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders, b
+    WHERE o_orderkey BETWEEN 0.2 * mk AND 0.3 * mk
+      AND o_custkey BETWEEN 0.4 * mc AND 0.6 * mc
+    """,
+)
+def q_table_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER (round 8): the table rewritten on the Morton
+    interleave of (o_orderkey, o_custkey) with two-column zone maps
+    committed per file, read back through a 2-D box predicate that
+    prunes on BOTH axes at manifest resolution.  Linear clustering
+    serves exactly one sort column — its files span the full range of
+    every other column, so a second-axis predicate prunes nothing;
+    Z-ordering keeps both zones tight (the pytest pins this: the
+    o_custkey range prunes files under Z-order and cannot under the
+    linear v1 layout).  The oracle is the plain 2-D filter — pruning
+    must be exactly lossless through the rewrite commit.
+
+    At 100 TB this is the standard answer to "my table has two query
+    axes": date-partition the coarse axis, Z-order inside partitions
+    — the manifest protocol here composes both (partition values +
+    zone maps are independent pruning stages in resolve_files /
+    scan_table_multi)."""
+    root = ensure_zorder_exercise(spark, sf_dir)
+    # box bounds relative to the table's key spans (one 2-value agg,
+    # metadata-scale) so the exhibit is non-degenerate at every SF
+    mk, mc = (
+        read_table(spark, root)
+        .agg(F.max("o_orderkey"), F.max("o_custkey"))
+        .collect()[0]
+    )
+    return scan_table_multi(
+        spark,
+        root,
+        {
+            "o_orderkey": (0.2 * mk, 0.3 * mk),
+            "o_custkey": (0.4 * mc, 0.6 * mc),
+        },
+    )

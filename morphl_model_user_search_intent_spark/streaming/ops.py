@@ -1657,3 +1657,97 @@ def q_stream_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(ready, "w") as fh:
         fh.write(note)
     return read_table(spark, dst)
+
+
+@register(
+    "q_stream_table_ingest_partitioned",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_units
+    FROM events
+    """,
+)
+def q_stream_table_ingest_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion into a PARTITIONED ACID table (round 8):
+    q_stream_table_ingest's exactly-once foreachBatch loop, landing in
+    a table partitioned by event_type — every micro-batch's append is
+    one hive-partitioned write whose files carry partition values in
+    the manifest (append_table_partitioned), so the table is
+    partition-prunable the moment each commit lands, with no
+    re-clustering step between ingest and query.  That composition —
+    commit-per-batch exactly-once + per-file partitionValues — is the
+    standard streaming-lakehouse landing zone at 100 TB/day.
+
+    ORACLE-CHECKED like the unpartitioned twin: the final read must
+    equal the whole events table however the stream sliced it.  The
+    pytest twin additionally pins pruning on the freshly-ingested
+    table (a one-type partition filter lists a strict file subset)
+    and per-batch txn idempotence."""
+    import os
+    import shutil
+
+    from ..sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+        read_table,
+    )
+    from ..sources.formats import SCRATCH
+
+    global LAST_INGEST_PART_ROOT
+
+    configure(spark)
+    src = _staged_time_buckets(spark, sf_dir)
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        SCRATCH, f"stream-acid-part-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    LAST_INGEST_PART_ROOT = root
+
+    cols = [
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_units"),
+    ]
+    create_table_partitioned(
+        spark,
+        root,
+        spark.read.parquet(src).select(*cols).limit(0),
+        partition_cols=["event_type"],
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_table_partitioned(
+            spark,
+            root,
+            batch_df.select(*cols),
+            txn_app=f"ingest-part-{os.path.basename(root)}",
+            txn_version=batch_id,
+        )
+
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return read_table(spark, root)
+
+
+LAST_INGEST_PART_ROOT: str | None = None

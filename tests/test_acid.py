@@ -1193,3 +1193,227 @@ def test_concurrent_multiprocess_merge_writers_no_lost_updates(
         w = k % n_writers
         assert rows[k].o_orderpriority == f"W{w}", (k, rows[k])
         assert rows[k].price == k * 10.0 + w + 1
+
+
+# ---- round 8: deletion vectors (merge-on-read DELETE) ----------------
+
+
+def test_dv_delete_is_o_batch_and_time_travelable(spark, tmp_path):
+    """A deletion-vector DELETE touches NO data file (identical file
+    list v1→v2, only dv_files added), masks exactly the requested
+    keys, and time travel to v1 still shows every row."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_from_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    n_base = base.count()
+    create_table(spark, root, base.repartition(4))
+    m1 = read_manifest(root)
+    doomed = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey"
+    )
+    n_doomed = doomed.count()
+    delete_from_table(spark, root, doomed, "o_orderkey")
+    m2 = read_manifest(root)
+    assert m2["files"] == m1["files"]          # zero rewrites
+    assert m2["op"] == "delete" and m2["dv_files"]
+    got = read_table(spark, root)
+    assert got.count() == n_base - n_doomed
+    assert got.filter("o_orderkey % 5 = 0").isEmpty()
+    assert read_table(spark, root, version=1).count() == n_base
+
+
+def test_dv_reinserted_key_is_not_masked(spark, tmp_path):
+    """Per-file tombstone scoping: delete a key, append the same key
+    again (a NEW file) — the re-inserted row must survive the mask."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        delete_from_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(100)
+    create_table(spark, root, base.repartition(2))
+    k = base.orderBy("o_orderkey").limit(1).collect()[0].o_orderkey
+    delete_from_table(
+        spark,
+        root,
+        spark.createDataFrame([(k,)], "o_orderkey bigint"),
+        "o_orderkey",
+    )
+    assert read_table(spark, root).filter(
+        F.col("o_orderkey") == k
+    ).isEmpty()
+    append_table(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(k, "REBORN", 1.0)],
+            "o_orderkey bigint, o_orderpriority string, price double",
+        ),
+    )
+    rows = (
+        read_table(spark, root)
+        .filter(F.col("o_orderkey") == k)
+        .collect()
+    )
+    assert [r.o_orderpriority for r in rows] == ["REBORN"]
+
+
+def test_dv_fold_clears_mask_and_preserves_content(spark, tmp_path):
+    """OPTIMIZE folds the deletion vectors: post-fold manifest carries
+    no dv_files, the compacted data physically lacks the deleted
+    rows, and masked (v2) ≡ folded (v3) content."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_from_table,
+        optimize_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.repartition(4))
+    delete_from_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    before = _rowset(read_table(spark, root))
+    optimize_table(spark, root, target_files=2)
+    m3 = read_manifest(root)
+    assert "dv_files" not in m3
+    assert len(m3["files"]) == 2
+    assert _rowset(read_table(spark, root)) == before
+    # the raw files (no mask) must also lack the deleted rows now
+    raw = spark.read.parquet(*m3["files"])
+    assert raw.filter("o_orderkey % 5 = 0").isEmpty()
+
+
+def test_dv_merge_after_delete_and_vacuum_protection(spark, tmp_path):
+    """MERGE over a DV-carrying table plans against the MASKED
+    snapshot (upserting a deleted key is an INSERT, and its stale
+    tombstone cannot re-kill the new row because the rewrite changed
+    the file basename); vacuum protects retained versions' sidecars
+    and reclaims retired ones."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_from_table,
+        merge_table,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    n_base = base.count()
+    create_table(spark, root, base.repartition(4))
+    k = base.orderBy("o_orderkey").limit(1).collect()[0].o_orderkey
+    delete_from_table(
+        spark,
+        root,
+        spark.createDataFrame([(k,)], "o_orderkey bigint"),
+        "o_orderkey",
+    )
+    src = spark.createDataFrame(
+        [(k, "UPSERTED", 9.0, False)],
+        "o_orderkey bigint, o_orderpriority string, price double,"
+        " _delete boolean",
+    )
+    merge_table(spark, root, src, "o_orderkey")
+    rows = (
+        read_table(spark, root)
+        .filter(F.col("o_orderkey") == k)
+        .collect()
+    )
+    assert [r.o_orderpriority for r in rows] == ["UPSERTED"]
+    m3 = read_manifest(root)
+    assert m3.get("dv_files")  # carried forward (inert for the rewrite)
+    for f in m3["dv_files"]:
+        assert os.path.exists(f)
+    # retire v1/v2: the v3 manifest still references the dv sidecars,
+    # so they must survive; nothing the kept versions reference dies
+    vacuum(root, keep_last=1)
+    for f in m3["dv_files"]:
+        assert os.path.exists(f)
+    assert read_table(spark, root).count() == n_base
+
+
+def test_zorder_prunes_both_axes_linear_only_one(spark, tmp_path):
+    """Z-order's point: under the linear o_orderkey clustering (v1)
+    an o_custkey range prunes nothing (every file spans the full
+    custkey range); after OPTIMIZE ZORDER (v2) BOTH axes prune, and
+    multi-column pruning is lossless."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        commit,
+        commit_stats,
+        _manifest_dir,
+        _write_files,
+        optimize_table_zorder,
+        scan_table_multi,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    files = _write_files(
+        base.repartitionByRange(16, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+    )
+    commit(
+        root, files, "create", parent=0,
+        stats=commit_stats(root, files, ["o_orderkey", "o_custkey"]),
+    )
+    mk, mc = base.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).collect()[0]
+    box = {
+        "o_orderkey": (0.2 * mk, 0.3 * mk),
+        "o_custkey": (0.4 * mc, 0.6 * mc),
+    }
+    cust_only = {"o_custkey": (0.4 * mc, 0.6 * mc)}
+
+    def kept(version, ranges):
+        df = scan_table_multi(spark, root, ranges, version=version)
+        return len(df.inputFiles())
+
+    # v1 linear: key axis prunes, cust axis cannot
+    assert kept(1, {"o_orderkey": box["o_orderkey"]}) < 16
+    assert kept(1, cust_only) == 16
+    truth = {
+        (r.o_orderkey, r.o_custkey)
+        for r in scan_table_multi(spark, root, box, version=1).collect()
+    }
+
+    optimize_table_zorder(
+        spark, root, ["o_orderkey", "o_custkey"], target_files=16
+    )
+    # v2 z-ordered: BOTH single-axis ranges prune
+    assert kept(2, {"o_orderkey": box["o_orderkey"]}) < 16
+    assert kept(2, cust_only) < 16
+    # 2-D box prunes harder than either axis alone and stays lossless
+    assert kept(2, box) <= min(
+        kept(2, {"o_orderkey": box["o_orderkey"]}), kept(2, cust_only)
+    )
+    got = {
+        (r.o_orderkey, r.o_custkey)
+        for r in scan_table_multi(spark, root, box, version=2).collect()
+    }
+    assert got == truth

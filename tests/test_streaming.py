@@ -739,3 +739,59 @@ def test_table_changes_stream_reader_offset_contract(spark):
     # a cdc-less window yields one empty sentinel task, not a crash
     empty = r.partitions({"version": 1}, {"version": 1})
     assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_partitioned_ingest_prunes_and_is_idempotent(spark):
+    """r8: the partitioned streaming ingest leaves a table whose
+    partition filter lists a strict file subset the moment the stream
+    drains, and a replayed batch append is a no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.registry import REGISTRY
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        latest_version,
+        read_manifest,
+        read_table,
+        resolve_files,
+    )
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    full = REGISTRY["q_stream_table_ingest_partitioned"].fn(
+        spark, SF_DIR
+    )
+    n_full = full.count()
+    root = ops.LAST_INGEST_PART_ROOT
+    m = read_manifest(root)
+    assert m["partition_cols"] == ["event_type"]
+    # ≥1 create + ≥2 micro-batch appends
+    assert latest_version(root) >= 3
+    types = [
+        r[0]
+        for r in full.select("event_type").distinct().collect()
+    ]
+    one = sorted(types)[0]
+    pruned = resolve_files(m, {"event_type": one})
+    # strict subset, modulo the schema-seed file (no partition value)
+    assert 0 < len(pruned) < len(m["files"])
+    got = read_table(
+        spark, root, partition_filter={"event_type": one}
+    )
+    assert (
+        got.count()
+        == full.filter(F.col("event_type") == one).count()
+    )
+    # replay the last batch id: must be a no-op (txn ledger)
+    v_before = latest_version(root)
+    app = f"ingest-part-{os.path.basename(root)}"
+    append_table_partitioned(
+        spark,
+        root,
+        read_table(spark, root).limit(5),
+        txn_app=app,
+        txn_version=0,  # already-committed batch id
+    )
+    assert latest_version(root) == v_before
+    assert read_table(spark, root).count() == n_full
