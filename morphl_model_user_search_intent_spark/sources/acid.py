@@ -429,9 +429,13 @@ def delete_from_table(
         dv_rows = base.join(keys, on, "semi").select("_file", on)
         new_dv = _write_files(dv_rows, root, subdir="dv")
         try:
-            # stats are NOT carried: the parent's per-file row counts
-            # no longer describe the masked snapshot — absent metadata
-            # beats wrong metadata (OPTIMIZE re-harvests after folding)
+            # stats carry VERBATIM: per-file zone maps describe the
+            # PHYSICAL file, which a DV delete never touches — min/max
+            # stay valid (superset) bounds, so zone pruning composes
+            # losslessly with the mask (Delta keeps add-file stats
+            # unchanged when DVs attach for the same reason).  Row
+            # counts likewise stay physical; logical counts must go
+            # through a masked read while a DV backlog exists.
             return commit(
                 root,
                 m["files"],
@@ -439,6 +443,7 @@ def delete_from_table(
                 parent=m["version"],
                 partition_cols=m.get("partition_cols"),
                 partitions=m.get("partitions"),
+                stats=m.get("stats"),
                 dv_files=m.get("dv_files", []) + new_dv,
                 dv_key=on,
             )
@@ -2732,4 +2737,168 @@ def q_table_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey": (0.2 * mk, 0.3 * mk),
             "o_custkey": (0.4 * mc, 0.6 * mc),
         },
+    )
+
+
+# ---- composed scan: partition ∘ zone-map ∘ deletion-vector (r8) ------
+
+
+def scan(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+    ranges: dict | None = None,
+) -> DataFrame:
+    """The UNIFIED pruned snapshot read — all three metadata layers
+    composed in the order a production lake reader applies them:
+
+      1. partition pruning (``partition_filter``): drop files whose
+         recorded partitionValues miss — O(file count) driver-side,
+         before anything is listed to Spark;
+      2. zone-map skipping (``ranges`` {col: (lo, hi)}): drop
+         surviving files whose committed per-file min/max cannot
+         intersect — same metadata walk, multi-column;
+      3. deletion-vector masking: anti-join the (file, key)
+         tombstones over whatever survived — the only stage that
+         touches data, and it reads ONLY the pruned files.
+
+    Residual predicates are applied after the scan, so the result is
+    exactly the unpruned filter's (every stage is lossless by
+    construction; files missing metadata are always kept).  At 100 TB
+    the composition is the whole game: a date + key-range query on a
+    partitioned, clustered, delete-bearing table lists partition ∩
+    zone survivors — typically ~0.01% of files — and masks only
+    those."""
+    m = read_manifest(root, version)
+    files = resolve_files(m, partition_filter)
+    if ranges:
+        stats = m.get("stats", {})
+        kept = []
+        for f in files:
+            cols = stats.get(os.path.basename(f), {}).get("cols", {})
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                s = cols.get(c)
+                if s is not None and (s[0] > hi or s[1] < lo):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        files = kept
+    if not files:
+        base = spark.read.parquet(*m["files"]).limit(0)
+    else:
+        base = spark.read.parquet(*files)
+        dvf = m.get("dv_files")
+        if dvf:
+            key = m["dv_key"]
+            dv = spark.read.parquet(*dvf).select("_file", key)
+            base = (
+                base.withColumn("_file", _file_col())
+                .join(dv, ["_file", key], "anti")
+                .drop("_file")
+            )
+    if partition_filter:
+        for c, want in partition_filter.items():
+            allowed = (
+                list(want)
+                if isinstance(want, (list, tuple, set, frozenset))
+                else [want]
+            )
+            base = base.filter(F.col(c).isin(allowed))
+    for c, (lo, hi) in (ranges or {}).items():
+        base = base.filter(F.col(c).between(lo, hi))
+    return base
+
+
+def ensure_composed_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent) the composed-pruning exhibit: orders
+    partitioned by order year AND key-range-clustered within each
+    partition (stats committed per file), then a deletion-vector
+    DELETE of every 13th key — one table carrying all three metadata
+    layers at once."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-composed-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_COMPOSED")
+    note = f"acid-composed {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        # range-cluster on the key BEFORE the partitioned write: each
+        # task holds one key range, so within every year-partition the
+        # leaf files carry tight o_orderkey zones
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        partition_cols=["o_year"],
+        stats_cols=["o_orderkey"],
+    )
+    delete_from_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_scan_composed",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1995 AS BIGINT) AS o_year
+    FROM orders, b
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey BETWEEN 0.2 * mk AND 0.4 * mk
+      AND o_orderkey % 13 != 0
+    """,
+)
+def q_table_scan_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE pruning layers composed in one read (round 8): the
+    table is year-partitioned (partitionValues), key-clustered within
+    partitions (zone maps), and carries a deletion-vector backlog —
+    and this query answers "1995 orders in a key band, minus the
+    erased ones" by listing only partition ∩ zone survivors and
+    masking only those.  The oracle is the plain three-predicate
+    filter, so any stage pruning lossily or masking wrongly breaks
+    the hash; the pytest pins the file-count funnel (partition prune
+    → strict subset → zone prune → stricter subset).
+
+    This is the exhibit for the whole round-8 table-layer story: the
+    three metadata protocols are orthogonal manifest fields that one
+    reader composes, exactly the Delta/Iceberg reader architecture.
+    """
+    root = ensure_composed_exercise(spark, sf_dir)
+    # box bounds from the PRE-delete snapshot (v1): the oracle's MAX
+    # runs over all orders, and the global max key could itself be a
+    # deleted (% 13) key — the masked max would then skew the box
+    mk = (
+        read_table(spark, root, version=1)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    return scan(
+        spark,
+        root,
+        partition_filter={"o_year": 1995},
+        ranges={"o_orderkey": (0.2 * mk, 0.4 * mk)},
     )

@@ -1417,3 +1417,56 @@ def test_zorder_prunes_both_axes_linear_only_one(spark, tmp_path):
         for r in scan_table_multi(spark, root, box, version=2).collect()
     }
     assert got == truth
+
+
+def test_composed_scan_file_funnel(spark, tmp_path):
+    """The three pruning layers compose as a strict file funnel:
+    all files → partition survivors → partition ∩ zone survivors,
+    with the final read lossless vs the brute-force filter."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        delete_from_table,
+        resolve_files,
+        scan,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        partition_cols=["o_year"],
+        stats_cols=["o_orderkey"],
+    )
+    delete_from_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    mk = base.agg(F.max("o_orderkey")).collect()[0][0]
+    pf = {"o_year": 1995}
+    rg = {"o_orderkey": (0.2 * mk, 0.4 * mk)}
+    m = read_manifest(root)
+    n_all = len(m["files"])
+    n_part = len(resolve_files(m, pf))
+    got = scan(spark, root, partition_filter=pf, ranges=rg)
+    # inputFiles includes the DV sidecar scan — count data files only
+    n_zone = len([f for f in got.inputFiles() if "/data/" in f])
+    assert n_zone < n_part < n_all, (n_zone, n_part, n_all)
+    want = base.filter(
+        (F.col("o_year") == 1995)
+        & F.col("o_orderkey").between(0.2 * mk, 0.4 * mk)
+        & (F.col("o_orderkey") % 13 != 0)
+    )
+    assert _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
