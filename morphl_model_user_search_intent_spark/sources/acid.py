@@ -563,67 +563,7 @@ def merge_table(
             matched = base.filter(F.col("_file").isin(touched)).drop(
                 "_file"
             )
-            # a matched key with ANY non-delete source row is an
-            # update; a matched key with only delete rows is a delete
-            fate = source.groupBy(on).agg(
-                F.max(
-                    F.when(~F.col("_delete"), 1).otherwise(0)
-                ).alias("_upserted")
-            )
-            pre = matched.join(fate, on, "inner")
-            matched_keys = matched.select(on)
-            # No-op replacements (a source row identical to its base
-            # row) change nothing in the table, and the file-diff
-            # reconstruction (table_changes) provably cannot see
-            # them — so the write-side feed must not emit them either
-            # or the two CDC mechanisms diverge.  One value-compare
-            # join over MATCHED keys only (bounded by touched rows)
-            # keeps the feeds identical: "the feed is what changed."
-            cols = [c for c in matched.columns if c != on]
-            same = F.lit(True)
-            for c in cols:
-                same = same & F.col(c).eqNullSafe(F.col(f"_new_{c}"))
-            changed_keys = (
-                matched.join(
-                    upserts.select(
-                        on,
-                        *[F.col(c).alias(f"_new_{c}") for c in cols],
-                    ),
-                    on,
-                )
-                .filter(~same)
-                .select(on)
-            )
-
-            def tag(df: DataFrame, ct: str) -> DataFrame:
-                return df.withColumn("_change_type", F.lit(ct))
-
-            feed = (
-                tag(
-                    pre.filter(F.col("_upserted") == 0).drop("_upserted"),
-                    "delete",
-                )
-                .unionByName(
-                    tag(
-                        pre.filter(F.col("_upserted") == 1)
-                        .drop("_upserted")
-                        .join(changed_keys, on, "semi"),
-                        "update_preimage",
-                    )
-                )
-                .unionByName(
-                    tag(
-                        upserts.join(changed_keys, on, "semi"),
-                        "update_postimage",
-                    )
-                )
-                .unionByName(
-                    tag(
-                        upserts.join(matched_keys, on, "anti"),
-                        "insert",
-                    )
-                )
-            )
+            feed = _merge_change_feed(matched, source, upserts, on)
             change_files = _write_files(feed, root, subdir="change")
         try:
             # deletion vectors carry forward verbatim: entries for the
@@ -651,6 +591,74 @@ def merge_table(
             if version is not None:
                 raise  # an explicit-version merge must not replay
     raise CommitConflict(f"merge lost {max_retries} races in {root}")
+
+
+def _merge_change_feed(
+    matched: DataFrame, source: DataFrame, upserts: DataFrame, on: str
+) -> DataFrame:
+    """Row-level change feed of one MERGE, derived from relations the
+    merge already has in hand (shared by the flat and partitioned
+    merges): matched base rows are the pre-images; upserts split into
+    post-images and inserts by whether their key matched; a matched
+    key with only delete arms is a delete.
+
+    No-op replacements (a source row identical to its base row)
+    change nothing in the table, and the file-diff reconstruction
+    (table_changes) provably cannot see them — so the write-side feed
+    must not emit them either or the two CDC mechanisms diverge.  One
+    value-compare join over MATCHED keys only (bounded by touched
+    rows) keeps the feeds identical: "the feed is what changed."
+    """
+    # a matched key with ANY non-delete source row is an update; a
+    # matched key with only delete rows is a delete
+    fate = source.groupBy(on).agg(
+        F.max(F.when(~F.col("_delete"), 1).otherwise(0)).alias(
+            "_upserted"
+        )
+    )
+    pre = matched.join(fate, on, "inner")
+    matched_keys = matched.select(on)
+    cols = [c for c in matched.columns if c != on]
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+    changed_keys = (
+        matched.join(
+            upserts.select(
+                on, *[F.col(c).alias(f"_new_{c}") for c in cols]
+            ),
+            on,
+        )
+        .filter(~same)
+        .select(on)
+    )
+
+    def tag(df: DataFrame, ct: str) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(ct))
+
+    return (
+        tag(
+            pre.filter(F.col("_upserted") == 0).drop("_upserted"),
+            "delete",
+        )
+        .unionByName(
+            tag(
+                pre.filter(F.col("_upserted") == 1)
+                .drop("_upserted")
+                .join(changed_keys, on, "semi"),
+                "update_preimage",
+            )
+        )
+        .unionByName(
+            tag(
+                upserts.join(changed_keys, on, "semi"),
+                "update_postimage",
+            )
+        )
+        .unionByName(
+            tag(upserts.join(matched_keys, on, "anti"), "insert")
+        )
+    )
 
 
 def committed_txn_version(root: str, app: str) -> int | None:
@@ -2033,6 +2041,7 @@ def merge_table_partitioned(
     source: DataFrame,
     on: str,
     max_retries: int = 3,
+    cdc: bool = False,
 ) -> int:
     """MERGE over a PARTITIONED table, planned WITHIN TOUCHED
     PARTITIONS ONLY — the partition-confined upgrade of
@@ -2110,6 +2119,17 @@ def merge_table_partitioned(
         new_files, new_parts = _write_files_partitioned(
             survivors.unionByName(upserts), root, pcols
         )
+        change_files = None
+        if cdc:
+            # matched rows live only in touched files of touched
+            # partitions — the feed derivation reads nothing else
+            matched = (
+                base.filter(F.col("_file").isin(touched)).drop("_file")
+                if cand
+                else survivors.limit(0)
+            )
+            feed = _merge_change_feed(matched, source, upserts, on)
+            change_files = _write_files(feed, root, subdir="change")
         touched_set = set(touched)
         kept = [
             f
@@ -2137,11 +2157,13 @@ def merge_table_partitioned(
                 partition_cols=pcols,
                 partitions=partitions,
                 stats=stats,
+                change_files=change_files,
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
             )
         except CommitConflict:
-            for f in new_files:  # lost the race — reclaim and replay
+            # lost the race — reclaim data AND change files, replay
+            for f in new_files + (change_files or []):
                 try:
                     os.remove(f)
                 except OSError:
@@ -2282,7 +2304,7 @@ def ensure_partitioned_exercise(
     configure(spark)
     root = os.path.join(SCRATCH, f"acidtable-part-{_tag(sf_dir)}")
     ready = os.path.join(root, "_READY_PART")
-    note = f"acid-part {_orders_fingerprint(sf_dir)}"
+    note = f"acid-part-cdc {_orders_fingerprint(sf_dir)}"
     try:
         if open(ready).read().strip() == note:
             return root
@@ -2302,7 +2324,11 @@ def ensure_partitioned_exercise(
         partition_cols=["o_year"],
     )
     merge_table_partitioned(
-        spark, root, _part_merge_source(spark, sf_dir), "o_orderkey"
+        spark,
+        root,
+        _part_merge_source(spark, sf_dir),
+        "o_orderkey",
+        cdc=True,
     )
     with open(ready, "w") as fh:
         fh.write(note)
@@ -2901,4 +2927,57 @@ def q_table_scan_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         partition_filter={"o_year": 1995},
         ranges={"o_orderkey": (0.2 * mk, 0.4 * mk)},
+    )
+
+
+@register(
+    "q_table_cdc_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1995 AS BIGINT) AS o_year,
+           'update_preimage' AS _change_type
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE), CAST(1995 AS BIGINT),
+           'update_postimage'
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 20000000, 'NEW-PART',
+           CAST(o_totalprice * 0.5 AS DOUBLE), CAST(1995 AS BIGINT),
+           'insert'
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND o_orderkey % 500 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE), CAST(1995 AS BIGINT),
+           'delete'
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND o_orderkey % 13 = 0
+    """,
+)
+def q_table_cdc_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-SIDE CDC of a PARTITION-CONFINED MERGE (round 8): the
+    partitioned exercise's merge commits its change feed atomically
+    (merge_table_partitioned cdc=True, sharing the flat merge's feed
+    derivation — _merge_change_feed), and the feed's derivation cost
+    follows the partition discipline: pre-images come only from the
+    touched partition's touched files, never the table.  The oracle
+    is the 1995-confined closed form — a feed row leaked from (or
+    lost to) another partition cannot hash-match, completing
+    partitioned parity with the unpartitioned CDC family
+    (q_table_cdc_files)."""
+    root = ensure_partitioned_exercise(spark, sf_dir)
+    return read_changes(
+        spark, root, version=2, key="o_orderkey"
+    ).select(
+        "o_orderkey", "o_orderpriority", "price", "o_year",
+        "_change_type",
     )
