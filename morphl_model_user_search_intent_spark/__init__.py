@@ -45,7 +45,7 @@ from .operators import (  # noqa: F401
     tpch,
 )
 from .functions import scalar  # noqa: F401
-from .text import analysis  # noqa: F401
+from .text import analysis, searchindex  # noqa: F401
 from .llm import curation, dedup, index, multimodal, similarity  # noqa: F401
 from .udf import udfs  # noqa: F401
 from .ml import pipeline  # noqa: F401

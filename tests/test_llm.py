@@ -608,3 +608,49 @@ def test_cc_nonconvergence_raises_loudly(spark):
     edges = chain.union(chain.selectExpr("dst AS src", "src AS dst"))
     with _pytest.raises(RuntimeError, match="did not converge"):
         cc_min_labels(edges, max_rounds=2)
+
+
+def test_text_index_bucket_pruning_and_append_is_file_addition(spark):
+    """r8 inverted-index lifecycle: the serve's postings scan lists
+    ONLY the query terms' hash-bucket partitions, and an append adds
+    files without touching existing ones (stale readers stay
+    consistent)."""
+    import os
+
+    from morphl_model_user_search_intent_spark.io import table as tbl
+    from morphl_model_user_search_intent_spark.text import (
+        searchindex as si,
+    )
+    import pyspark.sql.functions as F
+
+    root = si.build_text_index(spark, SF_DIR)
+    got = si.serve_bm25(spark, root)
+    # partition pruning lands in the SCAN's PartitionFilters (the
+    # repo's established plan gate — inputFiles doesn't reflect
+    # pushed partition predicates on a filtered relation)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+    # append: pure file addition
+    half = si.build_text_index(spark, SF_DIR, half=True)
+    def _files(r):
+        return {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(os.path.join(r, "postings"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+    before = _files(half)
+    mtimes = {f: os.path.getmtime(f) for f in before}
+    delta = (
+        tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 1)
+        .limit(50)
+    )
+    si.append_text_index(spark, half, delta)
+    after = _files(half)
+    assert before < after  # strictly grew
+    for f in before:
+        assert os.path.getmtime(f) == mtimes[f]  # untouched
