@@ -1012,7 +1012,19 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_outer_join_sink", "append", sf_dir)
 
 
-@register("q_stream_dedup_window", oracle=None)
+@register(
+    "q_stream_dedup_window",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n_events FROM agg
+    WHERE bucket + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query:
     dropDuplicatesWithinWatermark → tumbling 1h aggregation — the
@@ -1023,10 +1035,13 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark frontier, and each keeps its own bounded state (dedup:
     keys within the horizon; window: open windows).
 
-    The input doubles every event (union with itself), so the dedup
-    stage provably does work; the batch twin (tumbling counts over
-    the ORIGINAL stream) must match exactly on finalized windows —
-    asserted in tests/test_streaming.py.
+    ORACLE-CHECKED (round-8 promotion, composing the q_stream_dedup
+    and q_stream_watermark recipes): the input doubles every event,
+    the dedup stage must collapse each pair inside its micro-batch
+    (both union branches read the same files per batch), and the
+    drained append sink is the batch hourly count over the ORIGINAL
+    events filtered to watermark-finalized buckets — an uncollapsed
+    duplicate inflates a count and breaks the hash.
     """
     ev = _stream_events(spark, sf_dir)
     doubled = ev.unionByName(ev)
