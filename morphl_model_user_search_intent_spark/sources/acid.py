@@ -238,7 +238,11 @@ def resolve_files(
                 if isinstance(want, (list, tuple, set, frozenset))
                 else (want,)
             )
-            if vals.get(c) not in allowed:
+            # prune ONLY on recorded values: a file written under an
+            # earlier partition spec (partition evolution) records no
+            # value for a later spec's column and must be KEPT — the
+            # residual predicate still filters its rows exactly
+            if c in vals and vals[c] not in allowed:
                 ok = False
                 break
         if ok:
@@ -2980,4 +2984,107 @@ def q_table_cdc_partitioned(
     ).select(
         "o_orderkey", "o_orderpriority", "price", "o_year",
         "_change_type",
+    )
+
+
+# ---- partition-spec evolution (round 8) -------------------------------
+
+
+def evolve_partition_spec(root: str, new_cols: list[str]) -> int:
+    """PARTITION EVOLUTION (Iceberg's signature capability): change
+    the table's partition spec with one METADATA-ONLY commit — no data
+    file is rewritten.  Files written under earlier specs keep the
+    partition values they recorded; files written after record the new
+    spec's values.  Resolution prunes each file on whatever values IT
+    recorded (resolve_files skips columns a file predates), so old
+    files are conservatively kept when a new-spec column is filtered
+    and the residual predicate keeps results exact — Iceberg's exact
+    contract, and the reason evolution is safe to run on a 100 TB
+    table during business hours."""
+    m = read_manifest(root)
+    return commit(
+        root,
+        m["files"],
+        f"evolve-spec:{','.join(new_cols)}",
+        parent=m["version"],
+        partition_cols=new_cols,
+        partitions=m.get("partitions"),
+        stats=m.get("stats"),
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
+    )
+
+
+def ensure_evolution_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): v1 = pre-1998 orders partitioned by year;
+    v2 = evolve spec to (o_year, o_orderpriority); v3 = the 1998 tail
+    appended under the NEW spec."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-pevo-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_PEVO")
+    note = f"acid-pevo {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(
+            2, "o_orderkey"
+        ),
+        partition_cols=["o_year"],
+    )
+    evolve_partition_spec(root, ["o_year", "o_orderpriority"])
+    append_table_partitioned(
+        spark, root, base.filter(F.col("o_year") == 1998)
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_partition_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) = 1998
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def q_table_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION EVOLUTION read (round 8): the table's spec changed
+    from (year) to (year, priority) mid-history with a metadata-only
+    commit, the 1998 tail arrived under the new spec, and this query
+    filters on BOTH columns — year pruning drops every old-spec file
+    (they record o_year), priority pruning applies only to new-spec
+    files (old files predate the column and are conservatively kept
+    by resolve_files — here they're already gone via the year
+    predicate).  The oracle is the plain two-predicate filter, so a
+    lossy prune of either vintage breaks the hash.  The pytest pins
+    the asymmetry directly: a priority-only filter keeps ALL old-spec
+    files and prunes new-spec ones."""
+    root = ensure_evolution_exercise(spark, sf_dir)
+    return read_table(
+        spark,
+        root,
+        partition_filter={
+            "o_year": 1998,
+            "o_orderpriority": "1-URGENT",
+        },
     )

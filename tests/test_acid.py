@@ -1470,3 +1470,64 @@ def test_composed_scan_file_funnel(spark, tmp_path):
         & (F.col("o_orderkey") % 13 != 0)
     )
     assert _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
+
+
+def test_partition_evolution_prunes_per_vintage(spark, tmp_path):
+    """r8 partition evolution: spec change is metadata-only (no file
+    rewritten), and pruning respects each file's vintage — a filter
+    on the EVOLVED column keeps every old-spec file (they predate it)
+    while pruning new-spec files; results stay exact either way."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.io import table
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+        evolve_partition_spec,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(2),
+        partition_cols=["o_year"],
+    )
+    m1 = read_manifest(root)
+    evolve_partition_spec(root, ["o_year", "o_orderpriority"])
+    m2 = read_manifest(root)
+    assert m2["files"] == m1["files"]  # metadata-only
+    assert m2["partition_cols"] == ["o_year", "o_orderpriority"]
+    append_table_partitioned(
+        spark, root, base.filter(F.col("o_year") == 1998)
+    )
+    m3 = read_manifest(root)
+    old = set(m1["files"])
+    new = set(m3["files"]) - old
+    assert new
+    # new-spec files record BOTH columns; old files only o_year
+    for f in new:
+        assert set(m3["partitions"][os.path.basename(f)]) == {
+            "o_year", "o_orderpriority",
+        }
+    for f in old:
+        assert set(m3["partitions"][os.path.basename(f)]) == {"o_year"}
+    # priority-only filter: ALL old files kept, new files pruned
+    kept = resolve_files(m3, {"o_orderpriority": "1-URGENT"})
+    assert old <= set(kept)
+    assert len(set(kept) & new) < len(new)
+    # read stays exact across vintages
+    got = read_table(
+        spark, root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    want = base.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert (
+        _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
+    )
