@@ -2419,3 +2419,122 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "q_sim_hybrid_rrf_indexed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(len) / COUNT(*) AS avglen
+              FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE word IN ('hash', 'join', 'scan')
+           GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM tf GROUP BY word),
+    bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+             ), 6) AS score
+      FROM tf
+      JOIN df ON df.word = tf.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, r AS lex_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM bm25) WHERE r <= {_RRF_DEPTH}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, r AS sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY
+                 ROUND(list_cosine_similarity(e.v, qv.q), 6) DESC,
+                 e.vec_id) AS BIGINT) AS r
+        FROM e CROSS JOIN qv WHERE e.vec_id <> 0) WHERE r <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank,
+           COALESCE(sem_rank, 0) AS sem_rank,
+           CAST(FLOOR(1e6 * (
+             COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)
+           ) + 0.5) AS BIGINT) AS rrf_micro
+    FROM lex FULL JOIN sem ON sem.doc_id = lex.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q_sim_hybrid_rrf_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid RRF served ENTIRELY FROM PERSISTED INDEXES (round 8):
+    the lexical arm comes from the inverted-index BM25 serve
+    (text/searchindex.py — postings pruned to the query terms'
+    buckets) and the semantic arm from the ANN index serve
+    (llm/index.py, exhaustive probe, query = vec 0) — no raw text is
+    tokenized and no source embedding is read at query time.  This is
+    the full production serving stack in one oracle-checked key:
+    both candidate generators are materialized views, and the fusion
+    must still reproduce the from-scratch SQL bit-for-bit (the sem
+    arm excludes the query vector itself, matching the ANN serve
+    contract — the one deliberate difference from q_sim_hybrid_rrf).
+
+    Scale: serve-time cost is |terms| postings buckets + nprobe ANN
+    lists + a 2·depth-row fusion join — nothing proportional to the
+    corpus."""
+    from ..text.searchindex import build_text_index, serve_bm25
+    from .index import _K_LISTS, build_index, serve_topk
+
+    lex_root = build_text_index(spark, sf_dir)
+    lex = (
+        serve_bm25(spark, lex_root, top_k=_RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    ann_root = build_index(spark, sf_dir)
+    sem = (
+        serve_topk(spark, ann_root, nprobe=_K_LISTS, top_k=_RRF_DEPTH)
+        .filter(F.col("qid") == 0)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (_RRF_K + F.col(r))
+    ).otherwise(F.lit(0.0))
+    rrf = F.floor(
+        1e6 * (contrib("lex_rank") + contrib("sem_rank")) + 0.5
+    ).cast("bigint")
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+            rrf.alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(20)
+    )

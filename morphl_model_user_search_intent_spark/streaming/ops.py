@@ -1766,3 +1766,92 @@ def q_stream_table_ingest_partitioned(
 
 
 LAST_INGEST_PART_ROOT: str | None = None
+
+
+@register(
+    "q_stream_text_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     SUM(len) / COUNT(*) AS avglen
+              FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE word IN ('hash', 'join', 'scan')
+           GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM tf GROUP BY word)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON df.word = tf.word
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 15
+    """,
+)
+def q_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING inverted-index maintenance (round 8): the corpus
+    arrives as a document stream (4 staged id-ordered buckets,
+    maxFilesPerTrigger=1) and every micro-batch folds its postings
+    into the persisted index via append_text_index — pure file
+    addition into the terms' bucket dirs, the same fold the batch
+    append key proves — then the drained index serves the standing
+    BM25 query.  ORACLE-CHECKED against the full-corpus from-scratch
+    SQL: a lost batch, a doubled fold, or stale global stats cannot
+    hash-match (df/N/avgdl are derived at serve, so every fold is
+    exact the moment its files land — the property that lets a
+    search index track a 100 TB/day ingest without rebuild cycles).
+
+    Exactly-once posture: availableNow + file source is effectively-
+    once here; a production deployment lands postings through the
+    ACID table's txn ledger (q_stream_table_ingest) to make replayed
+    batches no-ops — the composition is documented, not duplicated.
+    """
+    import os
+    import shutil
+
+    from ..text.searchindex import append_text_index, serve_bm25
+    from ..sources.formats import SCRATCH
+
+    configure(spark)
+    src = _staged_doc_buckets(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        SCRATCH, f"stream-textindex-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        append_text_index(
+            spark, root, batch_df.select("doc_id", "text")
+        )
+
+    q = (
+        s.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return serve_bm25(spark, root)
