@@ -142,37 +142,38 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # §2.4 aggregates (flagship first)
     "q_agg_hash", "q_agg_distinct",
     # §2.5 windows / §2.6 sorts
-    "q_win_topk", "q_win_cume", "q_sort_limit",
-    # §2.7 set ops + dedup
-    "q_dedup_exact",
-    # §2.8 scalar suites (bench-headline representative)
-    "q_json_funcs",
+    "q_win_topk", "q_sort_limit",
+    # §2.7 set ops + dedup (q_set_intersect: first driver grade)
+    "q_set_intersect", "q_dedup_exact",
+    # §2.8 scalar suites (window policy: one slot per suite)
+    "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
+    "q_map_funcs", "q_json_funcs",
     # §2.9 event-time + streaming — the round-8 append-mode oracle
     # promotions (session window / watermark / static join / s-s join)
     # and the never-graded CDC source + exactly-once mirror
     "q_stream_tumbling", "q_sessionize", "q_stream_table_cdc",
     "q_stream_session_window", "q_stream_watermark",
     "q_stream_static_join", "q_stream_join",
-    "q_stream_table_cdc_source", "q_stream_table_mirror",
+    "q_stream_table_cdc_source",
     # §2.11 similarity / dedup / multimodal — round-8 portable SimHash,
     # exhaustive PQ twins, adaptive filtered serve; never-graded
     # hybrid RRF / retrieval eval / PRF
     "q_dedup_clusters", "q_sim_knn", "q_sim_index_filtered",
     "q_sim_index_filtered_auto", "q_dedup_simhash_portable",
     "q_sim_pq_exhaustive", "q_sim_ivfpq_exhaustive",
-    "q_sim_hybrid_rrf", "q_sim_retrieval_eval", "q_multimodal",
+    "q_sim_hybrid_rrf", "q_multimodal",
     # lakehouse table ops — the round-8 partitioned-manifest family
     # plus the never-graded r7 keys (restore/clone/skipping/history/
     # evolution/metadata-count/incremental view)
     "q_table_merge", "q_table_time_travel", "q_table_optimize",
     "q_table_partitioned", "q_table_merge_partitioned",
     "q_table_partitions", "q_table_restore", "q_table_clone",
-    "q_table_skipping", "q_table_history", "q_table_add_column",
-    "q_table_count_metadata", "q_table_cdc_incremental",
+    "q_table_skipping",
     # §2.12 UDFs
     "q_udf_grouped_map",
-    # §2.1 sources / sinks / scans
-    "q_source_csv", "q_source_csv_malformed", "q_scan_pushdown",
+    # §2.1 sources / sinks / scans (q_sink_partitioned: first grade)
+    "q_source_csv", "q_source_csv_malformed", "q_sink_partitioned",
+    "q_scan_pushdown",
     # §2.2 projection / predicates
     "q_project", "q_filter_pred", "q_case_when",
     # §2.3 joins + the TPC-H representative
@@ -182,14 +183,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
 )
 # Rotated OUT in round 8 (graded green in r07, still verified by every
 # full sweep): q_agg_stats, q_win_fill_forward, q_set_union,
-# q_str_funcs, q_date_funcs, q_math_funcs, q_array_funcs, q_map_funcs,
 # q_stream_index_append, q_dedup_url, q_sim_index_serve,
 # q_sim_index_compact, q_sim_maxsim, q_table_cdc, q_table_cdc_files,
 # q_table_cdc_apply, q_udtf_explode_sessions, q_embed_text_long,
 # q_source_json, q_sink_parquet, q_graph_triangles, q_scd2_intervals,
 # q_sim_quantized, q_text_bpe_encode, q_join_asof_tolerance.
-# Window policies hold: every slot oracle-checked, every §2 family
-# represented, 25 of 50 slots never driver-graded before this round.
+# Window policies hold (tests/test_registry_order.py): exactly 50
+# slots, every slot oracle-checked, one representative per §2 family
+# (which keeps the five scalar suites seated), 20 of 50 slots never
+# driver-graded before this round.
 # Earlier rotations: see git history of this block (rounds 5-7).
 
 

@@ -2039,6 +2039,17 @@ def create_table_partitioned(
     )
 
 
+def _source_partitions(source: DataFrame, pcols: list[str]) -> set:
+    """The MERGE source's distinct partition tuples — one tiny
+    distinct+collect bounded by the table's partition count (at
+    100 TB a daily upsert touches one or two date partitions); this
+    is the metadata-scale planning step that lets the merge prune the
+    manifest before anything else runs."""
+    return {
+        tuple(r) for r in source.select(*pcols).distinct().collect()
+    }
+
+
 def merge_table_partitioned(
     spark: SparkSession,
     root: str,
@@ -2079,9 +2090,7 @@ def merge_table_partitioned(
         pcols = m["partition_cols"]
         pmap = m.get("partitions", {})
         old_stats = m.get("stats", {})
-        src_parts = {
-            tuple(r) for r in source.select(*pcols).distinct().collect()
-        }
+        src_parts = _source_partitions(source, pcols)
         cand = [
             f
             for f in m["files"]

@@ -241,6 +241,12 @@ def q_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = build_text_index(spark, sf_dir, half=True)
     marker = os.path.join(root, "_APPENDED")
     if not os.path.exists(marker):
+        # no marker = the fold never completed on this staging —
+        # a partial fold (crash mid-append, or any stray write) would
+        # serve silently-wrong stats, so rebuild the half index from
+        # scratch before folding
+        shutil.rmtree(root, ignore_errors=True)
+        root = build_text_index(spark, sf_dir, half=True)
         delta = (
             table(spark, sf_dir, "documents")
             .select("doc_id", "text")

@@ -140,7 +140,28 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
     # its touched-file set on the driver — a DISTINCT over file
     # paths, bounded by the snapshot's file count (metadata scale,
     # the same driver-side planning step Delta/Iceberg perform).
-    "sources/acid.py": {"merge_table"},
+    # Round 8 adds the partitioned/zorder planning steps, all
+    # metadata- or constant-bounded:
+    #   _source_partitions — the merge source's distinct partition
+    #     tuples (≤ partition count);
+    #   merge_table_partitioned — the touched-file list within the
+    #     pruned partitions (≤ their file count);
+    #   optimize_table_zorder / q_table_zorder /
+    #   q_table_scan_composed — one 1-row min/max aggregate each
+    #     (normalization spans and scale-relative box bounds).
+    "sources/acid.py": {
+        "merge_table",
+        "_source_partitions",
+        "merge_table_partitioned",
+        "optimize_table_zorder",
+        "q_table_zorder",
+        "q_table_scan_composed",
+    },
+    # Inverted-index serve (text/searchindex.py): the query terms'
+    # bucket ids — |terms| rows, evaluated through Spark so the hash
+    # matches the write side's xxhash64 exactly; the postings scan
+    # itself stays a pruned distributed read.
+    "text/searchindex.py": {"serve_bm25"},
 }
 # round-3: joins.py bloom summary collect → declarative rewrite;
 # round-5: streaming/ops.py foreachBatch driver-list accumulator →

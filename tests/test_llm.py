@@ -610,7 +610,9 @@ def test_cc_nonconvergence_raises_loudly(spark):
         cc_min_labels(edges, max_rounds=2)
 
 
-def test_text_index_bucket_pruning_and_append_is_file_addition(spark):
+def test_text_index_bucket_pruning_and_append_is_file_addition(
+    spark, tmp_path
+):
     """r8 inverted-index lifecycle: the serve's postings scan lists
     ONLY the query terms' hash-bucket partitions, and an append adds
     files without touching existing ones (stale readers stay
@@ -632,8 +634,20 @@ def test_text_index_bucket_pruning_and_append_is_file_addition(spark):
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
 
-    # append: pure file addition
-    half = si.build_text_index(spark, SF_DIR, half=True)
+    # append: pure file addition — on a PRIVATE root, never the
+    # shared staged half-index (a partial fold there would corrupt
+    # the q_text_index_append fixture for later runs)
+    half = str(tmp_path / "ti")
+    even = (
+        tbl(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    postings, docstats = si._postings_and_stats(even)
+    postings.write.partitionBy("bucket").parquet(
+        os.path.join(half, "postings")
+    )
+    docstats.write.parquet(os.path.join(half, "docstats"))
     def _files(r):
         return {
             os.path.join(dp, f)
