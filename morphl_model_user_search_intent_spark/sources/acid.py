@@ -395,6 +395,8 @@ def delete_from_table(
     keys: DataFrame,
     on: str,
     max_retries: int = 3,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """MERGE-ON-READ DELETE via deletion-vector sidecars (round 8) —
     the other half of the Delta/Iceberg delete story next to CoW
@@ -414,9 +416,22 @@ def delete_from_table(
     an already-deleted key is a no-op by construction (the masked
     snapshot no longer matches it).  Conflicts replay like every
     other commit."""
+    txn = None
+    if txn_app is not None:
+        if txn_version is None:
+            raise ValueError("txn_app requires txn_version")
+        txn = {"app": txn_app, "version": int(txn_version)}
     if keys.columns != [on]:
         keys = keys.select(on)
     for _ in range(max_retries):
+        # txn idempotence (the append/merge ledger, round 8 extended
+        # to deletes): a replayed erasure batch must not re-commit —
+        # harmless for the mask (anti join dedups) but it would grow
+        # the version chain and the tombstone backlog on every replay
+        if txn is not None:
+            done = committed_txn_version(root, txn_app)
+            if done is not None and done >= txn_version:
+                return latest_version(root)  # replayed batch: no-op
         m = read_manifest(root)
         base = _apply_dv(
             spark,
@@ -445,6 +460,7 @@ def delete_from_table(
                 m["files"],
                 "delete",
                 parent=m["version"],
+                txn=txn,
                 partition_cols=m.get("partition_cols"),
                 partitions=m.get("partitions"),
                 stats=m.get("stats"),
@@ -557,6 +573,7 @@ def merge_table(
             .join(keys, on, "anti")
         )
         upserts = source.filter(~F.col("_delete")).drop("_delete")
+        _validate_constraints(upserts, root)  # incoming rows only
         new_files = _write_files(survivors.unionByName(upserts), root)
         kept = [
             f for f in m["files"]
@@ -713,6 +730,7 @@ def append_table(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
+    _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
     files = _write_files(df, root)
 
     def _reclaim() -> None:
@@ -3097,3 +3115,98 @@ def q_table_partition_evolution(
             "o_orderpriority": "1-URGENT",
         },
     )
+
+
+def dv_fraction(root: str) -> float:
+    """Tombstone share of the table: DV rows / physical rows, from
+    parquet FOOTER metadata only (no Spark job) — the marginal cost
+    every masked read pays, and therefore the compaction trigger."""
+    import pyarrow.parquet as pq
+
+    m = read_manifest(root)
+    dvf = m.get("dv_files", [])
+    if not dvf:
+        return 0.0
+    n_dv = sum(pq.read_metadata(f).num_rows for f in dvf)
+    n_rows = sum(pq.read_metadata(f).num_rows for f in m["files"])
+    return (n_dv / n_rows) if n_rows else 0.0
+
+
+def maybe_fold_dv(
+    spark: SparkSession,
+    root: str,
+    threshold: float = 0.1,
+    target_files: int = 8,
+) -> int | None:
+    """The DV compaction POLICY (twin of maybe_optimize and the ANN
+    store's maybe_compact): fold the deletion-vector backlog into the
+    data when tombstones exceed ``threshold`` of the table's physical
+    rows — the mask's anti join costs every reader ∝ the backlog, so
+    its share is its marginal read cost.  Folding is a plain OPTIMIZE
+    (reads through the mask, clears the DV list).  Idempotent; an
+    erasure pipeline calls it after every batch.  Returns the new
+    version when a fold ran, None when within budget."""
+    if dv_fraction(root) <= threshold:
+        return None
+    return optimize_table(spark, root, target_files=target_files)
+
+
+# ---- CHECK constraints (round 8) -------------------------------------
+
+
+class ConstraintViolation(Exception):
+    """An incoming write contains rows that fail a table CHECK
+    constraint — the write is rejected atomically (nothing committed,
+    nothing orphaned)."""
+
+
+def _constraints_path(root: str) -> str:
+    return os.path.join(root, "_constraints.json")
+
+
+def add_constraint(root: str, name: str, predicate_sql: str) -> None:
+    """ADD CONSTRAINT ... CHECK (<predicate>): recorded in the table's
+    config sidecar (like Delta's table-metadata constraints — one
+    config per table, not per version; versioned constraint history is
+    the documented next step).  Every subsequent append/merge
+    validates its INCOMING rows against all constraints before
+    writing — cost ∝ the delta, never the table — and rejects the
+    whole write on any violation (atomicity: the table is unchanged,
+    no orphan files)."""
+    cons = table_constraints(root)
+    cons[name] = predicate_sql
+    tmp = _constraints_path(root) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.rename(tmp, _constraints_path(root))
+
+
+def table_constraints(root: str) -> dict[str, str]:
+    try:
+        with open(_constraints_path(root)) as fh:
+            return json.load(fh)
+    except OSError:
+        return {}
+
+
+def _validate_constraints(df: DataFrame, root: str) -> None:
+    """Reject ``df`` if any row fails any table constraint.  One
+    filter per constraint, evaluated lazily in a single pass over the
+    incoming rows only; the error carries up to 3 example rows per
+    violated constraint so the producer can fix its pipeline."""
+    cons = table_constraints(root)
+    if not cons:
+        return
+    bad = None
+    for name, pred in cons.items():
+        viol = df.filter(f"NOT ({pred})")
+        ex = viol.limit(3).collect()
+        if ex:
+            bad = (name, pred, ex)
+            break
+    if bad:
+        name, pred, ex = bad
+        raise ConstraintViolation(
+            f"constraint {name!r} CHECK ({pred}) violated by incoming "
+            f"rows, e.g. {[tuple(r) for r in ex]}"
+        )

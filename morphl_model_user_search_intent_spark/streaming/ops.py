@@ -1855,3 +1855,101 @@ def q_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return serve_bm25(spark, root)
+
+
+@register(
+    "q_stream_table_erasure",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_units
+    FROM events
+    WHERE user_id % 13 != 0
+    """,
+)
+def q_stream_table_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ERASURE QUEUE (round 8) — the GDPR topology every
+    100 TB training-data lake runs: a stream of right-to-be-forgotten
+    requests (here: all users ≡ 0 mod 13, arriving as 4 micro-batches)
+    applied to the events table as DELETION-VECTOR commits —
+    O(request batch) each, zero data files rewritten — with the txn
+    ledger making replayed batches no-ops (foreachBatch is
+    at-least-once; an erasure replay must not grow the version chain
+    or the tombstone backlog), and the DV FOLD POLICY
+    (maybe_fold_dv) compacting the mask away once tombstones exceed
+    10% of the table.
+
+    ORACLE-CHECKED end-to-end: the final masked read must equal the
+    events table minus every erased user's rows — a lost batch, an
+    over-erase, or a replay-grown mask cannot hash-match.  The pytest
+    twin pins the physics: one delete commit per batch, 0 data files
+    rewritten before the fold, replay no-op, and the fold clearing
+    dv_files while preserving content."""
+    import os
+    import shutil
+
+    from ..io import table as load_table
+    from ..sources.acid import (
+        create_table,
+        delete_from_table,
+        maybe_fold_dv,
+        read_table,
+    )
+    from ..sources.formats import SCRATCH
+
+    global LAST_ERASURE_ROOT
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_units"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        SCRATCH, f"stream-erasure-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    LAST_ERASURE_ROOT = root
+    create_table(spark, root, ev.repartition(4))
+
+    # the request queue: erased user ids staged as 4 id-ranged files
+    req_dir = os.path.join(root, ".requests")
+    doomed = ev.filter(F.col("user_id") % 13 == 0).select(
+        "user_id"
+    ).distinct()
+    doomed.repartitionByRange(4, "user_id").write.parquet(req_dir)
+
+    s = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(req_dir)
+    )
+
+    def erase_batch(batch_df, batch_id: int) -> None:
+        delete_from_table(
+            spark,
+            root,
+            batch_df.select("user_id"),
+            "user_id",
+            txn_app=f"erasure-{os.path.basename(root)}",
+            txn_version=batch_id,
+        )
+        maybe_fold_dv(spark, root, threshold=0.10)
+
+    q = (
+        s.writeStream.foreachBatch(erase_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return read_table(spark, root)
+
+
+LAST_ERASURE_ROOT: str | None = None

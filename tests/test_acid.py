@@ -1531,3 +1531,48 @@ def test_partition_evolution_prunes_per_vintage(spark, tmp_path):
     assert (
         _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
     )
+
+
+def test_check_constraints_reject_atomically(spark, tmp_path):
+    """r8 CHECK constraints: a violating append or merge is rejected
+    BEFORE anything is written — table unchanged, version chain
+    unchanged, no orphan files; valid writes pass; validation cost is
+    ∝ the incoming delta (incoming rows only are filtered)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        ConstraintViolation,
+        add_constraint,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(500)
+    create_table(spark, root, base)
+    add_constraint(root, "price_nonneg", "price >= 0")
+    add_constraint(root, "priority_set", "o_orderpriority IS NOT NULL")
+
+    bad = spark.createDataFrame(
+        [(999_001, "X", -5.0), (999_002, "Y", 3.0)],
+        "o_orderkey bigint, o_orderpriority string, price double",
+    )
+    v1 = latest_version(root)
+    data_files_before = sorted(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(ConstraintViolation, match="price_nonneg"):
+        append_table(spark, root, bad)
+    assert latest_version(root) == v1  # nothing committed
+    assert sorted(
+        os.listdir(os.path.join(root, "data"))
+    ) == data_files_before  # nothing orphaned
+    # merge upsert arm validated too
+    src = bad.withColumn("_delete", F.lit(False))
+    with pytest.raises(ConstraintViolation, match="price_nonneg"):
+        merge_table(spark, root, src, "o_orderkey")
+    assert latest_version(root) == v1
+    # a valid write passes and commits
+    ok = spark.createDataFrame(
+        [(999_003, "Z", 7.0)],
+        "o_orderkey bigint, o_orderpriority string, price double",
+    )
+    assert append_table(spark, root, ok) == v1 + 1
+    assert read_table(spark, root).count() == 501

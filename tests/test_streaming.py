@@ -795,3 +795,67 @@ def test_partitioned_ingest_prunes_and_is_idempotent(spark):
     )
     assert latest_version(root) == v_before
     assert read_table(spark, root).count() == n_full
+
+
+def test_erasure_stream_physics_and_replay_noop(spark):
+    """r8 GDPR erasure queue: one delete commit per request batch,
+    zero data files rewritten until the fold, replayed batches are
+    no-ops (txn ledger), and the fold — when the tombstone share
+    crosses the threshold — clears dv_files preserving content."""
+    import os
+
+    from morphl_model_user_search_intent_spark.registry import REGISTRY
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_from_table,
+        dv_fraction,
+        latest_version,
+        list_versions,
+        read_manifest,
+        read_table,
+    )
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    final = REGISTRY["q_stream_table_erasure"].fn(spark, SF_DIR)
+    n_final = final.count()
+    root = ops.LAST_ERASURE_ROOT
+    versions = list_versions(root)
+    ops_log = [read_manifest(root, v)["op"] for v in versions]
+    assert ops_log[0] == "create"
+    assert ops_log.count("delete") >= 2  # one per micro-batch
+    # every delete commit carried the create's files verbatim
+    # (0 rewrites) — only optimize commits change the file list
+    m1 = read_manifest(root, 1)
+    for v, op in zip(versions, ops_log):
+        if op == "delete":
+            prev = read_manifest(root, v - 1)
+            assert read_manifest(root, v)["files"] == prev["files"]
+    # replay the last batch id: version chain must not grow
+    import pyspark.sql.functions as F
+
+    v_before = latest_version(root)
+    app = f"erasure-{os.path.basename(root)}"
+    last_batch = max(
+        int(read_manifest(root, v)["txn"]["version"])
+        for v, op in zip(versions, ops_log)
+        if op == "delete"
+    )
+    delete_from_table(
+        spark,
+        root,
+        read_table(spark, root).select(
+            F.col("user_id")
+        ).limit(3),
+        "user_id",
+        txn_app=app,
+        txn_version=last_batch,  # already committed: no-op
+    )
+    assert latest_version(root) == v_before
+    assert read_table(spark, root).count() == n_final
+    # ~7.4% of users are erased (1 in 13.5), below the 10% threshold
+    # at this fixture — if a fold ran, dv_files is cleared; if not,
+    # the backlog is within budget
+    m = read_manifest(root)
+    if "optimize" in ops_log:
+        assert not m.get("dv_files")
+    else:
+        assert dv_fraction(root) <= 0.10 or m.get("dv_files")
