@@ -698,12 +698,51 @@ def committed_txn_version(root: str, app: str) -> int | None:
     return None
 
 
+class SchemaMismatch(Exception):
+    """An append's schema differs from the table's — rejected unless
+    the writer explicitly opts into evolution (Delta's schema
+    enforcement: silent drift is how a lake table rots)."""
+
+
+def _enforce_schema(
+    spark: SparkSession, root: str, df: DataFrame, allow_evolution: bool
+) -> None:
+    """Compare the incoming frame's (name, type) list to the current
+    snapshot's (plan-only — no job).  Exact match passes; a pure
+    ADDITIVE widening (all existing columns present and same-typed,
+    new columns appended) passes only with ``allow_evolution=True``
+    (the q_table_add_column flow); anything else — missing columns,
+    type changes, renames — raises :class:`SchemaMismatch`."""
+    cur = {
+        f.name: f.dataType.simpleString()
+        for f in read_table(spark, root).schema.fields
+    }
+    new = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    if new == cur:
+        return
+    missing = [c for c in cur if c not in new]
+    changed = [
+        c for c in cur if c in new and new[c] != cur[c]
+    ]
+    added = [c for c in new if c not in cur]
+    if not missing and not changed and added and allow_evolution:
+        return  # additive evolution, explicitly requested
+    raise SchemaMismatch(
+        f"append schema differs from table (missing={missing}, "
+        f"retyped={changed}, added={added}); pass "
+        "allow_evolution=True for additive widening"
+    )
+
+
 def append_table(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Append-commit: write new data files, publish a manifest holding
     (old ∪ new).  Appends COMMUTE, so a :class:`CommitConflict` (a
@@ -730,6 +769,7 @@ def append_table(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
+    _enforce_schema(spark, root, df, allow_evolution)  # plan-only
     _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
     files = _write_files(df, root)
 
@@ -1953,6 +1993,7 @@ def q_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice").cast("double").alias("price"),
                 F.col("o_orderpriority").alias("channel"),
             ),
+            allow_evolution=True,  # the additive-widening exhibit
         )
         with open(ready, "w") as fh:
             fh.write(note)

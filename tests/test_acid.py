@@ -772,6 +772,7 @@ def test_schema_evolution_and_optimize_policy(spark, tmp_path):
             "price",
             F.lit("web").alias("channel"),
         ).repartition(3),
+        allow_evolution=True,  # r8: widening is an explicit opt-in
     )
     # evolution is additive metadata: v1's files all carried
     assert v1_files < set(read_manifest(root, 2)["files"])
@@ -1576,3 +1577,51 @@ def test_check_constraints_reject_atomically(spark, tmp_path):
     )
     assert append_table(spark, root, ok) == v1 + 1
     assert read_table(spark, root).count() == 501
+
+
+def test_schema_enforcement_on_append(spark, tmp_path):
+    """r8 schema enforcement: a drifted append (missing / retyped /
+    renamed columns) is rejected plan-only with the table unchanged;
+    additive widening requires the explicit allow_evolution opt-in
+    (and then behaves as q_table_add_column proves)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        SchemaMismatch,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark).limit(100))
+    v1 = latest_version(root)
+
+    # missing column
+    with pytest.raises(SchemaMismatch, match="missing=\\['price'\\]"):
+        append_table(
+            spark, root,
+            spark.createDataFrame(
+                [(1, "A")], "o_orderkey bigint, o_orderpriority string"
+            ),
+        )
+    # retyped column
+    with pytest.raises(SchemaMismatch, match="retyped=\\['price'\\]"):
+        append_table(
+            spark, root,
+            spark.createDataFrame(
+                [(1, "A", 1)],
+                "o_orderkey bigint, o_orderpriority string, price int",
+            ),
+        )
+    # additive widening without opt-in
+    widened = spark.createDataFrame(
+        [(1, "A", 1.0, "web")],
+        "o_orderkey bigint, o_orderpriority string, price double,"
+        " channel string",
+    )
+    with pytest.raises(SchemaMismatch, match="added=\\['channel'\\]"):
+        append_table(spark, root, widened)
+    assert latest_version(root) == v1  # all three rejected plan-only
+    # with the opt-in it commits
+    assert append_table(
+        spark, root, widened, allow_evolution=True
+    ) == v1 + 1
