@@ -3048,10 +3048,16 @@ def q_text_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word", "w")
         .agg(F.count("*").cast("double").alias("tf"))
     )
+    # explicit distributed top-k (TakeOrderedAndProject), THEN rank
+    # assignment over the 10 surviving rows — r7 verdict nit: the
+    # previous global row_number window relied on Spark's
+    # WindowGroupLimit rewrite to avoid a single-partition sort; the
+    # limit-first form makes the top-k contract visible in the plan
     w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         bm25(tf2, weighted=True)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
         .select("doc_id", F.col("score").alias("prf_score"), "rank")
     )
