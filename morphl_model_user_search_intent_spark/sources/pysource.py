@@ -386,3 +386,222 @@ def q_stream_table_cdc_source(
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+# ---- batch Python data source over the ACID table (round 8) ----------
+
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "string": "string",
+    "large_string": "string",
+}
+
+
+class _AcidTableReader(DataSourceReader):
+    """Batch DSv2 reader over the manifest protocol: ``partitions()``
+    pins ONE manifest on the driver, prunes its file list by the
+    ``partition.<col>`` options (metadata-scale, before any task is
+    scheduled), and emits one InputPartition per surviving data file;
+    ``read()`` executes in the EXECUTOR — a pyarrow scan of its file,
+    masked per-file against the snapshot's deletion vectors (the
+    (file, key) tombstone contract, applied with a filtered sidecar
+    read so a task touches only its own file's tombstones)."""
+
+    def __init__(
+        self, root: str, version: int | None, pfilters: dict[str, str]
+    ) -> None:
+        self.root = root
+        self.version = version
+        self.pfilters = pfilters
+
+    def partitions(self):
+        import os
+
+        from .acid import read_manifest
+
+        m = read_manifest(self.root, self.version)
+        pmap = m.get("partitions", {})
+
+        def keep(f: str) -> bool:
+            vals = pmap.get(os.path.basename(f), {})
+            # option values arrive as strings; compare on the string
+            # form of the recorded value, keeping files without a
+            # recorded value (partition-evolution semantics)
+            return all(
+                c not in vals or str(vals[c]) == v
+                for c, v in self.pfilters.items()
+            )
+
+        files = [f for f in m["files"] if keep(f)]
+        dvf = m.get("dv_files", [])
+        key = m.get("dv_key")
+        return [InputPartition((f, dvf, key)) for f in files] or [
+            InputPartition((None, [], None))
+        ]
+
+    def read(self, partition):
+        import os
+
+        import pyarrow.parquet as pq
+
+        f, dvf, key = partition.value
+        if f is None:
+            return
+        t = pq.read_table(f)
+        if dvf and key is not None:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+
+            base = os.path.basename(f)
+            masked = set()
+            for d in dvf:
+                dt = ds.dataset(d).to_table(
+                    columns=[key], filter=pc.field("_file") == base
+                )
+                masked.update(dt.column(key).to_pylist())
+            if masked:
+                t = t.filter(
+                    pc.invert(
+                        pc.is_in(
+                            t.column(key),
+                            value_set=__import__("pyarrow").array(
+                                sorted(masked)
+                            ),
+                        )
+                    )
+                )
+        cols = [c for c in t.column_names]
+        for row in zip(*(t.column(c).to_pylist() for c in cols)):
+            yield row
+
+
+class AcidTableSource(DataSource):
+    """``spark.read.format("acid_table").option("root", ...)``: the
+    lakehouse table as a first-class batch source — snapshot pinning,
+    time travel (``version``), partition pruning
+    (``partition.<col>`` options), and deletion-vector masking, all
+    through the public DataSource API so ANY Spark consumer (no
+    engine import) reads the table correctly.  The batch twin of the
+    ``acid_table_changes`` streaming source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acid_table"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        from .acid import read_manifest
+
+        opts = {k.lower(): v for k, v in self.options.items()}
+        m = read_manifest(
+            opts["root"],
+            int(opts["version"]) if "version" in opts else None,
+        )
+        sch = pq.read_schema(m["files"][0])
+        cols = []
+        for field in sch:
+            ddl = _ARROW_TO_DDL.get(str(field.type))
+            if ddl is None:
+                if str(field.type).startswith("timestamp"):
+                    ddl = "timestamp"
+                else:
+                    raise ValueError(
+                        f"unmapped arrow type {field.type} for "
+                        f"{field.name}"
+                    )
+            cols.append(f"{field.name} {ddl}")
+        return ", ".join(cols)
+
+    def reader(self, schema) -> _AcidTableReader:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        pfilters = {
+            k[len("partition."):]: v
+            for k, v in opts.items()
+            if k.startswith("partition.")
+        }
+        return _AcidTableReader(
+            opts["root"],
+            int(opts["version"]) if "version" in opts else None,
+            pfilters,
+        )
+
+
+@register(
+    "q_source_acid_table",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    """,
+)
+def q_source_acid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID table read through the BATCH Python DataSource
+    (round 8): one task per manifest data file, deletion vectors
+    masked inside each executor task from a filtered sidecar read —
+    the oracle is the post-DELETE closed form, so the source-API path
+    must reproduce the engine's own read_table exactly (a leaked
+    tombstone or an over-masked row breaks the hash).  This is the
+    batch twin of q_stream_table_cdc_source and the proof the table
+    format is ENGINE-AGNOSTIC through public Spark APIs."""
+    from .acid import ensure_dv_exercise
+
+    root = ensure_dv_exercise(spark, sf_dir)
+    try:
+        spark.dataSource.register(AcidTableSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("acid_table").option("root", root).load()
+
+
+@register(
+    "q_source_acid_table_pruned",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1995 AS BIGINT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE), CAST(1995 AS BIGINT)
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 20000000, 'NEW-PART',
+           CAST(o_totalprice * 0.5 AS DOUBLE), CAST(1995 AS BIGINT)
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND o_orderkey % 500 = 0
+    """,
+)
+def q_source_acid_table_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-pruned read through the batch DataSource (round 8):
+    ``.option("partition.o_year", "1995")`` prunes the task set at
+    PLANNING time — partitions() emits one task per surviving file,
+    so the scheduler never sees the other years' files (the pytest
+    pins the task count).  The oracle is the merged 1995 closed form
+    (the table is the partitioned-merge exercise), composing
+    source-API pruning with the partition-confined MERGE."""
+    from .acid import ensure_partitioned_exercise
+
+    root = ensure_partitioned_exercise(spark, sf_dir)
+    try:
+        spark.dataSource.register(AcidTableSource)
+    except Exception:
+        pass
+    return (
+        spark.read.format("acid_table")
+        .option("root", root)
+        .option("partition.o_year", "1995")
+        .load()
+    )

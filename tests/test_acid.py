@@ -1625,3 +1625,28 @@ def test_schema_enforcement_on_append(spark, tmp_path):
     assert append_table(
         spark, root, widened, allow_evolution=True
     ) == v1 + 1
+
+
+def test_acid_table_batch_source_prunes_tasks(spark):
+    """r8 batch DataSource: the partition.<col> option prunes the
+    TASK SET at planning time — partitions() emits one task per
+    surviving file only — and the unpruned read equals read_table."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        ensure_partitioned_exercise,
+        read_manifest,
+        resolve_files,
+    )
+    from morphl_model_user_search_intent_spark.sources.pysource import (
+        _AcidTableReader,
+    )
+
+    root = ensure_partitioned_exercise(spark, SF_DIR)
+    m = read_manifest(root)
+    all_parts = _AcidTableReader(root, None, {}).partitions()
+    assert len(all_parts) == len(m["files"])
+    pruned = _AcidTableReader(
+        root, None, {"o_year": "1995"}
+    ).partitions()
+    want = resolve_files(m, {"o_year": 1995})
+    assert len(pruned) == len(want) < len(m["files"])
+    assert {p.value[0] for p in pruned} == set(want)
