@@ -533,6 +533,12 @@ def merge_table(
         if txn_version is None:
             raise ValueError("txn_app requires txn_version")
         txn = {"app": txn_app, "version": int(txn_version)}
+    if read_manifest(root).get("partition_cols"):
+        raise ValueError(
+            "table is partitioned — use merge_table_partitioned "
+            "(a flat merge would commit a spec-less manifest and "
+            "silently drop partition pruning)"
+        )
     for _ in range(max_retries):
         if txn is not None:
             done = committed_txn_version(root, txn_app)
@@ -769,6 +775,12 @@ def append_table(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
+    if read_manifest(root).get("partition_cols"):
+        raise ValueError(
+            "table is partitioned — use append_table_partitioned "
+            "(a flat append would commit a spec-less manifest and "
+            "silently drop partition pruning)"
+        )
     _enforce_schema(spark, root, df, allow_evolution)  # plan-only
     _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
     files = _write_files(df, root)
@@ -1250,6 +1262,17 @@ def optimize_table(
     """
     for _ in range(max_retries):
         parent = latest_version(root)
+        m = read_manifest(root, parent)
+        if m.get("partition_cols"):
+            # round-8 hardening: a plain rewrite of a PARTITIONED
+            # table must preserve its layout — delegate to the
+            # partition-aware compactor over every partition (a {}
+            # filter selects all partitioned files) instead of
+            # silently committing a spec-less manifest
+            return optimize_table_partitioned(
+                spark, root, {}, target_files=target_files,
+                max_retries=max_retries,
+            )
         snap = read_table(spark, root, version=parent)
         files = _write_files(snap.coalesce(target_files), root)
         try:
@@ -1678,7 +1701,13 @@ def clone_table(
     files stay shared until either side's vacuum horizon retires its
     references.  (Like Delta, vacuuming the SOURCE past a version the
     clone still references breaks the clone — the documented shallow-
-    clone caveat; a deep clone is this plus a file copy.)"""
+    clone caveat; a deep clone is this plus a file copy.)
+
+    The clone's first manifest carries the source version's FULL
+    metadata — partition spec + values, stats, and deletion vectors
+    (round-8 hardening: a clone that dropped the source's DV list
+    would RESURRECT its deleted rows; dropping partitions/stats would
+    silently degrade pruning)."""
     m = read_manifest(src_root, version)
     os.makedirs(_manifest_dir(dst_root), exist_ok=True)
     os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
@@ -1687,6 +1716,11 @@ def clone_table(
         m["files"],
         f"clone:{os.path.basename(src_root.rstrip('/'))}@v{m['version']}",
         parent=0,
+        partition_cols=m.get("partition_cols"),
+        partitions=m.get("partitions"),
+        stats=m.get("stats"),
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
     )
 
 
@@ -2013,13 +2047,22 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
     and the restore itself is one metadata-only commit that a
     concurrent writer can race like any other.  Requires the target
     version to still be retained (vacuum past it and the files are
-    gone — the same precondition Delta documents)."""
+    gone — the same precondition Delta documents).  The restored
+    manifest carries the TARGET version's full metadata (partition
+    spec/values, stats, deletion vectors) — round-8 hardening: a
+    restore that dropped them would degrade pruning or resurrect
+    rows the target version had deleted."""
     m = read_manifest(root, version)
     return commit(
         root,
         m["files"],
         f"restore:v{version}",
         parent=latest_version(root),
+        partition_cols=m.get("partition_cols"),
+        partitions=m.get("partitions"),
+        stats=m.get("stats"),
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
     )
 
 
@@ -2676,6 +2719,13 @@ def optimize_table_zorder(
     The normalization min/max is one tiny 4-value aggregate; the
     rewrite is one distributed range-shuffle — the same cost shape as
     a plain OPTIMIZE.  Concurrency: the usual optimistic replay."""
+    if read_manifest(root).get("partition_cols"):
+        raise ValueError(
+            "table is partitioned — Z-order WITHIN partitions by "
+            "compacting each partition separately (the documented "
+            "composition); a global Morton rewrite would destroy the "
+            "partition layout"
+        )
     for _ in range(max_retries):
         parent = latest_version(root)
         snap = read_table(spark, root, version=parent)

@@ -1650,3 +1650,79 @@ def test_acid_table_batch_source_prunes_tasks(spark):
     want = resolve_files(m, {"o_year": 1995})
     assert len(pruned) == len(want) < len(m["files"])
     assert {p.value[0] for p in pruned} == set(want)
+
+
+def test_metadata_survives_clone_restore_optimize(spark, tmp_path):
+    """r8 hardening: clone and restore carry the source/target
+    version's FULL manifest metadata (a dropped DV list would
+    resurrect deleted rows; a dropped partition map kills pruning);
+    plain optimize on a partitioned table preserves the spec by
+    delegating; flat merge/append on a partitioned table refuse."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        clone_table,
+        create_table_partitioned,
+        delete_from_table,
+        optimize_table,
+        restore_table,
+    )
+
+    # DV table → clone must keep masking
+    src = str(tmp_path / "src")
+    base = _base(spark).limit(400)
+    create_table(spark, src, base.repartition(2))
+    doomed = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey"
+    )
+    n_doomed = doomed.count()
+    delete_from_table(spark, src, doomed, "o_orderkey")
+    dst = str(tmp_path / "clone")
+    clone_table(spark, src, dst)
+    got = read_table(spark, dst)
+    assert got.count() == 400 - n_doomed
+    assert got.filter("o_orderkey % 5 = 0").isEmpty()
+
+    # restore to the DV version keeps the mask too
+    v_del = latest_version(src)
+    # commit a further (mask-clearing) optimize, then restore to v_del
+    optimize_table(spark, src, target_files=1)
+    restore_table(spark, src, v_del)
+    rgot = read_table(spark, src)
+    assert rgot.count() == 400 - n_doomed
+    assert rgot.filter("o_orderkey % 5 = 0").isEmpty()
+
+    # partitioned table: flat merge/append refuse; optimize preserves
+    proot = str(tmp_path / "p")
+    pb = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark, proot, pb.repartition(4), ["o_year"]
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        merge_table(
+            spark,
+            proot,
+            pb.limit(1).withColumn("_delete", F.lit(False)),
+            "o_orderkey",
+        )
+    with pytest.raises(ValueError, match="partitioned"):
+        append_table(spark, proot, pb.limit(1))
+    n_before = read_table(spark, proot).count()
+    optimize_table(spark, proot, target_files=1)
+    m = read_manifest(proot)
+    assert m["partition_cols"] == ["o_year"]
+    assert set(m["partitions"]) == {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert read_table(spark, proot).count() == n_before
+    # pruning still works post-optimize
+    pruned = read_table(
+        spark, proot, partition_filter={"o_year": 1995}
+    )
+    assert 0 < pruned.count() < n_before
