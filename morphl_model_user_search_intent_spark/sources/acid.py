@@ -397,6 +397,7 @@ def delete_from_table(
     max_retries: int = 3,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    cdc: bool = False,
 ) -> int:
     """MERGE-ON-READ DELETE via deletion-vector sidecars (round 8) —
     the other half of the Delta/Iceberg delete story next to CoW
@@ -445,8 +446,20 @@ def delete_from_table(
                 f"table's deletion vectors are keyed on {m['dv_key']!r},"
                 f" not {on!r}"
             )
-        dv_rows = base.join(keys, on, "semi").select("_file", on)
+        matched = base.join(keys, on, "semi")
+        dv_rows = matched.select("_file", on)
         new_dv = _write_files(dv_rows, root, subdir="dv")
+        change_files = None
+        if cdc:
+            # write-side delete feed (Delta CDF for deletion-vector
+            # commits): the matched pre-images, tagged 'delete',
+            # published atomically — the form a STREAMING tail can
+            # consume (the file-diff reconstruction also sees DV
+            # deletes via the sidecar diff in table_changes)
+            feed = matched.drop("_file").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            change_files = _write_files(feed, root, subdir="change")
         try:
             # stats carry VERBATIM: per-file zone maps describe the
             # PHYSICAL file, which a DV delete never touches — min/max
@@ -464,11 +477,13 @@ def delete_from_table(
                 partition_cols=m.get("partition_cols"),
                 partitions=m.get("partitions"),
                 stats=m.get("stats"),
+                change_files=change_files,
                 dv_files=m.get("dv_files", []) + new_dv,
                 dv_key=on,
             )
         except CommitConflict:
-            for f in new_dv:  # lost the race — reclaim and replay
+            # lost the race — reclaim sidecars AND change files
+            for f in new_dv + (change_files or []):
                 try:
                     os.remove(f)
                 except OSError:
@@ -846,6 +861,10 @@ def append_table_partitioned(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
+    # same write-path gates as the flat append (round-8 hardening:
+    # a partitioned ingest must not be a constraint/schema bypass)
+    _enforce_schema(spark, root, df, allow_evolution=False)
+    _validate_constraints(df, root)
     files, parts = _write_files_partitioned(df, root, pcols)
     new_stats = commit_stats(root, files, [])
 
@@ -1149,6 +1168,35 @@ def table_changes(
     removed = sorted(f1 - f2)
     added = sorted(f2 - f1)
     cols = [c for c in read_table(spark, root, version).columns if c != key]
+    # A DELETION-VECTOR commit changes NO data file — its delta lives
+    # entirely in the dv sidecar diff (round-8 hardening: without this
+    # branch a DV delete was INVISIBLE to file-diff CDC).  The newly
+    # added tombstones name exactly the (file, key) pre-images; read
+    # only those files, semi-join on the mask, tag 'delete'.
+    dv_added = sorted(
+        set(m2.get("dv_files", [])) - set(m1.get("dv_files", []))
+    )
+    dv_feed = None
+    if dv_added:
+        dv_key = m2["dv_key"]
+        tomb = spark.read.parquet(*dv_added).select("_file", dv_key)
+        touched = sorted(
+            {
+                f
+                for f in m2["files"]
+                if os.path.basename(f)
+                in {r[0] for r in tomb.select("_file").distinct().collect()}
+            }
+        )
+        if touched:
+            pre = spark.read.parquet(*touched).withColumn(
+                "_file", _file_col()
+            )
+            dv_feed = (
+                pre.join(tomb, ["_file", dv_key], "semi")
+                .drop("_file")
+                .withColumn("_change_type", F.lit("delete"))
+            )
 
     def _side(files: list[str], prefix: str) -> DataFrame:
         base = (
@@ -1187,10 +1235,15 @@ def table_changes(
         )
         .otherwise(F.array())  # carried by CoW rewrite — not a change
     )
-    return (
+    feed = (
         j.select(key, F.explode(changes).alias("_chg"))
         .select(key, *[F.col(f"_chg.{c}") for c in cols], "_chg._change_type")
     )
+    if dv_feed is not None:
+        feed = feed.unionByName(
+            dv_feed.select(key, *cols, "_change_type")
+        )
+    return feed
 
 
 @register(
@@ -1844,20 +1897,13 @@ def scan_table(
     skipping the scan itself still does inside each kept file.  Files
     without recorded stats are read (skipping must never be lossy).
     The residual predicate is applied after the scan, so the result
-    is exactly the unpruned filter's."""
-    m = read_manifest(root, version)
-    stats = m.get("stats", {})
-    keep = []
-    for f in m["files"]:
-        s = stats.get(os.path.basename(f), {}).get("cols", {}).get(col)
-        if s is None or (s[0] <= hi and s[1] >= lo):
-            keep.append(f)
-    base = (
-        spark.read.parquet(*keep)
-        if keep
-        else read_table(spark, root, version).limit(0)
-    )
-    return base.filter(F.col(col).between(lo, hi))
+    is exactly the unpruned filter's.
+
+    Round-8: delegates to the unified :func:`scan` so the zone-pruned
+    read also applies any deletion-vector mask the snapshot carries
+    (previously a DV table read through scan_table would have
+    resurrected deleted rows)."""
+    return scan(spark, root, version=version, ranges={col: (lo, hi)})
 
 
 def ensure_skipping_exercise(spark: SparkSession, sf_dir: str) -> str:
@@ -2231,6 +2277,7 @@ def merge_table_partitioned(
             touched = []
             survivors = read_table(spark, root).limit(0)
         upserts = source.filter(~F.col("_delete")).drop("_delete")
+        _validate_constraints(upserts, root)  # incoming rows only
         new_files, new_parts = _write_files_partitioned(
             survivors.unionByName(upserts), root, pcols
         )
@@ -3301,3 +3348,31 @@ def _validate_constraints(df: DataFrame, root: str) -> None:
             f"constraint {name!r} CHECK ({pred}) violated by incoming "
             f"rows, e.g. {[tuple(r) for r in ex]}"
         )
+
+
+@register(
+    "q_table_cdc_delete_dv",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'delete' AS _change_type
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def q_table_cdc_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC of a DELETION-VECTOR commit (round-8 hardening): a DV
+    delete changes NO data file, so the file-diff reconstruction used
+    to see an EMPTY feed for it — a standing CDC consumer would
+    silently miss every erasure.  table_changes now diffs the dv
+    sidecar lists too: the newly-added tombstones name exactly the
+    (file, key) pre-images, read from only the touched files and
+    tagged 'delete'.  The oracle is the closed-form deleted slice, so
+    a missed or duplicated erasure cannot hash-match.  (Write-side
+    capture exists as well — delete_from_table(cdc=True) — and the
+    pytest pins feed ≡ reconstruction, the same dual-mechanism
+    contract as q_table_cdc / q_table_cdc_files.)"""
+    root = ensure_dv_exercise(spark, sf_dir)
+    return table_changes(
+        spark, root, version=2, key="o_orderkey"
+    ).select("o_orderkey", "o_orderpriority", "price", "_change_type")

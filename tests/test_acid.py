@@ -1726,3 +1726,47 @@ def test_metadata_survives_clone_restore_optimize(spark, tmp_path):
         spark, proot, partition_filter={"o_year": 1995}
     )
     assert 0 < pruned.count() < n_before
+
+
+def test_dv_delete_cdc_write_side_matches_reconstruction(
+    spark, tmp_path
+):
+    """r8: a DV delete's write-side change feed (cdc=True) must equal
+    the dv-sidecar-diff reconstruction — the same dual-mechanism
+    contract the MERGE CDC family has."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_from_table,
+        read_changes,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(600)
+    create_table(spark, root, base.repartition(3))
+    delete_from_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+        cdc=True,
+    )
+    m = read_manifest(root)
+    assert m.get("change_files")  # write-side feed committed
+    cols = ["o_orderkey", "o_orderpriority", "price", "_change_type"]
+    write_side = {
+        tuple(r)
+        for r in read_changes(spark, root, 2, "o_orderkey")
+        .select(*cols)
+        .collect()
+    }
+    recon = {
+        tuple(r)
+        for r in table_changes(spark, root, 2, "o_orderkey")
+        .select(*cols)
+        .collect()
+    }
+    assert write_side == recon
+    assert write_side  # non-vacuous
+    assert {r[-1] for r in write_side} == {"delete"}
