@@ -91,7 +91,11 @@ def build_text_index(
         else [p]
     )
     n = sum(pq.read_metadata(f).num_rows for f in files)
-    note = f"textindex-v1{suffix} rows={n}"
+    sz = sum(os.path.getsize(f) for f in files)
+    mt = max(int(os.path.getmtime(f)) for f in files)
+    # rows+bytes+mtime, the engine's standard staging fingerprint —
+    # rows alone would serve a stale index over regenerated fixtures
+    note = f"textindex-v1{suffix} rows={n} bytes={sz} mtime={mt}"
     try:
         if open(ready).read().strip() == note:
             return root
