@@ -148,7 +148,11 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
     #     pruned partitions (≤ their file count);
     #   optimize_table_zorder / q_table_zorder /
     #   q_table_scan_composed — one 1-row min/max aggregate each
-    #     (normalization spans and scale-relative box bounds).
+    #     (normalization spans and scale-relative box bounds);
+    #   table_changes — the DV-diff branch's touched-file list
+    #     (DISTINCT file basenames named by the commit's new
+    #     tombstones, bounded by the snapshot's file count — the
+    #     same metadata-scale planning step as merge_table's).
     "sources/acid.py": {
         "merge_table",
         "_source_partitions",
@@ -156,6 +160,7 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         "optimize_table_zorder",
         "q_table_zorder",
         "q_table_scan_composed",
+        "table_changes",
     },
     # Inverted-index serve (text/searchindex.py): the query terms'
     # bucket ids — |terms| rows, evaluated through Spark so the hash
