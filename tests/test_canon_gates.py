@@ -161,6 +161,9 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         "q_table_zorder",
         "q_table_scan_composed",
         "table_changes",
+        # _validate_constraints: LIMIT-3 example rows for the
+        # ConstraintViolation message — constant-bounded by the limit
+        "_validate_constraints",
     },
     # Inverted-index serve (text/searchindex.py): the query terms'
     # bucket ids — |terms| rows, evaluated through Spark so the hash
