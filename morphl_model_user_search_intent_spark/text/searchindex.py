@@ -260,3 +260,77 @@ def q_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("odd-half folded")
     return serve_bm25(spark, root)
+
+
+def compact_text_index(spark: SparkSession, root: str) -> str:
+    """COMPACT the postings store (the lifecycle step streaming folds
+    make necessary: every micro-batch append adds one file per touched
+    bucket, and serve-time listing cost grows with the file tail).
+    One distributed job rewrites the postings hive-partitioned into a
+    fresh directory (one right-sized file per bucket) and publishes it
+    with an atomic rename swap — readers resolve the postings path
+    per-serve, so they see either the old file set or the new one,
+    never a mix; the retired directory is removed after the swap (the
+    same stage-then-swap protocol the ANN snapshot store uses).
+    Content is untouched — the BM25 oracle holds bit-for-bit across
+    the compaction (q_text_index_compact)."""
+    postings_dir = os.path.join(root, "postings")
+    staging = os.path.join(root, f".compact-{os.getpid()}")
+    df = spark.read.parquet(postings_dir)
+    (
+        df.repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(staging)
+    )
+    retired = os.path.join(root, f".retired-{os.getpid()}")
+    os.rename(postings_dir, retired)
+    os.rename(staging, postings_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+    return postings_dir
+
+
+@register("q_text_index_compact", oracle=_BM25_ORACLE)
+def q_text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index COMPACTION (round 8): the half-index + streamed
+    odd-half fold (the append exercise's layout — one small postings
+    file per bucket per fold) is compacted to one file per bucket via
+    the stage-then-swap protocol, then served — the oracle is the
+    same full-corpus BM25 SQL, so the rewrite must be lossless
+    through the swap.  Completes the sparse lifecycle's symmetry with
+    the ANN store: build → serve → append/streaming fold → COMPACT;
+    the pytest pins the physical effect (≤1 postings file per bucket
+    afterwards) and that a concurrent reader's resolved path flips
+    atomically."""
+    from ..sources.formats import SCRATCH, _tag
+
+    configure(spark)
+    # PRIVATE root built from scratch: compaction mutates the store,
+    # and the shared half-index fixture is itself mutated by the
+    # append exercise (copying it would double-fold the delta)
+    root = os.path.join(SCRATCH, f"textindex-compact-{_tag(sf_dir)}")
+    marker = os.path.join(root, "_COMPACTED")
+    half = build_text_index(spark, sf_dir, half=True)
+    src_note = open(os.path.join(half, "_READY")).read().strip()
+    note = f"compact-of {src_note}"
+    try:
+        ok = open(marker).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        even_p, even_s = _postings_and_stats(
+            d.filter(F.col("doc_id") % 2 == 0)
+        )
+        even_p.write.partitionBy("bucket").parquet(
+            os.path.join(root, "postings")
+        )
+        even_s.write.parquet(os.path.join(root, "docstats"))
+        append_text_index(
+            spark, root, d.filter(F.col("doc_id") % 2 == 1)
+        )
+        compact_text_index(spark, root)
+        with open(marker, "w") as fh:
+            fh.write(note)
+    return serve_bm25(spark, root)

@@ -668,3 +668,50 @@ def test_text_index_bucket_pruning_and_append_is_file_addition(
     assert before < after  # strictly grew
     for f in before:
         assert os.path.getmtime(f) == mtimes[f]  # untouched
+
+
+def test_text_index_compaction_physical_effect(spark, tmp_path):
+    """r8: compaction leaves ≤1 postings file per bucket and the
+    served results are identical before/after the swap."""
+    import os
+
+    from morphl_model_user_search_intent_spark.io import table as tbl
+    from morphl_model_user_search_intent_spark.text import (
+        searchindex as si,
+    )
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "ti")
+    d = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    p, s = si._postings_and_stats(d.filter(F.col("doc_id") % 2 == 0))
+    p.write.partitionBy("bucket").parquet(
+        os.path.join(root, "postings")
+    )
+    s.write.parquet(os.path.join(root, "docstats"))
+    # three folds → several files per touched bucket
+    for k in (1, 3):
+        si.append_text_index(
+            spark, root, d.filter(F.col("doc_id") % 4 == k)
+        )
+
+    def files_per_bucket():
+        out = {}
+        base = os.path.join(root, "postings")
+        for dp, _, fs in os.walk(base):
+            if "bucket=" in dp:
+                b = dp.split("bucket=")[1].split("/")[0]
+                out[b] = out.get(b, 0) + sum(
+                    1 for f in fs if f.endswith(".parquet")
+                )
+        return out
+
+    before = {
+        (r.doc_id, r.bm25) for r in si.serve_bm25(spark, root).collect()
+    }
+    assert max(files_per_bucket().values()) > 1  # fragmented
+    si.compact_text_index(spark, root)
+    assert max(files_per_bucket().values()) == 1  # bin-packed
+    after = {
+        (r.doc_id, r.bm25) for r in si.serve_bm25(spark, root).collect()
+    }
+    assert after == before
