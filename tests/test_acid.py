@@ -1650,6 +1650,11 @@ def test_acid_table_batch_source_prunes_tasks(spark):
     want = resolve_files(m, {"o_year": 1995})
     assert len(pruned) == len(want) < len(m["files"])
     assert {p.value[0] for p in pruned} == set(want)
+    # time travel through the source API: version=1 pins the
+    # pre-merge manifest's exact file set
+    m1 = read_manifest(root, 1)
+    v1_parts = _AcidTableReader(root, 1, {}).partitions()
+    assert {p.value[0] for p in v1_parts} == set(m1["files"])
 
 
 def test_metadata_survives_clone_restore_optimize(spark, tmp_path):
