@@ -1775,3 +1775,98 @@ def test_dv_delete_cdc_write_side_matches_reconstruction(
     assert write_side == recon
     assert write_side  # non-vacuous
     assert {r[-1] for r in write_side} == {"delete"}
+
+
+def test_random_sequences_with_dv_and_optimize_match_model(
+    spark, tmp_path
+):
+    """r8 model-based sequence check over the FULL op set: random
+    APPEND / MERGE / DV-DELETE / OPTIMIZE commits must equal a plain
+    dict model at every retained version — the interplay coverage the
+    single-op exhibits can't give (e.g. a merge after a DV delete
+    re-inserting a masked key, an optimize folding mid-history,
+    a delete whose tombstones land on CoW-rewritten files)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        delete_from_table,
+        list_versions,
+        merge_table,
+        optimize_table,
+        read_table,
+    )
+
+    rng = random.Random(20260816)
+    root = str(tmp_path / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_orderpriority string, price double"
+        )
+
+    model: dict[int, tuple[str, float]] = {
+        k: (f"P{k % 5}", float(k * 10)) for k in range(0, 300, 2)
+    }
+    create_table(
+        spark, root, df_of([(k, p, v) for k, (p, v) in model.items()])
+    )
+    history = {1: dict(model)}
+
+    next_key = 1000
+    for _ in range(8):
+        op = rng.choice(["append", "merge", "delete", "optimize"])
+        if op == "append":
+            rows = [
+                (next_key + i, "NEW", float(next_key + i))
+                for i in range(rng.randint(1, 20))
+            ]
+            next_key += 100
+            v = append_table(spark, root, df_of(rows))
+            for k, p, val in rows:
+                model[k] = (p, val)
+        elif op == "merge":
+            keys = sorted(model)
+            upd = rng.sample(keys, min(15, len(keys)))
+            ins = [(next_key + i, "INS", 1.0) for i in range(4)]
+            next_key += 100
+            src_rows = [
+                (k, "UPD", model[k][1] + 1.0, False) for k in upd
+            ] + [(k, p, v2, False) for k, p, v2 in ins]
+            src = spark.createDataFrame(
+                src_rows,
+                "o_orderkey bigint, o_orderpriority string, "
+                "price double, _delete boolean",
+            )
+            v = merge_table(spark, root, src, "o_orderkey")
+            for k in upd:
+                model[k] = ("UPD", model[k][1] + 1.0)
+            for k, p, val in ins:
+                model[k] = (p, val)
+        elif op == "delete":
+            keys = sorted(model)
+            dele = rng.sample(keys, min(12, len(keys)))
+            v = delete_from_table(
+                spark,
+                root,
+                spark.createDataFrame(
+                    [(k,) for k in dele], "o_orderkey bigint"
+                ),
+                "o_orderkey",
+            )
+            for k in dele:
+                del model[k]
+        else:
+            v = optimize_table(
+                spark, root, target_files=rng.randint(1, 3)
+            )
+        history[v] = dict(model)
+
+    for v in list_versions(root):
+        got = {
+            r.o_orderkey: (r.o_orderpriority, r.price)
+            for r in read_table(spark, root, v).collect()
+        }
+        assert got == history[v], f"version {v} diverged"
