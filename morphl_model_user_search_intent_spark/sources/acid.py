@@ -3376,3 +3376,88 @@ def q_table_cdc_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(
         spark, root, version=2, key="o_orderkey"
     ).select("o_orderkey", "o_orderpriority", "price", "_change_type")
+
+
+def drop_partition(
+    spark: SparkSession, root: str, partition_filter: dict
+) -> int:
+    """ALTER TABLE ... DROP PARTITION — the retention operation every
+    date-partitioned 100 TB table runs daily (expire dates past the
+    retention window): one METADATA-ONLY commit whose manifest simply
+    omits the dropped partitions' files.  No data file is touched —
+    the dropped files remain referenced by HISTORY (time travel to
+    the pre-drop version still reads them) until vacuum retires those
+    versions, exactly the Delta/Iceberg drop-partition contract.
+    Cost at any table size: one manifest walk."""
+    m = read_manifest(root)
+    keep = set(resolve_files(m, partition_filter))
+    files = [f for f in m["files"] if f not in keep]
+    bases = {os.path.basename(f) for f in files}
+    return commit(
+        root,
+        files,
+        f"drop-partition:{partition_filter}",
+        parent=m["version"],
+        partition_cols=m.get("partition_cols"),
+        partitions={
+            b: v
+            for b, v in m.get("partitions", {}).items()
+            if b in bases
+        },
+        stats={
+            b: s
+            for b, s in m.get("stats", {}).items()
+            if b in bases
+        },
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
+    )
+
+
+@register(
+    "q_table_drop_partition",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) NOT IN (1995, 1996)
+    """,
+)
+def q_table_drop_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DROP PARTITION (round 8): the oldest two year-partitions
+    expired from the table with one metadata-only commit each — this
+    query reads the post-drop snapshot, and the oracle is the
+    complement filter, so an over- or under-dropped file breaks the
+    hash.  The pytest pins the physics: zero data files touched,
+    time travel to the pre-drop version still reads the dropped
+    years, and vacuum is what finally reclaims the bytes — the
+    three-step retention contract (drop → history window → vacuum)
+    a production lake runs on."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-drop-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_DROP")
+    note = f"acid-drop {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        create_table_partitioned(
+            spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+        )
+        drop_partition(spark, root, {"o_year": [1995, 1996]})
+        with open(ready, "w") as fh:
+            fh.write(note)
+    return read_table(spark, root)

@@ -1870,3 +1870,50 @@ def test_random_sequences_with_dv_and_optimize_match_model(
             for r in read_table(spark, root, v).collect()
         }
         assert got == history[v], f"version {v} diverged"
+
+
+def test_drop_partition_metadata_only_and_vacuum_reclaims(
+    spark, tmp_path
+):
+    """r8 retention contract: DROP PARTITION touches no data file,
+    time travel still reads the dropped years, and vacuum finally
+    reclaims exactly the dropped partitions' exclusive files."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        drop_partition,
+        resolve_files,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+    )
+    m1 = read_manifest(root)
+    n_all = base.count()
+    n_dropped_rows = base.filter(
+        F.col("o_year").isin(1995, 1996)
+    ).count()
+    dropped_files = set(resolve_files(m1, {"o_year": [1995, 1996]}))
+    assert dropped_files
+    drop_partition(spark, root, {"o_year": [1995, 1996]})
+    m2 = read_manifest(root)
+    # metadata-only: every surviving file identical, none created
+    assert set(m2["files"]) == set(m1["files"]) - dropped_files
+    for f in dropped_files:
+        assert os.path.exists(f)  # history still owns the bytes
+    assert read_table(spark, root).count() == n_all - n_dropped_rows
+    assert read_table(spark, root, version=1).count() == n_all
+    # vacuum past v1: the dropped partitions' files are reclaimed
+    vacuum(root, keep_last=1)
+    for f in dropped_files:
+        assert not os.path.exists(f)
+    assert read_table(spark, root).count() == n_all - n_dropped_rows
