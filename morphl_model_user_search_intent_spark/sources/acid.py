@@ -3461,3 +3461,142 @@ def q_table_drop_partition(
         with open(ready, "w") as fh:
             fh.write(note)
     return read_table(spark, root)
+
+
+def overwrite_partition(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_filter: dict,
+    max_retries: int = 3,
+) -> int:
+    """DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE ... PARTITION —
+    the daily-restatement op: yesterday's partition recomputed and
+    swapped in one atomic commit).  The selected partitions' files
+    are replaced by the new frame's hive-partitioned write; every
+    other file is carried by reference with metadata verbatim.  The
+    new rows must belong to the overwritten partitions (validated
+    plan-only: one filtered isEmpty over the incoming frame) — the
+    guard Spark's dynamic-overwrite mode leaves to runtime.
+    Constraints are enforced like every other write; conflicts replay
+    as usual."""
+    for _ in range(max_retries):
+        m = read_manifest(root)
+        pcols = m["partition_cols"]
+        pmap = m.get("partitions", {})
+        old_stats = m.get("stats", {})
+        # plan-only guard: no stray row outside the target partitions
+        stray = df
+        for c, want in partition_filter.items():
+            allowed = (
+                list(want)
+                if isinstance(want, (list, tuple, set, frozenset))
+                else [want]
+            )
+            stray = stray.filter(~F.col(c).isin(allowed))
+        if not stray.isEmpty():
+            raise ValueError(
+                "overwrite frame contains rows outside "
+                f"{partition_filter}"
+            )
+        _validate_constraints(df, root)
+        replaced = {
+            f
+            for f in resolve_files(m, partition_filter)
+            if os.path.basename(f) in pmap
+        }
+        new_files, new_parts = _write_files_partitioned(df, root, pcols)
+        kept = [f for f in m["files"] if f not in replaced]
+        partitions = {
+            os.path.basename(f): pmap[os.path.basename(f)]
+            for f in kept
+            if os.path.basename(f) in pmap
+        }
+        partitions.update(new_parts)
+        stats = {
+            os.path.basename(f): old_stats[os.path.basename(f)]
+            for f in kept
+            if os.path.basename(f) in old_stats
+        }
+        stats.update(commit_stats(root, new_files, []))
+        try:
+            return commit(
+                root,
+                kept + new_files,
+                f"overwrite-partition:{partition_filter}",
+                parent=m["version"],
+                partition_cols=pcols,
+                partitions=partitions,
+                stats=stats,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
+            )
+        except CommitConflict:
+            for f in new_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(
+        f"overwrite lost {max_retries} races in {root}"
+    )
+
+
+@register(
+    "q_table_overwrite_partition",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) != 1995
+    UNION ALL
+    SELECT o_orderkey, 'RESTATED',
+           CAST(o_totalprice * 2 AS DOUBLE), CAST(1995 AS BIGINT)
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    """,
+)
+def q_table_overwrite_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (round 8): the 1995 partition is
+    restated wholesale (re-priced ×2, re-tagged) in ONE atomic commit
+    that replaces only that partition's files — the backfill pattern
+    every date-partitioned pipeline runs when an upstream correction
+    lands.  The oracle composes the untouched years with the restated
+    slice, so a leaked old file, a lost new one, or a stray row in
+    another partition (the plan-only guard) breaks the hash; time
+    travel to the pre-restate version still reads the original 1995
+    (pytest)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-ovw-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_OVW")
+    note = f"acid-ovw {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        create_table_partitioned(
+            spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+        )
+        restated = base.filter(F.col("o_year") == 1995).select(
+            "o_orderkey",
+            F.lit("RESTATED").alias("o_orderpriority"),
+            (F.col("price") * 2).alias("price"),
+            "o_year",
+        )
+        overwrite_partition(spark, root, restated, {"o_year": 1995})
+        with open(ready, "w") as fh:
+            fh.write(note)
+    return read_table(spark, root)

@@ -1917,3 +1917,61 @@ def test_drop_partition_metadata_only_and_vacuum_reclaims(
     for f in dropped_files:
         assert not os.path.exists(f)
     assert read_table(spark, root).count() == n_all - n_dropped_rows
+
+
+def test_overwrite_partition_atomic_swap_and_guard(spark, tmp_path):
+    """r8 dynamic partition overwrite: only the target partition's
+    files are replaced (others carried verbatim), time travel still
+    reads the original slice, and a frame with stray rows outside the
+    target partitions is rejected before any commit."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        overwrite_partition,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+    )
+    m1 = read_manifest(root)
+    out1995 = {
+        f
+        for f in m1["files"]
+        if m1["partitions"][os.path.basename(f)]["o_year"] != 1995
+    }
+    restated = base.filter(F.col("o_year") == 1995).select(
+        "o_orderkey",
+        F.lit("RESTATED").alias("o_orderpriority"),
+        (F.col("price") * 2).alias("price"),
+        "o_year",
+    )
+    overwrite_partition(spark, root, restated, {"o_year": 1995})
+    m2 = read_manifest(root)
+    assert out1995 <= set(m2["files"])  # untouched carried verbatim
+    assert not (
+        (set(m1["files"]) - out1995) & set(m2["files"])
+    )  # 1995 files all replaced
+    got = read_table(spark, root, partition_filter={"o_year": 1995})
+    assert {r[0] for r in got.select("o_orderpriority").distinct().collect()} == {
+        "RESTATED"
+    }
+    # time travel: original slice intact
+    old = read_table(spark, root, version=1).filter("o_year = 1995")
+    assert "RESTATED" not in {
+        r[0] for r in old.select("o_orderpriority").distinct().collect()
+    }
+    # guard: stray rows outside the target partitions refuse pre-commit
+    v_before = latest_version(root)
+    with pytest.raises(ValueError, match="outside"):
+        overwrite_partition(
+            spark, root, base.limit(50), {"o_year": 1995}
+        )
+    assert latest_version(root) == v_before
