@@ -694,3 +694,70 @@ def test_chunked_sessionize_matches_python_ground_truth(spark, rows):
             for r in sessionize_chunked(df, chunk).collect()
         }
         assert got == exp, (got, exp)
+
+
+@given(
+    files=st.lists(
+        st.tuples(
+            st.integers(0, 9),              # partition value (or None-marker)
+            st.booleans(),                  # records partition value?
+            st.integers(0, 100),            # zone lo
+            st.integers(0, 100),            # zone width
+            st.booleans(),                  # records zone stats?
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    want=st.lists(st.integers(0, 9), min_size=1, max_size=4),
+    box=st.tuples(st.integers(0, 100), st.integers(0, 100)),
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_pruning_is_never_lossy(files, want, box):
+    """PROPERTY (r8): for ANY manifest layout — files with/without
+    recorded partition values (partition evolution) and with/without
+    zone stats — resolve_files + zone skipping keep EVERY file that
+    could contain a qualifying row.  The model enumerates which files
+    a brute-force reader would need; pruning must be a superset of
+    exactly those (lossless), and must never keep a file whose
+    RECORDED metadata excludes it (effective)."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        resolve_files,
+    )
+
+    lo_q, hi_q = min(box), max(box)
+    manifest_files = []
+    partitions = {}
+    stats = {}
+    for i, (pv, has_pv, zlo, zw, has_zone) in enumerate(files):
+        name = f"f{i:03d}.parquet"
+        path = f"/t/data/{name}"
+        manifest_files.append(path)
+        if has_pv:
+            partitions[name] = {"day": pv}
+        if has_zone:
+            stats[name] = {"rows": 1, "cols": {"k": [zlo, zlo + zw]}}
+    m = {
+        "files": manifest_files,
+        "partitions": partitions,
+        "stats": stats,
+    }
+    kept = set(resolve_files(m, {"day": want}))
+    # model: a file MAY hold qualifying rows unless its RECORDED
+    # partition value excludes it
+    for i, (pv, has_pv, zlo, zw, has_zone) in enumerate(files):
+        path = f"/t/data/f{i:03d}.parquet"
+        may_qualify = (not has_pv) or (pv in want)
+        if may_qualify:
+            assert path in kept, "lossy partition prune"
+        else:
+            assert path not in kept, "ineffective partition prune"
+    # zone layer (the scan()/scan_table_multi predicate): same
+    # contract against the recorded [lo, hi]
+    for i, (pv, has_pv, zlo, zw, has_zone) in enumerate(files):
+        name = f"f{i:03d}.parquet"
+        s = stats.get(name, {}).get("cols", {}).get("k")
+        zone_keeps = s is None or (s[0] <= hi_q and s[1] >= lo_q)
+        may_intersect = (not has_zone) or not (
+            zlo > hi_q or zlo + zw < lo_q
+        )
+        assert zone_keeps == may_intersect
