@@ -2768,10 +2768,9 @@ def optimize_table_zorder(
     a plain OPTIMIZE.  Concurrency: the usual optimistic replay."""
     if read_manifest(root).get("partition_cols"):
         raise ValueError(
-            "table is partitioned — Z-order WITHIN partitions by "
-            "compacting each partition separately (the documented "
-            "composition); a global Morton rewrite would destroy the "
-            "partition layout"
+            "table is partitioned — use optimize_table_zorder_"
+            "partitioned (Z-order WITHIN selected partitions); a "
+            "global Morton rewrite would destroy the partition layout"
         )
     for _ in range(max_retries):
         parent = latest_version(root)
@@ -3600,3 +3599,167 @@ def q_table_overwrite_partition(
         with open(ready, "w") as fh:
             fh.write(note)
     return read_table(spark, root)
+
+
+def optimize_table_zorder_partitioned(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    partition_filter: dict,
+    target_files: int = 8,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (c1, c2) WHERE <partition> — Z-ordering
+    WITHIN selected partitions (the documented composition for tables
+    with two query axes: date-partition the coarse axis, Morton-
+    cluster inside each partition).  Only the selected partitions'
+    files are read (through any DV mask), rewritten on the interleave
+    with fresh two-column zone maps, and swapped; every other file is
+    carried by reference with metadata verbatim.  The normalization
+    min/max comes from the selected slice (one tiny aggregate), so
+    each partition's Morton grid is tight for ITS value range."""
+    for _ in range(max_retries):
+        m = read_manifest(root)
+        pcols = m["partition_cols"]
+        pmap = m.get("partitions", {})
+        old_stats = m.get("stats", {})
+        sel = [
+            f
+            for f in resolve_files(m, partition_filter)
+            if os.path.basename(f) in pmap
+        ]
+        if not sel:
+            return m["version"]
+        snap = _apply_dv(
+            spark,
+            m,
+            spark.read.parquet(*sel).withColumn("_file", _file_col()),
+        ).drop("_file")
+        c1, c2 = (F.col(c) for c in cols[:2])
+        lo1, hi1, lo2, hi2 = snap.agg(
+            F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+        ).collect()[0]
+        span1 = max(hi1 - lo1, 1)
+        span2 = max(hi2 - lo2, 1)
+        nx = ((c1 - F.lit(lo1)) * 65535 / F.lit(span1)).cast("bigint")
+        ny = ((c2 - F.lit(lo2)) * 65535 / F.lit(span2)).cast("bigint")
+        clustered = (
+            snap.withColumn("_z", _morton_key(nx, ny))
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        new_files, new_parts = _write_files_partitioned(
+            clustered, root, pcols
+        )
+        sel_set = {os.path.basename(f) for f in sel}
+        kept = [
+            f for f in m["files"] if os.path.basename(f) not in sel_set
+        ]
+        partitions = {
+            os.path.basename(f): pmap[os.path.basename(f)]
+            for f in kept
+            if os.path.basename(f) in pmap
+        }
+        partitions.update(new_parts)
+        stats = {
+            os.path.basename(f): old_stats[os.path.basename(f)]
+            for f in kept
+            if os.path.basename(f) in old_stats
+        }
+        stats.update(commit_stats(root, new_files, list(cols[:2])))
+        try:
+            return commit(
+                root,
+                kept + new_files,
+                f"zorder:{','.join(cols[:2])}:{partition_filter}",
+                parent=m["version"],
+                partition_cols=pcols,
+                partitions=partitions,
+                stats=stats,
+                dv_files=m.get("dv_files"),
+                dv_key=m.get("dv_key"),
+            )
+        except CommitConflict:
+            for f in new_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(f"zorder lost {max_retries} races in {root}")
+
+
+@register(
+    "q_table_zorder_partitioned",
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc
+               FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1995 AS BIGINT) AS o_year
+    FROM orders, b
+    WHERE year(o_orderdate) = 1995
+      AND o_orderkey BETWEEN 0.2 * mk AND 0.3 * mk
+      AND o_custkey BETWEEN 0.4 * mc AND 0.6 * mc
+    """,
+)
+def q_table_zorder_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER WITHIN A PARTITION (round 8): the full two-axis
+    composition — year-partitioned table, the 1995 partition
+    Morton-clustered on (o_orderkey, o_custkey) with fresh two-column
+    zone maps, read through scan() with partition filter + 2-D box —
+    so all three pruning stages fire on one query: partition values
+    drop 6 of 7 years, zone maps drop most of the clustered files on
+    BOTH axes, residual predicates keep it exact.  The oracle is the
+    plain three-predicate filter.  Pytest pins the file funnel and
+    that untouched partitions carried verbatim through the cluster
+    commit."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-zp-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_ZP")
+    note = f"acid-zp {_orders_fingerprint(sf_dir)}"
+    try:
+        ok = open(ready).read().strip() == note
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        create_table_partitioned(
+            spark,
+            root,
+            base.repartition(4, "o_orderkey"),
+            partition_cols=["o_year"],
+        )
+        optimize_table_zorder_partitioned(
+            spark,
+            root,
+            ["o_orderkey", "o_custkey"],
+            {"o_year": 1995},
+            target_files=8,
+        )
+        with open(ready, "w") as fh:
+            fh.write(note)
+    mk, mc = (
+        read_table(spark, root)
+        .agg(F.max("o_orderkey"), F.max("o_custkey"))
+        .collect()[0]
+    )
+    return scan(
+        spark,
+        root,
+        partition_filter={"o_year": 1995},
+        ranges={
+            "o_orderkey": (0.2 * mk, 0.3 * mk),
+            "o_custkey": (0.4 * mc, 0.6 * mc),
+        },
+    )

@@ -1975,3 +1975,69 @@ def test_overwrite_partition_atomic_swap_and_guard(spark, tmp_path):
             spark, root, base.limit(50), {"o_year": 1995}
         )
     assert latest_version(root) == v_before
+
+
+def test_zorder_within_partition_funnel_and_carry(spark, tmp_path):
+    """r8: Z-ordering ONE partition leaves every other partition's
+    files verbatim, installs two-column zones on the clustered files,
+    and the composed scan prunes partition → zone → residual as a
+    strict funnel."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        optimize_table_zorder_partitioned,
+        resolve_files,
+        scan,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark, root, base.repartition(4, "o_orderkey"), ["o_year"]
+    )
+    m1 = read_manifest(root)
+    other = {
+        f
+        for f in m1["files"]
+        if m1["partitions"][os.path.basename(f)]["o_year"] != 1995
+    }
+    optimize_table_zorder_partitioned(
+        spark, root, ["o_orderkey", "o_custkey"], {"o_year": 1995},
+        target_files=8,
+    )
+    m2 = read_manifest(root)
+    assert other <= set(m2["files"])  # carried verbatim
+    new = set(m2["files"]) - set(m1["files"])
+    assert new
+    for f in new:
+        b = os.path.basename(f)
+        assert m2["partitions"][b] == {"o_year": 1995}
+        assert set(m2["stats"][b]["cols"]) == {
+            "o_orderkey", "o_custkey",
+        }
+    mk, mc = base.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).collect()[0]
+    pf = {"o_year": 1995}
+    rg = {
+        "o_orderkey": (0.2 * mk, 0.3 * mk),
+        "o_custkey": (0.4 * mc, 0.6 * mc),
+    }
+    n_part = len(resolve_files(m2, pf))
+    got = scan(spark, root, partition_filter=pf, ranges=rg)
+    n_zone = len([f for f in got.inputFiles() if "/data/" in f])
+    assert n_zone < n_part < len(m2["files"])
+    want = base.filter(
+        (F.col("o_year") == 1995)
+        & F.col("o_orderkey").between(0.2 * mk, 0.3 * mk)
+        & F.col("o_custkey").between(0.4 * mc, 0.6 * mc)
+    )
+    assert {
+        (r.o_orderkey, r.o_custkey) for r in got.collect()
+    } == {(r.o_orderkey, r.o_custkey) for r in want.collect()}

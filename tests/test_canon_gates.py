@@ -160,6 +160,8 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         "optimize_table_zorder",
         "q_table_zorder",
         "q_table_scan_composed",
+        "optimize_table_zorder_partitioned",
+        "q_table_zorder_partitioned",
         "table_changes",
         # _validate_constraints: LIMIT-3 example rows for the
         # ConstraintViolation message — constant-bounded by the limit
