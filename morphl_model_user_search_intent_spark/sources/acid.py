@@ -398,6 +398,7 @@ def delete_from_table(
     txn_app: str | None = None,
     txn_version: int | None = None,
     cdc: bool = False,
+    partition_filter: dict | None = None,
 ) -> int:
     """MERGE-ON-READ DELETE via deletion-vector sidecars (round 8) —
     the other half of the Delta/Iceberg delete story next to CoW
@@ -434,10 +435,17 @@ def delete_from_table(
             if done is not None and done >= txn_version:
                 return latest_version(root)  # replayed batch: no-op
         m = read_manifest(root)
+        # partition_filter scopes the MATCH SCAN to the pruned files
+        # (DELETE ... WHERE <partition> AND key IN ...): on a
+        # partitioned table the tombstone planning pass then costs
+        # ∝ the touched partitions, not the table
+        scan_files = resolve_files(m, partition_filter)
+        if not scan_files:
+            return m["version"]  # nothing in scope: no-op
         base = _apply_dv(
             spark,
             m,
-            spark.read.parquet(*m["files"]).withColumn(
+            spark.read.parquet(*scan_files).withColumn(
                 "_file", _file_col()
             ),
         )

@@ -2041,3 +2041,45 @@ def test_zorder_within_partition_funnel_and_carry(spark, tmp_path):
     assert {
         (r.o_orderkey, r.o_custkey) for r in got.collect()
     } == {(r.o_orderkey, r.o_custkey) for r in want.collect()}
+
+
+def test_dv_delete_partition_scoped(spark, tmp_path):
+    """r8: a partition-scoped DV delete removes matching keys ONLY in
+    the selected partitions (same keys elsewhere survive), and its
+    match scan reads only the pruned files."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        delete_from_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+    )
+    doomed = base.filter(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey"
+    )
+    delete_from_table(
+        spark,
+        root,
+        doomed,
+        "o_orderkey",
+        partition_filter={"o_year": 1995},
+    )
+    got = read_table(spark, root)
+    # 1995: the %9 keys are gone; other years: fully intact
+    assert got.filter(
+        (F.col("o_year") == 1995) & (F.col("o_orderkey") % 9 == 0)
+    ).isEmpty()
+    want_other = base.filter(F.col("o_year") != 1995).count()
+    assert (
+        got.filter(F.col("o_year") != 1995).count() == want_other
+    )
