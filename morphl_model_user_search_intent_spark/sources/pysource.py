@@ -127,10 +127,18 @@ class _SynthStreamReader:
         return iter(self._rows(b)), {"batch": b + 1}
 
     def readBetweenOffsets(self, start, end):
+        # MUST return an ITERATOR, same contract as read()'s first
+        # element: the replay travels through plan_data_source_read,
+        # which rejects a bare list (DATA_SOURCE_INVALID_RETURN_TYPE).
+        # A list here looked fine for months because this path only
+        # executes on RECOVERY of an uncommitted batch — the round-8
+        # "flaky" checkpoint-resume test was this genuine defect
+        # firing whenever the kill landed between offset-write and
+        # commit.
         rows = []
         for b in range(start["batch"], end["batch"]):
             rows.extend(self._rows(b))
-        return rows
+        return iter(rows)
 
     @staticmethod
     def _rows(b: int) -> list:
