@@ -3399,6 +3399,14 @@ def drop_partition(
     m = read_manifest(root)
     keep = set(resolve_files(m, partition_filter))
     files = [f for f in m["files"] if f not in keep]
+    if not files:
+        # dropping EVERY partition would leave a schema-less empty
+        # manifest no reader can resolve — refuse loudly (truncate a
+        # table by restating it, not by dropping it out of existence)
+        raise ValueError(
+            f"drop_partition({partition_filter}) would drop every "
+            "file in the table"
+        )
     bases = {os.path.basename(f) for f in files}
     return commit(
         root,
@@ -3506,6 +3514,7 @@ def overwrite_partition(
                 "overwrite frame contains rows outside "
                 f"{partition_filter}"
             )
+        _enforce_schema(spark, root, df, allow_evolution=False)
         _validate_constraints(df, root)
         replaced = {
             f
