@@ -448,19 +448,51 @@ class _AcidTableReader(DataSourceReader):
         files = [f for f in m["files"] if keep(f)]
         dvf = m.get("dv_files", [])
         key = m.get("dv_key")
-        return [InputPartition((f, dvf, key)) for f in files] or [
-            InputPartition((None, [], None))
-        ]
+        # a conservatively-kept file (no recorded value for a filter
+        # column — partition evolution) carries that column as a
+        # RESIDUAL row predicate for read() (round-9 ADVICE fix): the
+        # engine's read_table follows pruning with an isin filter,
+        # and this source must reproduce that path exactly or a
+        # post-evolution partition read returns stray rows
+        parts = []
+        for f in files:
+            vals = pmap.get(os.path.basename(f), {})
+            residual = [
+                (c, v)
+                for c, v in self.pfilters.items()
+                if c not in vals
+            ]
+            parts.append(InputPartition((f, dvf, key, residual)))
+        return parts or [InputPartition((None, [], None, []))]
 
     def read(self, partition):
         import os
 
         import pyarrow.parquet as pq
 
-        f, dvf, key = partition.value
+        f, dvf, key, residual = partition.value
         if f is None:
             return
         t = pq.read_table(f)
+        if residual:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for c, v in residual:
+                col_type = t.schema.field(c).type
+                try:
+                    want = pa.scalar(v, type=pa.string()).cast(
+                        col_type
+                    )
+                    mask = pc.equal(t.column(c), want)
+                except pa.ArrowInvalid:
+                    # value not parseable as the column type: compare
+                    # on the string form instead of erroring out
+                    mask = pc.equal(
+                        pc.cast(t.column(c), pa.string()),
+                        pa.scalar(v, type=pa.string()),
+                    )
+                t = t.filter(mask)
         if dvf and key is not None:
             import pyarrow.compute as pc
             import pyarrow.dataset as ds

@@ -2083,3 +2083,274 @@ def test_dv_delete_partition_scoped(spark, tmp_path):
     assert (
         got.filter(F.col("o_year") != 1995).count() == want_other
     )
+
+
+# ---- round 9: ADVICE fixes -------------------------------------------
+
+
+def _evolved_table(spark, tmp_path):
+    """v1 = pre-1998 orders partitioned by (o_year); v2 = spec evolved
+    to (o_year, o_orderpriority); v3 = the 1998 tail appended under
+    the new spec.  Old-spec files record NO o_orderpriority value."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+        evolve_partition_spec,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(2),
+        partition_cols=["o_year"],
+    )
+    evolve_partition_spec(root, ["o_year", "o_orderpriority"])
+    append_table_partitioned(
+        spark, root, base.filter(F.col("o_year") == 1998)
+    )
+    return root, base
+
+
+def test_drop_partition_refuses_uncovered_pre_evolution_files(
+    spark, tmp_path
+):
+    """r9 ADVICE fix (high): dropping on a column added by partition
+    evolution must NOT silently drop pre-evolution files (they record
+    no value for that column and hold rows of every partition).  The
+    op raises, the table is untouched; a drop on a column every file
+    records still works; after OPTIMIZE rewrites everything under the
+    current spec, the evolved-column drop succeeds and is exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        drop_partition,
+        optimize_table,
+    )
+
+    root, base = _evolved_table(spark, tmp_path)
+    n_all = base.count()
+    v = latest_version(root)
+    with pytest.raises(ValueError, match="predate"):
+        drop_partition(spark, root, {"o_orderpriority": "1-URGENT"})
+    assert latest_version(root) == v  # nothing committed
+    assert read_table(spark, root).count() == n_all
+    # a filter every file covers still drops exactly
+    drop_partition(spark, root, {"o_year": 1992})
+    want = base.filter(F.col("o_year") != 1992)
+    assert read_table(spark, root).count() == want.count()
+    # OPTIMIZE rewrites under the CURRENT spec -> evolved-column drop
+    # becomes metadata-safe and exact
+    optimize_table(spark, root)
+    drop_partition(spark, root, {"o_orderpriority": "1-URGENT"})
+    want2 = want.filter(F.col("o_orderpriority") != "1-URGENT")
+    assert (
+        _rowset(read_table(spark, root).drop("o_year"))
+        == _rowset(want2.drop("o_year"))
+    )
+
+
+def test_overwrite_partition_refuses_uncovered_pre_evolution_files(
+    spark, tmp_path
+):
+    """r9 ADVICE fix (high): overwriting on an evolved-spec column
+    must not destroy pre-evolution files (their rows belong to
+    arbitrary other partitions).  Raises pre-commit; a same-spec
+    overwrite on the covered column stays exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        overwrite_partition,
+    )
+
+    root, base = _evolved_table(spark, tmp_path)
+    n_all = base.count()
+    restated = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("price", F.col("price") * 2)
+    )
+    v = latest_version(root)
+    with pytest.raises(ValueError, match="predate"):
+        overwrite_partition(
+            spark, root, restated, {"o_orderpriority": "1-URGENT"}
+        )
+    assert latest_version(root) == v
+    assert read_table(spark, root).count() == n_all
+    # overwrite on the universally-covered column is unaffected
+    r98 = base.filter(F.col("o_year") == 1998).withColumn(
+        "price", F.lit(1.0)
+    )
+    overwrite_partition(spark, root, r98, {"o_year": 1998})
+    got = read_table(spark, root, partition_filter={"o_year": 1998})
+    assert {r.price for r in got.select("price").distinct().collect()} == {1.0}
+    assert read_table(spark, root).count() == n_all
+
+
+def test_string_partition_values_record_as_strings(spark, tmp_path):
+    """r9 ADVICE fix (medium): a STRING partition column with
+    numeric-looking values ('007', '1995', '1e3') must be recorded as
+    strings in the manifest — guess-coercion ('007' -> 7) makes
+    resolve_files prune the file against the caller's string filter
+    and silently lose its rows."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        resolve_files,
+    )
+
+    rows = [
+        ("007", 1), ("007", 2), ("1995", 3), ("1e3", 4), ("plain", 5),
+    ]
+    df = spark.createDataFrame(rows, ["bucket", "v"])
+    root = str(tmp_path / "t")
+    create_table_partitioned(spark, root, df, ["bucket"])
+    m = read_manifest(root)
+    recorded = {v["bucket"] for v in m["partitions"].values()}
+    assert recorded == {"007", "1995", "1e3", "plain"}
+    for want, n in [("007", 2), ("1995", 1), ("1e3", 1)]:
+        got = read_table(
+            spark, root, partition_filter={"bucket": want}
+        )
+        assert got.count() == n, want
+        kept = resolve_files(m, {"bucket": want})
+        assert len(kept) < len(m["files"])  # pruning still fires
+    # a type-mismatched filter (int for a string column) must keep
+    # the file (string-form tiebreak): false keep, never false prune
+    assert read_table(
+        spark, root, partition_filter={"bucket": "1995"}
+    ).count() == 1
+
+
+def test_rewrites_retire_inert_dv_entries(spark, tmp_path):
+    """r9 ADVICE fix (medium): OPTIMIZE on a partitioned table must
+    retire DV entries whose tombstoned files were rewritten — a
+    verbatim carry keeps dv_fraction pinned above the fold threshold
+    so maybe_fold_dv re-triggers a full rewrite after every batch.
+    Partial optimize keeps only the untouched partitions' tombstones
+    live; full optimize clears the list."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        delete_from_table,
+        dv_fraction,
+        maybe_fold_dv,
+        optimize_table,
+        optimize_table_partitioned,
+    )
+
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).filter(F.col("o_year").isin(1995, 1996))
+    root = str(tmp_path / "t")
+    create_table_partitioned(
+        spark, root, base.repartition(2, "o_orderkey"), ["o_year"]
+    )
+    doomed = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey"
+    )
+    delete_from_table(spark, root, doomed, on="o_orderkey")
+    m = read_manifest(root)
+    assert m.get("dv_files")
+    want = base.join(doomed, "o_orderkey", "anti")
+    # partial optimize (1995 only): 1996 tombstones stay live
+    optimize_table_partitioned(spark, root, {"o_year": 1995})
+    m2 = read_manifest(root)
+    assert m2.get("dv_files")  # 1996 backlog still masked
+    assert (
+        _rowset(read_table(spark, root).drop("o_year"))
+        == _rowset(want.drop("o_year"))
+    )
+    import pyarrow.parquet as pq
+
+    live_bases = {os.path.basename(f) for f in m2["files"]}
+    for d in m2["dv_files"]:
+        masked = set(pq.read_table(d).column("_file").to_pylist())
+        assert masked <= live_bases  # no inert entry carried
+    # full optimize: the whole backlog folds, list clears
+    optimize_table(spark, root)
+    m3 = read_manifest(root)
+    assert not m3.get("dv_files")
+    assert dv_fraction(root) == 0.0
+    assert maybe_fold_dv(spark, root) is None  # policy converges
+    assert (
+        _rowset(read_table(spark, root).drop("o_year"))
+        == _rowset(want.drop("o_year"))
+    )
+
+
+def test_acid_table_source_residual_filter_post_evolution(
+    spark, tmp_path
+):
+    """r9 ADVICE fix (medium): the acid_table batch source keeps
+    pre-evolution files under an evolved-column filter (correct), but
+    read() must then apply the filter as a residual ROW predicate —
+    matching read_table exactly, no stray rows from other
+    partitions."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.pysource import (
+        AcidTableSource,
+    )
+
+    root, base = _evolved_table(spark, tmp_path)
+    try:
+        spark.dataSource.register(AcidTableSource)
+    except Exception:
+        pass
+    got = (
+        spark.read.format("acid_table")
+        .option("root", root)
+        .option("partition.o_orderpriority", "1-URGENT")
+        .load()
+    )
+    want = base.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert (
+        _rowset(got.drop("o_year")) == _rowset(want.drop("o_year"))
+    )
+
+
+def test_indexed_manifest_resolution_equals_linear_walk(
+    spark, tmp_path
+):
+    """r9 indexed manifest: every commit with partition values also
+    serializes the partition->files index (pidx), and indexed
+    resolution returns exactly the linear walk's file set for every
+    filter shape — single value, IN-list, evolved (uncovered) column,
+    multi-column, missing column."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        resolve_files,
+    )
+
+    root, base = _evolved_table(spark, tmp_path)
+    m = read_manifest(root)
+    assert "pidx" in m and set(m["pidx"]) == {
+        "o_year", "o_orderpriority",
+    }
+    linear = {k: v for k, v in m.items() if k != "pidx"}
+    for f in [
+        {"o_year": 1995},
+        {"o_year": [1995, 1996]},
+        {"o_orderpriority": "1-URGENT"},  # old files kept (uncovered)
+        {"o_year": 1998, "o_orderpriority": "1-URGENT"},
+        {"o_year": "1995"},  # string-form tiebreak: never lossy
+        {"nonexistent": 1},
+    ]:
+        got = resolve_files(m, f)
+        want = resolve_files(linear, f)
+        assert sorted(got) == sorted(want), f
+    # the index never walks the full list: a one-partition filter
+    # returns a strict subset
+    assert len(resolve_files(m, {"o_year": 1995})) < len(m["files"])

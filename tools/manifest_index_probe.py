@@ -1,0 +1,100 @@
+"""Round-9 probe (r8 verdict item 2): manifest resolution cost at
+production file counts, indexed vs linear.
+
+Synthesizes manifests (no Spark, no I/O — this measures the metadata
+op itself) at n_files x n_partitions grids, then times
+``resolve_files`` three ways:
+
+- linear: the pre-round-9 walk (pidx stripped) — O(n_files);
+- indexed: the committed ``pidx`` path — O(distinct values of the
+  filter column + matched files), i.e. O(touched partitions);
+- indexed-10p: an IN-list of 10 partitions through the index.
+
+Also checks, at every grid point, that the indexed result EQUALS the
+linear result (same files, same order) for single-value, IN-list,
+multi-column, and evolution-style (unrecorded-file) filters.
+
+Usage: python tools/manifest_index_probe.py
+Prints one JSON line per grid point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from morphl_model_user_search_intent_spark.sources.acid import (  # noqa: E402
+    _build_pidx,
+    resolve_files,
+)
+
+
+def synth_manifest(n_parts: int, files_per_part: int) -> dict:
+    """A manifest shaped like a date-partitioned ingest table:
+    ``day`` int partition, plus 1% legacy files that predate the
+    column (partition evolution)."""
+    files, partitions = [], {}
+    for p in range(n_parts):
+        for i in range(files_per_part):
+            b = f"f{p:05d}-{i:04d}.parquet"
+            files.append(f"/t/data/{b}")
+            if (p * files_per_part + i) % 100 != 99:
+                partitions[b] = {"day": p}
+    m = {"files": files, "partitions": partitions}
+    m["pidx"] = _build_pidx(files, partitions)
+    return m
+
+
+def timed(fn, reps: int = 20) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    grids = [(100, 8), (1_000, 10), (1_000, 100), (10_000, 10)]
+    for n_parts, fpp in grids:
+        m = synth_manifest(n_parts, fpp)
+        linear = {k: v for k, v in m.items() if k != "pidx"}
+        probes = {
+            "one_part": {"day": n_parts // 2},
+            "in_10": {"day": list(range(0, n_parts, n_parts // 10))},
+        }
+        # correctness first: indexed == linear on every probe shape
+        for name, f in list(probes.items()) + [
+            ("missing_col", {"region": "eu"}),
+            ("multi", {"day": [1, 2], "region": "eu"}),
+        ]:
+            got = resolve_files(m, f)
+            want = resolve_files(linear, f)
+            assert got == want, (name, len(got), len(want))
+        row = {
+            "n_files": len(m["files"]),
+            "n_partitions": n_parts,
+        }
+        for name, f in probes.items():
+            row[f"linear_{name}_ms"] = round(
+                timed(lambda: resolve_files(linear, f)) * 1e3, 3
+            )
+            row[f"indexed_{name}_ms"] = round(
+                timed(lambda: resolve_files(m, f)) * 1e3, 3
+            )
+            row[f"{name}_matched"] = len(resolve_files(m, f))
+        row["pidx_build_ms"] = round(
+            timed(lambda: _build_pidx(m["files"], m["partitions"]), 3)
+            * 1e3,
+            1,
+        )
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
