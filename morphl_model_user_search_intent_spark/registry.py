@@ -139,60 +139,69 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round 5 swapped in the round-4/5 additions (URL dedup, hybrid RRF,
 # span corruption, curation funnel, index serve, chunked sessionize).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.4 aggregates (flagship first)
-    "q_agg_hash", "q_agg_distinct",
+    # §2.4 aggregates (flagship first; salted/approx-topk never graded)
+    "q_agg_hash", "q_agg_distinct", "q_agg_salted",
+    "q_agg_approx_topk",
     # §2.5 windows / §2.6 sorts
     "q_win_topk", "q_sort_limit",
-    # §2.7 set ops + dedup (q_set_intersect: first driver grade)
-    "q_set_intersect", "q_dedup_exact",
+    # §2.7 set ops + dedup (portable MinHash twin: first grade)
+    "q_set_intersect", "q_dedup_exact", "q_dedup_minhash_portable",
     # §2.8 scalar suites (window policy: one slot per suite)
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
     "q_map_funcs", "q_json_funcs",
-    # §2.9 event-time + streaming — the round-8 append-mode oracle
-    # promotions (session window / watermark / static join / s-s join)
-    # and the never-graded CDC source + exactly-once mirror
-    "q_stream_tumbling", "q_sessionize", "q_stream_table_cdc",
-    "q_stream_session_window", "q_stream_watermark",
-    "q_stream_static_join", "q_stream_join",
-    "q_stream_table_cdc_source",
-    # §2.11 similarity / dedup / multimodal — round-8 portable SimHash,
-    # exhaustive PQ twins, adaptive filtered serve; never-graded
-    # hybrid RRF / retrieval eval / PRF
-    "q_dedup_clusters", "q_sim_knn", "q_sim_index_filtered",
-    "q_sim_index_filtered_auto", "q_dedup_simhash_portable",
-    "q_sim_pq_exhaustive", "q_sim_ivfpq_exhaustive",
-    "q_sim_hybrid_rrf", "q_multimodal",
-    # lakehouse table ops — the round-8 partitioned-manifest family
-    # plus the never-graded r7 keys (restore/clone/skipping/history/
-    # evolution/metadata-count/incremental view)
-    "q_table_merge", "q_table_time_travel", "q_table_optimize",
-    "q_table_partitioned", "q_table_merge_partitioned",
-    "q_table_partitions", "q_table_restore", "q_table_clone",
-    "q_table_skipping",
+    # §2.9 event-time + streaming — the round-8 never-graded trio
+    # (GDPR erasure queue, streaming index maintenance, partitioned
+    # exactly-once ingest)
+    "q_stream_tumbling", "q_sessionize", "q_stream_table_erasure",
+    "q_stream_text_index", "q_stream_table_ingest_partitioned",
+    # §2.11 similarity / multimodal (indexed RRF: first grade)
+    "q_sim_knn", "q_sim_hybrid_rrf_indexed", "q_multimodal",
+    # lakehouse table ops — the round-8 surface the r8 verdict names
+    # (DV deletes + fold, z-order flat + per-partition, composed
+    # scan, drop/overwrite partition, partition evolution, CDC on a
+    # partitioned table)
+    "q_table_delete_dv", "q_table_dv_fold", "q_table_zorder",
+    "q_table_zorder_partitioned", "q_table_scan_composed",
+    "q_table_drop_partition", "q_table_overwrite_partition",
+    "q_table_partition_evolution", "q_table_cdc_partitioned",
+    # §2.1 sources via the public DataSource API (never graded)
+    "q_source_acid_table", "q_source_acid_table_pruned",
+    # §2.10 inverted-index lifecycle (never graded)
+    "q_text_index_serve", "q_text_index_append",
+    "q_text_index_compact",
     # §2.12 UDFs
     "q_udf_grouped_map",
-    # §2.1 sources / sinks / scans (q_sink_partitioned: first grade)
-    "q_source_csv", "q_source_csv_malformed", "q_sink_partitioned",
-    "q_scan_pushdown",
+    # §2.1 sources / sinks / scans
+    "q_source_csv", "q_sink_partitioned", "q_scan_pushdown",
     # §2.2 projection / predicates
     "q_project", "q_filter_pred", "q_case_when",
-    # §2.3 joins + the TPC-H representative
-    "q_join_asof", "q_tpch_q09",
-    # §2.10 text (bench headline + the never-graded PRF)
-    "q_text_wordcount", "q_text_prf",
+    # §2.3 joins + a never-graded TPC-H representative
+    "q_join_asof", "q_tpch_q05",
+    # §2.10 text + never-graded curation/analytics reps
+    "q_text_wordcount", "q_corpus_gopher", "q_events_funnel",
+    "q_customer_rfm",
 )
-# Rotated OUT in round 8 (graded green in r07, still verified by every
-# full sweep): q_agg_stats, q_win_fill_forward, q_set_union,
-# q_stream_index_append, q_dedup_url, q_sim_index_serve,
-# q_sim_index_compact, q_sim_maxsim, q_table_cdc, q_table_cdc_files,
-# q_table_cdc_apply, q_udtf_explode_sessions, q_embed_text_long,
-# q_source_json, q_sink_parquet, q_graph_triangles, q_scd2_intervals,
-# q_sim_quantized, q_text_bpe_encode, q_join_asof_tolerance.
+# Round-9 rotation (r8 verdict item 1): seat the 16 round-8 keys the
+# real driver never graded (DV/z-order/partition-evolution/inverted-
+# index/erasure/acid-source/indexed-RRF — all green in the judge's
+# r8 vanilla spot-run) plus 9 more never-graded oracle keys
+# (q_tpch_q05, q_table_cdc_partitioned,
+# q_stream_table_ingest_partitioned, q_agg_salted, q_agg_approx_topk,
+# q_dedup_minhash_portable, q_corpus_gopher, q_events_funnel,
+# q_customer_rfm) — 25 of 50 slots get their FIRST driver grade.
+# Rotated OUT (all driver-graded green in CORRECTNESS_r08, still
+# verified by every full sweep): q_stream_table_cdc,
+# q_stream_session_window, q_stream_watermark, q_stream_static_join,
+# q_stream_join, q_stream_table_cdc_source, q_dedup_clusters,
+# q_sim_index_filtered(_auto), q_dedup_simhash_portable,
+# q_sim_pq_exhaustive, q_sim_ivfpq_exhaustive, q_sim_hybrid_rrf,
+# q_table_merge, q_table_time_travel, q_table_optimize,
+# q_table_partitioned, q_table_merge_partitioned, q_table_partitions,
+# q_table_restore, q_table_clone, q_table_skipping,
+# q_source_csv_malformed, q_tpch_q09, q_text_prf.
 # Window policies hold (tests/test_registry_order.py): exactly 50
-# slots, every slot oracle-checked, one representative per §2 family
-# (which keeps the five scalar suites seated), 20 of 50 slots never
-# driver-graded before this round.
-# Earlier rotations: see git history of this block (rounds 5-7).
+# slots, every slot oracle-checked, one representative per §2 family.
+# Earlier rotations: see git history of this block (rounds 5-8).
 
 
 def _ordered_names() -> list[str]:
