@@ -164,6 +164,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_table_zorder_partitioned", "q_table_scan_composed",
     "q_table_drop_partition", "q_table_overwrite_partition",
     "q_table_partition_evolution", "q_table_cdc_partitioned",
+    # round-9 column mapping (brand new — first grade)
+    "q_table_rename_column", "q_table_drop_column",
     # §2.1 sources via the public DataSource API (never graded)
     "q_source_acid_table", "q_source_acid_table_pruned",
     # §2.10 inverted-index lifecycle (never graded)
@@ -177,9 +179,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_project", "q_filter_pred", "q_case_when",
     # §2.3 joins + a never-graded TPC-H representative
     "q_join_asof", "q_tpch_q05",
-    # §2.10 text + never-graded curation/analytics reps
-    "q_text_wordcount", "q_corpus_gopher", "q_events_funnel",
-    "q_customer_rfm",
+    # §2.10 text + never-graded curation reps
+    "q_text_wordcount", "q_corpus_gopher",
 )
 # Round-9 rotation (r8 verdict item 1): seat the 16 round-8 keys the
 # real driver never graded (DV/z-order/partition-evolution/inverted-

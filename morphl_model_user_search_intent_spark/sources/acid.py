@@ -123,6 +123,9 @@ def _build_pidx(files: list[str], partitions: dict) -> dict:
     return pidx
 
 
+_INHERIT = object()  # commit(): carry the parent's colmap forward
+
+
 def commit(
     root: str,
     files: list[str],
@@ -135,6 +138,8 @@ def commit(
     partitions: dict | None = None,
     dv_files: list[str] | None = None,
     dv_key: str | None = None,
+    colmap: dict | None | object = _INHERIT,
+    constraints: dict | None | object = _INHERIT,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
@@ -189,6 +194,29 @@ def commit(
         # / O(10³) partitions that is the difference between a
         # per-query driver stall and a sub-millisecond lookup.
         manifest["pidx"] = _build_pidx(files, partitions)
+    if colmap is _INHERIT or constraints is _INHERIT:
+        # column mapping and CHECK constraints (round 9) survive
+        # EVERY commit by default: a writer that forgot to thread
+        # them would silently flip the table back to identity naming
+        # (corrupting reads) or drop its constraints — so both blocks
+        # are inherited from the parent manifest unless the caller
+        # overrides them explicitly (rename/drop edit the colmap;
+        # add/drop_constraint edit the constraints; restore/clone
+        # carry the target/source version's blocks).
+        pm = None
+        if parent > 0:
+            try:
+                pm = read_manifest(root, parent)
+            except OSError:
+                pm = None
+        if colmap is _INHERIT:
+            colmap = pm.get("colmap") if pm else None
+        if constraints is _INHERIT:
+            constraints = pm.get("constraints") if pm else None
+    if colmap is not None:
+        manifest["colmap"] = colmap
+    if constraints is not None:
+        manifest["constraints"] = constraints
     if dv_files is not None:
         # DELETION VECTORS (round 8): merge-on-read DELETE sidecars —
         # (_file basename, key) tombstone rows a snapshot read
@@ -401,11 +429,18 @@ def read_table(
     construction (it is the un-folded delete backlog), so the join's
     build side broadcasts."""
     m = read_manifest(root, version)
-    files = resolve_files(m, partition_filter)
+    cm = m.get("colmap")
+    files = resolve_files(m, _filter_to_physical(cm, partition_filter))
+    reader = spark.read
+    if cm:
+        # column-mapped tables read under schema union: files written
+        # before an additive re-add lack the new physical column, and
+        # the logical projection below must still resolve it
+        reader = reader.option("mergeSchema", "true")
     if not files:
-        base = spark.read.parquet(*m["files"]).limit(0)
+        base = reader.parquet(*m["files"]).limit(0)
     else:
-        base = spark.read.parquet(*files)
+        base = reader.parquet(*files)
     dvf = m.get("dv_files")
     if dvf and files:
         key = m["dv_key"]
@@ -420,6 +455,10 @@ def read_table(
             .join(dv, ["_file", key], "anti")
             .drop("_file")
         )
+    # physical → logical projection (renames applied, dropped columns
+    # hidden); the DV mask above joined on the PHYSICAL key, which is
+    # what the sidecars store — rename-stable by construction
+    base = _select_logical(cm, base)
     if partition_filter:
         for c, want in partition_filter.items():
             allowed = (
@@ -635,11 +674,20 @@ def delete_from_table(
             if done is not None and done >= txn_version:
                 return latest_version(root)  # replayed batch: no-op
         m = read_manifest(root)
+        cm = m.get("colmap")
+        # physical space: base files and dv sidecars store physical
+        # names, so translate the caller's LOGICAL key and keys frame
+        # (rename-stable — the sidecar key never goes stale across
+        # renames).  Derived fresh from the originals each retry.
+        on_p = _colmap_lookup(cm, on) if cm is not None else on
+        keys_p = (
+            keys.select(F.col(on).alias(on_p)) if on_p != on else keys
+        )
         # partition_filter scopes the MATCH SCAN to the pruned files
         # (DELETE ... WHERE <partition> AND key IN ...): on a
         # partitioned table the tombstone planning pass then costs
         # ∝ the touched partitions, not the table
-        scan_files = resolve_files(m, partition_filter)
+        scan_files = resolve_files(m, _filter_to_physical(cm, partition_filter))
         if not scan_files:
             return m["version"]  # nothing in scope: no-op
         base = _apply_dv(
@@ -649,13 +697,13 @@ def delete_from_table(
                 "_file", _file_col()
             ),
         )
-        if m.get("dv_key") not in (None, on):
+        if m.get("dv_key") not in (None, on_p):
             raise ValueError(
                 f"table's deletion vectors are keyed on {m['dv_key']!r},"
-                f" not {on!r}"
+                f" not {on_p!r}"
             )
-        matched = base.join(keys, on, "semi")
-        dv_rows = matched.select("_file", on)
+        matched = base.join(keys_p, on_p, "semi")
+        dv_rows = matched.select("_file", on_p)
         new_dv = _write_files(dv_rows, root, subdir="dv")
         change_files = None
         if cdc:
@@ -687,7 +735,7 @@ def delete_from_table(
                 stats=m.get("stats"),
                 change_files=change_files,
                 dv_files=m.get("dv_files", []) + new_dv,
-                dv_key=on,
+                dv_key=on_p,
             )
         except CommitConflict:
             # lost the race — reclaim sidecars AND change files
@@ -762,6 +810,16 @@ def merge_table(
             "(a flat merge would commit a spec-less manifest and "
             "silently drop partition pruning)"
         )
+    _cm = read_manifest(root).get("colmap")
+    if _cm is not None:
+        # column-mapped table: the merge operates in PHYSICAL space
+        # end-to-end (base files are physical; translating the source
+        # once here keeps every join/union/write below name-aligned).
+        # Constraint validation inside the loop stays correct because
+        # a constraint-referenced column can never be renamed
+        # (rename_column refuses), so its physical == logical name.
+        source = _select_physical(_cm, source, extra=("_delete",))
+        on = _colmap_lookup(_cm, on)
     for _ in range(max_retries):
         if txn is not None:
             done = committed_txn_version(root, txn_app)
@@ -1006,6 +1064,18 @@ def append_table(
         )
     _enforce_schema(spark, root, df, allow_evolution)  # plan-only
     _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
+    cm = read_manifest(root).get("colmap")
+    cm_out: dict | None | object = _INHERIT
+    if cm is not None:
+        added = [
+            c
+            for c in df.columns
+            if c not in {e["name"] for e in cm["cols"]}
+        ]
+        if added:  # additive evolution on a mapped table: new ids
+            cm = _extend_colmap(cm, added)
+            cm_out = cm
+        df = _select_physical(cm, df)
     files = _write_files(df, root)
 
     def _reclaim() -> None:
@@ -1039,6 +1109,7 @@ def append_table(
                 txn=txn,
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
+                colmap=cm_out,
             )
         except CommitConflict:
             continue
@@ -1073,6 +1144,7 @@ def append_table_partitioned(
     # a partitioned ingest must not be a constraint/schema bypass)
     _enforce_schema(spark, root, df, allow_evolution=False)
     _validate_constraints(df, root)
+    df = _select_physical(read_manifest(root).get("colmap"), df)
     files, parts = _write_files_partitioned(df, root, pcols)
     new_stats = commit_stats(root, files, [])
 
@@ -1375,7 +1447,20 @@ def table_changes(
     f1, f2 = set(m1["files"]), set(m2["files"])
     removed = sorted(f1 - f2)
     added = sorted(f2 - f1)
-    cols = [c for c in read_table(spark, root, version).columns if c != key]
+    cm = m2.get("colmap")
+    if cm is not None:
+        # diff in PHYSICAL space (the raw file reads below), project
+        # the feed to this version's logical schema at the end
+        key = _colmap_lookup(cm, key)
+        cols = [
+            e["physical"] for e in cm["cols"] if e["physical"] != key
+        ]
+    else:
+        cols = [
+            c
+            for c in read_table(spark, root, version).columns
+            if c != key
+        ]
     # A DELETION-VECTOR commit changes NO data file — its delta lives
     # entirely in the dv sidecar diff (round-8 hardening: without this
     # branch a DV delete was INVISIBLE to file-diff CDC).  The newly
@@ -1407,10 +1492,13 @@ def table_changes(
             )
 
     def _side(files: list[str], prefix: str) -> DataFrame:
+        reader = spark.read
+        if cm:
+            reader = reader.option("mergeSchema", "true")
         base = (
-            spark.read.parquet(*files)
+            reader.parquet(*files)
             if files
-            else read_table(spark, root, version).limit(0)
+            else reader.parquet(*m2["files"]).limit(0)
         )
         return base.select(
             key,
@@ -1450,6 +1538,14 @@ def table_changes(
     if dv_feed is not None:
         feed = feed.unionByName(
             dv_feed.select(key, *cols, "_change_type")
+        )
+    if cm is not None:
+        feed = feed.select(
+            *[
+                F.col(e["physical"]).alias(e["name"])
+                for e in cm["cols"]
+            ],
+            "_change_type",
         )
     return feed
 
@@ -1534,8 +1630,13 @@ def optimize_table(
                 spark, root, {}, target_files=target_files,
                 max_retries=max_retries,
             )
-        snap = read_table(spark, root, version=parent)
-        files = _write_files(snap.coalesce(target_files), root)
+        snap = read_table(spark, root, version=parent)  # logical
+        files = _write_files(
+            _select_physical(m.get("colmap"), snap).coalesce(
+                target_files
+            ),
+            root,
+        )
         try:
             return commit(root, files, "optimize", parent=parent)
         except CommitConflict:
@@ -1619,7 +1720,18 @@ def read_changes(
     cf = m.get("change_files")
     if not cf:
         return table_changes(spark, root, version, key)
-    return spark.read.parquet(*cf)
+    feed = spark.read.parquet(*cf)
+    cm = m.get("colmap")
+    if cm is not None:
+        # CDC files store physical names; serve the version's logical
+        feed = feed.select(
+            *[
+                F.col(e["physical"]).alias(e["name"])
+                for e in cm["cols"]
+            ],
+            "_change_type",
+        )
+    return feed
 
 
 _CDC_ORACLE = """
@@ -1982,6 +2094,8 @@ def clone_table(
         stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
+        colmap=m.get("colmap"),  # source's logical schema clones too
+        constraints=m.get("constraints"),
     )
 
 
@@ -2317,6 +2431,11 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
         stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
+        # the TARGET version's logical schema AND constraint set
+        # restore with it (a restore across a rename must resurrect
+        # the old names; a restored v_n is governed by v_n's rules)
+        colmap=m.get("colmap"),
+        constraints=m.get("constraints"),
     )
 
 
@@ -2441,6 +2560,11 @@ def merge_table_partitioned(
     The source must carry the table's partition columns (an upsert
     that moves a row across partitions is two arms: delete + insert —
     the same contract Delta's partition-pruned MERGE has)."""
+    _cm = read_manifest(root).get("colmap")
+    if _cm is not None:
+        # physical space end-to-end, like the flat merge
+        source = _select_physical(_cm, source, extra=("_delete",))
+        on = _colmap_lookup(_cm, on)
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
@@ -2556,6 +2680,9 @@ def optimize_table_partitioned(
     and stats untouched.  At 100 TB compaction always runs this way —
     on the small-file tail of recently-ingested partitions, never the
     table."""
+    _cm0 = read_manifest(root).get("colmap")
+    if _cm0 is not None:
+        partition_filter = _filter_to_physical(_cm0, partition_filter)
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
@@ -3001,14 +3128,18 @@ def optimize_table_zorder(
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        files = _write_files(clustered, root)
+        cm = read_manifest(root, parent).get("colmap")
+        files = _write_files(_select_physical(cm, clustered), root)
+        stat_cols = [
+            _colmap_lookup(cm, c) if cm else c for c in cols[:2]
+        ]
         try:
             return commit(
                 root,
                 files,
-                f"zorder:{','.join(cols[:2])}",
+                f"zorder:{','.join(stat_cols)}",
                 parent=parent,
-                stats=commit_stats(root, files, list(cols[:2])),
+                stats=commit_stats(root, files, stat_cols),
             )
         except CommitConflict:
             for f in files:
@@ -3032,6 +3163,11 @@ def scan_table_multi(
     for a column are kept (never lossy); residual predicates applied
     after the scan."""
     m = read_manifest(root, version)
+    cm = m.get("colmap")
+    if cm is not None:
+        # delegate mapped tables to the unified scan (zone filter +
+        # logical projection handled there)
+        return scan(spark, root, version=version, ranges=ranges)
     stats = m.get("stats", {})
     keep = []
     for f in m["files"]:
@@ -3177,6 +3313,14 @@ def scan(
     zone survivors — typically ~0.01% of files — and masks only
     those."""
     m = read_manifest(root, version)
+    cm = m.get("colmap")
+    if cm is not None:
+        # caller speaks LOGICAL names; metadata is physical-keyed
+        partition_filter = _filter_to_physical(cm, partition_filter)
+        if ranges:
+            ranges = {
+                _colmap_lookup(cm, c): v for c, v in ranges.items()
+            }
     files = resolve_files(m, partition_filter)
     if ranges:
         stats = m.get("stats", {})
@@ -3192,10 +3336,13 @@ def scan(
             if ok:
                 kept.append(f)
         files = kept
+    reader = spark.read
+    if cm:
+        reader = reader.option("mergeSchema", "true")
     if not files:
-        base = spark.read.parquet(*m["files"]).limit(0)
+        base = reader.parquet(*m["files"]).limit(0)
     else:
-        base = spark.read.parquet(*files)
+        base = reader.parquet(*files)
         dvf = m.get("dv_files")
         if dvf:
             key = m["dv_key"]
@@ -3205,6 +3352,8 @@ def scan(
                 .join(dv, ["_file", key], "anti")
                 .drop("_file")
             )
+    # residuals below were already translated to PHYSICAL names and
+    # the frame is physical here; project to logical at the end
     if partition_filter:
         for c, want in partition_filter.items():
             allowed = (
@@ -3215,7 +3364,7 @@ def scan(
             base = base.filter(F.col(c).isin(allowed))
     for c, (lo, hi) in (ranges or {}).items():
         base = base.filter(F.col(c).between(lo, hi))
-    return base
+    return _select_logical(cm, base)
 
 
 def ensure_composed_exercise(spark: SparkSession, sf_dir: str) -> str:
@@ -3378,6 +3527,10 @@ def evolve_partition_spec(root: str, new_cols: list[str]) -> int:
     contract, and the reason evolution is safe to run on a 100 TB
     table during business hours."""
     m = read_manifest(root)
+    new_cols = [
+        _colmap_lookup(m.get("colmap"), c) if m.get("colmap") else c
+        for c in new_cols
+    ]
     return commit(
         root,
         m["files"],
@@ -3513,24 +3666,67 @@ def _constraints_path(root: str) -> str:
     return os.path.join(root, "_constraints.json")
 
 
-def add_constraint(root: str, name: str, predicate_sql: str) -> None:
-    """ADD CONSTRAINT ... CHECK (<predicate>): recorded in the table's
-    config sidecar (like Delta's table-metadata constraints — one
-    config per table, not per version; versioned constraint history is
-    the documented next step).  Every subsequent append/merge
-    validates its INCOMING rows against all constraints before
-    writing — cost ∝ the delta, never the table — and rejects the
-    whole write on any violation (atomicity: the table is unchanged,
-    no orphan files)."""
-    cons = table_constraints(root)
+def _commit_metadata_only(root: str, m: dict, op: str, **over) -> int:
+    """One metadata-only commit: ``m``'s every block verbatim (files
+    untouched by construction), with ``over`` overriding specific
+    blocks — the shared shape of rename/drop column and
+    add/drop constraint."""
+    kw = dict(
+        partition_cols=m.get("partition_cols"),
+        partitions=m.get("partitions"),
+        stats=m.get("stats"),
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
+        colmap=m.get("colmap"),
+        constraints=m.get("constraints"),
+    )
+    kw.update(over)
+    return commit(root, m["files"], op, parent=m["version"], **kw)
+
+
+def add_constraint(root: str, name: str, predicate_sql: str) -> int:
+    """ADD CONSTRAINT ... CHECK (<predicate>) — VERSIONED with the
+    manifest (round 9; previously a per-table config sidecar): the
+    constraint set commits like any other metadata, so time travel
+    sees the constraint state of the version it reads, RESTORE brings
+    back the restored version's constraints, and a clone carries the
+    source's — a restored v_n is re-governed by exactly v_n's rules,
+    never silently by later ones.  Every subsequent append/merge
+    validates its INCOMING rows against the CURRENT version's
+    constraints before writing — cost ∝ the delta, never the table —
+    and rejects the whole write on any violation (atomicity: the
+    table is unchanged, no orphan files)."""
+    m = read_manifest(root)
+    cons = dict(table_constraints(root))
     cons[name] = predicate_sql
-    tmp = _constraints_path(root) + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(cons, fh)
-    os.rename(tmp, _constraints_path(root))
+    return _commit_metadata_only(
+        root, m, f"add-constraint:{name}", constraints=cons
+    )
 
 
-def table_constraints(root: str) -> dict[str, str]:
+def drop_constraint(root: str, name: str) -> int:
+    """DROP CONSTRAINT — one metadata-only commit removing the named
+    predicate from the versioned set (raises KeyError if absent)."""
+    m = read_manifest(root)
+    cons = dict(table_constraints(root))
+    del cons[name]
+    return _commit_metadata_only(
+        root, m, f"drop-constraint:{name}", constraints=cons
+    )
+
+
+def table_constraints(
+    root: str, version: int | None = None
+) -> dict[str, str]:
+    """The constraint set governing ``version`` (default: latest).
+    Manifest-versioned constraints take precedence; tables whose
+    constraints predate round 9 fall back to the legacy sidecar."""
+    try:
+        m = read_manifest(root, version)
+    except OSError:
+        m = None
+    if m is not None and "constraints" in m:
+        return dict(m["constraints"])
     try:
         with open(_constraints_path(root)) as fh:
             return json.load(fh)
@@ -3608,7 +3804,11 @@ def drop_partition(
     if such a file cannot be ruled out, the op raises and the caller
     must OPTIMIZE under the current spec first."""
     m = read_manifest(root)
-    drop = set(match_files_strict(m, partition_filter))
+    drop = set(
+        match_files_strict(
+            m, _filter_to_physical(m.get("colmap"), partition_filter)
+        )
+    )
     files = [f for f in m["files"] if f not in drop]
     if not files:
         # dropping EVERY partition would leave a schema-less empty
@@ -3733,8 +3933,13 @@ def overwrite_partition(
         # pre-evolution file that can't be ruled out raises instead
         # of being silently destroyed (its rows belong to arbitrary
         # other partitions the incoming frame doesn't restate)
-        replaced = set(match_files_strict(m, partition_filter))
-        new_files, new_parts = _write_files_partitioned(df, root, pcols)
+        cm = m.get("colmap")
+        replaced = set(
+            match_files_strict(m, _filter_to_physical(cm, partition_filter))
+        )
+        new_files, new_parts = _write_files_partitioned(
+            _select_physical(cm, df), root, pcols
+        )
         kept = [f for f in m["files"] if f not in replaced]
         partitions = {
             os.path.basename(f): pmap[os.path.basename(f)]
@@ -3849,6 +4054,13 @@ def optimize_table_zorder_partitioned(
     carried by reference with metadata verbatim.  The normalization
     min/max comes from the selected slice (one tiny aggregate), so
     each partition's Morton grid is tight for ITS value range."""
+    _cm0 = read_manifest(root).get("colmap")
+    if _cm0 is not None:
+        # physical space end-to-end: raw file reads below see
+        # physical names, so translate the caller's logical cluster
+        # columns and partition filter once
+        cols = [_colmap_lookup(_cm0, c) for c in cols]
+        partition_filter = _filter_to_physical(_cm0, partition_filter)
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
@@ -3995,3 +4207,351 @@ def q_table_zorder_partitioned(
             "o_custkey": (0.4 * mc, 0.6 * mc),
         },
     )
+
+
+# ---- column mapping: DROP / RENAME COLUMN (round 9) -------------------
+#
+# Delta's column-mapping / Iceberg's field-id indirection, expressed on
+# this manifest protocol: the manifest optionally carries a ``colmap``
+# block —
+#
+#   {"max_id": N,
+#    "cols": [{"id": i, "name": <logical>, "physical": <at-write>}],
+#    "retired": [<physical names no live column may reuse>]}
+#
+# Data files always store PHYSICAL column names (frozen at the column's
+# creation); every logical operation (rename, drop, re-add) is one
+# METADATA-ONLY commit that edits the block — no data file is touched,
+# which is the only acceptable cost on a 100 TB table.  Snapshot reads
+# project physical → logical; writes project logical → physical.  Time
+# travel naturally returns each version's own logical schema because
+# the block is versioned with the manifest.  A dropped column's
+# physical name is retired forever, so re-adding the same logical name
+# allocates a fresh id + fresh physical name and the old files' values
+# can never resurrect.  Tables that never rename/drop carry no block
+# and pay zero overhead on any path.
+
+
+def _colmap_lookup(cm: dict | None, logical: str) -> str:
+    """Physical name of a logical column (identity without a map)."""
+    if not cm:
+        return logical
+    for e in cm["cols"]:
+        if e["name"] == logical:
+            return e["physical"]
+    raise KeyError(
+        f"column {logical!r} not in table schema "
+        f"({[e['name'] for e in cm['cols']]})"
+    )
+
+
+def _filter_to_physical(
+    cm: dict | None, partition_filter: dict | None
+) -> dict | None:
+    """Re-key a logical partition filter to physical column names
+    (manifest partition values / pidx / stats are physical-keyed)."""
+    if not cm or not partition_filter:
+        return partition_filter
+    names = {e["name"]: e["physical"] for e in cm["cols"]}
+    return {names.get(c, c): v for c, v in partition_filter.items()}
+
+
+def _select_logical(cm: dict | None, df: DataFrame) -> DataFrame:
+    """Project a physical-schema frame to the logical schema (applies
+    renames, hides dropped columns).  No-op without a map."""
+    if not cm:
+        return df
+    return df.select(
+        *[F.col(e["physical"]).alias(e["name"]) for e in cm["cols"]]
+    )
+
+
+def _select_physical(
+    cm: dict | None, df: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project a logical-schema frame to physical column names for a
+    file write (``extra`` carries op columns like ``_delete`` through
+    untouched).  No-op without a map."""
+    if not cm:
+        return df
+    cols = [F.col(e["name"]).alias(e["physical"]) for e in cm["cols"]]
+    cols += [F.col(c) for c in extra if c in df.columns]
+    return df.select(*cols)
+
+
+def _build_colmap(spark: SparkSession, root: str) -> dict:
+    """Initial identity mapping, derived from the current snapshot's
+    schema the first time a table needs rename/drop semantics."""
+    fields = read_table(spark, root).schema.fields
+    return {
+        "max_id": len(fields),
+        "cols": [
+            {"id": i + 1, "name": f.name, "physical": f.name}
+            for i, f in enumerate(fields)
+        ],
+        "retired": [],
+    }
+
+
+def _commit_colmap(root: str, m: dict, cm: dict, op: str) -> int:
+    """One metadata-only commit carrying the edited column map and
+    every other block verbatim (files untouched by construction)."""
+    return _commit_metadata_only(root, m, op, colmap=cm)
+
+
+def rename_column(
+    spark: SparkSession, root: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only: the column's id
+    and physical name are stable, only the logical name changes, so
+    zero data files are rewritten and partition pruning / zone maps /
+    deletion vectors (all physical-keyed) keep working verbatim.
+    Renaming a column referenced by a CHECK constraint is refused
+    (the predicate text would silently stop binding — Delta refuses
+    for the same reason)."""
+    m = read_manifest(root)
+    cm = m.get("colmap") or _build_colmap(spark, root)
+    names = [e["name"] for e in cm["cols"]]
+    if old not in names:
+        raise KeyError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for cname, pred in table_constraints(root).items():
+        if old in pred:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({pred}); drop the constraint first"
+            )
+    cm = json.loads(json.dumps(cm))  # private copy
+    for e in cm["cols"]:
+        if e["name"] == old:
+            e["name"] = new
+    return _commit_colmap(root, m, cm, f"rename-column:{old}->{new}")
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the column leaves
+    the logical schema; its physical column stays in the data files
+    (invisible to every snapshot read from this version on) and its
+    physical name is RETIRED so a later re-add of the same logical
+    name gets a fresh physical column — the old values can never
+    resurrect.  Partition columns, the deletion-vector key, and the
+    last remaining column are refused; so is a column referenced by a
+    CHECK constraint."""
+    m = read_manifest(root)
+    cm = m.get("colmap") or _build_colmap(spark, root)
+    names = [e["name"] for e in cm["cols"]]
+    if name not in names:
+        raise KeyError(f"no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    phys = _colmap_lookup(cm, name)
+    if phys in (m.get("partition_cols") or []):
+        raise ValueError(
+            f"{name!r} is a partition column; re-partition the table "
+            "(evolve_partition_spec) before dropping it"
+        )
+    if m.get("dv_key") == phys:
+        raise ValueError(
+            f"{name!r} keys the table's deletion vectors; OPTIMIZE "
+            "(fold the DV backlog) before dropping it"
+        )
+    for cname, pred in table_constraints(root).items():
+        if name in pred:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r} ({pred}); drop the constraint first"
+            )
+    cm = json.loads(json.dumps(cm))
+    cm["cols"] = [e for e in cm["cols"] if e["name"] != name]
+    cm["retired"] = sorted(set(cm.get("retired", [])) | {phys})
+    return _commit_colmap(root, m, cm, f"drop-column:{name}")
+
+
+def _extend_colmap(cm: dict, added: list[str]) -> dict:
+    """Allocate ids + physical names for columns appended by additive
+    schema evolution on a MAPPED table.  A physical name that was ever
+    used (live or retired) is never reused — the re-added column maps
+    to ``<name>__<id>`` so old files' values stay invisible."""
+    cm = json.loads(json.dumps(cm))
+    used = {e["physical"] for e in cm["cols"]} | set(
+        cm.get("retired", [])
+    )
+    for name in added:
+        cm["max_id"] += 1
+        phys = name if name not in used else f"{name}__{cm['max_id']}"
+        used.add(phys)
+        cm["cols"].append(
+            {"id": cm["max_id"], "name": name, "physical": phys}
+        )
+    return cm
+
+
+def ensure_rename_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): v1 = pre-1998 orders partitioned by
+    (o_year); v2 = RENAME price -> amount; v3 = RENAME the PARTITION
+    column o_year -> order_year; v4 = the 1998 tail appended under
+    the NEW logical names.  Every step after v1 is metadata-only
+    except the append's own data files."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-rename-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_RENAME")
+    note = f"acid-rename {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(2),
+        partition_cols=["o_year"],
+    )
+    rename_column(spark, root, "price", "amount")
+    rename_column(spark, root, "o_year", "order_year")
+    append_table_partitioned(
+        spark,
+        root,
+        o.filter(F.year("o_orderdate") == 1998).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("amount"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        ),
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_rename_column",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1998)
+    """,
+)
+def q_table_rename_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RENAME COLUMN via column-id mapping (round 9 — the
+    q_table_add_column docstring's named next step): the manifest's
+    colmap block maps stable ids + physical (at-write) names to
+    logical names, so a rename is ONE metadata commit — no data file
+    rewritten (pytest-pinned), which is the only acceptable cost at
+    100 TB.  This exercise renames a VALUE column (price -> amount)
+    and the PARTITION column itself (o_year -> order_year), appends
+    the 1998 tail under the new logical names (the write path maps
+    logical -> physical), and reads with a partition filter ON THE
+    RENAMED COLUMN — partition pruning still fires because the
+    manifest's partition values are physical-keyed and the filter is
+    translated through the map (pytest pins the pruned file count).
+    Time travel to v1 returns the ORIGINAL names: each version's
+    manifest carries its own colmap.  The oracle is the plain
+    two-year filter under the new names, so a mistranslated filter
+    (lost rows) or an unmapped append (null amounts) breaks the
+    hash."""
+    root = ensure_rename_exercise(spark, sf_dir)
+    return read_table(
+        spark, root, partition_filter={"order_year": [1995, 1998]}
+    )
+
+
+def ensure_drop_column_exercise(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Stage (idempotent): v1 = even orders (key, priority, price);
+    v2 = DROP COLUMN o_orderpriority; v3 = odd orders appended under
+    the narrowed schema; v4 = a column NAMED o_orderpriority re-added
+    by additive evolution with new content — the retired physical
+    name guarantees the dropped values never resurrect."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-dropcol-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_DROPCOL")
+    note = f"acid-dropcol {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    create_table(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    drop_column(spark, root, "o_orderpriority")
+    append_table(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    append_table(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 500 == 0).select(
+            (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.lit("READDED").alias("o_orderpriority"),
+        ),
+        allow_evolution=True,
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_drop_column",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 30000000, CAST(o_totalprice AS DOUBLE),
+           'READDED'
+    FROM orders
+    WHERE o_orderkey % 500 = 0
+    """,
+)
+def q_table_drop_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DROP COLUMN + same-name RE-ADD via column-id mapping (round
+    9): the drop is one metadata commit (the physical column stays in
+    the files, invisible and RETIRED); appends after the drop write
+    the narrowed schema; the evolution re-add of a column NAMED
+    o_orderpriority allocates a fresh id + fresh physical name
+    (o_orderpriority__N), so every pre-drop row reads NULL for it —
+    the dropped values provably cannot resurrect, which is exactly
+    the hazard Delta's column-mapping ids exist to prevent (a
+    name-keyed reader would silently surface the old values).  The
+    oracle unions the full key set with NULL priority plus the
+    re-added rows, so a resurrected value, a lost append, or a
+    mis-hidden column breaks the hash."""
+    root = ensure_drop_column_exercise(spark, sf_dir)
+    return read_table(spark, root)

@@ -434,6 +434,18 @@ class _AcidTableReader(DataSourceReader):
 
         m = read_manifest(self.root, self.version)
         pmap = m.get("partitions", {})
+        cm = m.get("colmap")
+        proj = None
+        if cm is not None:
+            # logical projection plan for read(): physical columns in
+            # logical order (a physical absent from an old file reads
+            # NULL); option filters arrive under LOGICAL names —
+            # re-key them to the physical names the metadata uses
+            proj = [e["physical"] for e in cm["cols"]]
+            names = {e["name"]: e["physical"] for e in cm["cols"]}
+            self.pfilters = {
+                names.get(c, c): v for c, v in self.pfilters.items()
+            }
 
         def keep(f: str) -> bool:
             vals = pmap.get(os.path.basename(f), {})
@@ -462,15 +474,15 @@ class _AcidTableReader(DataSourceReader):
                 for c, v in self.pfilters.items()
                 if c not in vals
             ]
-            parts.append(InputPartition((f, dvf, key, residual)))
-        return parts or [InputPartition((None, [], None, []))]
+            parts.append(InputPartition((f, dvf, key, residual, proj)))
+        return parts or [InputPartition((None, [], None, [], None))]
 
     def read(self, partition):
         import os
 
         import pyarrow.parquet as pq
 
-        f, dvf, key, residual = partition.value
+        f, dvf, key, residual, proj = partition.value
         if f is None:
             return
         t = pq.read_table(f)
@@ -479,6 +491,11 @@ class _AcidTableReader(DataSourceReader):
             import pyarrow.compute as pc
 
             for c, v in residual:
+                if c not in t.column_names:
+                    # column predates this file: its value is NULL,
+                    # which can never equal the filter value
+                    t = t.slice(0, 0)
+                    break
                 col_type = t.schema.field(c).type
                 try:
                     want = pa.scalar(v, type=pa.string()).cast(
@@ -515,9 +532,15 @@ class _AcidTableReader(DataSourceReader):
                         )
                     )
                 )
-        cols = [c for c in t.column_names]
-        for row in zip(*(t.column(c).to_pylist() for c in cols)):
-            yield row
+        cols = proj if proj is not None else list(t.column_names)
+        have = set(t.column_names)
+        series = [
+            t.column(c).to_pylist()
+            if c in have
+            else [None] * t.num_rows  # physical predates this file
+            for c in cols
+        ]
+        yield from zip(*series)
 
 
 class AcidTableSource(DataSource):
@@ -543,9 +566,8 @@ class AcidTableSource(DataSource):
             opts["root"],
             int(opts["version"]) if "version" in opts else None,
         )
-        sch = pq.read_schema(m["files"][0])
-        cols = []
-        for field in sch:
+
+        def ddl_of(field) -> str:
             ddl = _ARROW_TO_DDL.get(str(field.type))
             if ddl is None:
                 if str(field.type).startswith("timestamp"):
@@ -555,8 +577,35 @@ class AcidTableSource(DataSource):
                         f"unmapped arrow type {field.type} for "
                         f"{field.name}"
                     )
-            cols.append(f"{field.name} {ddl}")
-        return ", ".join(cols)
+            return ddl
+
+        cm = m.get("colmap")
+        if cm is None:
+            sch = pq.read_schema(m["files"][0])
+            return ", ".join(
+                f"{field.name} {ddl_of(field)}" for field in sch
+            )
+        # column-mapped table (round 9): serve the LOGICAL schema.
+        # Physical columns live under their at-write names; a
+        # re-added column may be absent from older files, so walk
+        # footers until every physical type is resolved.
+        want = {e["physical"] for e in cm["cols"]}
+        types: dict[str, str] = {}
+        for f in m["files"]:
+            for field in pq.read_schema(f):
+                if field.name in want and field.name not in types:
+                    types[field.name] = ddl_of(field)
+            if len(types) == len(want):
+                break
+        missing = want - set(types)
+        if missing:
+            raise ValueError(
+                f"physical columns {sorted(missing)} not found in any "
+                "data file"
+            )
+        return ", ".join(
+            f"{e['name']} {types[e['physical']]}" for e in cm["cols"]
+        )
 
     def reader(self, schema) -> _AcidTableReader:
         opts = {k.lower(): v for k, v in self.options.items()}

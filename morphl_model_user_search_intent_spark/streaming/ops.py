@@ -710,37 +710,108 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_static_join_sink", "append", sf_dir)
 
 
-@register("q_stream_multi_batch", oracle=None)
+def _staged_bucket_files(spark: SparkSession, sf_dir: str) -> str:
+    """events re-staged as FOUR files, one per ``event_id % 4``
+    bucket (round 9): each file holds exactly one CONTENT-derived
+    bucket, so per-micro-batch aggregates keyed by the bucket are
+    deterministic regardless of the order the file stream lists the
+    files in — the property that lets q_stream_multi_batch carry a
+    SQL oracle.  Same atomic stage-then-rename protocol as
+    :func:`_staged_four_files`."""
+    import os
+    import shutil
+
+    from ..io import table as _table
+    from ..sources.formats import SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    final = os.path.join(SCRATCH, f"streambuck4-{tag}")
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ev = _table(spark, sf_dir, "events")
+    for b in range(4):
+        part = f"{tmp}/stage-{b}"
+        (
+            ev.filter(F.col("event_id") % 4 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        for f in sorted(os.listdir(part)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(part, f),
+                    os.path.join(tmp, f"bucket-{b}.parquet"),
+                )
+        shutil.rmtree(part, ignore_errors=True)
+    with open(os.path.join(tmp, "_DONE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, "_DONE")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+    return final
+
+
+# the pytest twin reads the per-batch sink to prove ≥4 distinct
+# micro-batches ran (the batch ids are NOT part of the query output —
+# batch↔file order is the one nondeterministic thing here)
+_MB_SINKS: dict[str, str] = {}
+
+
+@register(
+    "q_stream_multi_batch",
+    oracle="""
+    SELECT event_id % 4 AS bucket, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental multi-micro-batch processing: the source is
-    re-staged as FOUR files and read with ``maxFilesPerTrigger=1``,
-    so availableNow drains it in ≥4 micro-batches; foreachBatch
-    appends per-batch counts to an accumulator table.  This is the
+    re-staged as FOUR files — one per ``event_id % 4`` bucket — and
+    read with ``maxFilesPerTrigger=1``, so availableNow drains it in
+    ≥4 micro-batches; foreachBatch appends per-batch
+    (bucket, event_type) counts to an accumulator dir.  This is the
     backfill/catch-up shape (process a day of files in bounded
     batches) — and the proof the engine actually incrementalizes
     instead of swallowing the directory whole.
 
-    Output: one row per (micro-batch, event_type) with counts; the
-    pytest twin asserts ≥2 batches ran and the per-type totals equal
-    the batch aggregate (exactly-once across batch boundaries).
+    ORACLE-PROMOTED in round 9 (r8 verdict item 6): the previous form
+    keyed output rows by ``batch_id``, and the file→batch assignment
+    order is NOT provably stable (FileStreamSource orders candidate
+    files by modification time with listing-order ties — four files
+    written in one job share an mtime).  Keying each staged file by a
+    CONTENT-derived bucket instead makes the accumulated output a
+    plain GROUP BY — independent of drain order — while the batch
+    boundaries still do the work: a duplicated or lost micro-batch
+    double-counts or drops its bucket's rows and breaks the hash
+    (exactly-once across batch boundaries, now oracle-checked).  The
+    pytest twin still proves ≥4 distinct batches ran from the sink's
+    batch_id column, which stays in the SINK but not the output.
 
     Sink discipline: each micro-batch APPENDS its aggregate rows to a
-    scratch parquet dir (tagged with its batch_id column) and the
-    result is read back once at the end — the aggregate never touches
-    the driver, so a 100×-longer stream costs zero driver memory
-    (round-4 verdict: the previous form accumulated per-batch rows
-    into a Python list).  Parquet append per batch is idempotent
-    under availableNow's exactly-once batch ids here; a restartable
-    production run would dedup on batch_id at read time.
-    """
+    scratch parquet dir and the result is read back once at the end —
+    the aggregate never touches the driver, so a 100×-longer stream
+    costs zero driver memory."""
     import os
     import shutil
 
     from ..sources.formats import SCRATCH
 
-    src = _staged_four_files(spark, sf_dir)
+    src = _staged_bucket_files(spark, sf_dir)
     configure(spark)
-    schema = spark.read.parquet(src).schema
+    schema = spark.read.parquet(
+        os.path.join(src, "bucket-0.parquet")
+    ).schema
     s = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -751,13 +822,17 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(SCRATCH, f"mb-counts-{tag}-{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
+    _MB_SINKS[sf_dir] = out_dir
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy("event_type")
+            batch_df.groupBy(
+                (F.col("event_id") % 4).alias("bucket"), "event_type"
+            )
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "bucket",
                 "event_type",
                 "n_events",
             )
@@ -765,20 +840,19 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
+    q = (
+        s.writeStream.foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
-        q = (
-            s.writeStream.foreachBatch(append_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination(30)
-        return spark.read.parquet(out_dir).localCheckpoint()
+        q.processAllAvailable()
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(out_dir).select(
+        "bucket", "event_type", "n_events"
+    )
 
 
 @register("q_stream_countmin", oracle=None)

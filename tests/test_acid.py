@@ -2354,3 +2354,331 @@ def test_indexed_manifest_resolution_equals_linear_walk(
     # the index never walks the full list: a one-partition filter
     # returns a strict subset
     assert len(resolve_files(m, {"o_year": 1995})) < len(m["files"])
+
+
+def test_rename_column_metadata_only_time_travel_and_pruning(
+    spark, tmp_path
+):
+    """r9 column mapping: RENAME rewrites zero data files, time
+    travel returns each version's own logical names, partition
+    pruning fires on the renamed partition column, and writes after
+    the rename land under the stable physical names."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+        rename_column,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(2),
+        partition_cols=["o_year"],
+    )
+    m1 = read_manifest(root)
+    rename_column(spark, root, "price", "amount")
+    rename_column(spark, root, "o_year", "order_year")
+    m3 = read_manifest(root)
+    assert m3["files"] == m1["files"]  # metadata-only, twice
+    # current read: new names; time travel: original names
+    assert set(read_table(spark, root).columns) == {
+        "o_orderkey", "o_orderpriority", "amount", "order_year",
+    }
+    assert set(read_table(spark, root, version=1).columns) == {
+        "o_orderkey", "o_orderpriority", "price", "o_year",
+    }
+    # pruning fires on the RENAMED partition column
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _filter_to_physical,
+    )
+
+    pruned = resolve_files(
+        m3, _filter_to_physical(m3["colmap"], {"order_year": 1995})
+    )
+    assert 0 < len(pruned) < len(m3["files"])
+    got = read_table(
+        spark, root, partition_filter={"order_year": 1995}
+    )
+    want = base.filter(F.col("o_year") == 1995)
+    assert got.count() == want.count()
+    # append under the new logical names, then read both vintages
+    append_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") == 1998).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("price").alias("amount"),
+            F.col("o_year").alias("order_year"),
+        ),
+    )
+    assert read_table(spark, root).count() == base.count()
+    assert (
+        read_table(spark, root)
+        .filter(F.col("amount").isNull())
+        .count()
+        == 0
+    )
+
+
+def test_rename_refused_when_constraint_references_column(
+    spark, tmp_path
+):
+    """r9: renaming a column a CHECK constraint references is refused
+    (the predicate text would silently stop binding)."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_constraint,
+        create_table,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark).limit(100))
+    add_constraint(root, "pos_price", "price >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(spark, root, "price", "amount")
+    rename_column(spark, root, "o_orderpriority", "prio")  # unaffected
+
+
+def test_drop_column_never_resurrects_and_guards(spark, tmp_path):
+    """r9 column mapping: DROP hides the column from every snapshot
+    read from that version on (files untouched), a same-name re-add
+    reads NULL for all pre-drop rows (fresh physical name), and the
+    guards refuse dropping a partition column, the DV key, and the
+    last column."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        create_table,
+        create_table_partitioned,
+        delete_from_table,
+        drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark).filter(F.col("o_orderkey") % 2 == 0)
+    create_table(spark, root, df)
+    m1 = read_manifest(root)
+    drop_column(spark, root, "o_orderpriority")
+    m2 = read_manifest(root)
+    assert m2["files"] == m1["files"]  # metadata-only
+    assert set(read_table(spark, root).columns) == {
+        "o_orderkey", "price",
+    }
+    # re-add the NAME with new content: fresh physical, no resurrect
+    append_table(
+        spark,
+        root,
+        df.limit(50).select(
+            (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+            "price",
+            F.lit("READDED").alias("o_orderpriority"),
+        ),
+        allow_evolution=True,
+    )
+    got = read_table(spark, root)
+    old = got.filter(F.col("o_orderkey") < 30000000)
+    assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    new = got.filter(F.col("o_orderkey") >= 30000000)
+    assert new.filter(
+        F.col("o_orderpriority") == "READDED"
+    ).count() == new.count() == 50
+    # physical names diverge: retired vs fresh id-suffixed
+    cmap = read_manifest(root)["colmap"]
+    entry = [e for e in cmap["cols"] if e["name"] == "o_orderpriority"]
+    assert entry and entry[0]["physical"] != "o_orderpriority"
+    assert "o_orderpriority" in cmap["retired"]
+    # guards
+    with pytest.raises(ValueError, match="only column"):
+        r2 = str(tmp_path / "one")
+        create_table(spark, r2, df.select("o_orderkey"))
+        drop_column(spark, r2, "o_orderkey")
+    r3 = str(tmp_path / "part")
+    create_table_partitioned(
+        spark,
+        r3,
+        df.withColumn("bucket", F.col("o_orderkey") % 3),
+        ["bucket"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(spark, r3, "bucket")
+    r4 = str(tmp_path / "dv")
+    create_table(spark, r4, df)
+    delete_from_table(
+        spark,
+        r4,
+        df.limit(10).select("o_orderkey"),
+        on="o_orderkey",
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        drop_column(spark, r4, "o_orderkey")
+
+
+def test_mapped_table_merge_delete_restore_clone(spark, tmp_path):
+    """r9 column mapping composes with the rest of the table layer:
+    MERGE and DV DELETE on a renamed table (logical source / key),
+    RESTORE across the rename resurrects the old logical schema, and
+    a shallow clone carries the map."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        clone_table,
+        create_table,
+        delete_from_table,
+        merge_table,
+        rename_column,
+        restore_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark)
+    create_table(spark, root, df)
+    rename_column(spark, root, "price", "amount")
+    # MERGE with a LOGICAL-schema source
+    src = (
+        df.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("price") * 2).alias("amount"),
+        )
+        .withColumn("_delete", F.col("o_orderkey") % 14 == 0)
+    )
+    merge_table(spark, root, src, on="o_orderkey")
+    got = read_table(spark, root)
+    n_del = df.filter(F.col("o_orderkey") % 14 == 0).count()
+    assert got.count() == df.count() - n_del
+    doubled = got.filter(F.col("o_orderkey") % 7 == 0)
+    ref = df.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 14 != 0)
+    )
+    assert abs(
+        doubled.agg(F.sum("amount")).collect()[0][0]
+        - 2 * ref.agg(F.sum("price")).collect()[0][0]
+    ) < 1e-6
+    # DV DELETE with the logical key name
+    delete_from_table(
+        spark,
+        root,
+        got.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        on="o_orderkey",
+    )
+    after = read_table(spark, root)
+    assert after.filter(F.col("o_orderkey") % 11 == 0).count() == 0
+    # RESTORE to v1: original names, original content
+    restore_table(spark, root, 1)
+    r = read_table(spark, root)
+    assert set(r.columns) == {"o_orderkey", "o_orderpriority", "price"}
+    assert r.count() == df.count()
+    # clone from the renamed version carries the colmap
+    dst = str(tmp_path / "c")
+    clone_table(spark, root, dst, version=2)
+    assert set(read_table(spark, dst).columns) == {
+        "o_orderkey", "o_orderpriority", "amount",
+    }
+
+
+def test_acid_table_source_serves_logical_schema_on_mapped_table(
+    spark, tmp_path
+):
+    """r9: the acid_table batch source serves a column-mapped table
+    under its LOGICAL schema — renamed names, dropped column hidden,
+    pre-drop rows NULL for a re-added column, filters on the renamed
+    partition column translated and exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        rename_column,
+    )
+    from morphl_model_user_search_intent_spark.sources.pysource import (
+        AcidTableSource,
+    )
+
+    root, base = _evolved_table(spark, tmp_path)
+    rename_column(spark, root, "price", "amount")
+    rename_column(spark, root, "o_year", "order_year")
+    try:
+        spark.dataSource.register(AcidTableSource)
+    except Exception:
+        pass
+    got = (
+        spark.read.format("acid_table")
+        .option("root", root)
+        .option("partition.order_year", "1995")
+        .load()
+    )
+    assert set(got.columns) == {
+        "o_orderkey", "o_orderpriority", "amount", "order_year",
+    }
+    want = base.filter(F.col("o_year") == 1995)
+    assert got.count() == want.count()
+    assert (
+        abs(
+            got.agg(F.sum("amount")).collect()[0][0]
+            - want.agg(F.sum("price")).collect()[0][0]
+        )
+        < 1e-4
+    )
+
+
+def test_constraints_version_travel_restore_and_clone(spark, tmp_path):
+    """r9 versioned constraints: ADD/DROP CONSTRAINT are manifest
+    commits, so the governing rule set is the VERSION's — writing
+    through a restored v_n is checked against v_n's constraints (a
+    later, stricter rule does not silently govern the restored
+    table), and a clone carries the source's set."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        ConstraintViolation,
+        add_constraint,
+        append_table,
+        clone_table,
+        drop_constraint,
+        restore_table,
+        table_constraints,
+        create_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark).limit(200)
+    create_table(spark, root, df)  # v1: no constraints
+    v2 = add_constraint(root, "pos", "price >= 0")
+    assert v2 == 2 and table_constraints(root) == {"pos": "price >= 0"}
+    assert table_constraints(root, version=1) == {}
+    # the constraint binds writes now
+    bad = df.limit(5).withColumn("price", F.lit(-1.0))
+    with pytest.raises(ConstraintViolation):
+        append_table(spark, root, bad)
+    # v3: stricter rule; v4: restore v2 -> governed by v2's set again
+    add_constraint(root, "big", "price >= 1000")
+    with pytest.raises(ConstraintViolation):
+        append_table(
+            spark, root, df.limit(5).withColumn("price", F.lit(5.0))
+        )
+    restore_table(spark, root, 2)
+    append_table(
+        spark, root, df.limit(5).withColumn("price", F.lit(5.0))
+    )  # allowed: 'big' is gone with the restore
+    with pytest.raises(ConstraintViolation):
+        append_table(spark, root, bad)  # 'pos' still governs
+    # history kept every state
+    assert set(table_constraints(root, version=3)) == {"pos", "big"}
+    # drop is a commit too
+    drop_constraint(root, "pos")
+    append_table(spark, root, bad)  # now legal
+    # clone carries the SOURCE VERSION's constraint set
+    dst = str(tmp_path / "c")
+    clone_table(spark, root, dst, version=3)
+    assert set(table_constraints(dst)) == {"pos", "big"}

@@ -208,7 +208,19 @@ def test_multi_batch_increments_and_conserves(spark):
 
     df = REGISTRY["q_stream_multi_batch"].fn(spark, SF_DIR)
     rows = df.collect()
-    assert len({r.batch_id for r in rows}) >= 2  # really incremental
+    # really incremental: the SINK keeps per-batch ids (not part of
+    # the oracle-checked output — batch↔file order isn't stable)
+    from morphl_model_user_search_intent_spark.streaming.ops import (
+        _MB_SINKS,
+    )
+
+    sink = spark.read.parquet(_MB_SINKS[SF_DIR]).collect()
+    assert len({r.batch_id for r in sink}) >= 4
+    # each micro-batch held exactly one content bucket
+    seen = {}
+    for r in sink:
+        seen.setdefault(r.batch_id, set()).add(r.bucket)
+    assert all(len(b) == 1 for b in seen.values())
     got = {}
     for r in rows:
         got[r.event_type] = got.get(r.event_type, 0) + r.n_events
