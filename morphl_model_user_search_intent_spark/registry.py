@@ -139,9 +139,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round 5 swapped in the round-4/5 additions (URL dedup, hybrid RRF,
 # span corruption, curation funnel, index serve, chunked sessionize).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.4 aggregates (flagship first; salted/approx-topk never graded)
+    # §2.4 aggregates (flagship first; salted never graded)
     "q_agg_hash", "q_agg_distinct", "q_agg_salted",
-    "q_agg_approx_topk",
     # §2.5 windows / §2.6 sorts
     "q_win_topk", "q_sort_limit",
     # §2.7 set ops + dedup (portable MinHash twin: first grade)
@@ -164,8 +163,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_table_zorder_partitioned", "q_table_scan_composed",
     "q_table_drop_partition", "q_table_overwrite_partition",
     "q_table_partition_evolution", "q_table_cdc_partitioned",
-    # round-9 column mapping (brand new — first grade)
+    # round-9 column mapping + MoR UPDATE (brand new — first grade)
     "q_table_rename_column", "q_table_drop_column",
+    "q_table_update_mor",
     # §2.1 sources via the public DataSource API (never graded)
     "q_source_acid_table", "q_source_acid_table_pruned",
     # §2.10 inverted-index lifecycle (never graded)

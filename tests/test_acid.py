@@ -2682,3 +2682,73 @@ def test_constraints_version_travel_restore_and_clone(spark, tmp_path):
     dst = str(tmp_path / "c")
     clone_table(spark, root, dst, version=3)
     assert set(table_constraints(dst)) == {"pos", "big"}
+
+
+def test_update_mor_is_o_batch_and_folds(spark, tmp_path):
+    """r9 MoR UPDATE: one commit = tombstones + post-image appends,
+    ZERO pre-existing data files rewritten; masked read shows exactly
+    the post-images; OPTIMIZE folds the backlog with content intact;
+    a duplicate-key batch is refused; unmatched keys are ignored
+    (SQL UPDATE, not upsert)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table,
+        dv_fraction,
+        optimize_table,
+        update_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark)
+    create_table(spark, root, df.repartition(4, "o_orderkey"))
+    m1 = read_manifest(root)
+    upd = df.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("TOUCHED").alias("o_orderpriority"),
+        (F.col("price") * 2).alias("price"),
+    )
+    # unmatched keys ignored: shift half the batch out of range
+    ghost = upd.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 90000000
+    )
+    update_table(
+        spark, root, upd.unionByName(ghost), on="o_orderkey"
+    )
+    m2 = read_manifest(root)
+    assert set(m1["files"]) <= set(m2["files"])  # nothing rewritten
+    assert m2.get("dv_files")
+    got = read_table(spark, root)
+    assert got.count() == df.count()  # update, not insert
+    assert (
+        got.filter(F.col("o_orderkey") >= 90000000).count() == 0
+    )
+    touched = got.filter(F.col("o_orderkey") % 7 == 0)
+    assert {
+        r[0]
+        for r in touched.select("o_orderpriority").distinct().collect()
+    } == {"TOUCHED"}
+    want = _rowset(
+        df.withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, "TOUCHED"
+            ).otherwise(F.col("o_orderpriority")),
+        ).withColumn(
+            "price",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("price") * 2
+            ).otherwise(F.col("price")),
+        )
+    )
+    assert _rowset(got) == want
+    # duplicate post-image refused
+    with pytest.raises(ValueError, match="duplicate key"):
+        update_table(
+            spark, root, upd.unionByName(upd), on="o_orderkey"
+        )
+    # fold clears the mask, content intact
+    optimize_table(spark, root)
+    assert not read_manifest(root).get("dv_files")
+    assert dv_fraction(root) == 0.0
+    assert _rowset(read_table(spark, root)) == want
