@@ -163,9 +163,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_table_zorder_partitioned", "q_table_scan_composed",
     "q_table_drop_partition", "q_table_overwrite_partition",
     "q_table_partition_evolution", "q_table_cdc_partitioned",
-    # round-9 column mapping + MoR UPDATE (brand new — first grade)
+    # round-9 column mapping + MoR UPDATE + hidden partitioning
+    # (brand new — first grade)
     "q_table_rename_column", "q_table_drop_column",
-    "q_table_update_mor",
+    "q_table_update_mor", "q_table_hidden_partition",
     # §2.1 sources via the public DataSource API (never graded)
     "q_source_acid_table", "q_source_acid_table_pruned",
     # §2.10 inverted-index lifecycle (never graded)
@@ -173,8 +174,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_text_index_compact",
     # §2.12 UDFs
     "q_udf_grouped_map",
-    # §2.1 sources / sinks / scans
-    "q_source_csv", "q_sink_partitioned", "q_scan_pushdown",
+    # §2.1 sources / sinks / scans (q_source_ covered by the
+    # acid_table pair; csv rotated out, graded green in r8)
+    "q_sink_partitioned", "q_scan_pushdown",
     # §2.2 projection / predicates
     "q_project", "q_filter_pred", "q_case_when",
     # §2.3 joins + a never-graded TPC-H representative
@@ -185,11 +187,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # Round-9 rotation (r8 verdict item 1): seat the 16 round-8 keys the
 # real driver never graded (DV/z-order/partition-evolution/inverted-
 # index/erasure/acid-source/indexed-RRF — all green in the judge's
-# r8 vanilla spot-run) plus 9 more never-graded oracle keys
+# r8 vanilla spot-run), 6 more never-graded oracle keys
 # (q_tpch_q05, q_table_cdc_partitioned,
-# q_stream_table_ingest_partitioned, q_agg_salted, q_agg_approx_topk,
-# q_dedup_minhash_portable, q_corpus_gopher, q_events_funnel,
-# q_customer_rfm) — 25 of 50 slots get their FIRST driver grade.
+# q_stream_table_ingest_partitioned, q_agg_salted,
+# q_dedup_minhash_portable, q_corpus_gopher), and the 4 BRAND-NEW
+# round-9 keys (rename/drop column, MoR update, hidden partitioning)
+# — 26 of 50 slots get their FIRST driver grade.
 # Rotated OUT (all driver-graded green in CORRECTNESS_r08, still
 # verified by every full sweep): q_stream_table_cdc,
 # q_stream_session_window, q_stream_watermark, q_stream_static_join,

@@ -140,6 +140,7 @@ def commit(
     dv_key: str | None = None,
     colmap: dict | None | object = _INHERIT,
     constraints: dict | None | object = _INHERIT,
+    transforms: list | None | object = _INHERIT,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
@@ -194,7 +195,11 @@ def commit(
         # / O(10³) partitions that is the difference between a
         # per-query driver stall and a sub-millisecond lookup.
         manifest["pidx"] = _build_pidx(files, partitions)
-    if colmap is _INHERIT or constraints is _INHERIT:
+    if (
+        colmap is _INHERIT
+        or constraints is _INHERIT
+        or transforms is _INHERIT
+    ):
         # column mapping and CHECK constraints (round 9) survive
         # EVERY commit by default: a writer that forgot to thread
         # them would silently flip the table back to identity naming
@@ -213,10 +218,19 @@ def commit(
             colmap = pm.get("colmap") if pm else None
         if constraints is _INHERIT:
             constraints = pm.get("constraints") if pm else None
+        if transforms is _INHERIT:
+            transforms = pm.get("transforms") if pm else None
     if colmap is not None:
         manifest["colmap"] = colmap
     if constraints is not None:
         manifest["constraints"] = constraints
+    if transforms is not None:
+        # HIDDEN-PARTITION transform spec (round 9 — Iceberg's hidden
+        # partitioning): [{"name", "src", "kind", "param"}]; the
+        # layout column is computed from the source column at write
+        # time and source-column predicates prune through it at read
+        # time (scan()) — the table's users never see or maintain it.
+        manifest["transforms"] = transforms
     if dv_files is not None:
         # DELETION VECTORS (round 8): merge-on-read DELETE sidecars —
         # (_file basename, key) tombstone rows a snapshot read
@@ -510,6 +524,7 @@ def _write_files_partitioned(
     root: str,
     partition_cols: list[str],
     subdir: str = "data",
+    exprs: dict | None = None,
 ) -> tuple[list[str], dict]:
     """Materialize ``df`` hive-partitioned on ``partition_cols`` as
     immutable uuid-named files and return (paths, {basename: {col:
@@ -522,11 +537,21 @@ def _write_files_partitioned(
     snapshot reader sees the full schema without partition-dir
     reconstruction."""
     staging = os.path.join(root, f".stage-{uuid.uuid4().hex}")
-    # the partition columns' REAL types, for exact dir-value parsing
-    dtypes = dict(df.dtypes)
     dup = df
     for c in partition_cols:
-        dup = dup.withColumn(f"_p_{c}", F.col(c))
+        # ``exprs`` supplies HIDDEN partition values (round-9
+        # transforms — year(ts), bucket(k) — Iceberg's hidden
+        # partitioning): the value is computed for layout only and
+        # never becomes a data column; plain partition columns are
+        # duplicated as before
+        dup = dup.withColumn(
+            f"_p_{c}",
+            exprs[c] if exprs and c in exprs else F.col(c),
+        )
+    # the partition VALUES' real types, for exact dir-value parsing
+    dtypes = {
+        c[3:]: t for c, t in dup.dtypes if c.startswith("_p_")
+    }
     dup.write.mode("overwrite").partitionBy(
         *[f"_p_{c}" for c in partition_cols]
     ).parquet(staging)
@@ -1144,8 +1169,16 @@ def append_table_partitioned(
     # a partitioned ingest must not be a constraint/schema bypass)
     _enforce_schema(spark, root, df, allow_evolution=False)
     _validate_constraints(df, root)
-    df = _select_physical(read_manifest(root).get("colmap"), df)
-    files, parts = _write_files_partitioned(df, root, pcols)
+    _m0 = read_manifest(root)
+    df = _select_physical(_m0.get("colmap"), df)
+    files, parts = _write_files_partitioned(
+        df,
+        root,
+        pcols,
+        exprs=_transform_exprs(_m0["transforms"])
+        if _m0.get("transforms")
+        else None,
+    )
     new_stats = commit_stats(root, files, [])
 
     def _reclaim() -> None:
@@ -2570,7 +2603,17 @@ def merge_table_partitioned(
         pcols = m["partition_cols"]
         pmap = m.get("partitions", {})
         old_stats = m.get("stats", {})
-        src_parts = _source_partitions(source, pcols)
+        tr = m.get("transforms")
+        exprs = _transform_exprs(tr) if tr else None
+        if exprs:
+            # hidden partitioning: the source's partition tuples are
+            # the TRANSFORMS of its rows, computed for planning only
+            src_h = source
+            for name, e in exprs.items():
+                src_h = src_h.withColumn(name, e)
+            src_parts = _source_partitions(src_h, pcols)
+        else:
+            src_parts = _source_partitions(source, pcols)
         cand = [
             f
             for f in m["files"]
@@ -2611,7 +2654,7 @@ def merge_table_partitioned(
         upserts = source.filter(~F.col("_delete")).drop("_delete")
         _validate_constraints(upserts, root)  # incoming rows only
         new_files, new_parts = _write_files_partitioned(
-            survivors.unionByName(upserts), root, pcols
+            survivors.unionByName(upserts), root, pcols, exprs=exprs
         )
         change_files = None
         if cdc:
@@ -2710,8 +2753,12 @@ def optimize_table_partitioned(
             .drop("_file")
             .coalesce(target_files)
         )
+        tr = m.get("transforms")
         new_files, new_parts = _write_files_partitioned(
-            snap, root, pcols
+            snap,
+            root,
+            pcols,
+            exprs=_transform_exprs(tr) if tr else None,
         )
         sel_set = {os.path.basename(f) for f in sel}
         kept = [
@@ -3321,7 +3368,13 @@ def scan(
             ranges = {
                 _colmap_lookup(cm, c): v for c, v in ranges.items()
             }
-    files = resolve_files(m, partition_filter)
+    # hidden partitioning (round 9): source-column predicates derive
+    # the matching transform values and prune through them; the
+    # hidden names never reach the residual stage (not data columns)
+    pf_full, hidden = _derive_hidden_filters(
+        m, partition_filter, ranges
+    )
+    files = resolve_files(m, pf_full)
     if ranges:
         stats = m.get("stats", {})
         kept = []
@@ -3354,8 +3407,14 @@ def scan(
             )
     # residuals below were already translated to PHYSICAL names and
     # the frame is physical here; project to logical at the end
+    tnames = {t["name"] for t in m.get("transforms") or []}
     if partition_filter:
         for c, want in partition_filter.items():
+            if c in tnames:
+                # a HIDDEN partition name: not a data column, and
+                # file-exact anyway (each file holds one partition
+                # tuple, recorded at write) — no residual possible
+                continue
             allowed = (
                 list(want)
                 if isinstance(want, (list, tuple, set, frozenset))
@@ -3913,6 +3972,11 @@ def overwrite_partition(
         pmap = m.get("partitions", {})
         old_stats = m.get("stats", {})
         # plan-only guard: no stray row outside the target partitions
+        # (a HIDDEN partition name's value is computed from the frame
+        # via its transform — it is not a data column)
+        _tr_by_name = {
+            t["name"]: t for t in m.get("transforms") or []
+        }
         stray = df
         for c, want in partition_filter.items():
             allowed = (
@@ -3920,7 +3984,12 @@ def overwrite_partition(
                 if isinstance(want, (list, tuple, set, frozenset))
                 else [want]
             )
-            stray = stray.filter(~F.col(c).isin(allowed))
+            col = (
+                _transform_exprs([_tr_by_name[c]])[c]
+                if c in _tr_by_name
+                else F.col(c)
+            )
+            stray = stray.filter(~col.isin(allowed))
         if not stray.isEmpty():
             raise ValueError(
                 "overwrite frame contains rows outside "
@@ -3937,8 +4006,12 @@ def overwrite_partition(
         replaced = set(
             match_files_strict(m, _filter_to_physical(cm, partition_filter))
         )
+        _tr = m.get("transforms")
         new_files, new_parts = _write_files_partitioned(
-            _select_physical(cm, df), root, pcols
+            _select_physical(cm, df),
+            root,
+            pcols,
+            exprs=_transform_exprs(_tr) if _tr else None,
         )
         kept = [f for f in m["files"] if f not in replaced]
         partitions = {
@@ -4092,8 +4165,12 @@ def optimize_table_zorder_partitioned(
             .sortWithinPartitions("_z")
             .drop("_z")
         )
+        _tr = m.get("transforms")
         new_files, new_parts = _write_files_partitioned(
-            clustered, root, pcols
+            clustered,
+            root,
+            pcols,
+            exprs=_transform_exprs(_tr) if _tr else None,
         )
         sel_set = {os.path.basename(f) for f in sel}
         kept = [
@@ -4705,3 +4782,255 @@ def q_table_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     break the hash."""
     root = ensure_update_mor_exercise(spark, sf_dir)
     return read_table(spark, root)
+
+
+# ---- hidden partitioning: partition TRANSFORMS (round 9) --------------
+#
+# Iceberg's signature ergonomics: the table is laid out by a DERIVED
+# value — year(o_orderdate), bucket(o_orderkey) — that is computed at
+# write time, recorded in the manifest's per-file partition values
+# under the transform's name, and NEVER exists as a data column.
+# Readers filter on the SOURCE column; scan() derives the matching
+# hidden partition values from the transform spec and prunes the file
+# list before Spark plans anything, then the ordinary source-column
+# residual keeps the result exact (transform pruning is a superset by
+# construction: every row with src in the predicate has transform(src)
+# in the derived value set).  This kills the classic Hive failure mode
+# where users must know the layout column and queries that filter the
+# raw timestamp scan the whole table.
+
+
+def _transform_exprs(transforms: list[dict]) -> dict:
+    """Spark Column per transform, for the hive-partitioned write."""
+    out: dict = {}
+    for t in transforms:
+        src = F.col(t["src"])
+        kind = t["kind"]
+        if kind == "year":
+            out[t["name"]] = F.year(src).cast("bigint")
+        elif kind == "month":
+            out[t["name"]] = (
+                F.year(src) * 100 + F.month(src)
+            ).cast("bigint")
+        elif kind == "day":
+            out[t["name"]] = F.date_format(src, "yyyy-MM-dd")
+        elif kind == "bucket":
+            out[t["name"]] = F.pmod(src, F.lit(int(t["param"]))).cast(
+                "bigint"
+            )
+        elif kind == "truncate":
+            w = int(t["param"])
+            out[t["name"]] = (src - F.pmod(src, F.lit(w))).cast(
+                "bigint"
+            )
+        else:
+            raise ValueError(f"unknown transform kind {kind!r}")
+    return out
+
+
+def _py_year(v) -> int:
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.year
+    return int(str(v)[:4])
+
+
+def _transform_apply(t: dict, v):
+    """The transform, applied to ONE literal at planning time (must
+    agree with :func:`_transform_exprs` — the pytest pins this on
+    real data)."""
+    kind = t["kind"]
+    if kind == "year":
+        return _py_year(v)
+    if kind == "month":
+        s = str(v)
+        return _py_year(v) * 100 + int(s[5:7])
+    if kind == "day":
+        return str(v)[:10]
+    if kind == "bucket":
+        return int(v) % int(t["param"])
+    if kind == "truncate":
+        w = int(t["param"])
+        return int(v) - int(v) % w
+    raise ValueError(f"unknown transform kind {kind!r}")
+
+
+def _transform_range_values(t: dict, lo, hi) -> list | None:
+    """Hidden partition values that can hold ANY src in [lo, hi] —
+    None when the transform can't bound a range (bucket)."""
+    kind = t["kind"]
+    if kind == "year":
+        return list(range(_py_year(lo), _py_year(hi) + 1))
+    if kind == "month":
+        y0, m0 = _py_year(lo), int(str(lo)[5:7])
+        y1, m1 = _py_year(hi), int(str(hi)[5:7])
+        out = []
+        y, mo = y0, m0
+        while (y, mo) <= (y1, m1):
+            out.append(y * 100 + mo)
+            mo += 1
+            if mo == 13:
+                y, mo = y + 1, 1
+        return out
+    if kind == "truncate":
+        w = int(t["param"])
+        lo_b, hi_b = int(lo) - int(lo) % w, int(hi) - int(hi) % w
+        if (hi_b - lo_b) // w > 100_000:
+            return None  # don't enumerate an absurd IN-list
+        return list(range(lo_b, hi_b + 1, w))
+    return None  # bucket/day ranges don't prune
+
+
+def create_table_transformed(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    transforms: list[dict],
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Initialize a HIDDEN-PARTITIONED table: the layout values are
+    ``transforms`` of source columns ([{"name", "src", "kind",
+    "param"?}]), computed by the write job and recorded per file —
+    the data schema carries only the source columns."""
+    names = [t["name"] for t in transforms]
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"transform names {sorted(clash)} collide with data "
+            "columns — hidden partition values must not shadow the "
+            "schema"
+        )
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    files, parts = _write_files_partitioned(
+        df, root, names, exprs=_transform_exprs(transforms)
+    )
+    return commit(
+        root,
+        files,
+        "create",
+        parent=0,
+        partition_cols=names,
+        partitions=parts,
+        stats=commit_stats(root, files, stats_cols or []),
+        transforms=transforms,
+    )
+
+
+def _derive_hidden_filters(
+    m: dict,
+    partition_filter: dict | None,
+    ranges: dict | None,
+) -> tuple[dict | None, set]:
+    """Fold source-column predicates through the manifest's transform
+    spec into hidden partition-value filters.  Returns the augmented
+    partition filter and the set of HIDDEN names added (residuals
+    must skip those — they are not data columns; the source-column
+    residual keeps the read exact)."""
+    tr = m.get("transforms")
+    if not tr:
+        return partition_filter, set()
+    derived: dict = {}
+    for t in tr:
+        src = t["src"]
+        if partition_filter and src in partition_filter:
+            want = partition_filter[src]
+            vals = (
+                list(want)
+                if isinstance(want, (list, tuple, set, frozenset))
+                else [want]
+            )
+            derived[t["name"]] = sorted(
+                {_transform_apply(t, v) for v in vals}
+            )
+        elif ranges and src in ranges:
+            lo, hi = ranges[src]
+            pv = _transform_range_values(t, lo, hi)
+            if pv is not None:
+                derived[t["name"]] = pv
+    if not derived:
+        return partition_filter, set()
+    return {**(partition_filter or {}), **derived}, set(derived)
+
+
+def ensure_hidden_partition_exercise(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Stage (idempotent): orders laid out by the HIDDEN transforms
+    year(o_orderdate) + bucket(o_orderkey, 8) — the data schema
+    carries only the raw columns; v2 appends the 1998 tail through
+    the same transforms."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-hidden-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_HIDDEN")
+    note = f"acid-hidden {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table_transformed(
+        spark,
+        root,
+        base.filter(F.year("o_orderdate") != 1998).repartition(2),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"},
+            {
+                "name": "key_bucket",
+                "src": "o_orderkey",
+                "kind": "bucket",
+                "param": 8,
+            },
+        ],
+    )
+    append_table_partitioned(
+        spark, root, base.filter(F.year("o_orderdate") == 1998)
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_hidden_partition",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-02-01' AND DATE '1996-11-15'
+    """,
+)
+def q_table_hidden_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN PARTITIONING (round 9 — Iceberg's signature
+    ergonomics): the table is laid out by year(o_orderdate) x
+    bucket(o_orderkey, 8), neither of which exists as a data column;
+    this query filters the RAW date column and scan() derives the
+    matching year values from the manifest's transform spec, prunes
+    the file list before Spark plans anything, and the ordinary
+    source-column residual makes the result exact (transform pruning
+    keeps a superset by construction — here the 1995+1996 partitions
+    for a range that covers neither year fully).  This kills the Hive
+    failure mode where a query filtering the raw timestamp scans the
+    whole table because the user forgot the layout column.  The
+    pytest pins the funnel on BOTH axes (year range ~3x, key-equality
+    bucket routing 8x), that appends route through the transforms,
+    and that planning-side and write-side transform evaluation agree
+    on real data — a disagreement would lossily prune and break this
+    closed-form oracle."""
+    root = ensure_hidden_partition_exercise(spark, sf_dir)
+    return scan(
+        spark,
+        root,
+        ranges={"o_orderdate": ("1995-02-01", "1996-11-15")},
+    )

@@ -2752,3 +2752,91 @@ def test_update_mor_is_o_batch_and_folds(spark, tmp_path):
     assert not read_manifest(root).get("dv_files")
     assert dv_fraction(root) == 0.0
     assert _rowset(read_table(spark, root)) == want
+
+
+def test_hidden_partitioning_prunes_on_raw_predicates(
+    spark, tmp_path
+):
+    """r9 hidden partitioning: layout = year(o_orderdate) x
+    bucket(o_orderkey, 8) with neither as a data column; raw-column
+    predicates prune through the transform spec (date range -> year
+    values, key IN-list -> buckets), planning-side and write-side
+    transform evaluation agree on real data, appends route through
+    the transforms, and results are exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _derive_hidden_filters,
+        append_table_partitioned,
+        create_table_transformed,
+        resolve_files,
+        scan,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table_transformed(
+        spark,
+        root,
+        base.filter(F.year("o_orderdate") != 1998).repartition(2),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"},
+            {
+                "name": "key_bucket",
+                "src": "o_orderkey",
+                "kind": "bucket",
+                "param": 8,
+            },
+        ],
+    )
+    m = read_manifest(root)
+    # the data schema carries ONLY raw columns
+    assert set(read_table(spark, root).columns) == {
+        "o_orderkey", "o_orderdate", "price",
+    }
+    # recorded values = transform of the rows (write side == spec)
+    for b, vals in m["partitions"].items():
+        assert set(vals) == {"o_year", "key_bucket"}
+        assert 1995 <= vals["o_year"] <= 2001 and vals["o_year"] != 1998
+        assert 0 <= vals["key_bucket"] < 8
+    # date-range predicate prunes years; bucket axis intact
+    pf, hidden = _derive_hidden_filters(
+        m, None, {"o_orderdate": ("1995-02-01", "1996-11-15")}
+    )
+    assert pf == {"o_year": [1995, 1996]} and hidden == {"o_year"}
+    kept = resolve_files(m, pf)
+    assert 0 < len(kept) < len(m["files"]) / 2
+    # key IN-list routes to its buckets
+    keys = [3, 11, 19, 1027]
+    pf2, _ = _derive_hidden_filters(m, {"o_orderkey": keys}, None)
+    assert pf2["key_bucket"] == [3]
+    kept2 = resolve_files(m, pf2)
+    assert len(kept2) <= len(m["files"]) / 4  # 1-of-8 buckets
+    # exactness end-to-end on both axes
+    got = scan(
+        spark,
+        root,
+        partition_filter={"o_orderkey": keys},
+        ranges={"o_orderdate": ("1995-02-01", "1996-11-15")},
+    )
+    want = base.filter(
+        F.col("o_orderkey").isin(keys)
+        & F.col("o_orderdate").between("1995-02-01", "1996-11-15")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # appends route through the transforms
+    append_table_partitioned(
+        spark, root, base.filter(F.year("o_orderdate") == 1998)
+    )
+    m2 = read_manifest(root)
+    new = set(m2["files"]) - set(m["files"])
+    assert new
+    for f in new:
+        assert m2["partitions"][os.path.basename(f)]["o_year"] == 1998
+    assert read_table(spark, root).count() == base.count()
