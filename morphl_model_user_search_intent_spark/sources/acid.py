@@ -5034,3 +5034,63 @@ def q_table_hidden_partition(
         root,
         ranges={"o_orderdate": ("1995-02-01", "1996-11-15")},
     )
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """Resolve Delta's ``TIMESTAMP AS OF``: the latest version whose
+    commit timestamp is ≤ ``ts`` (raises if the table's first commit
+    is later).  One manifest-dir listing + one manifest read per
+    candidate, newest-first, so the common case (recent timestamp)
+    reads one manifest."""
+    for v in sorted(list_versions(root), reverse=True):
+        if read_manifest(root, v)["ts"] <= ts:
+            return v
+    raise ValueError(
+        f"no version of {root} existed at ts={ts} (first commit is "
+        "later)"
+    )
+
+
+def read_table_as_of(
+    spark: SparkSession,
+    root: str,
+    ts: float,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Time travel by TIMESTAMP: snapshot read of the version that
+    was current at wall-clock ``ts`` (seconds since epoch) — the form
+    audits and reproducibility pipelines actually use ("what did the
+    table say when the model trained?"), complementing the
+    version-number form :func:`read_table` already serves."""
+    return read_table(
+        spark,
+        root,
+        version=version_as_of(root, ts),
+        partition_filter=partition_filter,
+    )
+
+
+@register(
+    "q_table_time_travel_ts",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    """,
+)
+def q_table_time_travel_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF (round 9): the shared two-version exercise
+    (v1 create → v2 MERGE) read as of v1's COMMIT WALL-CLOCK instant
+    — the resolver must pick v1 even though v2 exists and is newer;
+    the oracle is the pristine orders projection, so an off-by-one
+    version pick (reading the merged table) cannot hash-match.  This
+    is the audit/reproducibility form of time travel ("what did the
+    table say when the model trained?"); the pytest pins the
+    boundary semantics (exactly-at, between-commits, before-create
+    raises)."""
+    root = ensure_acid_exercise(spark, sf_dir)
+    return read_table_as_of(
+        spark, root, read_manifest(root, 1)["ts"]
+    )

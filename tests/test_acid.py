@@ -2840,3 +2840,33 @@ def test_hidden_partitioning_prunes_on_raw_predicates(
     for f in new:
         assert m2["partitions"][os.path.basename(f)]["o_year"] == 1998
     assert read_table(spark, root).count() == base.count()
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """r9 TIMESTAMP AS OF: the resolver picks the latest version
+    committed at-or-before the asked wall-clock instant, boundary
+    conditions included (exactly-at, between commits, before-create
+    raises)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        create_table,
+        read_table_as_of,
+        version_as_of,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark).limit(300)
+    create_table(spark, root, df.limit(100))
+    append_table(spark, root, df.limit(200).subtract(df.limit(100)))
+    append_table(spark, root, df.subtract(df.limit(200)))
+    ts = {v: read_manifest(root, v)["ts"] for v in (1, 2, 3)}
+    assert version_as_of(root, ts[1]) == 1  # exactly-at boundary
+    assert version_as_of(root, (ts[1] + ts[2]) / 2) == 1
+    assert version_as_of(root, ts[2]) == 2
+    assert version_as_of(root, ts[3] + 3600) == 3
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of(root, ts[1] - 1)
+    assert read_table_as_of(spark, root, ts[2]).count() == 200
+    assert read_table_as_of(spark, root, ts[3]).count() == 300
