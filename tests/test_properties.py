@@ -761,3 +761,55 @@ def test_manifest_pruning_is_never_lossy(files, want, box):
             zlo > hi_q or zlo + zw < lo_q
         )
         assert zone_keeps == may_intersect
+
+
+@given(
+    files=st.lists(
+        st.tuples(
+            st.integers(0, 9),   # partition value
+            st.booleans(),       # records partition value?
+            st.booleans(),       # value recorded as string form?
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    want=st.lists(
+        st.one_of(
+            st.integers(0, 9),
+            st.integers(0, 9).map(str),  # type-mismatched filter
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_indexed_resolution_equals_linear_for_any_layout(files, want):
+    """PROPERTY (r9): for ANY manifest layout — evolution gaps,
+    int/string recorded values, type-mismatched filter values — the
+    serialized-index path (pidx) returns exactly the linear walk's
+    file set, and both satisfy the lossless model (a file is pruned
+    ONLY when its recorded value excludes every wanted value under
+    typed-or-string-form equality)."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _build_pidx,
+        resolve_files,
+    )
+
+    manifest_files, partitions = [], {}
+    for i, (pv, has_pv, as_str) in enumerate(files):
+        name = f"f{i:03d}.parquet"
+        manifest_files.append(f"/t/data/{name}")
+        if has_pv:
+            partitions[name] = {"day": str(pv) if as_str else pv}
+    linear = {"files": manifest_files, "partitions": partitions}
+    indexed = dict(linear)
+    indexed["pidx"] = _build_pidx(manifest_files, partitions)
+    f = {"day": want}
+    got_l = set(resolve_files(linear, f))
+    got_i = set(resolve_files(indexed, f))
+    assert got_i == got_l
+    wstr = {str(w) for w in want}
+    for i, (pv, has_pv, as_str) in enumerate(files):
+        path = f"/t/data/f{i:03d}.parquet"
+        may_qualify = (not has_pv) or (str(pv) in wstr)
+        assert (path in got_l) == may_qualify
