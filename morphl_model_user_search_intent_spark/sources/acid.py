@@ -99,12 +99,18 @@ def read_manifest(root: str, version: int | None = None) -> dict:
 
 def _build_pidx(files: list[str], partitions: dict) -> dict:
     """Invert the per-file partition-values block into the manifest's
-    resolution index: ``{col: {"values": {json(value): [basenames]},
-    "unrecorded": [basenames]}}``.  The unrecorded list carries files
-    that predate the column (partition evolution) or record no values
-    at all — resolve_files must always keep those.  Cost: one pass
-    over (files × partition columns), the same order as serializing
-    the partitions block itself."""
+    resolution index: ``{col: {"values": {json(value): [paths]},
+    "unrecorded": [paths]}}``.  FULL paths, deliberately: resolution
+    must return paths without walking the file list, and a shallow
+    clone's manifest references files under the SOURCE root, so a
+    basename→path reconstruction would itself need an O(files) map.
+    The size cost (paths duplicated once per partition column) is the
+    same order as the partitions/stats blocks the manifest already
+    carries.  The unrecorded list carries files that predate the
+    column (partition evolution) or record no values at all —
+    resolve_files must always keep those.  Cost: one pass over
+    (files × partition columns), the same order as serializing the
+    partitions block itself."""
     cols: set[str] = set()
     for v in partitions.values():
         cols.update(v)
@@ -399,7 +405,15 @@ def match_files_strict(
             )
             if c not in vals:
                 missing.append(c)
-            elif vals[c] not in allowed:
+            elif (
+                vals[c] not in allowed
+                and str(vals[c]) not in {str(a) for a in allowed}
+            ):
+                # same string-form tiebreak as resolve_files: a
+                # type-mismatched filter (int 1995 against a string
+                # column recording '1995') must still select the
+                # partition — otherwise drop/overwrite silently no-op
+                # (and overwrite would DUPLICATE the restated rows)
                 excluded = True  # provably holds no target rows
                 break
         if excluded:
@@ -501,9 +515,15 @@ def _parse_pval(raw: str, dtype: str | None = None):
 
     s = unquote(raw)
     if dtype in ("tinyint", "smallint", "int", "bigint"):
-        return int(s)
+        try:
+            return int(s)
+        except ValueError:
+            return s  # __HIVE_DEFAULT_PARTITION__ (NULL value)
     if dtype in ("float", "double"):
-        return float(s)
+        try:
+            return float(s)
+        except ValueError:
+            return s
     if dtype == "boolean":
         return s.lower() == "true"
     if dtype is not None:
@@ -591,7 +611,7 @@ def _write_files_partitioned(
 
 def _live_dv(
     root: str, m: dict, kept: list[str]
-) -> tuple[list[str] | None, str | None]:
+) -> tuple[list[str] | None, str | None, list[str]]:
     """Recompute the deletion-vector list after a partial rewrite
     (round-9 ADVICE fix): a tombstone is LIVE only while the file
     basename it masks is still referenced — once OPTIMIZE rewrites
@@ -601,14 +621,16 @@ def _live_dv(
     maybe_fold_dv re-triggers a full-table rewrite after every
     erasure batch, and vacuum keeps the dead sidecars referenced.
 
-    Returns (dv_files, dv_key) for the new manifest: sidecars whose
-    every row masks a kept file carry by reference; mixed sidecars
-    are rewritten filtered to live rows (driver-side pyarrow — the DV
-    set is the un-folded delete backlog, small by construction); an
-    empty survivor set clears the list entirely."""
+    Returns (dv_files, dv_key, created) for the new manifest:
+    sidecars whose every row masks a kept file carry by reference;
+    mixed sidecars are rewritten filtered to live rows (driver-side
+    pyarrow — the DV set is the un-folded delete backlog, small by
+    construction); an empty survivor set clears the list entirely.
+    ``created`` lists the just-written sidecar files so a commit that
+    loses its race can reclaim them like data files."""
     dvf = m.get("dv_files")
     if not dvf:
-        return None, None
+        return None, None, []
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -627,6 +649,7 @@ def _live_dv(
             out.append(d)  # fully live: carry by reference
         elif n_live:
             pending.append(t.filter(mask))
+    created: list[str] = []
     if pending:
         import pyarrow as pa
 
@@ -634,9 +657,10 @@ def _live_dv(
         dst = os.path.join(root, "dv", f"{uuid.uuid4().hex}.parquet")
         pq.write_table(pa.concat_tables(pending), dst)
         out.append(dst)
+        created.append(dst)
     if not out:
-        return None, None
-    return out, m.get("dv_key")
+        return None, None, created
+    return out, m.get("dv_key"), created
 
 
 def _apply_dv(spark: SparkSession, m: dict, base: DataFrame) -> DataFrame:
@@ -903,7 +927,7 @@ def merge_table(
         # THROUGH the mask) — retire them so dv_fraction reflects
         # only the live backlog (round-9 fix); carried files' entries
         # keep masking
-        dv_files, dv_key = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
         try:
             return commit(
                 root,
@@ -916,7 +940,7 @@ def merge_table(
                 dv_key=dv_key,
             )
         except CommitConflict:
-            for f in new_files + (change_files or []):  # lost the race
+            for f in new_files + (change_files or []) + dv_new:  # lost the race
                 try:
                     os.remove(f)
                 except OSError:
@@ -1089,7 +1113,8 @@ def append_table(
         )
     _enforce_schema(spark, root, df, allow_evolution)  # plan-only
     _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
-    cm = read_manifest(root).get("colmap")
+    cm_base = read_manifest(root).get("colmap")
+    cm = cm_base
     cm_out: dict | None | object = _INHERIT
     if cm is not None:
         added = [
@@ -1125,6 +1150,18 @@ def append_table(
             if done is not None and done >= txn_version:
                 _reclaim()  # a racing replay already won
                 return latest_version(root)
+        if m.get("colmap") != cm_base:
+            # a concurrent rename/drop/evolution changed the column
+            # map after our files were written under the OLD physical
+            # names — committing the stale map would revert the
+            # winner's change, and re-mapping would require a file
+            # rewrite.  Fail loudly; the caller replays the append
+            # against the new schema.
+            _reclaim()
+            raise CommitConflict(
+                f"column map changed concurrently in {root}; replay "
+                "the append against the current schema"
+            )
         try:
             return commit(
                 root,
@@ -1515,7 +1552,12 @@ def table_changes(
             }
         )
         if touched:
-            pre = spark.read.parquet(*touched).withColumn(
+            _rdr = spark.read
+            if cm:
+                # mapped tables: a re-added column's physical may be
+                # absent from older touched files — union schemas
+                _rdr = _rdr.option("mergeSchema", "true")
+            pre = _rdr.parquet(*touched).withColumn(
                 "_file", _file_col()
             )
             dv_feed = (
@@ -2129,6 +2171,7 @@ def clone_table(
         dv_key=m.get("dv_key"),
         colmap=m.get("colmap"),  # source's logical schema clones too
         constraints=m.get("constraints"),
+        transforms=m.get("transforms"),  # hidden-partition spec too
     )
 
 
@@ -2464,11 +2507,13 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
         stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
-        # the TARGET version's logical schema AND constraint set
-        # restore with it (a restore across a rename must resurrect
-        # the old names; a restored v_n is governed by v_n's rules)
+        # the TARGET version's logical schema, constraint set, and
+        # transform spec restore with it (a restore across a rename
+        # must resurrect the old names; a restored v_n is governed by
+        # v_n's rules and laid out by v_n's spec)
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
+        transforms=m.get("transforms"),
     )
 
 
@@ -2650,7 +2695,11 @@ def merge_table_partitioned(
             )
         else:  # source targets only brand-new partitions: pure insert
             touched = []
-            survivors = read_table(spark, root).limit(0)
+            # PHYSICAL empty frame (read_table serves logical; the
+            # union below is with the physical-translated upserts)
+            survivors = _select_physical(
+                _cm, read_table(spark, root).limit(0)
+            )
         upserts = source.filter(~F.col("_delete")).drop("_delete")
         _validate_constraints(upserts, root)  # incoming rows only
         new_files, new_parts = _write_files_partitioned(
@@ -2685,7 +2734,7 @@ def merge_table_partitioned(
             if os.path.basename(f) in old_stats
         }
         stats.update(commit_stats(root, new_files, []))
-        dv_files, dv_key = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
         try:
             return commit(
                 root,
@@ -2701,7 +2750,7 @@ def merge_table_partitioned(
             )
         except CommitConflict:
             # lost the race — reclaim data AND change files, replay
-            for f in new_files + (change_files or []):
+            for f in new_files + (change_files or []) + dv_new:
                 try:
                     os.remove(f)
                 except OSError:
@@ -2778,7 +2827,7 @@ def optimize_table_partitioned(
         stats.update(commit_stats(root, new_files, []))
         # retire DV entries folded into the rewrite (round-9 fix):
         # only tombstones masking files carried by reference stay
-        dv_files, dv_key = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
         try:
             return commit(
                 root,
@@ -2792,7 +2841,7 @@ def optimize_table_partitioned(
                 dv_key=dv_key,
             )
         except CommitConflict:
-            for f in new_files:
+            for f in new_files + dv_new:
                 try:
                     os.remove(f)
                 except OSError:
@@ -3738,9 +3787,19 @@ def _commit_metadata_only(root: str, m: dict, op: str, **over) -> int:
         dv_key=m.get("dv_key"),
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
+        transforms=m.get("transforms"),
     )
     kw.update(over)
     return commit(root, m["files"], op, parent=m["version"], **kw)
+
+
+def _pred_references(pred: str, column: str) -> bool:
+    """Whether a CHECK predicate references ``column`` as a TOKEN —
+    substring tests refuse unrelated renames ('price' inside
+    'o_totalprice'), so match on identifier boundaries."""
+    import re
+
+    return re.search(rf"\b{re.escape(column)}\b", pred) is not None
 
 
 def add_constraint(root: str, name: str, predicate_sql: str) -> int:
@@ -3756,6 +3815,22 @@ def add_constraint(root: str, name: str, predicate_sql: str) -> int:
     and rejects the whole write on any violation (atomicity: the
     table is unchanged, no orphan files)."""
     m = read_manifest(root)
+    cm = m.get("colmap")
+    if cm is not None:
+        # the write paths validate constraints against PHYSICAL
+        # frames; that is only correct while every referenced column
+        # has physical == logical (rename_column enforces the other
+        # direction), so refuse predicates naming an already-renamed
+        # column here
+        for e in cm["cols"]:
+            if e["name"] != e["physical"] and _pred_references(
+                predicate_sql, e["name"]
+            ):
+                raise ValueError(
+                    f"constraint references {e['name']!r}, which is a "
+                    f"RENAMED column (physical {e['physical']!r}) — "
+                    "constraints on renamed columns are not supported"
+                )
     cons = dict(table_constraints(root))
     cons[name] = predicate_sql
     return _commit_metadata_only(
@@ -3878,7 +3953,7 @@ def drop_partition(
             "file in the table"
         )
     bases = {os.path.basename(f) for f in files}
-    dv_files, dv_key = _live_dv(root, m, files)
+    dv_files, dv_key, _dv_new = _live_dv(root, m, files)
     return commit(
         root,
         files,
@@ -4026,7 +4101,7 @@ def overwrite_partition(
             if os.path.basename(f) in old_stats
         }
         stats.update(commit_stats(root, new_files, []))
-        dv_files, dv_key = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
         try:
             return commit(
                 root,
@@ -4040,7 +4115,7 @@ def overwrite_partition(
                 dv_key=dv_key,
             )
         except CommitConflict:
-            for f in new_files:
+            for f in new_files + dv_new:
                 try:
                     os.remove(f)
                 except OSError:
@@ -4188,7 +4263,7 @@ def optimize_table_zorder_partitioned(
             if os.path.basename(f) in old_stats
         }
         stats.update(commit_stats(root, new_files, list(cols[:2])))
-        dv_files, dv_key = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
         try:
             return commit(
                 root,
@@ -4202,7 +4277,7 @@ def optimize_table_zorder_partitioned(
                 dv_key=dv_key,
             )
         except CommitConflict:
-            for f in new_files:
+            for f in new_files + dv_new:
                 try:
                     os.remove(f)
                 except OSError:
@@ -4394,7 +4469,7 @@ def rename_column(
     if new in names:
         raise ValueError(f"column {new!r} already exists")
     for cname, pred in table_constraints(root).items():
-        if old in pred:
+        if _pred_references(pred, old):
             raise ValueError(
                 f"column {old!r} is referenced by CHECK constraint "
                 f"{cname!r} ({pred}); drop the constraint first"
@@ -4434,7 +4509,7 @@ def drop_column(spark: SparkSession, root: str, name: str) -> int:
             "(fold the DV backlog) before dropping it"
         )
     for cname, pred in table_constraints(root).items():
-        if name in pred:
+        if _pred_references(pred, name):
             raise ValueError(
                 f"column {name!r} is referenced by CHECK constraint "
                 f"{cname!r} ({pred}); drop the constraint first"

@@ -2870,3 +2870,86 @@ def test_time_travel_by_timestamp(spark, tmp_path):
         version_as_of(root, ts[1] - 1)
     assert read_table_as_of(spark, root, ts[2]).count() == 200
     assert read_table_as_of(spark, root, ts[3]).count() == 300
+
+
+def test_review_fixes_destructive_tiebreak_clone_transforms_nulls(
+    spark, tmp_path
+):
+    """r9 review fixes: (a) type-mismatched filters select partitions
+    for destructive ops via the string-form tiebreak (no silent no-op
+    / duplication); (b) a clone of a hidden-partitioned table carries
+    the transform spec; (c) add_constraint refuses predicates on
+    renamed columns; (d) substring collisions don't block unrelated
+    renames; (e) NULL partition values survive the typed dir-value
+    parse."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_constraint,
+        append_table_partitioned,
+        clone_table,
+        create_table,
+        create_table_partitioned,
+        create_table_transformed,
+        drop_partition,
+        rename_column,
+        scan,
+    )
+
+    # (a) string partition column, int filter: drop still selects
+    rows = [("1995", i) for i in range(6)] + [("x", 9)]
+    df = spark.createDataFrame(rows, ["bucket", "v"])
+    r1 = str(tmp_path / "a")
+    create_table_partitioned(spark, r1, df, ["bucket"])
+    drop_partition(spark, r1, {"bucket": 1995})  # int vs recorded str
+    assert read_table(spark, r1).count() == 1
+    # (b) clone carries transforms
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    r2 = str(tmp_path / "b")
+    create_table_transformed(
+        spark,
+        r2,
+        base.filter(F.year("o_orderdate") != 1998),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"}
+        ],
+    )
+    r2c = str(tmp_path / "bc")
+    clone_table(spark, r2, r2c)
+    assert read_manifest(r2c).get("transforms")
+    append_table_partitioned(
+        spark, r2c, base.filter(F.year("o_orderdate") == 1998)
+    )  # would crash without the spec (no o_year data column)
+    got = scan(
+        spark, r2c, ranges={"o_orderdate": ("1998-01-01", "1998-12-31")}
+    )
+    want = base.filter(F.year("o_orderdate") == 1998)
+    assert got.count() == want.count()
+    # (c)+(d) constraint/rename interactions
+    r3 = str(tmp_path / "c")
+    create_table(spark, r3, _base(spark).limit(50))
+    rename_column(spark, r3, "price", "amount")
+    with pytest.raises(ValueError, match="RENAMED"):
+        add_constraint(r3, "pos", "amount >= 0")
+    add_constraint(r3, "key_pos", "o_orderkey >= 0")  # unrenamed: fine
+    # substring collision must NOT block: constraint names o_orderkey,
+    # renaming 'o_order' -> no such col; rename o_orderpriority works
+    rename_column(spark, r3, "o_orderpriority", "prio")
+    # (e) NULL partition value round-trips as the hive sentinel string
+    r4 = str(tmp_path / "d")
+    df4 = spark.createDataFrame(
+        [(1, 10), (None, 20), (2, 30)], "day int, v int"
+    )
+    create_table_partitioned(spark, r4, df4, ["day"])
+    m4 = read_manifest(r4)
+    vals = {v["day"] for v in m4["partitions"].values()}
+    assert "__HIVE_DEFAULT_PARTITION__" in vals
+    assert read_table(spark, r4).count() == 3
+    # pruning on day=1 keeps only its file + never the null file
+    assert read_table(
+        spark, r4, partition_filter={"day": 1}
+    ).count() == 1
