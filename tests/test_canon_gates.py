@@ -166,6 +166,10 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         # _validate_constraints: LIMIT-3 example rows for the
         # ConstraintViolation message — constant-bounded by the limit
         "_validate_constraints",
+        # update_table (round 9): the duplicate-post-image guard is a
+        # LIMIT-1 collect over the grouped update batch — one row,
+        # bounded by the limit (the batch itself stays distributed)
+        "update_table",
     },
     # Inverted-index serve (text/searchindex.py): the query terms'
     # bucket ids — |terms| rows, evaluated through Spark so the hash
