@@ -218,8 +218,18 @@ def commit(
         if parent > 0:
             try:
                 pm = read_manifest(root, parent)
-            except OSError:
-                pm = None
+            except OSError as exc:
+                # review fix: silently defaulting to None here would
+                # publish a manifest WITHOUT the inherited blocks —
+                # renamed columns flip back to identity naming and
+                # constraints vanish, the exact corruption the
+                # inherit mechanism exists to prevent.  An unreadable
+                # parent at commit time is a protocol violation
+                # (vacuum always retains the latest version) — fail.
+                raise CommitConflict(
+                    f"parent manifest v{parent} unreadable in {root} "
+                    f"({exc}); cannot inherit schema metadata"
+                ) from exc
         if colmap is _INHERIT:
             colmap = pm.get("colmap") if pm else None
         if constraints is _INHERIT:
@@ -341,6 +351,14 @@ def resolve_files(
             return files
         return sorted(keep_p)
     pv = m.get("partitions", {})
+    norm = {}  # per-column normalization hoisted out of the walk
+    for c, want in partition_filter.items():
+        allowed = (
+            want
+            if isinstance(want, (list, tuple, set, frozenset))
+            else (want,)
+        )
+        norm[c] = (allowed, {str(a) for a in allowed})
     keep = []
     for f in files:
         vals = pv.get(os.path.basename(f))
@@ -348,12 +366,7 @@ def resolve_files(
             keep.append(f)
             continue
         ok = True
-        for c, want in partition_filter.items():
-            allowed = (
-                want
-                if isinstance(want, (list, tuple, set, frozenset))
-                else (want,)
-            )
+        for c, (allowed, astr) in norm.items():
             # prune ONLY on recorded values: a file written under an
             # earlier partition spec (partition evolution) records no
             # value for a later spec's column and must be KEPT — the
@@ -366,7 +379,7 @@ def resolve_files(
             if (
                 c in vals
                 and vals[c] not in allowed
-                and str(vals[c]) not in {str(a) for a in allowed}
+                and str(vals[c]) not in astr
             ):
                 ok = False
                 break
@@ -392,22 +405,27 @@ def match_files_strict(
     drop/overwrite cannot split such a file, so the caller must
     compact it under the current spec first (``optimize_table``)."""
     pv = m.get("partitions", {})
+    # hoist the per-column normalization out of the file loop (the
+    # walk runs at metadata scale — O(files) — on every destructive op)
+    norm = {}
+    for c, want in partition_filter.items():
+        allowed = (
+            want
+            if isinstance(want, (list, tuple, set, frozenset))
+            else (want,)
+        )
+        norm[c] = (allowed, {str(a) for a in allowed})
     matched, uncovered = [], []
     for f in m["files"]:
         vals = pv.get(os.path.basename(f)) or {}
         excluded = False
         missing = []
-        for c, want in partition_filter.items():
-            allowed = (
-                want
-                if isinstance(want, (list, tuple, set, frozenset))
-                else (want,)
-            )
+        for c, (allowed, astr) in norm.items():
             if c not in vals:
                 missing.append(c)
             elif (
                 vals[c] not in allowed
-                and str(vals[c]) not in {str(a) for a in allowed}
+                and str(vals[c]) not in astr
             ):
                 # same string-form tiebreak as resolve_files: a
                 # type-mismatched filter (int 1995 against a string
@@ -494,7 +512,9 @@ def read_table(
                 if isinstance(want, (list, tuple, set, frozenset))
                 else [want]
             )
-            base = base.filter(F.col(c).isin(allowed))
+            # hidden transform names evaluate their transform over
+            # the source column (not a data column — review fix)
+            base = base.filter(_residual_col(m, c).isin(allowed))
     return base
 
 
@@ -651,8 +671,6 @@ def _live_dv(
             pending.append(t.filter(mask))
     created: list[str] = []
     if pending:
-        import pyarrow as pa
-
         os.makedirs(os.path.join(root, "dv"), exist_ok=True)
         dst = os.path.join(root, "dv", f"{uuid.uuid4().hex}.parquet")
         pq.write_table(pa.concat_tables(pending), dst)
@@ -736,7 +754,8 @@ def delete_from_table(
         # (DELETE ... WHERE <partition> AND key IN ...): on a
         # partitioned table the tombstone planning pass then costs
         # ∝ the touched partitions, not the table
-        scan_files = resolve_files(m, _filter_to_physical(cm, partition_filter))
+        pf_phys = _filter_to_physical(cm, partition_filter)
+        scan_files = resolve_files(m, pf_phys)
         if not scan_files:
             return m["version"]  # nothing in scope: no-op
         base = _apply_dv(
@@ -746,6 +765,20 @@ def delete_from_table(
                 "_file", _file_col()
             ),
         )
+        if pf_phys:
+            # RESIDUAL row predicate (round-9 review fix): pruning is
+            # conservative — a pre-evolution file with no recorded
+            # value for a filter column is kept and may hold the
+            # matched key's rows in OTHER partitions; tombstoning
+            # those would destroy data outside the requested scope.
+            # Hidden transform names evaluate over the source column.
+            for c, want in pf_phys.items():
+                allowed = (
+                    list(want)
+                    if isinstance(want, (list, tuple, set, frozenset))
+                    else [want]
+                )
+                base = base.filter(_residual_col(m, c).isin(allowed))
         if m.get("dv_key") not in (None, on_p):
             raise ValueError(
                 f"table's deletion vectors are keyed on {m['dv_key']!r},"
@@ -1560,6 +1593,9 @@ def table_changes(
             pre = _rdr.parquet(*touched).withColumn(
                 "_file", _file_col()
             )
+            for c in cols:  # absent re-added physicals read NULL
+                if c not in pre.columns:
+                    pre = pre.withColumn(c, F.lit(None))
             dv_feed = (
                 pre.join(tomb, ["_file", dv_key], "semi")
                 .drop("_file")
@@ -1575,9 +1611,18 @@ def table_changes(
             if files
             else reader.parquet(*m2["files"]).limit(0)
         )
+        # a re-added physical column may be absent from EVERY file on
+        # one side (mergeSchema unions only the files actually read)
+        # — those rows' value for it is NULL by definition
+        have = set(base.columns)
         return base.select(
             key,
-            *[F.col(c).alias(f"{prefix}_{c}") for c in cols],
+            *[
+                (F.col(c) if c in have else F.lit(None)).alias(
+                    f"{prefix}_{c}"
+                )
+                for c in cols
+            ],
             F.lit(True).alias(f"{prefix}_present"),
         )
 
@@ -3420,9 +3465,7 @@ def scan(
     # hidden partitioning (round 9): source-column predicates derive
     # the matching transform values and prune through them; the
     # hidden names never reach the residual stage (not data columns)
-    pf_full, hidden = _derive_hidden_filters(
-        m, partition_filter, ranges
-    )
+    pf_full, _ = _derive_hidden_filters(m, partition_filter, ranges)
     files = resolve_files(m, pf_full)
     if ranges:
         stats = m.get("stats", {})
@@ -3455,21 +3498,19 @@ def scan(
                 .drop("_file")
             )
     # residuals below were already translated to PHYSICAL names and
-    # the frame is physical here; project to logical at the end
-    tnames = {t["name"] for t in m.get("transforms") or []}
+    # the frame is physical here; project to logical at the end.
+    # A HIDDEN partition name's residual evaluates its TRANSFORM over
+    # the source column (review fix: a flat-written file with no
+    # recorded values — e.g. a MoR update's post-images — is kept
+    # conservatively and must still be row-filtered)
     if partition_filter:
         for c, want in partition_filter.items():
-            if c in tnames:
-                # a HIDDEN partition name: not a data column, and
-                # file-exact anyway (each file holds one partition
-                # tuple, recorded at write) — no residual possible
-                continue
             allowed = (
                 list(want)
                 if isinstance(want, (list, tuple, set, frozenset))
                 else [want]
             )
-            base = base.filter(F.col(c).isin(allowed))
+            base = base.filter(_residual_col(m, c).isin(allowed))
     for c, (lo, hi) in (ranges or {}).items():
         base = base.filter(F.col(c).between(lo, hi))
     return _select_logical(cm, base)
@@ -4757,7 +4798,6 @@ def update_table(
                 f"{m['dv_key']!r}, not {on_p!r}"
             )
         _enforce_schema(spark, root, updates, allow_evolution=False)
-        _validate_constraints(updates, root)
         ups = _select_physical(cm, updates)
         base = _apply_dv(
             spark,
@@ -4769,11 +4809,14 @@ def update_table(
         keys = ups.select(on_p).distinct()
         # tombstones for every CURRENT row of a matched key
         dv_rows = base.join(keys, on_p, "semi").select("_file", on_p)
-        new_dv = _write_files(dv_rows, root, subdir="dv")
-        # post-images: only MATCHED updates land (SQL UPDATE)
+        # post-images: only MATCHED updates land (SQL UPDATE) — and
+        # only those are constraint-validated (review fix: an invalid
+        # UNMATCHED row never writes, so it must not abort the batch)
         matched = ups.join(
             base.select(on_p).distinct(), on_p, "semi"
         )
+        _validate_constraints(matched, root)
+        new_dv = _write_files(dv_rows, root, subdir="dv")
         new_files = _write_files(matched, root)
         try:
             return commit(
@@ -4991,6 +5034,21 @@ def create_table_transformed(
         stats=commit_stats(root, files, stats_cols or []),
         transforms=transforms,
     )
+
+
+def _residual_col(m: dict, c: str) -> Column:
+    """The Column a partition-filter residual evaluates for filter
+    key ``c``: the data column itself, or — when ``c`` is a HIDDEN
+    transform name (round-9 review fix) — the transform expression
+    over its source column.  The hidden case matters for files with
+    NO recorded partition values (e.g. a MoR update's flat post-image
+    files landing in a transformed table): resolve_files keeps them
+    conservatively, and skipping the residual there would leak rows
+    from other partitions."""
+    for t in m.get("transforms") or []:
+        if t["name"] == c:
+            return _transform_exprs([t])[c]
+    return F.col(c)
 
 
 def _derive_hidden_filters(

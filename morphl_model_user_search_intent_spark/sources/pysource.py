@@ -466,11 +466,18 @@ class _AcidTableReader(DataSourceReader):
         # engine's read_table follows pruning with an isin filter,
         # and this source must reproduce that path exactly or a
         # post-evolution partition read returns stray rows
+        tr_by_name = {
+            t["name"]: t for t in m.get("transforms") or []
+        }
         parts = []
         for f in files:
             vals = pmap.get(os.path.basename(f), {})
+            # a filter column the file records no value for becomes a
+            # residual; a HIDDEN transform name ships its transform
+            # spec so read() can evaluate it over the SOURCE column
+            # (the hidden name is never a data column — review fix)
             residual = [
-                (c, v)
+                (c, v, tr_by_name.get(c))
                 for c, v in self.pfilters.items()
                 if c not in vals
             ]
@@ -490,7 +497,26 @@ class _AcidTableReader(DataSourceReader):
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            for c, v in residual:
+            for c, v, tr in residual:
+                if tr is not None:
+                    # HIDDEN transform name: evaluate the transform
+                    # over the SOURCE column, row-by-row (bounded to
+                    # the unrecorded-file tail; recorded files were
+                    # pruned at planning) — matches the engine's
+                    # _residual_col semantics
+                    from .acid import _transform_apply
+
+                    src_vals = t.column(tr["src"]).to_pylist()
+                    mask = pa.array(
+                        [
+                            s is not None
+                            and str(_transform_apply(tr, s)) == v
+                            for s in src_vals
+                        ],
+                        type=pa.bool_(),
+                    )
+                    t = t.filter(mask)
+                    continue
                 if c not in t.column_names:
                     # column predates this file: its value is NULL,
                     # which can never equal the filter value

@@ -850,8 +850,14 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    return spark.read.parquet(out_dir).select(
-        "bucket", "event_type", "n_events"
+    # localCheckpoint decouples the returned frame from the scratch
+    # dir (a later same-process run rmtree's and rewrites it — a lazy
+    # handle over the old files would break); the pytest reads the
+    # sink via _MB_SINKS before any such re-run
+    return (
+        spark.read.parquet(out_dir)
+        .select("bucket", "event_type", "n_events")
+        .localCheckpoint()
     )
 
 

@@ -2953,3 +2953,115 @@ def test_review_fixes_destructive_tiebreak_clone_transforms_nulls(
     assert read_table(
         spark, r4, partition_filter={"day": 1}
     ).count() == 1
+
+
+def test_review2_partition_scoped_delete_and_hidden_residuals(
+    spark, tmp_path
+):
+    """r9 second review pass: (a) a partition-scoped DV delete on a
+    table with pre-evolution (unrecorded) files tombstones ONLY rows
+    inside the requested partition; (b) scan/read_table on a hidden-
+    partitioned table stay exact when flat-written files (no recorded
+    values — a MoR update's post-images) join the manifest, and
+    read_table accepts a hidden-name filter; (c) an invalid UNMATCHED
+    row does not abort a MoR update."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_constraint,
+        create_table,
+        create_table_transformed,
+        delete_from_table,
+        evolve_partition_spec,
+        scan,
+        update_table,
+    )
+
+    # (a) flat create (files record NOTHING), evolve to (o_year),
+    # partition-scoped delete of key K at 1995 only
+    root = str(tmp_path / "a")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table(spark, root, base)
+    evolve_partition_spec(root, ["o_year"])
+    doomed = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey"
+    )
+    n_target = base.join(doomed, "o_orderkey", "semi").filter(
+        F.col("o_year") == 1995
+    ).count()
+    n_other = base.join(doomed, "o_orderkey", "semi").filter(
+        F.col("o_year") != 1995
+    ).count()
+    assert n_target and n_other  # keys exist on both sides
+    delete_from_table(
+        spark,
+        root,
+        doomed,
+        on="o_orderkey",
+        partition_filter={"o_year": 1995},
+    )
+    got = read_table(spark, root)
+    kept_keys = got.join(doomed, "o_orderkey", "semi")
+    assert kept_keys.filter(F.col("o_year") == 1995).count() == 0
+    assert kept_keys.count() == n_other  # out-of-scope rows SURVIVE
+
+    # (b) hidden-partitioned table + MoR update (flat post-images)
+    r2 = str(tmp_path / "b")
+    b2 = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table_transformed(
+        spark,
+        r2,
+        b2,
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"}
+        ],
+    )
+    upd = b2.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+        "price", F.col("price") * 3
+    )
+    update_table(spark, r2, upd, on="o_orderkey")
+    want95 = b2.filter(F.year("o_orderdate") == 1995).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 9 == 0, F.col("price") * 3
+        ).otherwise(F.col("price")),
+    )
+    got95 = scan(
+        spark, r2, ranges={"o_orderdate": ("1995-01-01", "1995-12-31")}
+    )
+    assert sorted(map(tuple, got95.collect())) == sorted(
+        map(tuple, want95.collect())
+    )
+    # hidden-name filter through read_table (residual = transform)
+    got95b = read_table(spark, r2, partition_filter={"o_year": 1995})
+    assert got95b.count() == want95.count()
+
+    # (c) invalid UNMATCHED row ignored by MoR update
+    r3 = str(tmp_path / "c")
+    create_table(spark, r3, _base(spark).limit(100))
+    add_constraint(r3, "pos", "price >= 0")
+    upd3 = _base(spark).limit(10).withColumn(
+        "price", F.col("price") + 1
+    )
+    ghost = (
+        _base(spark)
+        .limit(1)
+        .select(
+            (F.col("o_orderkey") + 99999999).alias("o_orderkey"),
+            "o_orderpriority",
+            F.lit(-5.0).alias("price"),
+        )
+    )
+    update_table(spark, r3, upd3.unionByName(ghost), on="o_orderkey")
+    assert (
+        read_table(spark, r3).filter(F.col("price") < 0).count() == 0
+    )
