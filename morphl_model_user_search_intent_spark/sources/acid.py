@@ -478,10 +478,11 @@ def read_table(
     cm = m.get("colmap")
     files = resolve_files(m, _filter_to_physical(cm, partition_filter))
     reader = spark.read
-    if cm:
-        # column-mapped tables read under schema union: files written
-        # before an additive re-add lack the new physical column, and
-        # the logical projection below must still resolve it
+    if cm and cm.get("mixed"):
+        # schema union ONLY for heterogeneous mapped tables (a
+        # re-added column's physical is absent from older files);
+        # homogeneous maps (renames/drops) read plain — mergeSchema
+        # reads EVERY footer at planning, a real cost at 10^5 files
         reader = reader.option("mergeSchema", "true")
     if not files:
         base = reader.parquet(*m["files"]).limit(0)
@@ -1586,9 +1587,9 @@ def table_changes(
         )
         if touched:
             _rdr = spark.read
-            if cm:
-                # mapped tables: a re-added column's physical may be
-                # absent from older touched files — union schemas
+            if cm and cm.get("mixed"):
+                # heterogeneous mapped table: a re-added column's
+                # physical may be absent from older touched files
                 _rdr = _rdr.option("mergeSchema", "true")
             pre = _rdr.parquet(*touched).withColumn(
                 "_file", _file_col()
@@ -1604,7 +1605,7 @@ def table_changes(
 
     def _side(files: list[str], prefix: str) -> DataFrame:
         reader = spark.read
-        if cm:
+        if cm and cm.get("mixed"):
             reader = reader.option("mergeSchema", "true")
         base = (
             reader.parquet(*files)
@@ -3482,7 +3483,7 @@ def scan(
                 kept.append(f)
         files = kept
     reader = spark.read
-    if cm:
+    if cm and cm.get("mixed"):
         reader = reader.option("mergeSchema", "true")
     if not files:
         base = reader.parquet(*m["files"]).limit(0)
@@ -4567,6 +4568,11 @@ def _extend_colmap(cm: dict, added: list[str]) -> dict:
     used (live or retired) is never reused — the re-added column maps
     to ``<name>__<id>`` so old files' values stay invisible."""
     cm = json.loads(json.dumps(cm))
+    # from this commit on, some files lack the new physical column —
+    # snapshot reads must union schemas (the ONLY case that needs
+    # mergeSchema; plain renames/drops stay homogeneous and read
+    # without the per-footer planning cost)
+    cm["mixed"] = True
     used = {e["physical"] for e in cm["cols"]} | set(
         cm.get("retired", [])
     )
