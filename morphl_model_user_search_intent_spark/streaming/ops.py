@@ -1849,6 +1849,108 @@ LAST_INGEST_PART_ROOT: str | None = None
 
 
 @register(
+    "q_stream_table_ingest_hidden",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_units
+    FROM events
+    """,
+)
+def q_stream_table_ingest_hidden(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion into a HIDDEN-PARTITIONED ACID table
+    (round 9): the exactly-once foreachBatch loop of
+    q_stream_table_ingest_partitioned, landing in a table laid out by
+    the TRANSFORM bucket(user_id, 8) — the partition value is
+    computed by each micro-batch's write job and never exists as a
+    data column, so the landing zone is prunable by raw user_id
+    predicates the moment each commit lands while producers remain
+    completely unaware of the layout.  This is the composition a
+    streaming lakehouse actually wants: transforms keep layout
+    decisions on the TABLE (evolvable later, metadata-only) instead
+    of baked into every producer's output schema.
+
+    ORACLE-CHECKED like its siblings: the final read must equal the
+    whole events table however the stream sliced it.  The pytest twin
+    pins bucket pruning on the freshly-ingested table (a user_id
+    IN-list lists ~1/8 of the files) and per-batch txn idempotence."""
+    import os
+    import shutil
+
+    from ..sources.acid import (
+        append_table_partitioned,
+        create_table_transformed,
+        read_table,
+    )
+    from ..sources.formats import SCRATCH
+
+    global LAST_INGEST_HIDDEN_ROOT
+
+    configure(spark)
+    src = _staged_time_buckets(spark, sf_dir)
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        SCRATCH, f"stream-acid-hidden-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    LAST_INGEST_HIDDEN_ROOT = root
+
+    cols = [
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_units"),
+    ]
+    create_table_transformed(
+        spark,
+        root,
+        spark.read.parquet(src).select(*cols).limit(0),
+        transforms=[
+            {
+                "name": "u_bucket",
+                "src": "user_id",
+                "kind": "bucket",
+                "param": 8,
+            }
+        ],
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_table_partitioned(
+            spark,
+            root,
+            batch_df.select(*cols),
+            txn_app=f"ingest-hidden-{os.path.basename(root)}",
+            txn_version=batch_id,
+        )
+
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return read_table(spark, root)
+
+
+LAST_INGEST_HIDDEN_ROOT: str | None = None
+
+
+@register(
     "q_stream_text_index",
     oracle="""
     WITH toks AS (

@@ -871,3 +871,51 @@ def test_erasure_stream_physics_and_replay_noop(spark):
         assert not m.get("dv_files")
     else:
         assert dv_fraction(root) <= 0.10 or m.get("dv_files")
+
+
+def test_stream_ingest_hidden_prunes_and_is_idempotent(spark):
+    """r9 hidden-partitioned streaming landing zone: after the
+    exactly-once ingest, a raw user_id IN-list prunes through the
+    bucket transform (~1/8 of files), and replaying a batch id is a
+    no-op (txn ledger)."""
+    from pyspark.sql import functions as F
+
+    from morphl_model_user_search_intent_spark import REGISTRY
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        latest_version,
+        read_manifest,
+        read_table,
+        resolve_files,
+        _derive_hidden_filters,
+    )
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    df = REGISTRY["q_stream_table_ingest_hidden"].fn(spark, SF_DIR)
+    root = ops.LAST_INGEST_HIDDEN_ROOT
+    m = read_manifest(root)
+    assert m.get("transforms") and m["partition_cols"] == ["u_bucket"]
+    keys = [8, 16, 24]  # all bucket 0
+    pf, _ = _derive_hidden_filters(m, {"user_id": keys}, None)
+    assert pf["u_bucket"] == [0]
+    kept = resolve_files(m, pf)
+    with_vals = [
+        f
+        for f in m["files"]
+        if m["partitions"].get(
+            __import__("os").path.basename(f)
+        )
+    ]
+    assert len(kept) <= len(with_vals) / 4  # 1-of-8 buckets
+    total = df.count()
+    # replayed batch id: no-op, no new version
+    v = latest_version(root)
+    append_table_partitioned(
+        spark,
+        root,
+        read_table(spark, root).limit(5),
+        txn_app=f"ingest-hidden-{__import__('os').path.basename(root)}",
+        txn_version=0,
+    )
+    assert latest_version(root) == v
+    assert read_table(spark, root).count() == total
