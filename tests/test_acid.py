@@ -3065,3 +3065,104 @@ def test_review2_partition_scoped_delete_and_hidden_residuals(
     assert (
         read_table(spark, r3).filter(F.col("price") < 0).count() == 0
     )
+
+
+def test_transformed_table_full_lifecycle(spark, tmp_path):
+    """r9 hidden partitioning composes with the whole table layer:
+    partition-confined MERGE (candidate files derived from the
+    source's TRANSFORMED tuples), partial OPTIMIZE, DROP PARTITION
+    and OVERWRITE by hidden value — all routing writes through the
+    transform spec and staying exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_transformed,
+        drop_partition,
+        merge_table_partitioned,
+        optimize_table_partitioned,
+        overwrite_partition,
+        resolve_files,
+    )
+
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = str(tmp_path / "t")
+    create_table_transformed(
+        spark,
+        root,
+        base.repartition(2),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"}
+        ],
+    )
+    m1 = read_manifest(root)
+    # MERGE confined to 1995 (all source rows in that year)
+    src = (
+        base.filter(F.year("o_orderdate") == 1995)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .withColumn("_delete", F.col("o_orderkey") % 21 == 0)
+    )
+    merge_table_partitioned(spark, root, src, on="o_orderkey")
+    m2 = read_manifest(root)
+    # untouched years' files carried by reference
+    out95 = {
+        f
+        for f in m1["files"]
+        if m1["partitions"][os.path.basename(f)]["o_year"] != 1995
+    }
+    assert out95 <= set(m2["files"])
+    got = read_table(spark, root)
+    n_del = base.filter(
+        (F.year("o_orderdate") == 1995) & (F.col("o_orderkey") % 21 == 0)
+    ).count()
+    assert got.count() == base.count() - n_del
+    doubled = got.filter(
+        (F.year("o_orderdate") == 1995)
+        & (F.col("o_orderkey") % 7 == 0)
+    )
+    ref = base.filter(
+        (F.year("o_orderdate") == 1995)
+        & (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") % 21 != 0)
+    )
+    assert abs(
+        doubled.agg(F.sum("price")).collect()[0][0]
+        - 2 * ref.agg(F.sum("price")).collect()[0][0]
+    ) < 1e-4
+    # partial OPTIMIZE of the touched year only
+    v = optimize_table_partitioned(spark, root, {"o_year": 1995})
+    m3 = read_manifest(root, v)
+    assert out95 <= set(m3["files"])  # others still by reference
+    assert read_table(spark, root).count() == got.count()
+    # DROP PARTITION by hidden value
+    n96 = read_table(spark, root).filter(
+        F.year("o_orderdate") == 1996
+    ).count()
+    assert n96 > 0
+    drop_partition(spark, root, {"o_year": 1996})
+    after = read_table(spark, root)
+    assert after.filter(F.year("o_orderdate") == 1996).count() == 0
+    assert after.count() == got.count() - n96
+    # OVERWRITE a year by hidden value (restated frame has only raw
+    # columns; the stray guard evaluates the transform)
+    restated = base.filter(F.year("o_orderdate") == 1997).withColumn(
+        "price", F.lit(1.0)
+    )
+    overwrite_partition(spark, root, restated, {"o_year": 1997})
+    g97 = read_table(spark, root).filter(
+        F.year("o_orderdate") == 1997
+    )
+    assert {r.price for r in g97.select("price").distinct().collect()} == {1.0}
+    # stray guard fires for out-of-partition rows
+    with pytest.raises(ValueError, match="outside"):
+        overwrite_partition(
+            spark, root, base.limit(50), {"o_year": 1997}
+        )
+    # pruning still fires on the final manifest
+    mf = read_manifest(root)
+    kept = resolve_files(mf, {"o_year": 1995})
+    assert 0 < len(kept) < len(mf["files"])
