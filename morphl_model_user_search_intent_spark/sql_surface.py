@@ -448,3 +448,49 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-final aggregation apply unchanged."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL_GROUP_BY_ALL)
+
+
+@register(
+    "q_sql_acid_table",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_units
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice * 1.1 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'NEW-ROW',
+             CAST(o_totalprice * 0.5 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_acid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKEHOUSE TABLE through plain ``spark.sql`` (round 9): the
+    merged two-version exercise registered as a temp view and
+    aggregated with an ordinary SQL statement — the last mile of the
+    table layer's Spark integration (any SQL consumer can query the
+    snapshot; pinning happens at view registration, so the statement
+    sees a consistent version however long it runs).  The oracle is
+    the merge's closed form re-aggregated, composing snapshot
+    semantics with SQL-surface grouping."""
+    from .sources.acid import ensure_acid_exercise, read_table
+
+    root = ensure_acid_exercise(spark, sf_dir)
+    read_table(spark, root).createOrReplaceTempView("acid_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+                 AS price_units
+        FROM acid_orders
+        GROUP BY o_orderpriority
+    """)
