@@ -478,7 +478,7 @@ def read_table(
     cm = m.get("colmap")
     files = resolve_files(m, _filter_to_physical(cm, partition_filter))
     reader = spark.read
-    if cm and cm.get("mixed"):
+    if cm and cm.get("mixed", True):
         # schema union ONLY for heterogeneous mapped tables (a
         # re-added column's physical is absent from older files);
         # homogeneous maps (renames/drops) read plain — mergeSchema
@@ -1587,7 +1587,7 @@ def table_changes(
         )
         if touched:
             _rdr = spark.read
-            if cm and cm.get("mixed"):
+            if cm and cm.get("mixed", True):
                 # heterogeneous mapped table: a re-added column's
                 # physical may be absent from older touched files
                 _rdr = _rdr.option("mergeSchema", "true")
@@ -1605,7 +1605,7 @@ def table_changes(
 
     def _side(files: list[str], prefix: str) -> DataFrame:
         reader = spark.read
-        if cm and cm.get("mixed"):
+        if cm and cm.get("mixed", True):
             reader = reader.option("mergeSchema", "true")
         base = (
             reader.parquet(*files)
@@ -3483,7 +3483,7 @@ def scan(
                 kept.append(f)
         files = kept
     reader = spark.read
-    if cm and cm.get("mixed"):
+    if cm and cm.get("mixed", True):
         reader = reader.option("mergeSchema", "true")
     if not files:
         base = reader.parquet(*m["files"]).limit(0)
@@ -4484,6 +4484,10 @@ def _build_colmap(spark: SparkSession, root: str) -> dict:
             for i, f in enumerate(fields)
         ],
         "retired": [],
+        # homogeneous until an additive re-add lands (_extend_colmap);
+        # readers treat a MISSING flag as mixed=True — a map written
+        # before the flag existed must take the safe schema-union path
+        "mixed": False,
     }
 
 

@@ -2499,6 +2499,11 @@ def test_drop_column_never_resurrects_and_guards(spark, tmp_path):
     entry = [e for e in cmap["cols"] if e["name"] == "o_orderpriority"]
     assert entry and entry[0]["physical"] != "o_orderpriority"
     assert "o_orderpriority" in cmap["retired"]
+    # heterogeneity flag: False until the re-add, True after — and a
+    # map MISSING the key must be treated as mixed (pre-flag staged
+    # manifests; the sf0.1 sweep caught a fast-path regression here)
+    assert cmap.get("mixed", True) is True
+    assert read_manifest(root, 2)["colmap"]["mixed"] is False
     # guards
     with pytest.raises(ValueError, match="only column"):
         r2 = str(tmp_path / "one")
