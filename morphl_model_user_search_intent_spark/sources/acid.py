@@ -1758,8 +1758,17 @@ def optimize_table(
             ),
             root,
         )
+        cm_out: dict | None | object = _INHERIT
+        if m.get("colmap", {}).get("mixed", False):
+            # the full rewrite re-homogenizes the files (every live
+            # physical present everywhere, retired physicals purged)
+            # — restore the single-footer read fast path
+            cm_out = json.loads(json.dumps(m["colmap"]))
+            cm_out["mixed"] = False
         try:
-            return commit(root, files, "optimize", parent=parent)
+            return commit(
+                root, files, "optimize", parent=parent, colmap=cm_out
+            )
         except CommitConflict:
             for f in files:  # lost the race — reclaim, then replay
                 try:

@@ -3171,3 +3171,43 @@ def test_transformed_table_full_lifecycle(spark, tmp_path):
     mf = read_manifest(root)
     kept = resolve_files(mf, {"o_year": 1995})
     assert 0 < len(kept) < len(mf["files"])
+
+
+def test_full_optimize_clears_mixed_flag(spark, tmp_path):
+    """r9: a full OPTIMIZE on a heterogeneous mapped table (post
+    re-add) re-homogenizes the files and clears colmap['mixed'],
+    restoring the single-footer read fast path — with content intact
+    (old rows still NULL for the re-added column)."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        create_table,
+        drop_column,
+        optimize_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = _base(spark).limit(120)
+    create_table(spark, root, df)
+    drop_column(spark, root, "o_orderpriority")
+    append_table(
+        spark,
+        root,
+        df.limit(20).select(
+            (F.col("o_orderkey") + 5_000_000).alias("o_orderkey"),
+            "price",
+            F.lit("NEW").alias("o_orderpriority"),
+        ),
+        allow_evolution=True,
+    )
+    assert read_manifest(root)["colmap"]["mixed"] is True
+    before = _rowset(read_table(spark, root))
+    optimize_table(spark, root)
+    m = read_manifest(root)
+    assert m["colmap"]["mixed"] is False
+    assert _rowset(read_table(spark, root)) == before
+    old = read_table(spark, root).filter(
+        F.col("o_orderkey") < 5_000_000
+    )
+    assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
