@@ -89,12 +89,247 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     v = latest_version(root) if version is None else version
     try:
         with open(_manifest_path(root, v)) as fh:
-            return json.load(fh)
+            return Manifest(json.load(fh), root)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"version {v} not retained in {root} "
             f"(have {list_versions(root)}) — vacuumed past it?"
         ) from None
+
+
+# ---- two-level manifest (round 10): version manifest + chunk files --
+#
+# A single-JSON manifest is O(n_files) to parse on EVERY read and
+# O(n_files) to serialize on EVERY commit — at 100 TB (10⁶–10⁷ files)
+# that is the first metadata component to break, which is exactly why
+# Iceberg splits its metadata into a manifest LIST plus immutable
+# manifest files.  Format 2 does the same with two levels:
+#
+#   manifests/m-000042.json     version manifest — version/parent/op,
+#                               the small metadata blocks (txn, cdc,
+#                               dv, colmap, constraints, transforms,
+#                               partition spec) and a list of CHUNK
+#                               DESCRIPTORS {id, n, pvals, lo, hi}
+#   manifests/chunks/c-<sha>.json
+#                               immutable, content-addressed chunk:
+#                               {"files", "partitions", "stats"} for
+#                               ≤ _CHUNK_TARGET files sharing ONE
+#                               recorded partition-value tuple
+#
+# Chunks group by partition value, so the descriptor list IS the
+# partition index: resolution compares each descriptor's pvals to the
+# filter and reads ONLY matching chunks — O(n_chunks + matched files),
+# never a full-file-list parse (this subsumes round 9's in-manifest
+# pidx, which format 2 no longer writes).  Content addressing (id =
+# sha1 of the canonical chunk payload) makes carry-by-reference
+# automatic: a commit that doesn't touch a chunk's files re-derives
+# the same id and writes nothing; :func:`commit_delta` goes further
+# and never re-serializes untouched chunks at all.
+#
+# Format-1 manifests (inline files/partitions/stats/pidx) remain fully
+# readable: :class:`Manifest` hydrates either form, and resolve_files
+# keeps its pidx / linear-walk branches for them.
+
+_CHUNK_TARGET = 512  # files per chunk (≈ Iceberg's manifest fanout)
+
+
+def _chunks_dir(root: str) -> str:
+    return os.path.join(_manifest_dir(root), "chunks")
+
+
+class Manifest(dict):
+    """A committed version's manifest, lazily hydrated.
+
+    Behaves exactly like the format-1 dict every consumer already
+    reads (``m["files"]``, ``m.get("partitions", {})``, ...): for a
+    format-2 (chunked) manifest the heavy keys are materialized from
+    the chunk files on FIRST access and cached.  Hot paths
+    (:func:`resolve_files`, :func:`match_files_strict`, :func:`scan`)
+    never trigger hydration — they prune on the chunk descriptors and
+    load only matching chunks through :meth:`load_chunk`."""
+
+    _HEAVY = ("files", "partitions", "stats")
+
+    def __init__(self, data: dict, root: str):
+        super().__init__(data)
+        self.root = root
+        self._chunk_cache: dict[str, dict] = {}
+        self._hydrated = "chunks" not in data
+
+    def load_chunk(self, desc: dict) -> dict:
+        c = self._chunk_cache.get(desc["id"])
+        if c is None:
+            p = os.path.join(_chunks_dir(self.root), desc["id"] + ".json")
+            with open(p) as fh:
+                c = json.load(fh)
+            self._chunk_cache[desc["id"]] = c
+        return c
+
+    def _hydrate(self) -> None:
+        if self._hydrated:
+            return
+        files: list[str] = []
+        parts: dict[str, dict] = {}
+        stats: dict[str, dict] = {}
+        for d in dict.get(self, "chunks", ()):
+            c = self.load_chunk(d)
+            files.extend(c["files"])
+            parts.update(c.get("partitions", {}))
+            stats.update(c.get("stats", {}))
+        dict.__setitem__(self, "files", sorted(files))
+        if parts:
+            dict.__setitem__(self, "partitions", parts)
+        if stats:
+            dict.__setitem__(self, "stats", stats)
+        self._hydrated = True
+
+    def __missing__(self, key):
+        if key in self._HEAVY and not self._hydrated:
+            self._hydrate()
+            if dict.__contains__(self, key):
+                return dict.__getitem__(self, key)
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        if (
+            key in self._HEAVY
+            and not self._hydrated
+            and not dict.__contains__(self, key)
+        ):
+            self._hydrate()
+        return dict.get(self, key, default)
+
+    def __contains__(self, key):
+        if (
+            key in self._HEAVY
+            and not self._hydrated
+            and not dict.__contains__(self, key)
+        ):
+            self._hydrate()
+        return dict.__contains__(self, key)
+
+    def stats_for(self, paths: list[str]) -> dict:
+        """Per-file stats for exactly ``paths`` — for a chunked
+        manifest this reads only the chunks containing them (all
+        cached already when the caller just resolved the same files),
+        never the full stats block."""
+        descs = dict.get(self, "chunks")
+        if descs is None:
+            st = dict.get(self, "stats", {})
+            return {
+                b: st[b]
+                for b in (os.path.basename(p) for p in paths)
+                if b in st
+            }
+        want = {os.path.basename(p) for p in paths}
+        out: dict[str, dict] = {}
+        for d in descs:
+            if not want:
+                break
+            # lo/hi are the chunk's sorted basename bounds — skip
+            # chunks that cannot contain any wanted file
+            if all(b < d["lo"] or b > d["hi"] for b in want):
+                continue
+            for b, s in self.load_chunk(d).get("stats", {}).items():
+                if b in want:
+                    out[b] = s
+        return out
+
+
+def _read_chunk(root: str, cid: str) -> dict:
+    with open(os.path.join(_chunks_dir(root), cid + ".json")) as fh:
+        return json.load(fh)
+
+
+def _write_chunk(
+    root: str,
+    blk_files: list[str],
+    pvals: dict | None,
+    partitions: dict,
+    stats: dict,
+) -> dict:
+    """Write one immutable, content-addressed chunk and return its
+    descriptor.  Same content → same id → no second write (the
+    carry-by-reference property); a racing identical write lands the
+    identical bytes via atomic replace."""
+    bns = [os.path.basename(f) for f in blk_files]
+    content = {
+        "files": blk_files,
+        "partitions": {b: partitions[b] for b in bns if b in partitions},
+        "stats": {b: stats[b] for b in bns if b in stats},
+    }
+    payload = json.dumps(content, sort_keys=True, separators=(",", ":"))
+    cid = "c-" + hashlib.sha1(payload.encode()).hexdigest()[:20]
+    d = _chunks_dir(root)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, cid + ".json")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+    return {
+        "id": cid,
+        "n": len(blk_files),
+        "pvals": pvals if pvals else None,
+        "lo": bns[0],
+        "hi": bns[-1],
+    }
+
+
+def _chunk_blocks(
+    root: str, files: list[str], partitions: dict, stats: dict
+) -> list[dict]:
+    """Group ``files`` by recorded partition-value tuple, split each
+    group into ≤ _CHUNK_TARGET-file runs sorted by basename, and write
+    the chunks (content-addressed — unchanged groups re-derive the
+    same ids and cost no I/O).  Deterministic, so re-committing the
+    same state reuses every chunk byte-for-byte."""
+    groups: dict[str, list[str]] = {}
+    gp: dict[str, dict | None] = {}
+    for f in sorted(files, key=os.path.basename):
+        pv = partitions.get(os.path.basename(f))
+        k = json.dumps(pv, sort_keys=True) if pv else ""
+        groups.setdefault(k, []).append(f)
+        gp[k] = pv if pv else None
+    descs = []
+    for k in sorted(groups):
+        fl = groups[k]
+        for i in range(0, len(fl), _CHUNK_TARGET):
+            descs.append(
+                _write_chunk(root, fl[i : i + _CHUNK_TARGET], gp[k],
+                             partitions, stats)
+            )
+    return descs
+
+
+def _desc_pvals_keep(
+    pv: dict | None, norm: dict[str, tuple], strict: bool = False
+) -> tuple[bool, list[str]]:
+    """Chunk-descriptor partition match.  Returns (keep, missing):
+    per-column typed equality with the string-form tiebreak — the
+    EXACT per-file rule of resolve_files / match_files_strict, lifted
+    to the chunk level (valid because every file in a chunk shares
+    one recorded partition-value tuple)."""
+    missing: list[str] = []
+    for c, (allowed, astr) in norm.items():
+        if not pv or c not in pv:
+            missing.append(c)
+        elif pv[c] not in allowed and str(pv[c]) not in astr:
+            return False, missing
+    return True, missing
+
+
+def _norm_filter(partition_filter: dict) -> dict[str, tuple]:
+    norm = {}
+    for c, want in partition_filter.items():
+        allowed = (
+            want
+            if isinstance(want, (list, tuple, set, frozenset))
+            else (want,)
+        )
+        norm[c] = (allowed, {str(a) for a in allowed})
+    return norm
 
 
 def _build_pidx(files: list[str], partitions: dict) -> dict:
@@ -164,8 +399,42 @@ def commit(
         "parent": parent,
         "op": op,
         "ts": time.time(),
-        "files": sorted(files),
+        "format": 2,
+        # TWO-LEVEL manifest (round 10): the heavy per-file blocks
+        # (file list, partitionValues, zone-map stats) live in
+        # immutable content-addressed CHUNK files grouped by
+        # partition value; the version manifest carries only their
+        # descriptors.  Readers prune on descriptors and open only
+        # matching chunks; unchanged chunks re-derive the same
+        # content hash and are carried without a byte written.
+        "chunks": _chunk_blocks(
+            root, files, partitions or {}, stats or {}
+        ),
+        "nfiles": len(files),
     }
+    _small_blocks(
+        manifest, root, parent, txn, change_files, partition_cols,
+        dv_files, dv_key, colmap, constraints, transforms,
+    )
+    return _publish(root, v, manifest)
+
+
+def _small_blocks(
+    manifest: dict,
+    root: str,
+    parent: int,
+    txn,
+    change_files,
+    partition_cols,
+    dv_files,
+    dv_key,
+    colmap,
+    constraints,
+    transforms,
+) -> None:
+    """Attach the SMALL metadata blocks — everything except the
+    chunked per-file state — shared by :func:`commit` and
+    :func:`commit_delta`."""
     if txn is not None:
         manifest["txn"] = txn
     if change_files is not None:
@@ -174,33 +443,15 @@ def commit(
         # it — a CDC reader of this version reads these files instead
         # of reconstructing the feed from a snapshot diff.
         manifest["change_files"] = sorted(change_files)
-    if stats is not None:
-        # Delta add-file stats / Iceberg manifest metrics: per-file
-        # zone maps + row counts, committed with the version so
-        # scan_table prunes and q_table_count_metadata answers from
-        # metadata alone (see commit_stats / _file_stats).
-        manifest["stats"] = stats
     if partition_cols is not None:
         # Table-level partition spec (Delta's partitionColumns /
         # Iceberg's partition spec): recorded once per manifest so
         # every reader knows the layout without scanning data.
+        # (The per-file partition VALUES and zone-map stats — Delta's
+        # add-file partitionValues/stats — ride in the chunks,
+        # grouped so the descriptor list doubles as the partition
+        # index round 9's in-manifest pidx used to provide.)
         manifest["partition_cols"] = list(partition_cols)
-    if partitions is not None:
-        # Per-file partition VALUES ({basename: {col: value}}) — the
-        # add-file partitionValues Delta/Iceberg commit, keyed by uuid
-        # basename like the stats block.  Manifest resolution prunes
-        # on these BEFORE any file is listed to Spark
-        # (see resolve_files / read_table partition_filter).
-        manifest["partitions"] = partitions
-        # INDEXED manifest (round 9, r8 verdict item 2): the same
-        # block re-keyed as {col: {json(value): [basenames]}} plus
-        # the per-column unrecorded list (partition-evolution files),
-        # serialized ONCE per commit — resolve_files then prunes in
-        # O(distinct values of the filter column + matched files)
-        # instead of a linear walk over every file.  At O(10⁶) files
-        # / O(10³) partitions that is the difference between a
-        # per-query driver stall and a sub-millisecond lookup.
-        manifest["pidx"] = _build_pidx(files, partitions)
     if (
         colmap is _INHERIT
         or constraints is _INHERIT
@@ -256,6 +507,9 @@ def commit(
         # OPTIMIZE folds the mask in and clears the list.
         manifest["dv_files"] = sorted(dv_files)
         manifest["dv_key"] = dv_key
+
+
+def _publish(root: str, v: int, manifest: dict) -> int:
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -272,6 +526,120 @@ def commit(
     finally:
         os.remove(tmp)
     return v
+
+
+def commit_delta(
+    root: str,
+    base: dict,
+    op: str,
+    added: list[str] | tuple = (),
+    removed: list[str] | tuple = (),
+    partitions: dict | None = None,
+    stats: dict | None = None,
+    txn: dict | None = None,
+    change_files: list[str] | None = None,
+    partition_cols: list[str] | None | object = _INHERIT,
+    dv_files: list[str] | None = None,
+    dv_key: str | None = None,
+    colmap: dict | None | object = _INHERIT,
+    constraints: dict | None | object = _INHERIT,
+    transforms: list | None | object = _INHERIT,
+) -> int:
+    """Publish ``base.version + 1`` as BASE − removed + added — the
+    O(delta) commit path (round 10).  Where :func:`commit` takes the
+    full post-state file list (and therefore costs O(n_files) to even
+    assemble), a delta commit copies the parent's chunk descriptors,
+    rewrites only the chunks a removal touches, appends new chunks
+    for the added files, and never re-serializes an untouched chunk:
+    cost is O(delta + touched chunks + n_chunks descriptors) — at
+    10⁶ files, thousands of descriptor copies instead of a
+    multi-second full-manifest rewrite.  This is Iceberg's
+    manifest-list append, reduced to the same POSIX primitive.
+
+    ``partitions``/``stats`` describe the ADDED files only (basename-
+    keyed, like commit's); carried files keep the values already in
+    their chunks.  ``removed`` paths must all be referenced by
+    ``base`` — an unmatched removal raises (it means the caller's
+    plan and the snapshot diverged).  ``partition_cols`` defaults to
+    the parent's spec (pass explicitly to change it).  Small blocks
+    (txn / cdc / dv / colmap / constraints / transforms) behave
+    exactly as in :func:`commit`."""
+    parent = base["version"]
+    if dict.get(base, "chunks") is not None and isinstance(
+        base, Manifest
+    ):
+        descs = list(dict.get(base, "chunks"))
+        loader = base.load_chunk
+    else:
+        # format-1 parent (pre-round-10 table on disk): chunk it once
+        # — O(n_files) for this MIGRATION commit only, every later
+        # delta is O(delta)
+        descs = _chunk_blocks(
+            root,
+            base["files"],
+            base.get("partitions", {}),
+            base.get("stats", {}),
+        )
+        loader = lambda d: _read_chunk(root, d["id"])  # noqa: E731
+    if removed:
+        rem = {os.path.basename(p): p for p in removed}
+        out_descs = []
+        for d in descs:
+            cand = [b for b in rem if d["lo"] <= b <= d["hi"]]
+            if not cand:
+                out_descs.append(d)
+                continue
+            c = loader(d)
+            have = {os.path.basename(f) for f in c["files"]}
+            hit = {b for b in cand if b in have}
+            if not hit:
+                out_descs.append(d)
+                continue
+            for b in hit:
+                rem.pop(b)
+            keepf = [
+                f
+                for f in c["files"]
+                if os.path.basename(f) not in hit
+            ]
+            if keepf:
+                out_descs.append(
+                    _write_chunk(
+                        root,
+                        keepf,
+                        d.get("pvals"),
+                        c.get("partitions", {}),
+                        c.get("stats", {}),
+                    )
+                )
+        if rem:
+            raise ValueError(
+                f"delta commit on {root} removes {len(rem)} file(s) "
+                f"not referenced by v{parent} (e.g. "
+                f"{sorted(rem)[:3]}) — stale snapshot?"
+            )
+        descs = out_descs
+    if added:
+        descs = descs + _chunk_blocks(
+            root, list(added), partitions or {}, stats or {}
+        )
+    v = parent + 1
+    manifest = {
+        "version": v,
+        "parent": parent,
+        "op": op,
+        "ts": time.time(),
+        "format": 2,
+        "chunks": descs,
+        "nfiles": sum(d["n"] for d in descs),
+    }
+    if partition_cols is _INHERIT:
+        partition_cols = base.get("partition_cols")
+    _small_blocks(
+        manifest, root, parent, txn, change_files, partition_cols,
+        dv_files, dv_key, colmap, constraints, transforms,
+    )
+    return _publish(root, v, manifest)
 
 
 def _write_files(df: DataFrame, root: str, subdir: str = "data") -> list[str]:
@@ -322,6 +690,28 @@ def resolve_files(
     sub-millisecond and seconds at O(10⁶) files.  Manifests written
     before the index existed fall back to the linear walk with
     identical semantics."""
+    descs = dict.get(m, "chunks") if isinstance(m, Manifest) else None
+    if descs is not None:
+        # FORMAT 2 (round 10): the descriptor list is the partition
+        # index — prune at chunk granularity (every chunk's files
+        # share one recorded partition-value tuple) and read ONLY
+        # matching chunks: O(n_chunks + matched files), no full
+        # file-list parse even without a filter.
+        if not partition_filter:
+            out = []
+            for d in descs:
+                out.extend(m.load_chunk(d)["files"])
+            return sorted(out)
+        norm = _norm_filter(partition_filter)
+        out = []
+        for d in descs:
+            keep, _missing = _desc_pvals_keep(d.get("pvals"), norm)
+            # chunks with no/partial recorded values are always kept
+            # (pruning must never be lossy — the residual predicate
+            # makes the read exact), same as the per-file rule below
+            if keep:
+                out.extend(m.load_chunk(d)["files"])
+        return sorted(out)
     files = m["files"]
     if not partition_filter:
         return files
@@ -403,7 +793,41 @@ def match_files_strict(
     match strictly, and RAISE when any file that could hold target
     rows lacks a recorded value for a filter column — a metadata-only
     drop/overwrite cannot split such a file, so the caller must
-    compact it under the current spec first (``optimize_table``)."""
+    compact it under the current spec first (``optimize_table``).
+
+    On a format-2 manifest the match runs on the CHUNK DESCRIPTORS
+    (round-9 verdict item 3 — destructive-op matching was a linear
+    file walk): a whole partition's files match or miss together, so
+    drop/overwrite-partition resolves in O(n_chunks + matched files)
+    at any table size."""
+    descs = dict.get(m, "chunks") if isinstance(m, Manifest) else None
+    if descs is not None:
+        norm = _norm_filter(partition_filter)
+        matched: list[str] = []
+        uncovered: list[tuple[str, list[str]]] = []
+        for d in descs:
+            keep, missing = _desc_pvals_keep(
+                d.get("pvals"), norm
+            )
+            if not keep:
+                continue  # provably holds no target rows
+            if missing:
+                uncovered.append((f"{d['n']}-file chunk {d['id']}",
+                                  missing))
+            else:
+                matched.extend(m.load_chunk(d)["files"])
+        if uncovered:
+            sample = ", ".join(
+                f"{b} (no value for {mc})" for b, mc in uncovered[:3]
+            )
+            raise ValueError(
+                f"partition op on {sorted(partition_filter)} cannot "
+                f"be metadata-only: {len(uncovered)} chunk(s) "
+                f"predate the filter column(s) and may hold target "
+                f"rows mixed with other partitions ({sample}); "
+                "OPTIMIZE the table under the current spec first"
+            )
+        return matched
     pv = m.get("partitions", {})
     # hoist the per-column normalization out of the file loop (the
     # walk runs at metadata scale — O(files) — on every destructive op)
@@ -631,7 +1055,10 @@ def _write_files_partitioned(
 
 
 def _live_dv(
-    root: str, m: dict, kept: list[str]
+    root: str,
+    m: dict,
+    kept: list[str] | None = None,
+    removed: set[str] | None = None,
 ) -> tuple[list[str] | None, str | None, list[str]]:
     """Recompute the deletion-vector list after a partial rewrite
     (round-9 ADVICE fix): a tombstone is LIVE only while the file
@@ -648,7 +1075,14 @@ def _live_dv(
     pyarrow — the DV set is the un-folded delete backlog, small by
     construction); an empty survivor set clears the list entirely.
     ``created`` lists the just-written sidecar files so a commit that
-    loses its race can reclaim them like data files."""
+    loses its race can reclaim them like data files.
+
+    Pass EITHER ``kept`` (the surviving file list — full rewrites) OR
+    ``removed`` (the basenames leaving the manifest this commit —
+    delta commits, round 10): every dv entry was live at the parent
+    version by this function's own invariant, so liveness after a
+    delta is simply "not removed", and the delta path never needs the
+    full file list."""
     dvf = m.get("dv_files")
     if not dvf:
         return None, None, []
@@ -656,15 +1090,26 @@ def _live_dv(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    live = {os.path.basename(f) for f in kept}
+    if removed is not None:
+        dead = {os.path.basename(f) for f in removed}
+    else:
+        live = {os.path.basename(f) for f in kept}
     out: list[str] = []
     pending = []  # tables needing a filtered rewrite
     for d in dvf:
         t = pq.read_table(d)
-        mask = pc.is_in(
-            t.column("_file"),
-            value_set=pa.array(sorted(live), type=pa.string()),
-        )
+        if removed is not None:
+            mask = pc.invert(
+                pc.is_in(
+                    t.column("_file"),
+                    value_set=pa.array(sorted(dead), type=pa.string()),
+                )
+            )
+        else:
+            mask = pc.is_in(
+                t.column("_file"),
+                value_set=pa.array(sorted(live), type=pa.string()),
+            )
         n_live = pc.sum(mask).as_py() or 0
         if n_live == t.num_rows:
             out.append(d)  # fully live: carry by reference
@@ -807,15 +1252,13 @@ def delete_from_table(
             # unchanged when DVs attach for the same reason).  Row
             # counts likewise stay physical; logical counts must go
             # through a masked read while a DV backlog exists.
-            return commit(
+            # Zero file delta (round 10): every chunk carries by
+            # descriptor — the commit serializes only the DV list.
+            return commit_delta(
                 root,
-                m["files"],
+                m,
                 "delete",
-                parent=m["version"],
                 txn=txn,
-                partition_cols=m.get("partition_cols"),
-                partitions=m.get("partitions"),
-                stats=m.get("stats"),
                 change_files=change_files,
                 dv_files=m.get("dv_files", []) + new_dv,
                 dv_key=on_p,
@@ -945,10 +1388,6 @@ def merge_table(
         upserts = source.filter(~F.col("_delete")).drop("_delete")
         _validate_constraints(upserts, root)  # incoming rows only
         new_files = _write_files(survivors.unionByName(upserts), root)
-        kept = [
-            f for f in m["files"]
-            if os.path.basename(f) not in set(touched)
-        ]
         change_files = None
         if cdc:
             matched = base.filter(F.col("_file").isin(touched)).drop(
@@ -961,13 +1400,19 @@ def merge_table(
         # THROUGH the mask) — retire them so dv_fraction reflects
         # only the live backlog (round-9 fix); carried files' entries
         # keep masking
-        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(
+            root, m, removed=set(touched)
+        )
         try:
-            return commit(
+            # O(delta) CoW commit (round 10): only the chunks holding
+            # TOUCHED files rewrite; the untouched bulk of the table
+            # carries by chunk descriptor
+            return commit_delta(
                 root,
-                kept + new_files,
+                m,
                 "merge",
-                parent=m["version"],
+                added=new_files,
+                removed=[by_base[t] for t in touched],
                 txn=txn,
                 change_files=change_files,
                 dv_files=dv_files,
@@ -1197,11 +1642,13 @@ def append_table(
                 "the append against the current schema"
             )
         try:
-            return commit(
+            # O(delta) append (round 10): the parent's chunks carry
+            # by reference, only the new files are serialized
+            return commit_delta(
                 root,
-                m["files"] + files,
+                m,
                 "append",
-                m["version"],
+                added=files,
                 txn=txn,
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
@@ -1267,15 +1714,20 @@ def append_table_partitioned(
                 _reclaim()  # a racing replay already won
                 return latest_version(root)
         try:
-            return commit(
+            # O(delta) partitioned append (round 10): untouched
+            # partitions' chunks carry by descriptor; only the
+            # micro-batch's own files (with their partition values
+            # and stats) are serialized — the streaming-ingest cost
+            # no longer grows with table history
+            return commit_delta(
                 root,
-                m["files"] + files,
+                m,
                 "append",
-                m["version"],
+                added=files,
+                partitions=parts,
+                stats=new_stats,
                 txn=txn,
                 partition_cols=pcols,
-                partitions={**m.get("partitions", {}), **parts},
-                stats={**m.get("stats", {}), **new_stats},
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
             )
@@ -1308,6 +1760,7 @@ def vacuum(
     vs = list_versions(root)
     keep = set(vs[-keep_last:])
     referenced: set[str] = set()
+    ref_chunks: set[str] = set()  # chunk ids retained versions use
     for v in keep:
         m = read_manifest(root, v)
         referenced.update(m["files"])
@@ -1317,7 +1770,9 @@ def vacuum(
         # unmasked read resurrects deleted rows) — protected likewise
         referenced.update(m.get("change_files", []))
         referenced.update(m.get("dv_files", []))
+        ref_chunks.update(d["id"] for d in dict.get(m, "chunks", ()))
     removed = []
+    dead_chunks: set[str] = set()
     for v in vs:
         if v in keep:
             continue
@@ -1330,7 +1785,21 @@ def vacuum(
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
+        dead_chunks.update(
+            d["id"]
+            for d in dict.get(m, "chunks", ())
+            if d["id"] not in ref_chunks
+        )
         os.remove(_manifest_path(root, v))
+    # manifest chunks are content-shared across versions (that is
+    # what makes commits cheap) — reclaim only the ones no retained
+    # version points at, and only after EVERY retired manifest has
+    # been hydrated above (two retired versions may share a chunk)
+    for cid in dead_chunks:
+        try:
+            os.remove(os.path.join(_chunks_dir(root), cid + ".json"))
+        except OSError:
+            pass
     if orphan_grace is not None:
         cutoff = time.time() - orphan_grace
         ref_names = {os.path.basename(f) for f in referenced}
@@ -1998,9 +2467,23 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_orderpriority string, "
         "price double, _change_type string"
     )
+    # one micro-batch per COMMIT, not per change FILE (round-10 fix:
+    # a commit's feed is written by a distributed job, so its file
+    # count grows with write parallelism — maxFilesPerTrigger=1 made
+    # the trigger count O(files), ~50 s of per-batch overhead at
+    # sf1.0 for 4 output rows; batching at the largest per-commit
+    # file count keeps the intended shape — each commit's feed
+    # arrives incrementally — at every scale factor)
+    per_commit = max(
+        (
+            len(read_manifest(root, v).get("change_files") or ())
+            for v in list_versions(root)
+        ),
+        default=1,
+    )
     s = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max(1, per_commit))
         .parquet(os.path.join(root, "change"))
     )
     agg = s.groupBy("_change_type").agg(
@@ -2701,8 +3184,6 @@ def merge_table_partitioned(
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
-        pmap = m.get("partitions", {})
-        old_stats = m.get("stats", {})
         tr = m.get("transforms")
         exprs = _transform_exprs(tr) if tr else None
         if exprs:
@@ -2714,14 +3195,27 @@ def merge_table_partitioned(
             src_parts = _source_partitions(src_h, pcols)
         else:
             src_parts = _source_partitions(source, pcols)
-        cand = [
-            f
-            for f in m["files"]
-            if tuple(
-                pmap.get(os.path.basename(f), {}).get(c) for c in pcols
-            )
-            in src_parts
-        ]
+        descs = dict.get(m, "chunks") if isinstance(m, Manifest) else None
+        if descs is not None:
+            # candidate selection at CHUNK granularity (round 10):
+            # untouched partitions' chunks are never even opened —
+            # the planning pass costs O(n_chunks + touched files)
+            cand = []
+            for d in descs:
+                pv = d.get("pvals") or {}
+                if tuple(pv.get(c) for c in pcols) in src_parts:
+                    cand.extend(m.load_chunk(d)["files"])
+        else:
+            pmap = m.get("partitions", {})
+            cand = [
+                f
+                for f in m["files"]
+                if tuple(
+                    pmap.get(os.path.basename(f), {}).get(c)
+                    for c in pcols
+                )
+                in src_parts
+            ]
         by_base = {os.path.basename(f): f for f in cand}
         keys = source.select(on).distinct()
         if cand:
@@ -2772,33 +3266,22 @@ def merge_table_partitioned(
             feed = _merge_change_feed(matched, source, upserts, on)
             change_files = _write_files(feed, root, subdir="change")
         touched_set = set(touched)
-        kept = [
-            f
-            for f in m["files"]
-            if os.path.basename(f) not in touched_set
-        ]
-        partitions = {
-            os.path.basename(f): pmap[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in pmap
-        }
-        partitions.update(new_parts)
-        stats = {
-            os.path.basename(f): old_stats[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in old_stats
-        }
-        stats.update(commit_stats(root, new_files, []))
-        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(
+            root, m, removed=touched_set
+        )
         try:
-            return commit(
+            # manifest diff ∝ touched partitions (round 10): carried
+            # chunks keep their partition values and stats verbatim;
+            # only the rewritten partitions' chunks re-serialize
+            return commit_delta(
                 root,
-                kept + new_files,
+                m,
                 "merge",
-                parent=m["version"],
+                added=new_files,
+                removed=[by_base[t] for t in touched],
+                partitions=new_parts,
+                stats=commit_stats(root, new_files, []),
                 partition_cols=pcols,
-                partitions=partitions,
-                stats=stats,
                 change_files=change_files,
                 dv_files=dv_files,
                 dv_key=dv_key,
@@ -3478,7 +3961,10 @@ def scan(
     pf_full, _ = _derive_hidden_filters(m, partition_filter, ranges)
     files = resolve_files(m, pf_full)
     if ranges:
-        stats = m.get("stats", {})
+        # chunk-scoped stats lookup: only the chunks that survived
+        # partition pruning are opened (and they are already cached
+        # from resolve_files) — never the full stats block
+        stats = m.stats_for(files)
         kept = []
         for f in files:
             cols = stats.get(os.path.basename(f), {}).get("cols", {})
@@ -3994,8 +4480,12 @@ def drop_partition(
             m, _filter_to_physical(m.get("colmap"), partition_filter)
         )
     )
-    files = [f for f in m["files"] if f not in drop]
-    if not files:
+    n_total = (
+        dict.get(m, "nfiles")
+        if dict.get(m, "nfiles") is not None
+        else len(m["files"])
+    )
+    if len(drop) >= n_total:
         # dropping EVERY partition would leave a schema-less empty
         # manifest no reader can resolve — refuse loudly (truncate a
         # table by restating it, not by dropping it out of existence)
@@ -4003,24 +4493,15 @@ def drop_partition(
             f"drop_partition({partition_filter}) would drop every "
             "file in the table"
         )
-    bases = {os.path.basename(f) for f in files}
-    dv_files, dv_key, _dv_new = _live_dv(root, m, files)
-    return commit(
+    dv_files, dv_key, _dv_new = _live_dv(root, m, removed=drop)
+    # O(matched) end-to-end (round 10): the match ran on chunk
+    # descriptors and the delta commit drops whole chunks by
+    # descriptor — untouched partitions are never parsed
+    return commit_delta(
         root,
-        files,
+        m,
         f"drop-partition:{partition_filter}",
-        parent=m["version"],
-        partition_cols=m.get("partition_cols"),
-        partitions={
-            b: v
-            for b, v in m.get("partitions", {}).items()
-            if b in bases
-        },
-        stats={
-            b: s
-            for b, s in m.get("stats", {}).items()
-            if b in bases
-        },
+        removed=sorted(drop),
         dv_files=dv_files,
         dv_key=dv_key,
     )
@@ -4095,8 +4576,6 @@ def overwrite_partition(
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
-        pmap = m.get("partitions", {})
-        old_stats = m.get("stats", {})
         # plan-only guard: no stray row outside the target partitions
         # (a HIDDEN partition name's value is computed from the frame
         # via its transform — it is not a data column)
@@ -4139,29 +4618,22 @@ def overwrite_partition(
             pcols,
             exprs=_transform_exprs(_tr) if _tr else None,
         )
-        kept = [f for f in m["files"] if f not in replaced]
-        partitions = {
-            os.path.basename(f): pmap[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in pmap
-        }
-        partitions.update(new_parts)
-        stats = {
-            os.path.basename(f): old_stats[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in old_stats
-        }
-        stats.update(commit_stats(root, new_files, []))
-        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(
+            root, m, removed=replaced
+        )
         try:
-            return commit(
+            # delta commit (round 10): the restated partitions' old
+            # chunks drop by descriptor, the new write appends fresh
+            # chunks, every other partition carries untouched
+            return commit_delta(
                 root,
-                kept + new_files,
+                m,
                 f"overwrite-partition:{partition_filter}",
-                parent=m["version"],
+                added=new_files,
+                removed=sorted(replaced),
+                partitions=new_parts,
+                stats=commit_stats(root, new_files, []),
                 partition_cols=pcols,
-                partitions=partitions,
-                stats=stats,
                 dv_files=dv_files,
                 dv_key=dv_key,
             )
@@ -4838,14 +5310,14 @@ def update_table(
         new_dv = _write_files(dv_rows, root, subdir="dv")
         new_files = _write_files(matched, root)
         try:
-            return commit(
+            # O(update batch) commit (round 10): carried chunks keep
+            # their partition values/stats; only the post-image files
+            # serialize, plus the grown DV list
+            return commit_delta(
                 root,
-                m["files"] + new_files,
+                m,
                 "update",
-                parent=m["version"],
-                partition_cols=m.get("partition_cols"),
-                partitions=m.get("partitions"),
-                stats=m.get("stats"),
+                added=new_files,
                 dv_files=m.get("dv_files", []) + new_dv,
                 dv_key=on_p,
             )

@@ -149,6 +149,11 @@ def test_snapshot_isolation_across_processes(spark, tmp_path):
         latest = sorted(f for f in os.listdir(md) if f.startswith("m-"))[-1]
         with open(os.path.join(md, latest)) as fh:
             m = json.load(fh)
+        if "chunks" in m:  # two-level manifest (format 2)
+            m["files"] = []
+            for d in m["chunks"]:
+                with open(os.path.join(md, "chunks", d["id"] + ".json")) as ch:
+                    m["files"] += json.load(ch)["files"]
         print(json.dumps({"pinned": m["version"]}), flush=True)
         sys.stdin.readline()  # wait until the writer has committed v2
         n, s = duckdb.sql(
@@ -2336,10 +2341,18 @@ def test_indexed_manifest_resolution_equals_linear_walk(
 
     root, base = _evolved_table(spark, tmp_path)
     m = read_manifest(root)
-    assert "pidx" in m and set(m["pidx"]) == {
-        "o_year", "o_orderpriority",
+    # r10 two-level manifest: descriptors group files by recorded
+    # partition-value tuple — the descriptor list IS the index
+    descs = dict.get(m, "chunks")
+    assert descs, "format-2 manifest expected"
+    dcols = set()
+    for d in descs:
+        dcols.update(d["pvals"] or {})
+    assert dcols == {"o_year", "o_orderpriority"}
+    linear = {
+        "files": m["files"],
+        "partitions": m.get("partitions", {}),
     }
-    linear = {k: v for k, v in m.items() if k != "pidx"}
     for f in [
         {"o_year": 1995},
         {"o_year": [1995, 1996]},
@@ -2351,9 +2364,12 @@ def test_indexed_manifest_resolution_equals_linear_walk(
         got = resolve_files(m, f)
         want = resolve_files(linear, f)
         assert sorted(got) == sorted(want), f
-    # the index never walks the full list: a one-partition filter
-    # returns a strict subset
-    assert len(resolve_files(m, {"o_year": 1995})) < len(m["files"])
+    # chunk resolution never hydrates the full list: a one-partition
+    # filter on a FRESH manifest object loads only matching chunks
+    m2 = read_manifest(root)
+    sub = resolve_files(m2, {"o_year": 1995})
+    assert len(sub) < len(m["files"])
+    assert len(m2._chunk_cache) < len(descs)
 
 
 def test_rename_column_metadata_only_time_travel_and_pruning(

@@ -808,6 +808,20 @@ def test_indexed_resolution_equals_linear_for_any_layout(files, want):
     got_l = set(resolve_files(linear, f))
     got_i = set(resolve_files(indexed, f))
     assert got_i == got_l
+    # r10 two-level manifest: the chunk-descriptor path must return
+    # the identical file set for the same arbitrary layout
+    import tempfile
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        Manifest,
+        _chunk_blocks,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        descs = _chunk_blocks(td, manifest_files, partitions, {})
+        chunked = Manifest({"version": 1, "chunks": descs}, td)
+        got_c = set(resolve_files(chunked, f))
+    assert got_c == got_l
     wstr = {str(w) for w in want}
     for i, (pv, has_pv, as_str) in enumerate(files):
         path = f"/t/data/f{i:03d}.parquet"

@@ -96,5 +96,95 @@ def main() -> None:
         print(json.dumps(row))
 
 
+def tree_section() -> None:
+    """Round-10 extension: the TWO-LEVEL manifest's end-to-end costs
+    on REAL on-disk tables (the round-9 section above measures only
+    in-memory resolution).  At each grid point — up to 10⁶ files —
+    this times, against a committed format-2 table:
+
+    - read_resolve: read_manifest + one-partition resolve_files
+      (O(n_chunks descriptors + matched chunk));
+    - commit_append: commit_delta appending 10 files to ONE partition
+      (O(delta + descriptors), never re-serializing carried chunks);
+    - commit_dv: a zero-file-delta commit (DV-style) — descriptors
+      only;
+    - v1_parse / v1_serialize: the single-JSON manifest's costs at
+      the same size, the pre-round-10 baseline both replace.
+
+    Also asserts, at every grid point, that delta-committed state
+    hydrates to exactly full-commit state (files ∪ delta)."""
+    import shutil
+    import tempfile
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        commit,
+        commit_delta,
+        read_manifest,
+    )
+
+    grids = [(100, 100), (1_000, 100), (1_000, 1_000)]
+    for n_parts, fpp in grids:
+        td = tempfile.mkdtemp(prefix="mtree-")
+        root = os.path.join(td, "t")
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        files, partitions = [], {}
+        for p in range(n_parts):
+            for i in range(fpp):
+                b = f"f{p:05d}-{i:06d}.parquet"
+                files.append(f"{root}/data/{b}")
+                partitions[b] = {"day": p}
+        row = {"n_files": len(files), "n_partitions": n_parts}
+        t0 = time.perf_counter()
+        commit(root, files, "create", parent=0,
+               partition_cols=["day"], partitions=partitions)
+        row["commit_full_s"] = round(time.perf_counter() - t0, 3)
+
+        def read_resolve():
+            m = read_manifest(root)
+            return resolve_files(m, {"day": n_parts // 2})
+
+        row["read_resolve_ms"] = round(timed(read_resolve, 5) * 1e3, 2)
+        row["matched"] = len(read_resolve())
+
+        new = [f"{root}/data/x{i:06d}.parquet" for i in range(10)]
+        newp = {os.path.basename(f): {"day": 0} for f in new}
+
+        def append_delta():
+            m = read_manifest(root)
+            return commit_delta(
+                root, m, "append", added=new, partitions=newp
+            )
+
+        t0 = time.perf_counter()
+        v = append_delta()
+        row["commit_append_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 2
+        )
+        m2 = read_manifest(root, v)
+        assert sorted(m2["files"]) == sorted(files + new)
+        t0 = time.perf_counter()
+        commit_delta(root, m2, "delete",
+                     dv_files=[f"{root}/dv/d.parquet"], dv_key="k")
+        row["commit_dv_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 2
+        )
+        # the pre-round-10 baseline: one JSON carrying everything
+        v1 = {"version": 1, "files": sorted(files),
+              "partitions": partitions,
+              "pidx": _build_pidx(files, partitions)}
+        p1 = os.path.join(td, "v1.json")
+        t0 = time.perf_counter()
+        with open(p1, "w") as fh:
+            json.dump(v1, fh)
+        row["v1_serialize_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        with open(p1) as fh:
+            json.load(fh)
+        row["v1_parse_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(row))
+        shutil.rmtree(td, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
+    tree_section()
