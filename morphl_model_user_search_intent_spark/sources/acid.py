@@ -382,11 +382,18 @@ def commit(
     colmap: dict | None | object = _INHERIT,
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
+    metrics: dict | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
     conflict-detecting: the manifest is fully written to a scratch
     path first, then linked into place — link(2) either installs the
     complete manifest or fails with EEXIST (another writer won).
+
+    ``metrics`` optionally records the commit's operationMetrics
+    (Delta's commitInfo.operationMetrics — what DESCRIBE HISTORY
+    dashboards read): e.g. {"n_added", "n_removed", "n_rows_added"}.
+    Full-list committers pass what they know; :func:`commit_delta`
+    derives file counts from its own delta automatically.
 
     ``txn`` optionally records an application-level transaction
     identity ({"app": ..., "version": ...}) in the manifest — the
@@ -412,6 +419,8 @@ def commit(
         ),
         "nfiles": len(files),
     }
+    if metrics is not None:
+        manifest["metrics"] = dict(metrics)
     _small_blocks(
         manifest, root, parent, txn, change_files, partition_cols,
         dv_files, dv_key, colmap, constraints, transforms,
@@ -544,9 +553,14 @@ def commit_delta(
     colmap: dict | None | object = _INHERIT,
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
+    metrics: dict | None = None,
+    parent: int | None = None,
 ) -> int:
     """Publish ``base.version + 1`` as BASE − removed + added — the
-    O(delta) commit path (round 10).  Where :func:`commit` takes the
+    O(delta) commit path (round 10).  ``parent`` overrides the new
+    version's parent when ``base`` is NOT the latest snapshot —
+    RESTORE commits the target version's state on top of the current
+    head this way, reusing the target's chunk descriptors verbatim.  Where :func:`commit` takes the
     full post-state file list (and therefore costs O(n_files) to even
     assemble), a delta commit copies the parent's chunk descriptors,
     rewrites only the chunks a removal touches, appends new chunks
@@ -564,7 +578,8 @@ def commit_delta(
     the parent's spec (pass explicitly to change it).  Small blocks
     (txn / cdc / dv / colmap / constraints / transforms) behave
     exactly as in :func:`commit`."""
-    parent = base["version"]
+    if parent is None:
+        parent = base["version"]
     if dict.get(base, "chunks") is not None and isinstance(
         base, Manifest
     ):
@@ -633,6 +648,22 @@ def commit_delta(
         "chunks": descs,
         "nfiles": sum(d["n"] for d in descs),
     }
+    # operationMetrics (round 10, Delta's commitInfo.operationMetrics):
+    # the delta path knows its own file delta exactly; row counts ride
+    # along whenever the writer computed stats for the added files.
+    # DV-only commits (MoR delete/update) count 0/0 file churn — the
+    # point of merge-on-read — and their writers add tombstone counts
+    # through the ``metrics`` override.
+    om = {"n_added": len(added), "n_removed": len(removed)}
+    if stats:
+        rows = [
+            s.get("rows") for s in stats.values() if "rows" in s
+        ]
+        if rows and len(rows) == len(added):
+            om["n_rows_added"] = int(sum(rows))
+    if metrics:
+        om.update(metrics)
+    manifest["metrics"] = om
     if partition_cols is _INHERIT:
         partition_cols = base.get("partition_cols")
     _small_blocks(
@@ -665,7 +696,11 @@ def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Initialize a table: data dirs + version 1."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    return commit(root, _write_files(df, root), "create", parent=0)
+    files = _write_files(df, root)
+    return commit(
+        root, files, "create", parent=0,
+        metrics={"n_added": len(files), "n_removed": 0},
+    )
 
 
 def resolve_files(
@@ -2236,7 +2271,15 @@ def optimize_table(
             cm_out["mixed"] = False
         try:
             return commit(
-                root, files, "optimize", parent=parent, colmap=cm_out
+                root, files, "optimize", parent=parent, colmap=cm_out,
+                metrics={
+                    "n_added": len(files),
+                    "n_removed": (
+                        dict.get(m, "nfiles")
+                        if dict.get(m, "nfiles") is not None
+                        else len(m["files"])
+                    ),
+                },
             )
         except CommitConflict:
             for f in files:  # lost the race — reclaim, then replay
@@ -2507,6 +2550,41 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def describe_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY with operationMetrics (round 10 — Delta's
+    commitInfo.operationMetrics): one row per retained version with
+    version/parent/op/timestamp, whether the commit published a CDC
+    feed, and the commit's recorded file/row churn (n_added,
+    n_removed, n_rows_added; -1 when the committing op predates the
+    metrics block or didn't record one).  Metadata-scale: one small
+    version-manifest read per retained version, no chunk or data file
+    opened — what an operator dashboard polls to watch ingest volume,
+    find the commit that bloated the table, and decide what to
+    OPTIMIZE or vacuum."""
+    rows = []
+    for v in list_versions(root):
+        m = read_manifest(root, v)
+        om = m.get("metrics") or {}
+        rows.append(
+            (
+                m["version"],
+                m["parent"],
+                m["op"],
+                float(m["ts"]),
+                bool(m.get("change_files")),
+                int(om.get("n_added", -1)),
+                int(om.get("n_removed", -1)),
+                int(om.get("n_rows_added", -1)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, parent bigint, op string, ts double, "
+        "has_cdc boolean, n_added bigint, n_removed bigint, "
+        "n_rows_added bigint",
+    )
+
+
 @register(
     "q_table_history",
     oracle="""
@@ -2531,19 +2609,8 @@ def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     side work is one JSON read per retained manifest — the same
     bounded metadata walk every other table op does."""
     root = ensure_acid_exercise(spark, sf_dir)
-    rows = []
-    for v in list_versions(root):
-        m = read_manifest(root, v)
-        rows.append(
-            (
-                m["version"],
-                m["parent"],
-                m["op"],
-                bool(m.get("change_files")),
-            )
-        )
-    return spark.createDataFrame(
-        rows, "version bigint, parent bigint, op string, has_cdc boolean"
+    return describe_history(spark, root).select(
+        "version", "parent", "op", "has_cdc"
     )
 
 
@@ -2702,6 +2769,11 @@ def clone_table(
         m["files"],
         f"clone:{os.path.basename(src_root.rstrip('/'))}@v{m['version']}",
         parent=0,
+        metrics={
+            "n_added": len(m["files"]),
+            "n_removed": 0,
+            "cloned_version": m["version"],
+        },
         partition_cols=m.get("partition_cols"),
         partitions=m.get("partitions"),
         stats=m.get("stats"),
@@ -3035,14 +3107,14 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
     restore that dropped them would degrade pruning or resurrect
     rows the target version had deleted."""
     m = read_manifest(root, version)
-    return commit(
+    # zero file delta: the target's chunk descriptors carry verbatim
+    # (round 10) — a restore is O(descriptors) at any table size
+    return commit_delta(
         root,
-        m["files"],
+        m,
         f"restore:v{version}",
         parent=latest_version(root),
         partition_cols=m.get("partition_cols"),
-        partitions=m.get("partitions"),
-        stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
         # the TARGET version's logical schema, constraint set, and
@@ -3052,6 +3124,7 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        metrics={"restored_version": version},
     )
 
 
@@ -3123,6 +3196,7 @@ def create_table_partitioned(
         root,
         files,
         "create",
+        metrics={"n_added": len(files), "n_removed": 0},
         parent=0,
         partition_cols=partition_cols,
         partitions=parts,
@@ -3316,13 +3390,29 @@ def optimize_table_partitioned(
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
-        pmap = m.get("partitions", {})
-        old_stats = m.get("stats", {})
-        sel = [
-            f
-            for f in resolve_files(m, partition_filter)
-            if os.path.basename(f) in pmap  # only partitioned files
-        ]
+        descs = (
+            dict.get(m, "chunks") if isinstance(m, Manifest) else None
+        )
+        if descs is not None:
+            # chunk-granular selection (round 10): only chunks with
+            # RECORDED partition values that match compact — same
+            # rule as the v1 walk below (conservative on a missing
+            # filter column, flat-written files never selected)
+            norm = _norm_filter(partition_filter or {})
+            sel = []
+            for d in descs:
+                if not d.get("pvals"):
+                    continue  # only partitioned files
+                keep, _missing = _desc_pvals_keep(d["pvals"], norm)
+                if keep:
+                    sel.extend(m.load_chunk(d)["files"])
+        else:
+            pmap = m.get("partitions", {})
+            sel = [
+                f
+                for f in resolve_files(m, partition_filter)
+                if os.path.basename(f) in pmap
+            ]
         if not sel:
             return m["version"]  # nothing to compact: no-op
         # compaction reads THROUGH the deletion-vector mask: the
@@ -3347,34 +3437,21 @@ def optimize_table_partitioned(
             pcols,
             exprs=_transform_exprs(tr) if tr else None,
         )
-        sel_set = {os.path.basename(f) for f in sel}
-        kept = [
-            f for f in m["files"] if os.path.basename(f) not in sel_set
-        ]
-        partitions = {
-            os.path.basename(f): pmap[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in pmap
-        }
-        partitions.update(new_parts)
-        stats = {
-            os.path.basename(f): old_stats[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in old_stats
-        }
-        stats.update(commit_stats(root, new_files, []))
         # retire DV entries folded into the rewrite (round-9 fix):
         # only tombstones masking files carried by reference stay
-        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, removed=set(sel))
         try:
-            return commit(
+            # delta commit: unselected partitions' chunks carry by
+            # descriptor with values/stats untouched
+            return commit_delta(
                 root,
-                kept + new_files,
+                m,
                 "optimize",
-                parent=m["version"],
+                added=new_files,
+                removed=sel,
+                partitions=new_parts,
+                stats=commit_stats(root, new_files, []),
                 partition_cols=pcols,
-                partitions=partitions,
-                stats=stats,
                 dv_files=dv_files,
                 dv_key=dv_key,
             )
@@ -3762,7 +3839,13 @@ def optimize_table_zorder(
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        cm = read_manifest(root, parent).get("colmap")
+        _pm = read_manifest(root, parent)
+        cm = _pm.get("colmap")
+        n_old = (
+            dict.get(_pm, "nfiles")
+            if dict.get(_pm, "nfiles") is not None
+            else len(_pm["files"])
+        )
         files = _write_files(_select_physical(cm, clustered), root)
         stat_cols = [
             _colmap_lookup(cm, c) if cm else c for c in cols[:2]
@@ -3774,6 +3857,7 @@ def optimize_table_zorder(
                 f"zorder:{','.join(stat_cols)}",
                 parent=parent,
                 stats=commit_stats(root, files, stat_cols),
+                metrics={"n_added": len(files), "n_removed": n_old},
             )
         except CommitConflict:
             for f in files:
@@ -4176,14 +4260,13 @@ def evolve_partition_spec(root: str, new_cols: list[str]) -> int:
         _colmap_lookup(m.get("colmap"), c) if m.get("colmap") else c
         for c in new_cols
     ]
-    return commit(
+    # zero file delta: the spec change rides the version manifest,
+    # every chunk carries by descriptor (round 10)
+    return commit_delta(
         root,
-        m["files"],
+        m,
         f"evolve-spec:{','.join(new_cols)}",
-        parent=m["version"],
         partition_cols=new_cols,
-        partitions=m.get("partitions"),
-        stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
     )
@@ -4317,9 +4400,6 @@ def _commit_metadata_only(root: str, m: dict, op: str, **over) -> int:
     blocks — the shared shape of rename/drop column and
     add/drop constraint."""
     kw = dict(
-        partition_cols=m.get("partition_cols"),
-        partitions=m.get("partitions"),
-        stats=m.get("stats"),
         dv_files=m.get("dv_files"),
         dv_key=m.get("dv_key"),
         colmap=m.get("colmap"),
@@ -4327,7 +4407,9 @@ def _commit_metadata_only(root: str, m: dict, op: str, **over) -> int:
         transforms=m.get("transforms"),
     )
     kw.update(over)
-    return commit(root, m["files"], op, parent=m["version"], **kw)
+    # zero file delta: every chunk carries by descriptor (round 10) —
+    # a rename/constraint edit costs O(descriptors) at any table size
+    return commit_delta(root, m, op, **kw)
 
 
 def _pred_references(pred: str, column: str) -> bool:
@@ -4735,13 +4817,26 @@ def optimize_table_zorder_partitioned(
     for _ in range(max_retries):
         m = read_manifest(root)
         pcols = m["partition_cols"]
-        pmap = m.get("partitions", {})
-        old_stats = m.get("stats", {})
-        sel = [
-            f
-            for f in resolve_files(m, partition_filter)
-            if os.path.basename(f) in pmap
-        ]
+        descs = (
+            dict.get(m, "chunks") if isinstance(m, Manifest) else None
+        )
+        if descs is not None:
+            # chunk-granular selection, same rule as the v1 walk
+            norm = _norm_filter(partition_filter or {})
+            sel = []
+            for d in descs:
+                if not d.get("pvals"):
+                    continue  # only partitioned files
+                keep, _missing = _desc_pvals_keep(d["pvals"], norm)
+                if keep:
+                    sel.extend(m.load_chunk(d)["files"])
+        else:
+            pmap = m.get("partitions", {})
+            sel = [
+                f
+                for f in resolve_files(m, partition_filter)
+                if os.path.basename(f) in pmap
+            ]
         if not sel:
             return m["version"]
         snap = _apply_dv(
@@ -4770,32 +4865,18 @@ def optimize_table_zorder_partitioned(
             pcols,
             exprs=_transform_exprs(_tr) if _tr else None,
         )
-        sel_set = {os.path.basename(f) for f in sel}
-        kept = [
-            f for f in m["files"] if os.path.basename(f) not in sel_set
-        ]
-        partitions = {
-            os.path.basename(f): pmap[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in pmap
-        }
-        partitions.update(new_parts)
-        stats = {
-            os.path.basename(f): old_stats[os.path.basename(f)]
-            for f in kept
-            if os.path.basename(f) in old_stats
-        }
-        stats.update(commit_stats(root, new_files, list(cols[:2])))
-        dv_files, dv_key, dv_new = _live_dv(root, m, kept)
+        dv_files, dv_key, dv_new = _live_dv(root, m, removed=set(sel))
         try:
-            return commit(
+            # delta commit: unselected partitions carry by descriptor
+            return commit_delta(
                 root,
-                kept + new_files,
+                m,
                 f"zorder:{','.join(cols[:2])}:{partition_filter}",
-                parent=m["version"],
+                added=new_files,
+                removed=sel,
+                partitions=new_parts,
+                stats=commit_stats(root, new_files, list(cols[:2])),
                 partition_cols=pcols,
-                partitions=partitions,
-                stats=stats,
                 dv_files=dv_files,
                 dv_key=dv_key,
             )
@@ -5519,6 +5600,7 @@ def create_table_transformed(
         root,
         files,
         "create",
+        metrics={"n_added": len(files), "n_removed": 0},
         parent=0,
         partition_cols=names,
         partitions=parts,
@@ -5657,6 +5739,116 @@ def q_table_hidden_partition(
         spark,
         root,
         ranges={"o_orderdate": ("1995-02-01", "1996-11-15")},
+    )
+
+
+def evolve_transform_spec(
+    root: str, new_transforms: list[dict]
+) -> int:
+    """TRANSFORM EVOLUTION (round 10 — Iceberg's partition-spec
+    evolution for HIDDEN transforms): change the table's layout spec
+    mid-history (year(ts) → month(ts), rebucket a key, ...) with one
+    METADATA-ONLY commit — no data file is rewritten, exactly like
+    :func:`evolve_partition_spec` for plain partition columns.
+
+    The RETIRED transforms stay in the committed spec: files written
+    under the old spec recorded the old transform's values, so (a)
+    read-side filter derivation (:func:`_derive_hidden_filters`)
+    keeps producing the OLD hidden values from source-column
+    predicates — each vintage prunes on whatever ITS files recorded —
+    and (b) their residuals keep evaluating for flat-written files.
+    New writes route only the NEW spec's transforms (they are the
+    partition_cols).  Re-using a name replaces its entry: the new
+    definition governs files written from this version on, and the
+    per-file recorded values keep older files exact."""
+    m = read_manifest(root)
+    names_new = [t["name"] for t in new_transforms]
+    old = m.get("transforms") or []
+    retired = [t for t in old if t["name"] not in set(names_new)]
+    return commit_delta(
+        root,
+        m,
+        f"evolve-transforms:{','.join(names_new)}",
+        partition_cols=names_new,
+        transforms=list(new_transforms) + retired,
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
+    )
+
+
+def ensure_transform_evolution_exercise(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Stage (idempotent): v1 = pre-1998 orders hidden-partitioned by
+    year(o_orderdate); v2 = spec EVOLVED to month(o_orderdate); v3 =
+    the 1998 tail appended under the month layout."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-trevo-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_TREVO")
+    note = f"acid-trevo {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table_transformed(
+        spark,
+        root,
+        base.filter(F.year("o_orderdate") != 1998).repartition(2),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"},
+        ],
+    )
+    evolve_transform_spec(
+        root,
+        [{"name": "o_month", "src": "o_orderdate", "kind": "month"}],
+    )
+    append_table_partitioned(
+        spark, root, base.filter(F.year("o_orderdate") == 1998)
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_transform_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-09-01' AND DATE '1998-03-15'
+    """,
+)
+def q_table_transform_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSFORM EVOLUTION (round 10): the table starts laid out by
+    the hidden transform year(o_orderdate), evolves mid-history to
+    month(o_orderdate) with one metadata-only commit, and the 1998
+    tail lands under the month layout.  This query filters the RAW
+    date column across the vintage boundary: scan() derives BOTH
+    specs' hidden values from the predicate (years for the old files,
+    yyyymm months for the new — each vintage prunes on what its files
+    recorded) and the source-column residual keeps the result exactly
+    the plain WHERE's.  The pytest pins the physics: zero data files
+    rewritten by the evolution commit, the old vintage pruned to the
+    matching years, the NEW vintage pruned to ~3 of 12 months — the
+    finer post-evolution granularity actually biting, which is the
+    entire point of evolving year → month."""
+    root = ensure_transform_evolution_exercise(spark, sf_dir)
+    return scan(
+        spark,
+        root,
+        ranges={"o_orderdate": ("1997-09-01", "1998-03-15")},
     )
 
 

@@ -3227,3 +3227,278 @@ def test_full_optimize_clears_mixed_flag(spark, tmp_path):
         F.col("o_orderkey") < 5_000_000
     )
     assert old.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+
+
+def test_format1_manifest_migration(spark, tmp_path):
+    """Round-10 format migration: a table whose latest manifest is the
+    PRE-round-10 single-JSON form (inline files/partitions/pidx) stays
+    fully readable — snapshot read, partition pruning, time travel —
+    and the first commit on top of it migrates to the two-level form
+    with identical state."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _build_pidx,
+        _manifest_path,
+        append_table_partitioned,
+        create_table_partitioned,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_year") != 1998).repartition(2),
+        partition_cols=["o_year"],
+    )
+    # rewrite v1 as a FORMAT-1 manifest (what a pre-round-10 engine
+    # committed): inline files + partitions + pidx, no chunks
+    m = read_manifest(root, 1)
+    v1 = {
+        "version": 1,
+        "parent": 0,
+        "op": "create",
+        "ts": m["ts"],
+        "files": m["files"],
+        "partition_cols": ["o_year"],
+        "partitions": m.get("partitions", {}),
+        "pidx": _build_pidx(m["files"], m.get("partitions", {})),
+    }
+    os.remove(_manifest_path(root, 1))
+    with open(_manifest_path(root, 1), "w") as fh:
+        json.dump(v1, fh)
+
+    def rs(df):
+        return {
+            (r.o_orderkey, round(r.price, 2), r.o_year)
+            for r in df.collect()
+        }
+
+    # the old format reads exactly like before: full read + pruning
+    old = read_manifest(root, 1)
+    assert dict.get(old, "chunks") is None
+    full = rs(read_table(spark, root))
+    assert full == rs(base.filter(F.col("o_year") != 1998))
+    pruned = resolve_files(old, {"o_year": 1995})
+    assert 0 < len(pruned) < len(old["files"])
+    one_year = read_table(
+        spark, root, partition_filter={"o_year": 1995}
+    )
+    assert rs(one_year) == rs(base.filter(F.col("o_year") == 1995))
+
+    # first delta commit on the format-1 parent MIGRATES: v2 is
+    # two-level, with state = v1 files + the appended delta
+    append_table_partitioned(
+        spark, root, base.filter(F.col("o_year") == 1998)
+    )
+    m2 = read_manifest(root, 2)
+    assert dict.get(m2, "chunks"), "migration commit must be format 2"
+    assert set(m2["files"]) >= set(old["files"])
+    assert rs(read_table(spark, root)) == rs(base)
+    # pruning works on both vintages through the chunk descriptors
+    assert rs(
+        read_table(spark, root, partition_filter={"o_year": 1998})
+    ) == rs(base.filter(F.col("o_year") == 1998))
+    # time travel back to the format-1 version still serves it
+    assert rs(read_table(spark, root, version=1)) == full
+
+
+def test_commit_delta_rejects_stale_removal(spark, tmp_path):
+    """A delta commit whose removal set references files the parent
+    doesn't hold fails loudly (caller planned against a stale
+    snapshot) instead of silently publishing a wrong manifest."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        commit_delta,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark))
+    m = read_manifest(root)
+    with pytest.raises(ValueError, match="not referenced"):
+        commit_delta(
+            root, m, "merge",
+            removed=[os.path.join(root, "data", "nope.parquet")],
+        )
+
+
+def test_chunk_sharing_and_vacuum_reclaims_chunks(spark, tmp_path):
+    """Carried chunks are SHARED across versions byte-for-byte (the
+    O(delta) commit property), and vacuum removes exactly the chunk
+    files no retained version references."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _chunks_dir,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark))
+    m1 = read_manifest(root, 1)
+    ids1 = {d["id"] for d in dict.get(m1, "chunks")}
+    append_table(spark, root, _base(spark).limit(5))
+    m2 = read_manifest(root, 2)
+    ids2 = {d["id"] for d in dict.get(m2, "chunks")}
+    assert ids1 < ids2, "append must carry v1's chunks by reference"
+    # optimize rewrites the layout: fresh chunks
+    optimize_table(spark, root, target_files=1)
+    m3 = read_manifest(root, 3)
+    ids3 = {d["id"] for d in dict.get(m3, "chunks")}
+    vacuum(root, keep_last=1)
+    on_disk = {
+        f[: -len(".json")]
+        for f in os.listdir(_chunks_dir(root))
+        if f.endswith(".json")
+    }
+    assert ids3 <= on_disk
+    assert not (ids1 - ids3) & on_disk, "retired chunks must go"
+    # the survivor still reads completely: every manifest file opens
+    surv = read_table(spark, root)
+    assert surv.count() > 0
+    assert len(surv.inputFiles()) == m3["nfiles"]
+
+
+def test_operation_metrics_across_lifecycle(spark, tmp_path):
+    """Round-10 operationMetrics: every lifecycle commit records its
+    file churn (rows too when the writer computed stats), surfaced by
+    describe_history — create/append/merge/MoR-delete/optimize, and
+    clone/restore record their provenance."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        clone_table,
+        delete_from_table,
+        describe_history,
+        restore_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark))
+    append_table(spark, root, _base(spark).limit(7))
+    merge_table(spark, root, _merge_source(spark, SF_DIR),
+                "o_orderkey")
+    delete_from_table(
+        spark, root,
+        _base(spark).select("o_orderkey").limit(3),
+        on="o_orderkey",
+    )
+    optimize_table(spark, root, target_files=1)
+    hist = {
+        r.op: r
+        for r in describe_history(spark, root).collect()
+    }
+    assert hist["create"].n_added > 0
+    assert hist["create"].n_removed == 0
+    assert hist["append"].n_added > 0 and hist["append"].n_removed == 0
+    # CoW merge rewrites at least one touched file and adds new ones
+    assert hist["merge"].n_added > 0 and hist["merge"].n_removed > 0
+    # MoR delete: zero file churn — the whole point
+    assert hist["delete"].n_added == 0
+    assert hist["delete"].n_removed == 0
+    # optimize folds the DV backlog and rewrites the layout
+    assert hist["optimize"].n_added >= 1
+    assert hist["optimize"].n_removed == sum(
+        h.n_added - h.n_removed for h in hist.values()
+        if h.op != "optimize"
+    )
+    # versions and parents are contiguous; ts monotone non-decreasing
+    vs = sorted(
+        describe_history(spark, root).collect(),
+        key=lambda r: r.version,
+    )
+    assert [r.version for r in vs] == list(range(1, 6))
+    assert all(r.parent == r.version - 1 for r in vs)
+    assert all(a.ts <= b.ts for a, b in zip(vs, vs[1:]))
+
+    # clone and restore record provenance in their metrics
+    dst = str(tmp_path / "c")
+    clone_table(spark, root, dst)
+    cm = read_manifest(dst, 1)
+    assert cm["metrics"]["cloned_version"] == 5
+    restore_table(spark, root, 1)
+    rm = read_manifest(root, 6)
+    assert rm["metrics"]["restored_version"] == 1
+    assert rm["metrics"]["n_added"] == 0  # descriptors carried
+
+
+def test_transform_evolution_per_vintage_pruning(spark, tmp_path):
+    """Round-10 transform evolution: year→month mid-history is one
+    metadata-only commit; a raw-date scan prunes the OLD vintage on
+    its recorded years and the NEW vintage on its recorded months
+    (finer granularity biting), and the result is exactly the plain
+    filter's."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_transformed,
+        append_table_partitioned,
+        evolve_transform_spec,
+        scan,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table_transformed(
+        spark,
+        root,
+        base.filter(F.year("o_orderdate") != 1998).repartition(2),
+        transforms=[
+            {"name": "o_year", "src": "o_orderdate", "kind": "year"},
+        ],
+    )
+    m1 = read_manifest(root, 1)
+    evolve_transform_spec(
+        root,
+        [{"name": "o_month", "src": "o_orderdate", "kind": "month"}],
+    )
+    m2 = read_manifest(root, 2)
+    # metadata-only: identical file set, spec + retired entry carried
+    assert m2["files"] == m1["files"]
+    assert m2["partition_cols"] == ["o_month"]
+    assert [t["name"] for t in m2["transforms"]] == [
+        "o_month", "o_year",
+    ]
+    append_table_partitioned(
+        spark, root, base.filter(F.year("o_orderdate") == 1998)
+    )
+    m3 = read_manifest(root, 3)
+    new_files = set(m3["files"]) - set(m2["files"])
+    # new vintage records MONTH values, old vintage keeps years
+    parts = m3.get("partitions", {})
+    for f in new_files:
+        assert set(parts[os.path.basename(f)]) == {"o_month"}
+    lo, hi = "1997-09-01", "1998-03-15"
+    got = scan(spark, root, ranges={"o_orderdate": (lo, hi)})
+    want = base.filter(F.col("o_orderdate").between(lo, hi))
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+    # pruning bites on BOTH vintages: the scan lists fewer old-
+    # vintage files than the table holds, and only ~3/12 months of
+    # the 1998 tail
+    listed = {os.path.basename(f) for f in got.inputFiles()}
+    old_listed = [
+        b for b in listed if set(parts.get(b, {})) == {"o_year"}
+    ]
+    new_listed = [
+        b for b in listed if set(parts.get(b, {})) == {"o_month"}
+    ]
+    n_old = sum(
+        1 for b in parts if set(parts[b]) == {"o_year"}
+    )
+    assert 0 < len(old_listed) < n_old
+    assert 0 < len(new_listed) < len(new_files)
+    months = {
+        parts[b]["o_month"] for b in new_listed
+    }
+    assert months <= {199801, 199802, 199803}
