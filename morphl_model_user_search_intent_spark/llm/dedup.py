@@ -163,7 +163,13 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs above τ — shared by
     q_dedup_jaccard (reported as-is) and q_dedup_clusters (edge set).
     """
-    sh = _shingle_rows(spark, sf_dir)
+    return jaccard_pairs_of(_shingle_rows(spark, sf_dir))
+
+
+def jaccard_pairs_of(sh: DataFrame) -> DataFrame:
+    """`jaccard_pairs` over an arbitrary (doc_id, shingle) frame —
+    the sampled eval grades the detector against exact truth computed
+    on the SAME document sample with the identical kernel."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1069,16 +1075,34 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampled-eval gate (round 10): above this corpus size the eval grades
+# the detector on a deterministic ~19% document sample (md5 hex digit
+# of doc_id in 0-2) — precision/recall on a uniform doc sample are
+# unbiased estimates of the full metric (a pair survives iff both
+# endpoints survive), and the quadratic exact-truth cost drops ~28x.
+# At sf<=0.1 (<=5k docs) the eval stays EXACT, so the committed
+# oracle artifacts are unchanged there.
+_EVAL_EXACT_MAX = 10_000
+_EVAL_SAMPLE_HEX = ("0", "1", "2")
+
+
 @register(
     "q_dedup_eval",
     oracle=f"""
-    WITH sh AS (
+    WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    uni AS (
+      SELECT doc_id, text FROM documents
+      WHERE (SELECT n FROM nd) <= {_EVAL_EXACT_MAX}
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            IN {_EVAL_SAMPLE_HEX}
+    ),
+    sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(string_split(trim(text), ' ')) - 1),
                i -> string_split(trim(text), ' ')[i] || ' ' ||
                     string_split(trim(text), ' ')[i+1] || ' ' ||
                     string_split(trim(text), ' ')[i+2]))) AS shingle
-      FROM documents
+      FROM uni
     ),
     {_SIG_ORACLE_CTES},
     bands AS (
@@ -1132,7 +1156,8 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_detected - tp AS BIGINT) AS fp,
            CAST(n_truth - tp AS BIGINT) AS fn,
            ROUND(CAST(tp AS DOUBLE) / n_detected, 6) AS precision_,
-           ROUND(CAST(tp AS DOUBLE) / n_truth, 6) AS recall_
+           ROUND(CAST(tp AS DOUBLE) / n_truth, 6) AS recall_,
+           (SELECT n FROM nd) > {_EVAL_EXACT_MAX} AS sampled
     FROM m
     """,
 )
@@ -1150,7 +1175,21 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; the exact-truth side is the bounded inverted-index
     join of q_dedup_jaccard.
     """
-    sh = _shingle_rows(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    sampled = n_docs > _EVAL_EXACT_MAX
+    if sampled:
+        # deterministic, engine-agnostic sample: both this pipeline
+        # and the DuckDB oracle keep a doc iff the first hex digit of
+        # md5(doc_id) is 0-2 — truth AND detector run on the same
+        # sampled universe, so the graded metrics stay exact
+        # within-sample
+        d = d.filter(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).isin(*_EVAL_SAMPLE_HEX)
+        )
+    sh = shingle_rows_of(d)
     sig = _portable_sig(spark, sh)
     bands = sig.groupBy(
         "doc_id", F.floor(F.col("j") / 2).alias("b")
@@ -1189,7 +1228,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("matches") >= 4)
         .select("doc_a", "doc_b")
     )
-    truth = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = jaccard_pairs_of(sh).select("doc_a", "doc_b")
     n_truth = truth.count()
     n_detected = detected.count()
     tp = detected.join(truth, ["doc_a", "doc_b"]).count()
@@ -1203,10 +1242,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_truth - tp,
                 round(tp / n_detected, 6) if n_detected else 0.0,
                 round(tp / n_truth, 6) if n_truth else 0.0,
+                bool(sampled),
             )
         ],
         "n_truth bigint, n_detected bigint, tp bigint, fp bigint, "
-        "fn bigint, precision_ double, recall_ double",
+        "fn bigint, precision_ double, recall_ double, "
+        "sampled boolean",
     )
 
 
