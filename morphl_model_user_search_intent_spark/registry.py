@@ -139,73 +139,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # round 5 swapped in the round-4/5 additions (URL dedup, hybrid RRF,
 # span corruption, curation funnel, index serve, chunked sessionize).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.4 aggregates (flagship first; salted never graded)
-    "q_agg_hash", "q_agg_distinct", "q_agg_salted",
-    # §2.5 windows / §2.6 sorts
-    "q_win_topk", "q_sort_limit",
-    # §2.7 set ops + dedup (portable MinHash twin: first grade)
-    "q_set_intersect", "q_dedup_exact", "q_dedup_minhash_portable",
+    # §2.4 aggregates (flagship first; scalable median: first grade)
+    "q_agg_hash", "q_agg_median_scalable",
+    # §2.5 windows / §2.6 sorts (EWMA recursion: first grade)
+    "q_win_ewma", "q_sort_multi",
+    # §2.7 set ops + dedup (bag algebra + the SAMPLED detector eval —
+    # both first grades; eval carries the round-10 sampled column)
+    "q_set_bag", "q_dedup_eval",
     # §2.8 scalar suites (window policy: one slot per suite)
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
     "q_map_funcs", "q_json_funcs",
-    # §2.9 event-time + streaming — the round-8 never-graded trio
-    # (GDPR erasure queue, streaming index maintenance, partitioned
-    # exactly-once ingest)
-    "q_stream_tumbling", "q_sessionize", "q_stream_table_erasure",
-    "q_stream_text_index", "q_stream_table_ingest_partitioned",
-    # §2.11 similarity / multimodal (indexed RRF: first grade)
-    "q_sim_knn", "q_sim_hybrid_rrf_indexed", "q_multimodal",
-    # lakehouse table ops — the round-8 surface the r8 verdict names
-    # (DV deletes + fold, z-order flat + per-partition, composed
-    # scan, drop/overwrite partition, partition evolution, CDC on a
-    # partitioned table)
-    "q_table_delete_dv", "q_table_dv_fold", "q_table_zorder",
-    "q_table_zorder_partitioned", "q_table_scan_composed",
-    "q_table_drop_partition", "q_table_overwrite_partition",
-    "q_table_partition_evolution", "q_table_cdc_partitioned",
-    # round-9 column mapping + MoR UPDATE + hidden partitioning
-    # (brand new — first grade)
-    "q_table_rename_column", "q_table_drop_column",
-    "q_table_update_mor", "q_table_hidden_partition",
-    # §2.1 sources via the public DataSource API (never graded)
-    "q_source_acid_table", "q_source_acid_table_pruned",
-    # §2.10 inverted-index lifecycle (never graded)
-    "q_text_index_serve", "q_text_index_append",
-    "q_text_index_compact",
-    # §2.12 UDFs
-    "q_udf_grouped_map",
-    # §2.1 sources / sinks / scans (q_source_ covered by the
-    # acid_table pair; csv rotated out, graded green in r8)
-    "q_sink_partitioned", "q_scan_pushdown",
+    # §2.9 event-time + streaming (multi-batch ingest was
+    # oracle-promoted in r9 and never graded; hidden-partition ingest
+    # and chained dedup+window: first grades)
+    "q_sessionize", "q_stream_multi_batch",
+    "q_stream_table_ingest_hidden", "q_stream_dedup_window",
+    # §2.11 similarity / multimodal (SRP-LSH + manifest: first)
+    "q_sim_srp_lsh", "q_multimodal_manifest",
+    # lakehouse round-9/10 additions, never driver-graded: TIMESTAMP
+    # AS OF, transform evolution, DESCRIBE HISTORY (+metrics),
+    # metadata-only COUNT, DV-delete CDC, additive schema evolution
+    "q_table_time_travel_ts", "q_table_transform_evolution",
+    "q_table_history", "q_table_count_metadata",
+    "q_table_cdc_delete_dv", "q_table_add_column",
+    # SQL surface over the engine (never graded): windowed SQL,
+    # recursive CTE, |> pipes, SQL over the ACID table
+    "q_sql_window", "q_sql_recursive", "q_sql_pipe",
+    "q_sql_acid_table",
+    # §2.1 sources / sinks / scans (partition-pruned source + sorted
+    # sink: first grades)
+    "q_source_partition_pruning", "q_sink_sorted", "q_scan_pushdown",
     # §2.2 projection / predicates
-    "q_project", "q_filter_pred", "q_case_when",
-    # §2.3 joins + a never-graded TPC-H representative
-    "q_join_asof", "q_tpch_q05",
-    # §2.10 text + never-graded curation reps
-    "q_text_wordcount", "q_corpus_gopher",
+    "q_project", "q_filter_null", "q_case_when",
+    # §2.3 joins (dynamic partition pruning, bloom pre-filter,
+    # point-in-time: all first grades)
+    "q_join_dpp", "q_join_bloom", "q_join_pit",
+    # §2.12 UDFs (cogrouped applyInPandas: first grade)
+    "q_udf_cogroup",
+    # TPC-H never-graded picks (pricing summary, shipping priority,
+    # forecast revenue, large-volume customers)
+    "q_tpch_q01", "q_tpch_q03", "q_tpch_q06", "q_tpch_q18",
+    # analytics long tail, all first grades: OLS regression,
+    # PageRank, funnel, retention, C4 filter,
+    # ROC-AUC, HLL++ sketch, readability, n-gram contamination
+    "q_stats_regression", "q_graph_pagerank",
+    "q_events_funnel", "q_events_retention", "q_corpus_c4",
+    "q_ml_auc", "q_sketch_hllpp",
+    # §2.10 text
+    "q_text_readability",
 )
-# Round-9 rotation (r8 verdict item 1): seat the 16 round-8 keys the
-# real driver never graded (DV/z-order/partition-evolution/inverted-
-# index/erasure/acid-source/indexed-RRF — all green in the judge's
-# r8 vanilla spot-run), 6 more never-graded oracle keys
-# (q_tpch_q05, q_table_cdc_partitioned,
-# q_stream_table_ingest_partitioned, q_agg_salted,
-# q_dedup_minhash_portable, q_corpus_gopher), and the 4 BRAND-NEW
-# round-9 keys (rename/drop column, MoR update, hidden partitioning)
-# — 26 of 50 slots get their FIRST driver grade.
-# Rotated OUT (all driver-graded green in CORRECTNESS_r08, still
-# verified by every full sweep): q_stream_table_cdc,
-# q_stream_session_window, q_stream_watermark, q_stream_static_join,
-# q_stream_join, q_stream_table_cdc_source, q_dedup_clusters,
-# q_sim_index_filtered(_auto), q_dedup_simhash_portable,
-# q_sim_pq_exhaustive, q_sim_ivfpq_exhaustive, q_sim_hybrid_rrf,
-# q_table_merge, q_table_time_travel, q_table_optimize,
-# q_table_partitioned, q_table_merge_partitioned, q_table_partitions,
-# q_table_restore, q_table_clone, q_table_skipping,
-# q_source_csv_malformed, q_tpch_q09, q_text_prf.
-# Window policies hold (tests/test_registry_order.py): exactly 50
-# slots, every slot oracle-checked, one representative per §2 family.
-# Earlier rotations: see git history of this block (rounds 5-8).
+# Round-10 rotation (r9 verdict item 2): with 164 of 497 keys ever
+# driver-graded, this window seats 38 FIRST-TIME keys — the r9
+# verdict's named stragglers (q_table_time_travel_ts,
+# q_sql_acid_table, q_stream_table_ingest_hidden, q_stream_multi_batch)
+# plus the round-10 additions (q_table_transform_evolution, the
+# sampled q_dedup_eval, metrics-backed q_table_history) and a
+# never-graded spread across TPC-H, SQL surface, joins (DPP/bloom/
+# PIT), stats, graph, events, corpus, sketch, and text families.
+# The 12 held slots are the stem-policy representatives
+# (one per §2.8 suite, flagship agg, sessionize, scan/project/
+# filter/case) — all green in CORRECTNESS_r09.
+# Rotated OUT (driver-graded green in r8/r9, still verified by every
+# full sweep): q_agg_distinct, q_agg_salted, q_win_topk,
+# q_sort_limit, q_set_intersect, q_dedup_exact,
+# q_dedup_minhash_portable, q_stream_tumbling, q_stream_table_erasure,
+# q_stream_text_index, q_stream_table_ingest_partitioned, q_sim_knn,
+# q_sim_hybrid_rrf_indexed, q_multimodal, the r8/r9 q_table_* block,
+# q_source_acid_table(_pruned), q_text_index_*, q_udf_grouped_map,
+# q_sink_partitioned, q_filter_pred, q_join_asof, q_tpch_q05,
+# q_text_wordcount, q_corpus_gopher.
+# Earlier rotations: see git history of this block (rounds 5-9).
 
 
 def _ordered_names() -> list[str]:
