@@ -635,9 +635,57 @@ def commit_delta(
             )
         descs = out_descs
     if added:
-        descs = descs + _chunk_blocks(
-            root, list(added), partitions or {}, stats or {}
-        )
+        # LSM-style tail coalescing: a micro-batch ingest would
+        # otherwise accrete one small chunk per partition per commit,
+        # growing the descriptor list O(commits).  Each added group
+        # absorbs its group's smallest under-filled chunk (read +
+        # rewrite of ≤ _CHUNK_TARGET files — amortized O(target) per
+        # commit), so n_chunks stays ~ n_files/_CHUNK_TARGET + one
+        # partial chunk per partition.
+        padd = dict(partitions or {})
+        sadd = dict(stats or {})
+        groups: dict[str, list[str]] = {}
+        gp: dict[str, dict | None] = {}
+        for f in sorted(added, key=os.path.basename):
+            pv = padd.get(os.path.basename(f))
+            k = json.dumps(pv, sort_keys=True) if pv else ""
+            groups.setdefault(k, []).append(f)
+            gp[k] = pv if pv else None
+        for k in sorted(groups):
+            fl = groups[k]
+            pv = gp[k]
+            gpart = {
+                b: padd[b]
+                for b in (os.path.basename(f) for f in fl)
+                if b in padd
+            }
+            gstat = {
+                b: sadd[b]
+                for b in (os.path.basename(f) for f in fl)
+                if b in sadd
+            }
+            tail_i = None
+            for i, d in enumerate(descs):
+                if (d.get("pvals") or None) == pv and d[
+                    "n"
+                ] < _CHUNK_TARGET and (
+                    tail_i is None or d["n"] < descs[tail_i]["n"]
+                ):
+                    tail_i = i
+            if tail_i is not None:
+                c = loader(descs.pop(tail_i))
+                fl = sorted(
+                    fl + c["files"], key=os.path.basename
+                )
+                gpart.update(c.get("partitions", {}))
+                gstat.update(c.get("stats", {}))
+            for i in range(0, len(fl), _CHUNK_TARGET):
+                descs.append(
+                    _write_chunk(
+                        root, fl[i : i + _CHUNK_TARGET], pv,
+                        gpart, gstat,
+                    )
+                )
     v = parent + 1
     manifest = {
         "version": v,

@@ -3338,14 +3338,36 @@ def test_chunk_sharing_and_vacuum_reclaims_chunks(spark, tmp_path):
         append_table,
     )
 
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+    )
+
     root = str(tmp_path / "t")
-    create_table(spark, root, _base(spark))
+    basep = _base(spark).withColumn(
+        "g", (F.col("o_orderkey") % 2).cast("bigint")
+    )
+    create_table_partitioned(spark, root, basep, partition_cols=["g"])
     m1 = read_manifest(root, 1)
-    ids1 = {d["id"] for d in dict.get(m1, "chunks")}
-    append_table(spark, root, _base(spark).limit(5))
+    by_pv1 = {
+        json.dumps(d["pvals"]): d["id"]
+        for d in dict.get(m1, "chunks")
+    }
+    # append touching ONLY partition g=0: g=1's chunk must carry by
+    # reference (identical id); g=0's tail coalesces into a new chunk
+    append_table_partitioned(
+        spark, root, basep.filter("g = 0").limit(5)
+    )
     m2 = read_manifest(root, 2)
-    ids2 = {d["id"] for d in dict.get(m2, "chunks")}
-    assert ids1 < ids2, "append must carry v1's chunks by reference"
+    by_pv2 = {
+        json.dumps(d["pvals"]): d["id"]
+        for d in dict.get(m2, "chunks")
+    }
+    assert by_pv2['{"g": 1}'] == by_pv1['{"g": 1}']
+    assert by_pv2['{"g": 0}'] != by_pv1['{"g": 0}']
+    ids1 = set(by_pv1.values())
     # optimize rewrites the layout: fresh chunks
     optimize_table(spark, root, target_files=1)
     m3 = read_manifest(root, 3)
@@ -3502,3 +3524,39 @@ def test_transform_evolution_per_vintage_pruning(spark, tmp_path):
         parts[b]["o_month"] for b in new_listed
     }
     assert months <= {199801, 199802, 199803}
+
+
+def test_delta_append_coalesces_tail_chunks(spark, tmp_path):
+    """Round-10 LSM tail coalescing: repeated micro-batch appends do
+    NOT accrete one descriptor per commit — each append absorbs its
+    partition's under-filled tail chunk, so the descriptor list stays
+    ~one partial chunk per partition, and hydrated state is exact."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderkey") % 2).alias("g"),
+    )
+    create_table_partitioned(
+        spark, root, base.filter("o_orderkey % 10 = 0"),
+        partition_cols=["g"],
+    )
+    for i in range(1, 9):
+        append_table_partitioned(
+            spark, root, base.filter(f"o_orderkey % 10 = {i}")
+        )
+    m = read_manifest(root)
+    descs = dict.get(m, "chunks")
+    # 2 partitions, every chunk under-filled: coalescing keeps ~2
+    # descriptors, never 2 per commit (= 18 without coalescing)
+    assert len(descs) <= 4, [d["n"] for d in descs]
+    assert m["nfiles"] == len(m["files"])
+    got = read_table(spark, root).count()
+    assert got == base.filter("o_orderkey % 10 < 9").count()
