@@ -154,6 +154,13 @@ class Manifest(dict):
         super().__init__(data)
         self.root = root
         self._chunk_cache: dict[str, dict] = {}
+        # basename → chunk id, populated as chunks load.  Data files
+        # are uuid-named, so a chunk's [lo, hi] basename bounds span
+        # nearly the whole hex space and prune NOTHING (round-10
+        # review) — exact membership from already-loaded chunks is
+        # what makes stats_for and commit_delta's removal routing
+        # O(touched chunks) instead of every-chunk reads.
+        self._member: dict[str, str] = {}
         self._hydrated = "chunks" not in data
 
     def load_chunk(self, desc: dict) -> dict:
@@ -163,6 +170,8 @@ class Manifest(dict):
             with open(p) as fh:
                 c = json.load(fh)
             self._chunk_cache[desc["id"]] = c
+            for f in c["files"]:
+                self._member[os.path.basename(f)] = desc["id"]
         return c
 
     def _hydrate(self) -> None:
@@ -223,16 +232,35 @@ class Manifest(dict):
             }
         want = {os.path.basename(p) for p in paths}
         out: dict[str, dict] = {}
-        for d in descs:
-            if not want:
-                break
-            # lo/hi are the chunk's sorted basename bounds — skip
-            # chunks that cannot contain any wanted file
-            if all(b < d["lo"] or b > d["hi"] for b in want):
+        # exact-membership first: the caller just resolved these same
+        # files, so their chunks are cached and _member routes each
+        # basename straight to its chunk — zero extra chunk reads
+        # (round-10 review: the lo/hi bound skip never fires on
+        # uuid-uniform basenames, which made this loop read EVERY
+        # chunk on disk just to filter it out)
+        unknown: set[str] = set()
+        for b in want:
+            cid = self._member.get(b)
+            if cid is None:
+                unknown.add(b)
                 continue
-            for b, s in self.load_chunk(d).get("stats", {}).items():
-                if b in want:
-                    out[b] = s
+            s = self._chunk_cache[cid].get("stats", {}).get(b)
+            if s is not None:
+                out[b] = s
+        for d in descs:
+            if not unknown:
+                break
+            if all(b < d["lo"] or b > d["hi"] for b in unknown):
+                continue
+            c = self.load_chunk(d)
+            st = c.get("stats", {})
+            hit = unknown.intersection(
+                os.path.basename(f) for f in c["files"]
+            )
+            for b in hit:
+                if b in st:
+                    out[b] = st[b]
+            unknown -= hit
         return out
 
 
@@ -267,6 +295,15 @@ def _write_chunk(
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(payload)
+            # durability ordering (round-10 review): the version
+            # manifest is fsynced at publish, so a chunk it points at
+            # must be durable FIRST — otherwise a crash can leave a
+            # durable manifest referencing lost chunk bytes, bricking
+            # the table head (strictly worse than the old single
+            # fsynced JSON).  Dir entries are fsynced once per commit
+            # in _publish.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
     return {
         "id": cid,
@@ -518,7 +555,26 @@ def _small_blocks(
         manifest["dv_key"] = dv_key
 
 
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _publish(root: str, v: int, manifest: dict) -> int:
+    # chunk FILES were fsynced as written (_write_chunk); their dir
+    # entries get one fsync per commit here, BEFORE the manifest that
+    # references them becomes durable — a crash never yields a
+    # manifest pointing at un-linked chunks
+    if manifest.get("chunks"):
+        _fsync_dir(_chunks_dir(root))
     tmp = os.path.join(
         _manifest_dir(root), f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -534,6 +590,7 @@ def _publish(root: str, v: int, manifest: dict) -> int:
         ) from None
     finally:
         os.remove(tmp)
+    _fsync_dir(_manifest_dir(root))
     return v
 
 
@@ -598,9 +655,23 @@ def commit_delta(
         loader = lambda d: _read_chunk(root, d["id"])  # noqa: E731
     if removed:
         rem = {os.path.basename(p): p for p in removed}
+        # exact chunk routing (round-10 review): data files are
+        # uuid-named, so the [lo, hi] basename bound matches almost
+        # every chunk and the loop would read ALL of them — the very
+        # O(n_files) metadata cost this path exists to kill.  Every
+        # destructive caller resolved its removal set from THIS
+        # snapshot, so the Manifest's membership map already routes
+        # each basename to its chunk; only basenames the caller never
+        # resolved (none, in practice) fall back to the bound scan.
+        member = base._member if isinstance(base, Manifest) else {}
         out_descs = []
         for d in descs:
-            cand = [b for b in rem if d["lo"] <= b <= d["hi"]]
+            cand = [
+                b
+                for b in rem
+                if member.get(b) == d["id"]
+                or (b not in member and d["lo"] <= b <= d["hi"])
+            ]
             if not cand:
                 out_descs.append(d)
                 continue
@@ -1895,6 +1966,26 @@ def vacuum(
                 try:
                     if (
                         f not in ref_names
+                        and os.path.getmtime(p) < cutoff
+                    ):
+                        os.remove(p)
+                        removed.append(p)
+                except OSError:
+                    pass
+        # orphaned CHUNKS (round-10 review): a commit that lost its
+        # publish race (CommitConflict) or failed commit_delta's
+        # stale-removal check wrote chunk files first — no retained
+        # manifest references them, and the dead-chunk sweep above
+        # only sees chunks that RETIRED manifests point at.  Same
+        # grace window protects an in-flight writer's fresh chunks.
+        cd = _chunks_dir(root)
+        if os.path.isdir(cd):
+            for f in sorted(os.listdir(cd)):
+                cid = f[:-5] if f.endswith(".json") else f
+                p = os.path.join(cd, f)
+                try:
+                    if (
+                        cid not in ref_chunks
                         and os.path.getmtime(p) < cutoff
                     ):
                         os.remove(p)
@@ -5806,12 +5897,29 @@ def evolve_transform_spec(
     predicates — each vintage prunes on whatever ITS files recorded —
     and (b) their residuals keep evaluating for flat-written files.
     New writes route only the NEW spec's transforms (they are the
-    partition_cols).  Re-using a name replaces its entry: the new
-    definition governs files written from this version on, and the
-    per-file recorded values keep older files exact."""
+    partition_cols).
+
+    Re-using a name with a DIFFERENT definition is REJECTED (round-10
+    review — reproduced data loss): read-side derivation keys hidden
+    filters by NAME, so old files' recorded year values would be
+    pruned against the new month definition's value list and silently
+    vanish from results.  Iceberg makes the same rule structural
+    (partition field names are unique per spec history, evolution
+    mints a new field).  Re-stating an IDENTICAL definition is a
+    no-op carry and stays allowed."""
     m = read_manifest(root)
     names_new = [t["name"] for t in new_transforms]
     old = m.get("transforms") or []
+    by_name = {t["name"]: t for t in old}
+    for t in new_transforms:
+        prev = by_name.get(t["name"])
+        if prev is not None and prev != t:
+            raise ValueError(
+                f"transform name {t['name']!r} already defined as "
+                f"{prev!r}; evolving its definition in place would "
+                "mis-prune files written under the old definition — "
+                "use a new name (the old one is retired automatically)"
+            )
     retired = [t for t in old if t["name"] not in set(names_new)]
     return commit_delta(
         root,

@@ -3560,3 +3560,131 @@ def test_delta_append_coalesces_tail_chunks(spark, tmp_path):
     assert m["nfiles"] == len(m["files"])
     got = read_table(spark, root).count()
     assert got == base.filter("o_orderkey % 10 < 9").count()
+
+
+def test_review10_chunk_membership_routing(spark, tmp_path):
+    """Round-10 review fixes 3+4: data files are uuid-named, so chunk
+    [lo, hi] basename bounds prune nothing — stats_for and
+    commit_delta's removal loop must route through the Manifest's
+    exact membership map and never open a non-matching chunk."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        commit_delta,
+        create_table_partitioned,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderkey") % 4).cast("bigint").alias("g"),
+    ).repartition(3)
+    create_table_partitioned(
+        spark, root, base, partition_cols=["g"],
+        stats_cols=["o_orderkey"],
+    )
+    # fresh manifest object: nothing cached yet
+    m = read_manifest(root)
+    descs = dict.get(m, "chunks")
+    g0_ids = {d["id"] for d in descs if d["pvals"] == {"g": 0}}
+    assert 0 < len(g0_ids) < len(descs)
+    files = resolve_files(m, {"g": 0})
+    assert set(m._chunk_cache) == g0_ids, "resolution loads g=0 only"
+    # stats_for on the just-resolved files: ZERO extra chunk reads
+    st = m.stats_for(files)
+    assert set(m._chunk_cache) == g0_ids
+    assert set(st) == {os.path.basename(f) for f in files}
+    assert all("rows" in s for s in st.values())
+    # removal commit touches only the chunk holding the removed file
+    calls: list[str] = []
+    orig = m.load_chunk
+    m.load_chunk = lambda d: (calls.append(d["id"]), orig(d))[1]
+    commit_delta(root, m, "rm-one", removed=[files[0]])
+    assert set(calls) <= g0_ids, calls
+    m2 = read_manifest(root)
+    assert m2["nfiles"] == m["nfiles"] - 1
+    assert files[0] not in m2["files"]
+
+
+def test_review10_vacuum_sweeps_orphan_chunks(spark, tmp_path):
+    """Round-10 review fix 5: chunk files written by a commit that
+    then failed (lost publish race) are unreferenced forever — the
+    orphan_grace sweep must reclaim them without touching chunks any
+    retained manifest references."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _chunks_dir,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark))
+    live = {d["id"] for d in dict.get(read_manifest(root), "chunks")}
+    orphan = os.path.join(_chunks_dir(root), "c-deadbeef00.json")
+    with open(orphan, "w") as fh:
+        fh.write('{"files": [], "partitions": {}, "stats": {}}')
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
+    # plain vacuum (no grace) must NOT touch it — cheap history
+    # retirement stays cheap
+    vacuum(root, keep_last=1)
+    assert os.path.exists(orphan)
+    removed = vacuum(root, keep_last=1, orphan_grace=600)
+    assert orphan in removed
+    assert not os.path.exists(orphan)
+    on_disk = {
+        f[: -len(".json")]
+        for f in os.listdir(_chunks_dir(root))
+        if f.endswith(".json")
+    }
+    assert live <= on_disk
+    assert read_table(spark, root).count() == _base(spark).count()
+
+
+def test_review10_transform_name_reuse_rejected(spark, tmp_path):
+    """Round-10 review fix 1 (reproduced data loss): re-using a hidden
+    transform NAME with a different definition would mis-prune the old
+    vintage's files — evolve_transform_spec must reject it; re-stating
+    an identical definition stays a no-op carry."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_transformed,
+        evolve_transform_spec,
+        scan,
+    )
+
+    root = str(tmp_path / "t")
+    base = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    year_t = {"name": "p", "src": "o_orderdate", "kind": "year"}
+    create_table_transformed(
+        spark, root, base.repartition(2), transforms=[year_t]
+    )
+    with pytest.raises(ValueError, match="already defined"):
+        evolve_transform_spec(
+            root,
+            [{"name": "p", "src": "o_orderdate", "kind": "month"}],
+        )
+    # identical re-statement: allowed, metadata-only, reads unchanged
+    v = evolve_transform_spec(root, [dict(year_t)])
+    assert v == 2
+    m2 = read_manifest(root, 2)
+    assert m2["transforms"] == [year_t]
+    lo, hi = "1996-03-01", "1996-09-30"
+    got = scan(spark, root, ranges={"o_orderdate": (lo, hi)})
+    want = base.filter(F.col("o_orderdate").between(lo, hi))
+    assert got.count() == want.count()
+    # a proper evolution (new name) still prunes both vintages
+    v3 = evolve_transform_spec(
+        root,
+        [{"name": "p_m", "src": "o_orderdate", "kind": "month"}],
+    )
+    assert v3 == 3
+    m3 = read_manifest(root, 3)
+    assert [t["name"] for t in m3["transforms"]] == ["p_m", "p"]
+    got3 = scan(spark, root, ranges={"o_orderdate": (lo, hi)})
+    assert got3.count() == want.count()
