@@ -106,13 +106,24 @@ def tree_section() -> None:
       (O(n_chunks descriptors + matched chunk));
     - commit_append: commit_delta appending 10 files to ONE partition
       (O(delta + descriptors), never re-serializing carried chunks);
+    - commit_remove: resolve one partition, commit_delta removing 10
+      of its files — O(touched chunks) via the Manifest's exact
+      membership routing, with the loader-call count printed (the
+      round-10 review showed the earlier [lo,hi] basename bound never
+      prunes uuid names, silently degrading removals to every-chunk
+      reads);
     - commit_dv: a zero-file-delta commit (DV-style) — descriptors
       only;
     - v1_parse / v1_serialize: the single-JSON manifest's costs at
       the same size, the pre-round-10 baseline both replace.
 
+    Basenames are uuid-style uniform hex, like _write_files actually
+    produces — partition-prefixed sorted names would make the [lo,hi]
+    bounds look useful when on real tables they are not.
+
     Also asserts, at every grid point, that delta-committed state
     hydrates to exactly full-commit state (files ∪ delta)."""
+    import hashlib
     import shutil
     import tempfile
 
@@ -130,7 +141,10 @@ def tree_section() -> None:
         files, partitions = [], {}
         for p in range(n_parts):
             for i in range(fpp):
-                b = f"f{p:05d}-{i:06d}.parquet"
+                b = (
+                    hashlib.sha1(f"{p}/{i}".encode()).hexdigest()
+                    + ".parquet"
+                )
                 files.append(f"{root}/data/{b}")
                 partitions[b] = {"day": p}
         row = {"n_files": len(files), "n_partitions": n_parts}
@@ -163,11 +177,31 @@ def tree_section() -> None:
         m2 = read_manifest(root, v)
         assert sorted(m2["files"]) == sorted(files + new)
         t0 = time.perf_counter()
-        commit_delta(root, m2, "delete",
-                     dv_files=[f"{root}/dv/d.parquet"], dv_key="k")
+        v = commit_delta(root, m2, "delete",
+                         dv_files=[f"{root}/dv/d.parquet"], dv_key="k")
         row["commit_dv_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 2
         )
+        # removal: resolve ONE partition on a fresh manifest object,
+        # drop 10 of its files — the loader-call count proves only
+        # that partition's chunks are opened (plus the tail-coalesce
+        # none: removal-only commits add nothing)
+        m3 = read_manifest(root, v)
+        part = resolve_files(m3, {"day": 1})
+        drop = part[:10]
+        loads: list[str] = []
+        orig = m3.load_chunk
+        m3.load_chunk = (
+            lambda d: (loads.append(d["id"]), orig(d))[1]
+        )
+        t0 = time.perf_counter()
+        v = commit_delta(root, m3, "remove", removed=drop)
+        row["commit_remove_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 2
+        )
+        row["remove_chunk_loads"] = len(set(loads))
+        m4 = read_manifest(root, v)
+        assert m4["nfiles"] == len(files) + len(new) - len(drop)
         # the pre-round-10 baseline: one JSON carrying everything
         v1 = {"version": 1, "files": sorted(files),
               "partitions": partitions,
