@@ -1913,8 +1913,34 @@ def vacuum(
     retirement stays cheap."""
     vs = list_versions(root)
     keep = set(vs[-keep_last:])
+    # TAGS protect their versions (round 10 — Iceberg tag retention):
+    # "audit-2026Q3" stays readable however far the head moves, until
+    # the tag itself is deleted
+    for ref in list_refs(root).values():
+        if ref.get("kind") == "tag" and ref["version"] in vs:
+            keep.add(ref["version"])
     referenced: set[str] = set()
     ref_chunks: set[str] = set()  # chunk ids retained versions use
+    # live BRANCHES reference main's data files from their fork point
+    # (shallow, like a clone) — keep the fork VERSION retained (so a
+    # later vacuum after drop_branch can still enumerate and reclaim
+    # its files) AND protect every file the branch's own manifests
+    # can read, or publishing an audited branch would race main's
+    # vacuum
+    for b in _list_branches(root):
+        broot = branch_root(root, b)
+        bvs = list_versions(broot)
+        if bvs:
+            fork = read_manifest(broot, bvs[0]).get("metrics", {}).get(
+                "branched_from"
+            )
+            if fork in vs:
+                keep.add(fork)
+        for bv in bvs:
+            bm = read_manifest(broot, bv)
+            referenced.update(bm["files"])
+            referenced.update(bm.get("change_files", []))
+            referenced.update(bm.get("dv_files", []))
     for v in keep:
         m = read_manifest(root, v)
         referenced.update(m["files"])
@@ -6065,4 +6091,371 @@ def q_table_time_travel_ts(
     root = ensure_acid_exercise(spark, sf_dir)
     return read_table_as_of(
         spark, root, read_manifest(root, 1)["ts"]
+    )
+
+
+# ---- refs: tags, branches, write-audit-publish (round 10) -----------
+#
+# Iceberg's named references on this protocol's primitives.  A TAG is
+# an immutable name → version pointer (refs/<name>.json, published
+# with the same link(2)-wins rule as manifests) that also PROTECTS its
+# version from vacuum retirement — "audit-2026Q3" stays readable
+# however far the head moves.  A BRANCH is a writable fork: its own
+# manifest sequence under branches/<name>/ seeded by hard-linking the
+# fork point's content-addressed chunk files (no data copy, no
+# hydration — O(n_chunks) link(2) calls), on which EVERY existing
+# writer works unchanged.  PUBLISH is Iceberg's fast-forward: one
+# O(descriptors) metadata commit on main carrying the branch head's
+# chunk descriptors verbatim — which is exactly the write-audit-
+# publish pattern: stage a risky write on a branch, audit the staged
+# snapshot with real queries, then promote it atomically (or drop it
+# without a trace).  At 100 TB nothing here scales with data size:
+# fork, audit reads (pruned like any read), and publish are all
+# metadata-proportional.
+
+_REF_NAME = r"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+
+
+def _refs_dir(root: str) -> str:
+    return os.path.join(root, "refs")
+
+
+def _check_ref_name(name: str) -> None:
+    if not name or len(name) > 64 or any(
+        c not in _REF_NAME for c in name
+    ):
+        raise ValueError(
+            f"invalid ref name {name!r} (allowed: [A-Za-z0-9._-], "
+            "max 64 chars)"
+        )
+
+
+def tag_table(root: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE tag pointing at ``version`` (default: the
+    current head).  Same atomic publication as a commit: the ref file
+    is fully written then link(2)ed into place, so a racing identical
+    tag fails cleanly — tags never move (delete_tag + re-tag is the
+    explicit, auditable way to repoint).  vacuum() keeps tagged
+    versions and their files readable past keep_last."""
+    _check_ref_name(name)
+    v = latest_version(root) if version is None else version
+    if not os.path.exists(_manifest_path(root, v)):
+        raise FileNotFoundError(
+            f"cannot tag v{v} in {root}: not a retained version "
+            f"(have {list_versions(root)})"
+        )
+    d = _refs_dir(root)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "kind": "tag", "ts": time.time()}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, os.path.join(d, name + ".json"))
+    except FileExistsError:
+        raise CommitConflict(
+            f"ref {name!r} already exists in {root}"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
+def tag_version(root: str, name: str) -> int:
+    """Resolve a tag name to its pinned version."""
+    try:
+        with open(os.path.join(_refs_dir(root), name + ".json")) as fh:
+            return json.load(fh)["version"]
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no ref {name!r} in {root} (have {sorted(list_refs(root))})"
+        ) from None
+
+
+def list_refs(root: str) -> dict[str, dict]:
+    d = _refs_dir(root)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(d, f)) as fh:
+                out[f[: -len(".json")]] = json.load(fh)
+    return out
+
+
+def delete_tag(root: str, name: str) -> None:
+    try:
+        os.remove(os.path.join(_refs_dir(root), name + ".json"))
+    except FileNotFoundError:
+        pass
+
+
+def branch_root(root: str, name: str) -> str:
+    return os.path.join(root, "branches", name)
+
+
+def create_branch(
+    root: str, name: str, version: int | None = None
+) -> str:
+    """Fork a writable BRANCH at ``version`` (default: head) and
+    return its table root.  Metadata-only at any table size: the fork
+    point's chunk files are HARD-LINKED into the branch's chunk dir
+    (content-addressed, so identical ids stay identical) and its
+    descriptors are carried verbatim into branch v1 — no data copy,
+    no file-list hydration.  Every existing writer (merge, append,
+    delete, optimize, schema evolution) then works on the branch root
+    unchanged; new branch data lands under the branch's own data dir,
+    never touching main."""
+    _check_ref_name(name)
+    m = read_manifest(root, version)
+    broot = branch_root(root, name)
+    if os.path.isdir(_manifest_dir(broot)):
+        raise CommitConflict(f"branch {name!r} already exists in {root}")
+    os.makedirs(_manifest_dir(broot), exist_ok=True)
+    os.makedirs(os.path.join(broot, "data"), exist_ok=True)
+    descs = dict.get(m, "chunks")
+    if descs:
+        os.makedirs(_chunks_dir(broot), exist_ok=True)
+        for d in descs:
+            try:
+                os.link(
+                    os.path.join(_chunks_dir(root), d["id"] + ".json"),
+                    os.path.join(_chunks_dir(broot), d["id"] + ".json"),
+                )
+            except FileExistsError:
+                pass
+    commit_delta(
+        broot,
+        m,
+        f"branch:{name}@v{m['version']}",
+        parent=0,
+        partition_cols=m.get("partition_cols"),
+        dv_files=m.get("dv_files"),
+        dv_key=m.get("dv_key"),
+        colmap=m.get("colmap"),
+        constraints=m.get("constraints"),
+        transforms=m.get("transforms"),
+        metrics={"branched_from": m["version"]},
+    )
+    return broot
+
+
+def publish_branch(root: str, name: str) -> int:
+    """FAST-FORWARD main to the branch head (Iceberg's
+    fast_forward / the publish step of write-audit-publish): one
+    metadata commit on main carrying the branch head's chunk
+    descriptors, DV backlog, and schema blocks verbatim.  Branch-
+    written chunk files hard-link back into main's chunk dir first,
+    so main's readers resolve every descriptor locally.  Publication
+    is fast-forward ONLY: if main advanced past the fork point the
+    staged snapshot no longer contains those commits, so this raises
+    :class:`CommitConflict` — re-branch from the new head and replay
+    (the same replay discipline every other writer here uses)."""
+    broot = branch_root(root, name)
+    bm = read_manifest(broot)
+    fork = read_manifest(broot, 1)["metrics"]["branched_from"]
+    head = latest_version(root)
+    if head != fork:
+        raise CommitConflict(
+            f"main advanced v{fork}→v{head} since branch {name!r} "
+            "forked — fast-forward only; re-branch from the new head "
+            "and replay the staged writes"
+        )
+    for d in dict.get(bm, "chunks", ()):
+        try:
+            os.link(
+                os.path.join(_chunks_dir(broot), d["id"] + ".json"),
+                os.path.join(_chunks_dir(root), d["id"] + ".json"),
+            )
+        except FileExistsError:
+            pass
+    return commit_delta(
+        root,
+        bm,
+        f"publish:{name}@v{bm['version']}",
+        parent=head,
+        partition_cols=bm.get("partition_cols"),
+        dv_files=bm.get("dv_files"),
+        dv_key=bm.get("dv_key"),
+        colmap=bm.get("colmap"),
+        constraints=bm.get("constraints"),
+        transforms=bm.get("transforms"),
+        metrics={
+            "published_branch": name,
+            "branch_version": bm["version"],
+        },
+    )
+
+
+def drop_branch(root: str, name: str) -> list[str]:
+    """Abandon (or retire a published) branch: delete its manifest
+    sequence and chunk links, and reclaim branch DATA files that no
+    retained MAIN version references (a published branch's files are
+    referenced by main and must survive the branch — main's vacuum
+    retires them when their versions age out).  Returns the deleted
+    data-file paths."""
+    broot = branch_root(root, name)
+    if not os.path.isdir(_manifest_dir(broot)):
+        return []
+    referenced: set[str] = set()
+    for v in list_versions(root):
+        m = read_manifest(root, v)
+        referenced.update(m["files"])
+        referenced.update(m.get("change_files", []))
+        referenced.update(m.get("dv_files", []))
+    removed = []
+    for sub in ("data", "change", "dv"):
+        d = os.path.join(broot, sub)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if p not in referenced:
+                try:
+                    os.remove(p)
+                    removed.append(p)
+                except OSError:
+                    pass
+    shutil.rmtree(_manifest_dir(broot), ignore_errors=True)
+    return removed
+
+
+def _list_branches(root: str) -> list[str]:
+    d = os.path.join(root, "branches")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        b
+        for b in os.listdir(d)
+        if os.path.isdir(_manifest_dir(os.path.join(d, b)))
+    )
+
+
+def ensure_wap_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): the full WRITE-AUDIT-PUBLISH cycle.  v1 =
+    orders as created; the three-arm MERGE is staged on branch
+    ``staging`` (main still serves v1), AUDITED there with a real
+    gate query, then PUBLISHED — main's v2 is the fast-forward."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-wap-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_WAP")
+    note = f"acid-wap {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(spark, root, base.repartition(4))
+    broot = create_branch(root, "staging")
+    merge_table(spark, broot, _merge_source(spark, sf_dir),
+                "o_orderkey")
+    # AUDIT: gate queries against the STAGED snapshot — the whole
+    # point of WAP is that a failing gate drops the branch and main
+    # never served a bad row
+    staged = read_table(spark, broot)
+    bad = staged.filter(
+        "o_orderkey IS NULL OR price IS NULL OR price < 0"
+    ).limit(1).count()
+    if bad:
+        drop_branch(root, "staging")
+        raise ValueError("WAP audit failed: staged snapshot has "
+                         "null keys or negative prices")
+    publish_branch(root, "staging")
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_wap",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 != 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'NEW-ROW' AS o_orderpriority,
+           CAST(o_totalprice * 0.5 AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+)
+def q_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (round 10 — Iceberg's WAP pattern on this
+    protocol's branches): the three-arm MERGE is staged on a branch
+    fork (metadata-only: fork-point chunk files hard-link, descriptors
+    carry), audited there with a real gate query while main still
+    serves the pre-merge snapshot, then published as ONE fast-forward
+    metadata commit.  This query reads MAIN after the publish, so the
+    oracle checks the entire stage→audit→promote cycle produced
+    exactly the direct merge's rows.  The pytest pins the physics:
+    main unchanged until publish, the publish commit adds/removes 0
+    files, branch-written chunks shared into main by hard link, and a
+    diverged main refusing the fast-forward.  Scale: nothing in the
+    cycle is data-proportional — fork, audit reads (pruned like any
+    read), and publish are all O(metadata)."""
+    root = ensure_wap_exercise(spark, sf_dir)
+    return read_table(spark, root)
+
+
+def ensure_tag_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): v1 create, tag ``pre-merge``, v2 = MERGE —
+    with vacuum retention forced PAST v1, so only the tag keeps the
+    pre-merge snapshot readable."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-tag-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_TAG")
+    note = f"acid-tag {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ensure_acid_exercise(spark, sf_dir, root=root)
+    tag_table(root, "pre-merge", version=1)
+    # keep_last=1 would retire v1 — the TAG must protect it
+    vacuum(root, keep_last=1)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_tag",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    """,
+)
+def q_table_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED TAG (round 10 — Iceberg tags): ``pre-merge`` pins v1 by
+    name, and — the part that matters — PROTECTS it from vacuum: the
+    exercise vacuums with keep_last=1 after the merge, which without
+    the tag retires v1 and its files; the oracle (the original orders
+    projection) only matches if the tagged snapshot survived intact.
+    Tags are immutable (same link(2)-wins publication as commits) —
+    an audit name can never silently move."""
+    root = ensure_tag_exercise(spark, sf_dir)
+    return read_table(
+        spark, root, version=tag_version(root, "pre-merge")
     )

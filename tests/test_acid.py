@@ -3688,3 +3688,141 @@ def test_review10_transform_name_reuse_rejected(spark, tmp_path):
     assert [t["name"] for t in m3["transforms"]] == ["p_m", "p"]
     got3 = scan(spark, root, ranges={"o_orderdate": (lo, hi)})
     assert got3.count() == want.count()
+
+
+def test_branch_wap_lifecycle(spark, tmp_path):
+    """Round-10 branches/WAP: fork is metadata-only (shared chunk
+    inodes), main is isolated until publish, publish is a zero-churn
+    fast-forward that carries DV + schema blocks, a diverged main
+    refuses it, and drop_branch reclaims only unpublished data."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        _chunks_dir,
+        append_table,
+        create_branch,
+        delete_from_table,
+        drop_branch,
+        publish_branch,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.repartition(4))
+    before = _rowset(read_table(spark, root))
+
+    broot = create_branch(root, "staging")
+    # fork shares chunk files BY INODE (hard link, no copy)
+    m1 = read_manifest(root, 1)
+    b1 = read_manifest(broot, 1)
+    assert [d["id"] for d in dict.get(b1, "chunks")] == [
+        d["id"] for d in dict.get(m1, "chunks")
+    ]
+    d0 = dict.get(m1, "chunks")[0]["id"] + ".json"
+    assert os.path.sameopenfile(
+        os.open(os.path.join(_chunks_dir(root), d0), os.O_RDONLY),
+        os.open(os.path.join(_chunks_dir(broot), d0), os.O_RDONLY),
+    )
+    assert b1["metrics"]["branched_from"] == 1
+
+    # stage: merge + MoR delete on the branch; main unchanged
+    merge_table(spark, broot, _merge_source(spark, SF_DIR),
+                "o_orderkey")
+    delete_from_table(
+        spark, broot,
+        base.select("o_orderkey").filter("o_orderkey % 1000 = 1"),
+        on="o_orderkey",
+    )
+    assert latest_version(root) == 1
+    assert _rowset(read_table(spark, root)) == before
+    staged = _rowset(read_table(spark, broot))
+
+    # publish: fast-forward, zero file churn, DV carried
+    v = publish_branch(root, "staging")
+    assert v == 2
+    m2 = read_manifest(root, 2)
+    assert m2["metrics"]["n_added"] == 0
+    assert m2["metrics"]["n_removed"] == 0
+    assert m2["metrics"]["published_branch"] == "staging"
+    assert m2.get("dv_files"), "staged MoR backlog must publish"
+    assert _rowset(read_table(spark, root)) == staged
+
+    # diverged main refuses a second fast-forward from the old fork
+    broot2 = create_branch(root, "late")
+    append_table(spark, broot2, base.limit(3))
+    append_table(spark, root, base.limit(5))  # main moves on
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        publish_branch(root, "late")
+
+    # drop an UNPUBLISHED branch: its staged data files reclaim;
+    # published 'staging' files referenced by main must survive
+    late_files = set(read_manifest(broot2)["files"])
+    new_late = {f for f in late_files if "/branches/late/" in f}
+    assert new_late
+    removed = set(drop_branch(root, "late"))
+    assert new_late <= removed
+    removed_pub = set(drop_branch(root, "staging"))
+    assert not removed_pub & set(read_manifest(root)["files"])
+    got = _rowset(read_table(spark, root))
+    want = staged | _rowset(
+        spark.createDataFrame(base.limit(5).collect(), base.schema)
+    )
+    assert got == want
+
+
+def test_tag_protects_version_from_vacuum(spark, tmp_path):
+    """Round-10 tags: immutable named pointers that hold their
+    version (manifest AND files) past the vacuum horizon; deleting
+    the tag releases it."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        delete_tag,
+        list_refs,
+        tag_table,
+        tag_version,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.repartition(2))
+    v1_state = _rowset(read_table(spark, root))
+    tag_table(root, "audit-q3", version=1)
+    with pytest.raises(CommitConflict, match="already exists"):
+        tag_table(root, "audit-q3", version=1)  # immutable
+    merge_table(spark, root, _merge_source(spark, SF_DIR),
+                "o_orderkey")
+    optimize_table(spark, root, target_files=1)
+    vacuum(root, keep_last=1)
+    # v1 survives BECAUSE of the tag; untagged v2 retired
+    assert 1 in list_versions(root)
+    assert 2 not in list_versions(root)
+    assert tag_version(root, "audit-q3") == 1
+    assert _rowset(
+        read_table(spark, root, version=tag_version(root, "audit-q3"))
+    ) == v1_state
+    assert list_refs(root)["audit-q3"]["kind"] == "tag"
+    delete_tag(root, "audit-q3")
+    vacuum(root, keep_last=1)
+    assert list_versions(root) == [3]
+
+
+def test_vacuum_protects_live_branch_references(spark, tmp_path):
+    """A live branch references main's fork-point data files; main's
+    vacuum must not retire them while the branch can read them."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_branch,
+        drop_branch,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.repartition(2))
+    broot = create_branch(root, "slow-audit")
+    fork_files = set(read_manifest(broot, 1)["files"])
+    # main rewrites everything and vacuums the old version away
+    optimize_table(spark, root, target_files=1)
+    vacuum(root, keep_last=1)
+    assert all(os.path.exists(f) for f in fork_files)
+    assert _rowset(read_table(spark, broot)) == _rowset(base)
+    drop_branch(root, "slow-audit")
+    vacuum(root, keep_last=1)  # released: now reclaimable
+    assert not any(os.path.exists(f) for f in fork_files)
