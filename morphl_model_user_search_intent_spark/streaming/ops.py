@@ -1949,6 +1949,113 @@ def q_stream_table_ingest_hidden(
 
 LAST_INGEST_HIDDEN_ROOT: str | None = None
 
+#: Table root used by the last q_stream_table_wap run (test hook).
+LAST_INGEST_WAP_ROOT: str | None = None
+
+
+@register(
+    "q_stream_table_wap",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_units
+    FROM events
+    """,
+)
+def q_stream_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE-AUDIT-PUBLISH (round 10): the exactly-once
+    micro-batch ingest of q_stream_table_ingest, but STAGED — every
+    batch appends to a BRANCH of the table while main keeps serving
+    the pre-stream snapshot; when the stream drains, the staged
+    snapshot is AUDITED (null keys / negative units gate) and
+    PUBLISHED as one zero-churn fast-forward commit.  This is how a
+    production lake gates a firehose: downstream readers of main
+    never observe a half-loaded or bad batch, yet the publish costs
+    O(descriptors), not a rewrite of what streamed in.
+
+    ORACLE-CHECKED end-to-end: main's post-publish read must equal
+    the whole events table row-for-row — a lost/duplicated batch,
+    a leak of pre-publish state into main, or a publish that dropped
+    a staged file cannot hash-match.  The pytest twin pins the
+    staging physics: main stays at v1 (one snapshot) while the
+    branch grows one version per batch, and the publish commit adds
+    and removes zero files."""
+    import os
+    import shutil
+
+    from ..sources.acid import (
+        append_table,
+        create_branch,
+        create_table,
+        publish_branch,
+        read_table,
+    )
+    from ..sources.formats import SCRATCH
+
+    global LAST_INGEST_WAP_ROOT
+
+    configure(spark)
+    src = _staged_time_buckets(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(SCRATCH, f"stream-wap-{tag}-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    LAST_INGEST_WAP_ROOT = root
+
+    cols = [
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_units"),
+    ]
+    create_table(
+        spark,
+        root,
+        spark.read.parquet(src).select(*cols).limit(0),
+    )
+    broot = create_branch(root, "ingest")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # same exactly-once txn ledger as the direct ingest — the
+        # branch IS a table, so replayed batches no-op identically
+        append_table(
+            spark,
+            broot,
+            batch_df.select(*cols),
+            txn_app=f"wap-{os.path.basename(root)}",
+            txn_version=batch_id,
+        )
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # AUDIT the staged snapshot, then promote atomically
+    staged = read_table(spark, broot)
+    bad = staged.filter(
+        "event_id IS NULL OR value_units < 0"
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "streaming WAP audit failed: staged snapshot has null "
+            "ids or negative units"
+        )
+    publish_branch(root, "ingest")
+    return read_table(spark, root)
+
 
 @register(
     "q_stream_text_index",

@@ -919,3 +919,37 @@ def test_stream_ingest_hidden_prunes_and_is_idempotent(spark):
     )
     assert latest_version(root) == v
     assert read_table(spark, root).count() == total
+
+
+def test_stream_wap_stages_on_branch_until_publish(spark):
+    """q_stream_table_wap staging physics: while batches stream into
+    the branch, MAIN serves one unchanged (empty) snapshot; the
+    branch gains one version per batch; the publish is a zero-churn
+    fast-forward whose result equals the staged snapshot exactly."""
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        branch_root,
+        list_versions,
+        read_manifest,
+        read_table,
+    )
+    from morphl_model_user_search_intent_spark.streaming import ops
+
+    out = REGISTRY["q_stream_table_wap"].fn(spark, SF_DIR)
+    root = ops.LAST_INGEST_WAP_ROOT
+    broot = branch_root(root, "ingest")
+    # main: exactly create + publish — no per-batch versions leaked
+    assert [read_manifest(root, v)["op"][:7] for v in
+            list_versions(root)] == ["create", "publish"]
+    head = read_manifest(root)
+    assert head["metrics"]["n_added"] == 0
+    assert head["metrics"]["n_removed"] == 0
+    assert head["metrics"]["published_branch"] == "ingest"
+    # branch: fork + one append per micro-batch, txn-ledgered
+    bvs = list_versions(broot)
+    assert len(bvs) >= 5  # fork + >=4 batches
+    assert all(
+        read_manifest(broot, v)["op"] == "append" for v in bvs[1:]
+    )
+    # pre-publish main (v1) was empty; post-publish equals the branch
+    assert read_table(spark, root, 1).count() == 0
+    assert out.count() == read_table(spark, broot).count() > 0
