@@ -141,8 +141,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.4 aggregates (flagship first; scalable median: first grade)
     "q_agg_hash", "q_agg_median_scalable",
-    # §2.5 windows / §2.6 sorts (EWMA recursion: first grade)
-    "q_win_ewma", "q_sort_multi",
+    # §2.5 windows / §2.6 sorts (EWMA recursion: first grade;
+    # pagination rep never graded)
+    "q_win_ewma", "q_sort_offset",
     # §2.7 set ops + dedup (bag algebra + the SAMPLED detector eval —
     # both first grades; eval carries the round-10 sampled column)
     "q_set_bag", "q_dedup_eval",
@@ -163,33 +164,39 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_table_history", "q_table_count_metadata",
     "q_table_cdc_delete_dv", "q_table_add_column",
     # SQL surface over the engine (never graded): windowed SQL,
-    # recursive CTE, |> pipes, SQL over the ACID table
+    # recursive CTE, |> pipes, SQL over the ACID table, and the
+    # round-10 DML statement executor (UPDATE/DELETE/INSERT chain +
+    # star-form MERGE INTO, both oracle-checked end-to-end)
     "q_sql_window", "q_sql_recursive", "q_sql_pipe",
-    "q_sql_acid_table",
+    "q_sql_acid_table", "q_sql_dml", "q_sql_merge_into",
     # §2.1 sources / sinks / scans (partition-pruned source + sorted
-    # sink: first grades)
-    "q_source_partition_pruning", "q_sink_sorted", "q_scan_pushdown",
-    # §2.2 projection / predicates
+    # sink: first grades; bare-scan rep never driver-graded)
+    "q_source_partition_pruning", "q_sink_sorted", "q_scan_parquet",
+    # §2.2 projection / predicates (held stem reps)
     "q_project", "q_filter_null", "q_case_when",
+    # round-10 schema features, never graded: column defaults,
+    # generated columns, identity columns, row tracking — all four
+    # oracle-checked end-to-end (the row-tracking oracle states exact
+    # ids through a CoW merge + compaction)
+    "q_table_column_default", "q_table_generated",
+    "q_table_identity", "q_table_row_tracking",
     # round-10 refs layer, never graded: write-audit-publish cycle +
     # vacuum-protected named tag
     "q_table_wap", "q_table_tag",
-    # §2.3 joins (dynamic partition pruning, bloom pre-filter,
-    # point-in-time: all first grades)
-    "q_join_dpp", "q_join_bloom", "q_join_pit",
+    # §2.3 joins (dynamic partition pruning: first grade; bloom/PIT
+    # yield their slots to the round-10 surface, sweep-green)
+    "q_join_dpp",
     # §2.12 UDFs (cogrouped applyInPandas: first grade)
     "q_udf_cogroup",
-    # TPC-H never-graded picks (pricing summary, shipping priority,
-    # forecast revenue; q18 yields its slot to the refs layer — all
-    # 22 stay sweep-green at three SFs every round)
-    "q_tpch_q01", "q_tpch_q03", "q_tpch_q06",
+    # TPC-H never-graded pick (pricing summary; q03/q06/q18 yield
+    # their slots to the round-10 surface — all 22 stay sweep-green
+    # at three SFs every round)
+    "q_tpch_q01",
     # analytics long tail, all first grades: OLS regression,
-    # PageRank, funnel (retention yields its slot — same event-time
-    # mechanics as funnel, sweep-green), C4 filter,
-    # ROC-AUC, HLL++ sketch, readability
+    # PageRank, funnel (retention/ROC-AUC/HLL++ yield their slots —
+    # sweep-green), C4 filter
     "q_stats_regression", "q_graph_pagerank",
     "q_events_funnel", "q_corpus_c4",
-    "q_ml_auc", "q_sketch_hllpp",
     # §2.10 text
     "q_text_readability",
 )
@@ -204,10 +211,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # The 12 held slots are the stem-policy representatives
 # (one per §2.8 suite, flagship agg, sessionize, scan/project/
 # filter/case) — all green in CORRECTNESS_r09.
-# Late-round-10 tweak: the new refs layer (q_table_wap, q_table_tag)
-# seats in place of q_tpch_q18 and q_events_retention — both families
-# keep first-grade picks in the window and all displaced keys stay
-# sweep-verified at three SFs.
+# Late-round-10 reseat: the round-10 surface additions — refs layer
+# (q_table_wap, q_table_tag), schema features (q_table_column_default,
+# q_table_generated, q_table_identity, q_table_row_tracking), and the
+# DML statement executor (q_sql_dml, q_sql_merge_into) — take the
+# slots of q_tpch_q18/q03/q06, q_events_retention, q_join_bloom,
+# q_join_pit, q_ml_auc, and q_sketch_hllpp (all sweep-green at three
+# SFs; their §2 families keep in-window reps).  The §2 one-per-family
+# policy (test_registry_order) stays satisfied, with two stems now
+# held by NEVER-graded alternates (q_sort_offset for q_sort_,
+# q_scan_parquet for q_scan_) instead of their multiply-graded
+# siblings.
 # Rotated OUT (driver-graded green in r8/r9, still verified by every
 # full sweep): q_agg_distinct, q_agg_salted, q_win_topk,
 # q_sort_limit, q_set_intersect, q_dedup_exact,

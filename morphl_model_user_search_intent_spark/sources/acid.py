@@ -419,6 +419,7 @@ def commit(
     colmap: dict | None | object = _INHERIT,
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
+    schema_meta: dict | None | object = _INHERIT,
     metrics: dict | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
@@ -461,6 +462,7 @@ def commit(
     _small_blocks(
         manifest, root, parent, txn, change_files, partition_cols,
         dv_files, dv_key, colmap, constraints, transforms,
+        schema_meta,
     )
     return _publish(root, v, manifest)
 
@@ -477,6 +479,7 @@ def _small_blocks(
     colmap,
     constraints,
     transforms,
+    schema_meta=_INHERIT,
 ) -> None:
     """Attach the SMALL metadata blocks — everything except the
     chunked per-file state — shared by :func:`commit` and
@@ -502,6 +505,7 @@ def _small_blocks(
         colmap is _INHERIT
         or constraints is _INHERIT
         or transforms is _INHERIT
+        or schema_meta is _INHERIT
     ):
         # column mapping and CHECK constraints (round 9) survive
         # EVERY commit by default: a writer that forgot to thread
@@ -533,6 +537,8 @@ def _small_blocks(
             constraints = pm.get("constraints") if pm else None
         if transforms is _INHERIT:
             transforms = pm.get("transforms") if pm else None
+        if schema_meta is _INHERIT:
+            schema_meta = pm.get("schema_meta") if pm else None
     if colmap is not None:
         manifest["colmap"] = colmap
     if constraints is not None:
@@ -544,6 +550,15 @@ def _small_blocks(
         # time and source-column predicates prune through it at read
         # time (scan()) — the table's users never see or maintain it.
         manifest["transforms"] = transforms
+    if schema_meta is not None:
+        # WRITE-SIDE SCHEMA FEATURES (round 10): column DEFAULTs for
+        # appends that omit the column (Delta's allowColumnDefaults),
+        # GENERATED columns (computed-or-validated at write), and the
+        # identity/row-id high-watermark ledger (Delta identity
+        # columns + row tracking).  Inherited like colmap — a writer
+        # that forgot to thread it would silently stop assigning
+        # stable row ids or drop declared defaults.
+        manifest["schema_meta"] = schema_meta
     if dv_files is not None:
         # DELETION VECTORS (round 8): merge-on-read DELETE sidecars —
         # (_file basename, key) tombstone rows a snapshot read
@@ -610,6 +625,7 @@ def commit_delta(
     colmap: dict | None | object = _INHERIT,
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
+    schema_meta: dict | None | object = _INHERIT,
     metrics: dict | None = None,
     parent: int | None = None,
 ) -> int:
@@ -788,6 +804,7 @@ def commit_delta(
     _small_blocks(
         manifest, root, parent, txn, change_files, partition_cols,
         dv_files, dv_key, colmap, constraints, transforms,
+        schema_meta,
     )
     return _publish(root, v, manifest)
 
@@ -811,13 +828,190 @@ def _write_files(df: DataFrame, root: str, subdir: str = "data") -> list[str]:
     return out
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Initialize a table: data dirs + version 1."""
+class GeneratedColumnMismatch(Exception):
+    """A writer supplied explicit values for a GENERATED column that
+    disagree with its declared expression — rejected atomically
+    (Delta refuses the same way: a generated column is the
+    expression, not a hint)."""
+
+
+def _assign_identity(
+    df: DataFrame,
+    col: str,
+    high: int,
+    order: list[str],
+    buckets: int,
+) -> tuple[DataFrame, int]:
+    """Assign ``col`` = ``high`` + row_number over the DETERMINISTIC
+    total order (order[0] % buckets, *order) — equivalently SQL's
+    ``row_number() OVER (ORDER BY order[0] % buckets, order...)`` —
+    without a global sort: per-bucket row_numbers plus cumulative
+    bucket offsets.  Returns (assigned frame, batch row count) so the
+    caller advances the watermark without a separate count job.
+
+    The per-bucket counts are one aggregate job whose result (≤
+    ``buckets`` rows) lands on the driver and re-enters the plan as a
+    LITERAL offset map — so the final write scans the batch exactly
+    once (a broadcast-join of the offsets would re-derive the counts
+    subtree inside the write job, scanning the batch twice).  One
+    shuffle on the bucket key; each window handles ~n/buckets rows,
+    so the assignment scales to arbitrary batch sizes while staying
+    byte-reproducible (Delta guarantees neither order nor density for
+    identity values; this engine opts into a declared order so
+    assignments are auditable and oracle-checkable).  ``order[0]``
+    must be numeric and, for SQL-oracle parity of the bucket term,
+    non-negative."""
+    from pyspark.sql.window import Window
+
+    df = df.withColumn(
+        "_idb", F.pmod(F.col(order[0]).cast("bigint"), F.lit(buckets))
+    )
+    counts = {
+        r._idb: r._idn
+        for r in df.groupBy("_idb")
+        .agg(F.count(F.lit(1)).alias("_idn"))
+        .collect()  # bounded: ≤ buckets rows
+    }
+    offs, acc = {}, 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    pairs: list = []
+    for b in sorted(offs):
+        pairs.extend([F.lit(int(b)), F.lit(int(offs[b]))])
+    omap = F.create_map(*pairs) if pairs else F.create_map()
+    win = Window.partitionBy("_idb").orderBy(
+        *[F.col(c) for c in order]
+    )
+    out = df.withColumn(
+        col,
+        (
+            F.lit(high)
+            + F.coalesce(omap[F.col("_idb")], F.lit(0))
+            + F.row_number().over(win)
+        ).cast("bigint"),
+    ).drop("_idb")
+    return out, int(acc)
+
+
+def _apply_write_meta(
+    df: DataFrame, sm: dict, internal_identity: bool = False
+) -> tuple[DataFrame, dict]:
+    """Apply the table's write-side schema features to an incoming
+    batch; returns (batch with features applied, schema_meta with the
+    identity high-watermark advanced).
+
+    - ``defaults`` {col: sql}: a batch that OMITS the column gets the
+      default expression (Delta's column DEFAULT semantics — defaults
+      apply to writes that don't name the column; rows written with
+      an explicit NULL stay NULL).
+    - ``generated`` {col: sql}: omitted → computed from the
+      expression; supplied → must equal it (validated by the caller
+      via :func:`_validate_generated` — needs a job).
+    - ``identity`` {"col", "order", "buckets", "high", "hidden"}:
+      GENERATED ALWAYS — a batch supplying the column is refused
+      (unless ``internal_identity``, the engine's own rewrite paths
+      carrying already-assigned ids); omitted → values assigned from
+      the high watermark via :func:`_assign_identity`, and the
+      watermark advances by the batch's row count (one count job —
+      the cardinality must be known to reserve the id block).
+
+    The watermark advance makes identity writes CONTENDED metadata:
+    callers re-apply against the new head on CommitConflict (the same
+    replay discipline as every other writer; Delta documents the
+    identical retry for its identity columns)."""
+    sm_out = json.loads(json.dumps(sm))
+    df = _fill_defaults_generated(df, sm)
+    ident = sm.get("identity")
+    if ident is not None:
+        c = ident["col"]
+        if c in df.columns:
+            if not internal_identity:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS — "
+                    "writers must not supply it"
+                )
+        else:
+            # the assignment's own bucket counts reserve the id
+            # block [high+1, high+n] — no separate count job
+            df, n = _assign_identity(
+                df,
+                c,
+                int(ident.get("high", 0)),
+                list(ident["order"]),
+                int(ident.get("buckets", 64)),
+            )
+            sm_out["identity"]["high"] = int(
+                ident.get("high", 0)
+            ) + int(n)
+    return df, sm_out
+
+
+def _fill_defaults_generated(df: DataFrame, sm: dict | None) -> DataFrame:
+    """Fill OMITTED defaulted/generated columns from their declared
+    expressions — the shared write-side step of append, merge, and
+    partitioned-merge (one definition, so evaluation semantics can
+    never diverge between writers)."""
+    for c, expr in sorted(
+        list(((sm or {}).get("defaults") or {}).items())
+        + list(((sm or {}).get("generated") or {}).items())
+    ):
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    return df
+
+
+def _advance_watermark(sm: dict, n: int) -> dict:
+    """A private copy of ``sm`` with the identity high-watermark
+    advanced by ``n`` assigned ids."""
+    out = json.loads(json.dumps(sm))
+    out["identity"]["high"] = int(
+        sm["identity"].get("high", 0)
+    ) + int(n)
+    return out
+
+
+def _validate_generated(df: DataFrame, sm: dict | None) -> None:
+    """Reject a batch whose EXPLICIT generated-column values disagree
+    with the declared expression (null-safe comparison; cost ∝ the
+    batch, one job per supplied generated column — omitted columns
+    were computed, nothing to check)."""
+    for c, expr in sorted(((sm or {}).get("generated") or {}).items()):
+        if c in df.columns:
+            bad = (
+                df.filter(~F.col(c).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise GeneratedColumnMismatch(
+                    f"explicit values for generated column {c!r} "
+                    f"differ from its expression ({expr}); omit the "
+                    "column or write matching values"
+                )
+
+
+def create_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    schema_meta: dict | None = None,
+) -> int:
+    """Initialize a table: data dirs + version 1.  ``schema_meta``
+    optionally declares write-side schema features at creation
+    (column defaults / generated columns / identity / row tracking —
+    see :func:`_apply_write_meta`); generated and identity columns
+    are computed for the initial rows here, exactly as every later
+    append computes them."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    if schema_meta is not None:
+        _validate_generated(df, schema_meta)
+        df, schema_meta = _apply_write_meta(df, schema_meta)
     files = _write_files(df, root)
     return commit(
         root, files, "create", parent=0,
+        schema_meta=schema_meta if schema_meta is not None else _INHERIT,
         metrics={"n_added": len(files), "n_removed": 0},
     )
 
@@ -1037,6 +1231,7 @@ def read_table(
     root: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot-isolation read: pin ONE manifest, read only its files.
     ``version`` selects a retained historical snapshot (time travel);
@@ -1084,6 +1279,19 @@ def read_table(
     # hidden); the DV mask above joined on the PHYSICAL key, which is
     # what the sidecars store — rename-stable by construction
     base = _select_logical(cm, base)
+    ident = (m.get("schema_meta") or {}).get("identity")
+    if (
+        ident
+        and ident.get("hidden")
+        and not with_row_ids
+        and ident["col"] in base.columns
+    ):
+        # ROW TRACKING (round 10): the stable row-id column is engine
+        # metadata, hidden from normal reads like Delta's _metadata
+        # row ids; pass with_row_ids=True to audit lineage (and the
+        # engine's own rewrite paths read with it so compaction and
+        # CoW merges carry ids through)
+        base = base.drop(ident["col"])
     if partition_filter:
         for c, want in partition_filter.items():
             allowed = (
@@ -1540,6 +1748,43 @@ def merge_table(
             .join(keys, on, "anti")
         )
         upserts = source.filter(~F.col("_delete")).drop("_delete")
+        # write-side schema features on the upsert arm (round 10):
+        # defaults/generated fill omitted columns (same caveat as
+        # CHECK constraints on mapped tables: feature expressions
+        # bind by name, and a referenced column can't be renamed);
+        # identity/row-id columns flow UPDATE-STABLE — a replaced
+        # row keeps its base row id (joined from the pre-image),
+        # only genuinely new keys draw fresh ids from the watermark.
+        sm = m.get("schema_meta")
+        sm_commit: dict | None | object = _INHERIT
+        if sm is not None:
+            _validate_generated(upserts, sm)
+            upserts = _fill_defaults_generated(upserts, sm)
+            ident = sm.get("identity")
+            if ident is not None:
+                idc = ident["col"]
+                if idc in upserts.columns:
+                    raise ValueError(
+                        f"identity column {idc!r} is GENERATED "
+                        "ALWAYS — merge sources must not supply it"
+                    )
+                upserts = upserts.join(
+                    base.select(on, idc), on, "left"
+                )
+                kept = upserts.filter(F.col(idc).isNotNull())
+                ins = upserts.filter(F.col(idc).isNull()).drop(idc)
+                ins, n_new = _assign_identity(
+                    ins,
+                    idc,
+                    int(ident.get("high", 0)),
+                    list(ident["order"]),
+                    int(ident.get("buckets", 64)),
+                )
+                if n_new:
+                    upserts = kept.unionByName(ins)
+                    sm_commit = _advance_watermark(sm, n_new)
+                else:
+                    upserts = kept
         _validate_constraints(upserts, root)  # incoming rows only
         new_files = _write_files(survivors.unionByName(upserts), root)
         change_files = None
@@ -1571,6 +1816,7 @@ def merge_table(
                 change_files=change_files,
                 dv_files=dv_files,
                 dv_key=dv_key,
+                schema_meta=sm_commit,
             )
         except CommitConflict:
             for f in new_files + (change_files or []) + dv_new:  # lost the race
@@ -1684,11 +1930,27 @@ def _enforce_schema(
     type changes, renames — raises :class:`SchemaMismatch`."""
     cur = {
         f.name: f.dataType.simpleString()
-        for f in read_table(spark, root).schema.fields
+        # with_row_ids: the incoming frame has hidden ids applied by
+        # the time enforcement runs, so compare against the physical
+        # logical schema, not the user-visible one
+        for f in read_table(
+            spark, root, with_row_ids=True
+        ).schema.fields
     }
     new = {
         f.name: f.dataType.simpleString() for f in df.schema.fields
     }
+    ident = (read_manifest(root).get("schema_meta") or {}).get(
+        "identity"
+    )
+    if (
+        ident
+        and ident.get("hidden")
+        and ident["col"] not in new
+    ):
+        # a frame that hasn't been through id assignment yet (the
+        # engine fills hidden row ids itself) isn't "missing" it
+        cur.pop(ident["col"], None)
     if new == cur:
         return
     missing = [c for c in cur if c not in new]
@@ -1738,15 +2000,28 @@ def append_table(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
-    if read_manifest(root).get("partition_cols"):
+    _m0 = read_manifest(root)
+    if _m0.get("partition_cols"):
         raise ValueError(
             "table is partitioned — use append_table_partitioned "
             "(a flat append would commit a spec-less manifest and "
             "silently drop partition pruning)"
         )
+    # write-side schema features first (round 10): defaults fill
+    # omitted columns, generated columns compute, identity values
+    # assign from the watermark — BEFORE enforcement, so a batch
+    # legitimately omitting a defaulted/generated column passes
+    sm_base = _m0.get("schema_meta")
+    df_logical = df
+    sm_commit: dict | None | object = _INHERIT
+    if sm_base is not None:
+        _validate_generated(df_logical, sm_base)
+        df, _sm_new = _apply_write_meta(df_logical, sm_base)
+        if _sm_new != sm_base:
+            sm_commit = _sm_new
     _enforce_schema(spark, root, df, allow_evolution)  # plan-only
     _validate_constraints(df, root)  # cost ∝ the delta, atomic reject
-    cm_base = read_manifest(root).get("colmap")
+    cm_base = _m0.get("colmap")
     cm = cm_base
     cm_out: dict | None | object = _INHERIT
     if cm is not None:
@@ -1795,6 +2070,27 @@ def append_table(
                 f"column map changed concurrently in {root}; replay "
                 "the append against the current schema"
             )
+        if m.get("schema_meta") != sm_base:
+            # the identity watermark moved (a racing writer consumed
+            # the id block we assigned from) or defaults/generated
+            # specs were edited concurrently — the staged files carry
+            # stale values.  Reclaim and RE-APPLY against the new
+            # meta, then retry the commit in this same loop: the
+            # retry-with-rewrite Delta documents for contended
+            # identity writers.
+            _reclaim()
+            sm_base = m.get("schema_meta")
+            df = df_logical
+            sm_commit = _INHERIT
+            if sm_base is not None:
+                _validate_generated(df, sm_base)
+                df, _sm_new = _apply_write_meta(df, sm_base)
+                if _sm_new != sm_base:
+                    sm_commit = _sm_new
+            _validate_constraints(df, root)
+            if cm is not None:
+                df = _select_physical(cm, df)
+            files = _write_files(df, root)
         try:
             # O(delta) append (round 10): the parent's chunks carry
             # by reference, only the new files are serialized
@@ -1807,6 +2103,7 @@ def append_table(
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
                 colmap=cm_out,
+                schema_meta=sm_commit,
             )
         except CommitConflict:
             continue
@@ -1828,7 +2125,8 @@ def append_table_partitioned(
     stats MERGED into the carried-forward maps — the streaming-ingest
     write path for date-partitioned lake tables, where every
     micro-batch lands only in the partitions its rows touch."""
-    pcols = read_manifest(root)["partition_cols"]
+    _m0 = read_manifest(root)
+    pcols = _m0["partition_cols"]
     txn = None
     if txn_app is not None:
         if txn_version is None:
@@ -1837,11 +2135,21 @@ def append_table_partitioned(
         if done is not None and done >= txn_version:
             return latest_version(root)  # replayed batch: no-op
         txn = {"app": txn_app, "version": int(txn_version)}
+    # write-side schema features first (round 10) — a partitioned
+    # ingest must not be a defaults/generated/identity bypass any
+    # more than a constraint/schema one
+    sm_base = _m0.get("schema_meta")
+    df_logical = df
+    sm_commit: dict | None | object = _INHERIT
+    if sm_base is not None:
+        _validate_generated(df_logical, sm_base)
+        df, _sm_new = _apply_write_meta(df_logical, sm_base)
+        if _sm_new != sm_base:
+            sm_commit = _sm_new
     # same write-path gates as the flat append (round-8 hardening:
     # a partitioned ingest must not be a constraint/schema bypass)
     _enforce_schema(spark, root, df, allow_evolution=False)
     _validate_constraints(df, root)
-    _m0 = read_manifest(root)
     df = _select_physical(_m0.get("colmap"), df)
     files, parts = _write_files_partitioned(
         df,
@@ -1867,6 +2175,31 @@ def append_table_partitioned(
             if done is not None and done >= txn_version:
                 _reclaim()  # a racing replay already won
                 return latest_version(root)
+        if m.get("schema_meta") != sm_base:
+            # identity watermark moved or feature specs edited while
+            # our partitioned files were staged — reclaim, re-apply
+            # against the new meta, rewrite, retry (same protocol as
+            # the flat append)
+            _reclaim()
+            sm_base = m.get("schema_meta")
+            df = df_logical
+            sm_commit = _INHERIT
+            if sm_base is not None:
+                _validate_generated(df, sm_base)
+                df, _sm_new = _apply_write_meta(df, sm_base)
+                if _sm_new != sm_base:
+                    sm_commit = _sm_new
+            _validate_constraints(df, root)
+            df = _select_physical(m.get("colmap"), df)
+            files, parts = _write_files_partitioned(
+                df,
+                root,
+                pcols,
+                exprs=_transform_exprs(m["transforms"])
+                if m.get("transforms")
+                else None,
+            )
+            new_stats = commit_stats(root, files, [])
         try:
             # O(delta) partitioned append (round 10): untouched
             # partitions' chunks carry by descriptor; only the
@@ -1884,6 +2217,7 @@ def append_table_partitioned(
                 partition_cols=pcols,
                 dv_files=m.get("dv_files"),
                 dv_key=m.get("dv_key"),
+                schema_meta=sm_commit,
             )
         except CommitConflict:
             continue
@@ -2420,7 +2754,9 @@ def optimize_table(
                 spark, root, {}, target_files=target_files,
                 max_retries=max_retries,
             )
-        snap = read_table(spark, root, version=parent)  # logical
+        snap = read_table(
+            spark, root, version=parent, with_row_ids=True
+        )  # logical (+ hidden row ids — compaction must carry them)
         files = _write_files(
             _select_physical(m.get("colmap"), snap).coalesce(
                 target_files
@@ -2947,6 +3283,7 @@ def clone_table(
         colmap=m.get("colmap"),  # source's logical schema clones too
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),  # hidden-partition spec too
+        schema_meta=m.get("schema_meta"),  # defaults/identity ledger
     )
 
 
@@ -3289,6 +3626,7 @@ def restore_table(spark: SparkSession, root: str, version: int) -> int:
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        schema_meta=m.get("schema_meta"),
         metrics={"restored_version": version},
     )
 
@@ -3348,14 +3686,20 @@ def create_table_partitioned(
     df: DataFrame,
     partition_cols: list[str],
     stats_cols: list[str] | None = None,
+    schema_meta: dict | None = None,
 ) -> int:
     """Initialize a PARTITIONED table: one distributed hive-partitioned
     write, version 1's manifest carrying the partition spec, per-file
     partition values, and per-file stats (row counts always; zone maps
     for ``stats_cols``) — everything the read side needs to prune and
-    answer metadata aggregates without opening a data page."""
+    answer metadata aggregates without opening a data page.
+    ``schema_meta`` declares write-side schema features exactly as in
+    :func:`create_table`."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    if schema_meta is not None:
+        _validate_generated(df, schema_meta)
+        df, schema_meta = _apply_write_meta(df, schema_meta)
     files, parts = _write_files_partitioned(df, root, partition_cols)
     return commit(
         root,
@@ -3366,6 +3710,9 @@ def create_table_partitioned(
         partition_cols=partition_cols,
         partitions=parts,
         stats=commit_stats(root, files, stats_cols or []),
+        schema_meta=(
+            schema_meta if schema_meta is not None else _INHERIT
+        ),
     )
 
 
@@ -3483,12 +3830,64 @@ def merge_table_partitioned(
             )
         else:  # source targets only brand-new partitions: pure insert
             touched = []
+            base = None
             # PHYSICAL empty frame (read_table serves logical; the
-            # union below is with the physical-translated upserts)
+            # union below is with the physical-translated upserts;
+            # with_row_ids — a row-tracked table's hidden id column
+            # is part of the physical write schema)
             survivors = _select_physical(
-                _cm, read_table(spark, root).limit(0)
+                _cm,
+                read_table(spark, root, with_row_ids=True).limit(0),
             )
         upserts = source.filter(~F.col("_delete")).drop("_delete")
+        # write-side schema features (round 10) — same contract as
+        # the flat merge: defaults/generated fill omitted columns,
+        # identity/row ids flow update-stable WITHIN the touched
+        # partitions (a cross-partition move is delete+insert by the
+        # partitioned-merge contract, so it draws a fresh id — the
+        # row observably left its partition)
+        sm = m.get("schema_meta")
+        sm_commit: dict | None | object = _INHERIT
+        if sm is not None:
+            _validate_generated(upserts, sm)
+            upserts = _fill_defaults_generated(upserts, sm)
+            ident = sm.get("identity")
+            if ident is not None:
+                idc = ident["col"]
+                if idc in upserts.columns:
+                    raise ValueError(
+                        f"identity column {idc!r} is GENERATED "
+                        "ALWAYS — merge sources must not supply it"
+                    )
+                if base is not None:
+                    upserts = upserts.join(
+                        base.select(on, idc), on, "left"
+                    )
+                    kept = upserts.filter(F.col(idc).isNotNull())
+                    ins = upserts.filter(
+                        F.col(idc).isNull()
+                    ).drop(idc)
+                else:
+                    kept = None
+                    ins = upserts
+                ins, n_new = _assign_identity(
+                    ins,
+                    idc,
+                    int(ident.get("high", 0)),
+                    list(ident["order"]),
+                    int(ident.get("buckets", 64)),
+                )
+                if n_new:
+                    upserts = (
+                        kept.unionByName(ins)
+                        if kept is not None
+                        else ins
+                    )
+                    sm_commit = _advance_watermark(sm, n_new)
+                else:
+                    # ins is empty but already carries the id column
+                    # (schema must match survivors' for the union)
+                    upserts = kept if kept is not None else ins
         _validate_constraints(upserts, root)  # incoming rows only
         new_files, new_parts = _write_files_partitioned(
             survivors.unionByName(upserts), root, pcols, exprs=exprs
@@ -3524,6 +3923,7 @@ def merge_table_partitioned(
                 change_files=change_files,
                 dv_files=dv_files,
                 dv_key=dv_key,
+                schema_meta=sm_commit,
             )
         except CommitConflict:
             # lost the race — reclaim data AND change files, replay
@@ -4570,6 +4970,7 @@ def _commit_metadata_only(root: str, m: dict, op: str, **over) -> int:
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        schema_meta=m.get("schema_meta"),
     )
     kw.update(over)
     # zero file delta: every chunk carries by descriptor (round 10) —
@@ -4858,9 +5259,21 @@ def overwrite_partition(
         replaced = set(
             match_files_strict(m, _filter_to_physical(cm, partition_filter))
         )
+        # write-side schema features (round 10): a restatement is
+        # delete+insert, so defaults/generated fill and identity/row
+        # ids draw FRESH from the watermark — the old partition's
+        # rows observably ceased to exist
+        sm = m.get("schema_meta")
+        sm_commit: dict | None | object = _INHERIT
+        out_df = df
+        if sm is not None:
+            _validate_generated(out_df, sm)
+            out_df, _sm_new = _apply_write_meta(out_df, sm)
+            if _sm_new != sm:
+                sm_commit = _sm_new
         _tr = m.get("transforms")
         new_files, new_parts = _write_files_partitioned(
-            _select_physical(cm, df),
+            _select_physical(cm, out_df),
             root,
             pcols,
             exprs=_transform_exprs(_tr) if _tr else None,
@@ -4883,6 +5296,7 @@ def overwrite_partition(
                 partition_cols=pcols,
                 dv_files=dv_files,
                 dv_key=dv_key,
+                schema_meta=sm_commit,
             )
         except CommitConflict:
             for f in new_files + dv_new:
@@ -5203,7 +5617,9 @@ def _select_physical(
 def _build_colmap(spark: SparkSession, root: str) -> dict:
     """Initial identity mapping, derived from the current snapshot's
     schema the first time a table needs rename/drop semantics."""
-    fields = read_table(spark, root).schema.fields
+    # with_row_ids: a hidden row-id column is physical state the map
+    # must cover, or later physical selects would silently drop it
+    fields = read_table(spark, root, with_row_ids=True).schema.fields
     return {
         "max_id": len(fields),
         "cols": [
@@ -5534,8 +5950,24 @@ def update_table(
                 f"table's deletion vectors are keyed on "
                 f"{m['dv_key']!r}, not {on_p!r}"
             )
-        _enforce_schema(spark, root, updates, allow_evolution=False)
-        ups = _select_physical(cm, updates)
+        # write-side schema features (round-10 review fix): a SET on
+        # a generated column's DEPENDENCY must cascade — recompute
+        # every generated column over the post-image (the SQL surface
+        # refuses explicit SET of a generated column; a caller-built
+        # post-image that supplied one is overwritten by the same
+        # rule, the column IS the expression)
+        sm = m.get("schema_meta") or {}
+        upd_l = updates
+        for _c, _expr in sorted((sm.get("generated") or {}).items()):
+            upd_l = upd_l.withColumn(_c, F.expr(_expr))
+        ident = sm.get("identity")
+        if ident is not None and ident["col"] in upd_l.columns:
+            raise ValueError(
+                f"identity column {ident['col']!r} is GENERATED "
+                "ALWAYS — update batches must not supply it"
+            )
+        _enforce_schema(spark, root, upd_l, allow_evolution=False)
+        ups = _select_physical(cm, upd_l)
         base = _apply_dv(
             spark,
             m,
@@ -5543,6 +5975,14 @@ def update_table(
                 "_file", _file_col()
             ),
         )
+        if ident is not None:
+            # row-tracking update-stability on the MoR path too: the
+            # post-image keeps the replaced row's id, joined from the
+            # current snapshot by key (unmatched rows carry NULL but
+            # never write — the matched semi-join below drops them)
+            ups = ups.join(
+                base.select(on_p, ident["col"]), on_p, "left"
+            )
         keys = ups.select(on_p).distinct()
         # tombstones for every CURRENT row of a matched key
         dv_rows = base.join(keys, on_p, "semi").select("_file", on_p)
@@ -6237,6 +6677,7 @@ def create_branch(
         colmap=m.get("colmap"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        schema_meta=m.get("schema_meta"),
         metrics={"branched_from": m["version"]},
     )
     return broot
@@ -6282,6 +6723,7 @@ def publish_branch(root: str, name: str) -> int:
         colmap=bm.get("colmap"),
         constraints=bm.get("constraints"),
         transforms=bm.get("transforms"),
+        schema_meta=bm.get("schema_meta"),
         metrics={
             "published_branch": name,
             "branch_version": bm["version"],
@@ -6458,4 +6900,529 @@ def q_table_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ensure_tag_exercise(spark, sf_dir)
     return read_table(
         spark, root, version=tag_version(root, "pre-merge")
+    )
+
+
+# ---- write-side schema features: defaults, generated, identity, ----
+# ---- row tracking (round 10) ----------------------------------------
+#
+# Delta Lake's column DEFAULTs, generated columns, identity columns,
+# and row tracking, expressed on this protocol's ``schema_meta``
+# manifest block (inherited across commits like the column map).  All
+# four are WRITE-side features: the data files always physically
+# contain the final values, so the read path stays a bare pruned scan
+# — no read-time expression evaluation, no per-file schema branching,
+# and every downstream consumer (time travel, clone, branch, CDC)
+# sees plain columns.  At 100 TB the cost model is: declaration =
+# one metadata-only commit; per-write overhead = expression evaluation
+# inside the write job the table was doing anyway (plus, for identity,
+# one count + one bucket-key shuffle of THE BATCH, never the table).
+
+
+def set_column_default(
+    spark: SparkSession, root: str, col: str, default_sql: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT — one
+    metadata-only commit.  From this version on, any append/merge
+    batch that OMITS ``col`` gets ``default_sql`` evaluated in its
+    write job (Delta's column-default semantics: the default applies
+    to writes that don't name the column; explicit values — including
+    explicit NULLs — always win).  Time travel to an earlier version
+    sees the earlier default state, and RESTORE/clone/branch carry
+    the block like every other schema metadata."""
+    m = read_manifest(root)
+    if col not in read_table(spark, root).columns:
+        raise KeyError(
+            f"no column {col!r} in {root} — defaults attach to "
+            "existing columns (add the column first)"
+        )
+    sm = json.loads(json.dumps(m.get("schema_meta") or {}))
+    sm.setdefault("defaults", {})[col] = default_sql
+    return _commit_metadata_only(
+        root, m, f"set-default:{col}", schema_meta=sm
+    )
+
+
+def drop_column_default(root: str, col: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT."""
+    m = read_manifest(root)
+    sm = json.loads(json.dumps(m.get("schema_meta") or {}))
+    sm.get("defaults", {}).pop(col, None)
+    return _commit_metadata_only(
+        root, m, f"drop-default:{col}", schema_meta=sm
+    )
+
+
+def add_generated_column(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    expr_sql: str,
+    target_files: int = 4,
+    max_retries: int = 3,
+) -> int:
+    """ADD a GENERATED column to an EXISTING table: declare the
+    expression in ``schema_meta`` and BACKFILL existing rows in the
+    same commit (one compaction-shaped rewrite computing the column —
+    the files a generated column lives in must physically contain it,
+    so declaration on a populated table costs one OPTIMIZE pass; on
+    an empty or new table declare it at :func:`create_table` instead
+    and the backfill is free).  Every later append/merge computes the
+    column when omitted and VALIDATES it when supplied
+    (:class:`GeneratedColumnMismatch`) — the column IS the
+    expression, never a hint.  Like CHECK constraints, the expression
+    binds by column name, so renaming a referenced column is refused
+    by the same token guard."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        m = read_manifest(root, parent)
+        if m.get("partition_cols"):
+            raise ValueError(
+                "generated-column backfill on a partitioned table is "
+                "not wired — declare generated columns at creation "
+                "for partitioned layouts"
+            )
+        snap = read_table(spark, root, version=parent,
+                          with_row_ids=True)
+        if col in snap.columns:
+            raise ValueError(f"column {col!r} already exists")
+        sm = json.loads(json.dumps(m.get("schema_meta") or {}))
+        sm.setdefault("generated", {})[col] = expr_sql
+        out = snap.withColumn(col, F.expr(expr_sql))
+        cm_out: dict | None | object = _INHERIT
+        cm = m.get("colmap")
+        if cm is not None:
+            cm_out = _extend_colmap(cm, [col])
+            out = _select_physical(cm_out, out)
+        files = _write_files(out.coalesce(target_files), root)
+        try:
+            return commit(
+                root,
+                files,
+                f"add-generated:{col}",
+                parent=parent,
+                colmap=cm_out,
+                schema_meta=sm,
+                metrics={
+                    "n_added": len(files),
+                    "n_removed": (
+                        dict.get(m, "nfiles")
+                        if dict.get(m, "nfiles") is not None
+                        else len(m["files"])
+                    ),
+                },
+            )
+        except CommitConflict:
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(
+        f"add_generated_column lost {max_retries} races in {root}"
+    )
+
+
+def enable_row_tracking(
+    spark: SparkSession,
+    root: str,
+    order: list[str],
+    col: str = "_row_id",
+    buckets: int = 64,
+    target_files: int = 4,
+    max_retries: int = 3,
+) -> int:
+    """Enable ROW TRACKING on an existing table (Delta's row
+    tracking): one backfill rewrite assigns every current row a
+    stable id — ``row_number() OVER (ORDER BY order[0] % buckets,
+    order...)``, computed distributed (:func:`_assign_identity`) —
+    and records the hidden identity spec in ``schema_meta``.  From
+    then on ids are PERMANENT: appends and merge-inserts draw fresh
+    ids from the high watermark, merge-updates keep the replaced
+    row's id, OPTIMIZE/compaction and DV folds carry ids through
+    rewrites, and normal reads hide the column
+    (``read_table(..., with_row_ids=True)`` exposes it).  New tables
+    enable it for free at :func:`create_table` via the same spec."""
+    for _ in range(max_retries):
+        parent = latest_version(root)
+        m = read_manifest(root, parent)
+        if m.get("partition_cols"):
+            raise ValueError(
+                "row-tracking backfill on a partitioned table is not "
+                "wired — enable it at creation for partitioned "
+                "layouts"
+            )
+        if (m.get("schema_meta") or {}).get("identity"):
+            raise ValueError(
+                f"table already has an identity/row-id column in "
+                f"{root}"
+            )
+        snap = read_table(spark, root, version=parent)
+        out, n = _assign_identity(snap, col, 0, list(order), buckets)
+        sm = json.loads(json.dumps(m.get("schema_meta") or {}))
+        sm["identity"] = {
+            "col": col,
+            "order": list(order),
+            "buckets": int(buckets),
+            "high": int(n),
+            "hidden": True,
+        }
+        cm_out: dict | None | object = _INHERIT
+        cm = m.get("colmap")
+        if cm is not None:
+            cm_out = _extend_colmap(cm, [col])
+            out = _select_physical(cm_out, out)
+        files = _write_files(out.coalesce(target_files), root)
+        try:
+            return commit(
+                root,
+                files,
+                "enable-row-tracking",
+                parent=parent,
+                colmap=cm_out,
+                schema_meta=sm,
+                metrics={
+                    "n_added": len(files),
+                    "n_removed": (
+                        dict.get(m, "nfiles")
+                        if dict.get(m, "nfiles") is not None
+                        else len(m["files"])
+                    ),
+                },
+            )
+        except CommitConflict:
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    raise CommitConflict(
+        f"enable_row_tracking lost {max_retries} races in {root}"
+    )
+
+
+def ensure_default_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): create with an explicit ``channel`` column,
+    declare a DEFAULT, then one append OMITTING the column (default
+    fills) and one append SUPPLYING it (explicit wins)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-dflt-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_DFLT")
+    note = f"acid-dflt {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "channel", F.lit("seed")
+        ),
+    )
+    set_column_default(spark, root, "channel", "'feed'")
+    # omitted column → the default fills it in the write job
+    append_table(
+        spark,
+        root,
+        base.filter(
+            (F.col("o_orderkey") % 2 == 1)
+            & (F.col("o_orderkey") % 5 != 0)
+        ),
+    )
+    # supplied column → explicit values always win over the default
+    append_table(
+        spark,
+        root,
+        base.filter(
+            (F.col("o_orderkey") % 2 == 1)
+            & (F.col("o_orderkey") % 5 == 0)
+        ).withColumn("channel", F.lit("manual")),
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_column_default",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CASE
+             WHEN o_orderkey % 2 = 0 THEN 'seed'
+             WHEN o_orderkey % 5 = 0 THEN 'manual'
+             ELSE 'feed'
+           END AS channel
+    FROM orders
+    """,
+)
+def q_table_column_default(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN DEFAULTS (round 10 — Delta's ALTER COLUMN SET DEFAULT):
+    the declaration is one metadata-only commit; a later append that
+    OMITS the column gets the default evaluated inside its own write
+    job (cost ∝ the batch), while an append that supplies the column
+    keeps its explicit values.  Files always physically contain the
+    final value, so reads stay bare scans — no read-time fill, no
+    NULL-vs-default ambiguity, and time travel to the pre-declaration
+    version shows the pre-default state.  The oracle pins all three
+    write modes at once: seeded rows, default-filled rows, explicit
+    rows."""
+    root = ensure_default_exercise(spark, sf_dir)
+    return read_table(spark, root)
+
+
+def ensure_generated_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): create WITH a generated column declared
+    (computed for the initial rows), then append a batch omitting it
+    (computed again) — both writes produce the same expression."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-gen-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_GEN")
+    note = f"acid-gen {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 4 == 0),
+        schema_meta={
+            "generated": {
+                "price_bucket": (
+                    "CAST(floor(price / 100.0) AS BIGINT)"
+                )
+            }
+        },
+    )
+    append_table(
+        spark, root, base.filter(F.col("o_orderkey") % 4 != 0)
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_generated",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(floor(CAST(o_totalprice AS DOUBLE) / 100.0)
+                AS BIGINT) AS price_bucket
+    FROM orders
+    """,
+)
+def q_table_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (round 10 — Delta's generated columns): the
+    expression is declared once in table metadata; every write that
+    omits the column computes it inside its own write job, and a
+    write that supplies it is VALIDATED against the expression and
+    rejected on mismatch (the pytest twin) — the column is the
+    expression, never a hint.  Values are materialized in the files,
+    so reads, zone maps, and partition transforms see a plain column;
+    the oracle checks creation-time and append-time computation
+    produce identical results."""
+    root = ensure_generated_exercise(spark, sf_dir)
+    return read_table(spark, root)
+
+
+def ensure_identity_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): a visible IDENTITY column assigned over a
+    create and one append — two disjoint id blocks drawn from the
+    high watermark."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-ident-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_IDENT")
+    note = f"acid-ident {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 3 == 0),
+        schema_meta={
+            "identity": {
+                "col": "order_sk",
+                "order": ["o_orderkey"],
+                "buckets": 64,
+                "high": 0,
+            }
+        },
+    )
+    append_table(
+        spark, root, base.filter(F.col("o_orderkey") % 3 != 0)
+    )
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_identity",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), b AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT row_number() OVER (ORDER BY o_orderkey % 64, o_orderkey)
+             AS order_sk,
+           o_orderkey, o_orderpriority, price
+    FROM a
+    UNION ALL
+    SELECT (SELECT COUNT(*) FROM a)
+             + row_number() OVER (ORDER BY o_orderkey % 64,
+                                  o_orderkey),
+           o_orderkey, o_orderpriority, price
+    FROM b
+    """,
+)
+def q_table_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (round 10 — Delta's GENERATED ALWAYS AS
+    IDENTITY): the table assigns the surrogate key itself — writers
+    must NOT supply the column (refused; pytest twin) — by drawing a
+    block from the manifest's high watermark per commit.  Assignment
+    is fully distributed AND deterministic: per-bucket row_numbers
+    plus cumulative bucket offsets reproduce ``row_number() OVER
+    (ORDER BY key % buckets, key)`` with one batch-sized shuffle and
+    no global sort, so the oracle can state the exact ids.  Racing
+    writers contend on the watermark and the loser re-assigns and
+    rewrites its batch (Delta documents the same retry); the
+    watermark itself rides the ordinary commit protocol, so ids can
+    gap but never collide."""
+    root = ensure_identity_exercise(spark, sf_dir)
+    return read_table(spark, root).select(
+        "order_sk", "o_orderkey", "o_orderpriority", "price"
+    )
+
+
+def ensure_rowtrack_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): row-tracked create → three-arm CoW MERGE
+    (updates keep ids, deletes retire them, inserts draw fresh) →
+    OPTIMIZE (full rewrite; ids must survive the compaction)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-rowtrk-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_ROWTRK")
+    note = f"acid-rowtrk {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        spark,
+        root,
+        base.repartition(4),
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 64,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    merge_table(spark, root, _merge_source(spark, sf_dir),
+                "o_orderkey")
+    optimize_table(spark, root, target_files=2)
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_row_tracking",
+    oracle="""
+    WITH basefull AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey % 64,
+                                o_orderkey) AS rid
+      FROM orders
+    ), ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             'NEW-ROW' AS o_orderpriority,
+             CAST(o_totalprice * 0.5 AS DOUBLE) AS price,
+             row_number() OVER (
+               ORDER BY (o_orderkey + 10000000) % 64,
+                        o_orderkey + 10000000) AS rn
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT rid AS row_id, o_orderkey, o_orderpriority,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(o_totalprice * 1.1 AS DOUBLE)
+                ELSE CAST(o_totalprice AS DOUBLE)
+           END AS price
+    FROM basefull WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT (SELECT COUNT(*) FROM orders) + rn, o_orderkey,
+           o_orderpriority, price
+    FROM ins
+    """,
+)
+def q_table_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW TRACKING (round 10 — Delta's row tracking): every row gets
+    a PERMANENT hidden id at first write, and the id survives every
+    rewrite of the bytes that hold it — the exercise pushes the table
+    through a three-arm copy-on-write MERGE (updated rows keep their
+    ids, deleted rows retire theirs, inserted rows draw fresh ids
+    from the watermark) and then a full OPTIMIZE compaction, and the
+    oracle states each surviving row's exact id.  Normal reads hide
+    the column (``with_row_ids=True`` exposes it — lineage audits,
+    incremental consumers keyed on row identity).  This is what makes
+    row-level lineage possible on a 100 TB table: identity attaches
+    to the ROW, not to the file/offset the row currently sits in."""
+    root = ensure_rowtrack_exercise(spark, sf_dir)
+    return read_table(spark, root, with_row_ids=True).select(
+        F.col("_row_id").alias("row_id"),
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
     )

@@ -3826,3 +3826,699 @@ def test_vacuum_protects_live_branch_references(spark, tmp_path):
     drop_branch(root, "slow-audit")
     vacuum(root, keep_last=1)  # released: now reclaimable
     assert not any(os.path.exists(f) for f in fork_files)
+
+
+def test_column_defaults_explicit_null_and_pre_default_reject(
+    spark, tmp_path
+):
+    """Defaults fill OMITTED columns only: an explicit NULL stays
+    NULL (Delta's semantics), an append omitting the column BEFORE
+    any default is declared is still a schema mismatch, and time
+    travel to the pre-declaration version shows no default block."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        SchemaMismatch,
+        append_table,
+        set_column_default,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(200).withColumn(
+        "channel", F.lit("seed")
+    )
+    create_table(spark, root, base)
+    small = _base(spark).filter(F.col("o_orderkey") % 97 == 3).limit(5)
+    with pytest.raises(SchemaMismatch):
+        append_table(spark, root, small)  # no default yet: missing col
+    v_pre = latest_version(root)
+    set_column_default(spark, root, "channel", "'feed'")
+    assert read_manifest(root)["schema_meta"]["defaults"] == {
+        "channel": "'feed'"
+    }
+    assert read_manifest(root, v_pre).get("schema_meta") is None
+    append_table(spark, root, small)  # omitted → filled
+    append_table(  # explicit NULL stays NULL — defaults never coerce
+        spark,
+        root,
+        _base(spark)
+        .filter(F.col("o_orderkey") % 97 == 5)
+        .limit(5)
+        .withColumn("channel", F.lit(None).cast("string")),
+    )
+    got = dict(
+        read_table(spark, root)
+        .groupBy("channel")
+        .count()
+        .collect()
+    )
+    assert got.get("feed") == 5
+    assert got.get(None) == 5
+    assert got.get("seed") == 200
+
+
+def test_generated_column_validates_explicit_values(spark, tmp_path):
+    """A writer supplying a generated column must match the declared
+    expression — mismatches reject atomically, matches commit."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        GeneratedColumnMismatch,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(100)
+    create_table(
+        spark,
+        root,
+        base,
+        schema_meta={
+            "generated": {
+                "price_bucket": "CAST(floor(price / 100.0) AS BIGINT)"
+            }
+        },
+    )
+    v1 = latest_version(root)
+    good = (
+        _base(spark)
+        .filter(F.col("o_orderkey") % 97 == 7)
+        .limit(5)
+        .withColumn(
+            "price_bucket",
+            F.expr("CAST(floor(price / 100.0) AS BIGINT)"),
+        )
+    )
+    append_table(spark, root, good)
+    bad = (
+        _base(spark)
+        .filter(F.col("o_orderkey") % 97 == 11)
+        .limit(5)
+        .withColumn("price_bucket", F.lit(-1).cast("bigint"))
+    )
+    with pytest.raises(GeneratedColumnMismatch):
+        append_table(spark, root, bad)
+    assert latest_version(root) == v1 + 1  # reject left no commit
+    rows = read_table(spark, root).collect()
+    assert all(
+        r.price_bucket == int(r.price // 100) for r in rows
+    )
+
+
+def test_add_generated_column_backfills_existing_rows(
+    spark, tmp_path
+):
+    """Declaring a generated column on a POPULATED table backfills in
+    the same commit, and later appends compute it."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_generated_column,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(spark, root, _base(spark).limit(100))
+    add_generated_column(
+        spark, root, "pb", "CAST(floor(price / 50.0) AS BIGINT)"
+    )
+    append_table(
+        spark,
+        root,
+        _base(spark).filter(F.col("o_orderkey") % 97 == 13).limit(7),
+    )
+    rows = read_table(spark, root).collect()
+    assert len(rows) == 107
+    assert all(r.pb == int(r.price // 50) for r in rows)
+    om = read_manifest(root, latest_version(root) - 1)["metrics"]
+    assert om["n_added"] >= 1 and om["n_removed"] >= 1  # backfill
+
+
+def test_identity_refuses_explicit_and_blocks_are_disjoint(
+    spark, tmp_path
+):
+    """GENERATED ALWAYS: supplying the identity column is refused;
+    two appends draw disjoint contiguous blocks; the watermark rides
+    the manifest and survives metadata-only commits."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_constraint,
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 5 == 0),
+        schema_meta={
+            "identity": {
+                "col": "sk",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+            }
+        },
+    )
+    n1 = read_table(spark, root).count()
+    assert read_manifest(root)["schema_meta"]["identity"]["high"] == n1
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_table(
+            spark,
+            root,
+            base.limit(3).withColumn("sk", F.lit(1).cast("bigint")),
+        )
+    add_constraint(root, "pos_price", "price >= 0")  # metadata-only
+    append_table(spark, root, base.filter(F.col("o_orderkey") % 5 == 1))
+    n2 = read_table(spark, root).count()
+    assert read_manifest(root)["schema_meta"]["identity"]["high"] == n2
+    sks = sorted(
+        r.sk for r in read_table(spark, root).select("sk").collect()
+    )
+    assert sks == list(range(1, n2 + 1))  # disjoint, gap-free here
+
+
+def test_identity_contended_appends_never_collide(spark, tmp_path):
+    """Two appends racing on the watermark: the loser detects the
+    moved schema_meta at commit time, reclaims its files, re-assigns
+    against the new high, and rewrites — ids stay collision-free and
+    dense."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 7 == 0),
+        schema_meta={
+            "identity": {
+                "col": "sk",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+            }
+        },
+    )
+    errs = []
+
+    def run(sl):
+        try:
+            append_table(
+                spark, root, base.filter(F.col("o_orderkey") % 7 == sl)
+            )
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    n = read_table(spark, root).count()
+    sks = sorted(
+        r.sk for r in read_table(spark, root).select("sk").collect()
+    )
+    assert sks == list(range(1, n + 1))
+    assert read_manifest(root)["schema_meta"]["identity"]["high"] == n
+
+
+def test_row_tracking_hidden_stable_and_carried(spark, tmp_path):
+    """Row ids are hidden from normal reads, stable across OPTIMIZE
+    and merge-updates, fresh for merge-inserts, and the spec carries
+    through clone and restore."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        clone_table,
+        restore_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(
+        spark,
+        root,
+        base,
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 64,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    assert "_row_id" not in read_table(spark, root).columns
+    ids0 = {
+        r.o_orderkey: r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    }
+    merge_table(spark, root, _merge_source(spark, SF_DIR), "o_orderkey")
+    optimize_table(spark, root, target_files=2)
+    after = {
+        r.o_orderkey: r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    }
+    n0 = len(ids0)
+    for k, rid in after.items():
+        if k in ids0:
+            assert rid == ids0[k], "surviving row changed id"
+        else:
+            assert rid > n0, "insert drew a non-fresh id"
+    # clone carries the ledger; restore resurrects pre-merge ids
+    clone = str(tmp_path / "c")
+    clone_table(spark, root, clone)
+    assert read_manifest(clone)["schema_meta"]["identity"]["hidden"]
+    restore_table(spark, root, 1)
+    back = {
+        r.o_orderkey: r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    }
+    assert back == ids0
+
+
+def test_enable_row_tracking_backfill_then_append(spark, tmp_path):
+    """Row tracking enabled on an EXISTING table: one backfill
+    rewrite assigns ids; later appends draw fresh ids above the
+    watermark."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        enable_row_tracking,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark)
+    create_table(spark, root, base.filter(F.col("o_orderkey") % 3 == 0))
+    n0 = read_table(spark, root).count()
+    enable_row_tracking(spark, root, order=["o_orderkey"])
+    append_table(spark, root, base.filter(F.col("o_orderkey") % 3 == 1))
+    got = read_table(spark, root, with_row_ids=True)
+    assert got.filter(F.col("_row_id").isNull()).count() == 0
+    assert (
+        got.select(F.countDistinct("_row_id").alias("d")).collect()[0].d
+        == got.count()
+    )
+    assert (
+        got.filter(F.col("o_orderkey") % 3 == 1)
+        .agg(F.min("_row_id").alias("m"))
+        .collect()[0]
+        .m
+        == n0 + 1
+    )
+    with pytest.raises(ValueError, match="already has an identity"):
+        enable_row_tracking(spark, root, order=["o_orderkey"])
+
+
+def test_partitioned_writes_apply_schema_features(spark, tmp_path):
+    """The PARTITIONED append/merge paths are not a feature bypass:
+    defaults fill, identity ids assign update-stable within touched
+    partitions, and the watermark advances — same contract as the
+    flat writers."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table_partitioned,
+        create_table_partitioned,
+        merge_table_partitioned,
+        set_column_default,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("bigint")
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 2 == 0).limit(300),
+        ["bucket"],
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    n0 = read_table(spark, root).count()
+    assert (
+        read_manifest(root)["schema_meta"]["identity"]["high"] == n0
+    )
+    set_column_default(spark, root, "o_orderpriority", "'BACKFILL'")
+    # partitioned append OMITTING the defaulted column → filled;
+    # identity ids keep assigning above the watermark
+    extra = (
+        base.filter(F.col("o_orderkey") % 2 == 1)
+        .limit(50)
+        .drop("o_orderpriority")
+    )
+    append_table_partitioned(spark, root, extra)
+    got = read_table(spark, root, with_row_ids=True)
+    assert got.filter(F.col("_row_id").isNull()).count() == 0
+    assert (
+        got.select(F.countDistinct("_row_id").alias("d"))
+        .collect()[0].d
+        == n0 + 50
+    )
+    assert (
+        got.filter(F.col("o_orderpriority") == "BACKFILL").count()
+        == 50
+    )
+    # partitioned merge: updates keep ids, inserts draw fresh
+    ids_before = {
+        r.o_orderkey: r._row_id
+        for r in got.select("o_orderkey", "_row_id").collect()
+    }
+    some = read_table(spark, root).limit(20)
+    upd = some.withColumn("price", F.col("price") + 1).withColumn(
+        "_delete", F.lit(False)
+    )
+    ins = (
+        some.withColumn(
+            "o_orderkey", F.col("o_orderkey") + 50000000
+        )
+        .withColumn("_delete", F.lit(False))
+    )
+    merge_table_partitioned(
+        spark, root, upd.unionByName(ins), "o_orderkey"
+    )
+    after = {
+        r.o_orderkey: r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    }
+    hi = n0 + 50
+    for k, rid in after.items():
+        if k in ids_before:
+            assert rid == ids_before[k]
+        else:
+            assert rid > hi
+    assert (
+        read_manifest(root)["schema_meta"]["identity"]["high"]
+        == hi + 20
+    )
+
+
+def test_execute_dml_statement_semantics(spark, tmp_path):
+    """The SQL DML executor: UPDATE's simultaneous assignment reads
+    the OLD row for every SET expression; MERGE without an INSERT arm
+    ignores unmatched source rows; MERGE without an UPDATE arm still
+    inserts; statements outside the subset raise."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sql_surface import (
+        execute_dml,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(100)
+    create_table(spark, root, base)
+    k0 = {r.o_orderkey for r in base.select("o_orderkey").collect()}
+    before = {
+        r.o_orderkey: (r.o_orderpriority, r.price)
+        for r in read_table(spark, root).collect()
+    }
+    # simultaneous assignment: price uses OLD priority, priority uses
+    # OLD price — withColumn chaining would see the new values
+    execute_dml(
+        spark,
+        root,
+        """
+        UPDATE t SET
+          o_orderpriority = concat(o_orderpriority, '|',
+                                   CAST(CAST(price AS BIGINT) AS STRING)),
+          price = CAST(length(o_orderpriority) AS DOUBLE)
+        WHERE o_orderkey % 2 = 0
+        """,
+        key="o_orderkey",
+    )
+    for r in read_table(spark, root).collect():
+        op, pr = before[r.o_orderkey]
+        if r.o_orderkey % 2 == 0:
+            assert r.o_orderpriority == f"{op}|{int(pr)}"
+            assert r.price == float(len(op))
+        else:
+            assert (r.o_orderpriority, r.price) == (op, pr)
+    # MERGE with no INSERT arm: unmatched rows are ignored
+    upd = (
+        read_table(spark, root)
+        .limit(10)
+        .withColumn("price", F.lit(1.5))
+    )
+    stranger = upd.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 90000000
+    )
+    upd.unionByName(stranger).createOrReplaceTempView("dml_nm_src")
+    execute_dml(
+        spark,
+        root,
+        "MERGE INTO t USING dml_nm_src "
+        "ON t.o_orderkey = dml_nm_src.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET *",
+        key="o_orderkey",
+    )
+    now = read_table(spark, root)
+    assert now.count() == 100  # no strangers inserted
+    assert now.filter("price = 1.5").count() == 10
+    # MERGE with no UPDATE arm: matched rows untouched, inserts land
+    execute_dml(
+        spark,
+        root,
+        "MERGE INTO t USING dml_nm_src "
+        "ON t.o_orderkey = dml_nm_src.o_orderkey "
+        "WHEN NOT MATCHED THEN INSERT *",
+        key="o_orderkey",
+    )
+    assert read_table(spark, root).count() == 110
+    # plain WHEN MATCHED THEN DELETE (no AND)
+    stranger.createOrReplaceTempView("dml_del_src")
+    execute_dml(
+        spark,
+        root,
+        "MERGE INTO t USING dml_del_src "
+        "ON t.o_orderkey = dml_del_src.o_orderkey "
+        "WHEN MATCHED THEN DELETE",
+        key="o_orderkey",
+    )
+    left = read_table(spark, root)
+    assert left.count() == 100
+    assert {
+        r.o_orderkey for r in left.select("o_orderkey").collect()
+    } == k0
+    with pytest.raises(ValueError, match="unsupported DML"):
+        execute_dml(spark, root, "TRUNCATE TABLE t", key="o_orderkey")
+    with pytest.raises(ValueError, match="SET names unknown"):
+        execute_dml(
+            spark, root,
+            "UPDATE t SET nope = 1 WHERE o_orderkey = 1",
+            key="o_orderkey",
+        )
+
+
+def test_merge_into_unmatched_delete_cond_row_still_inserts(
+    spark, tmp_path
+):
+    """Review fix: a source row that satisfies the MATCHED-only
+    DELETE condition but whose key is NOT in the table routes to the
+    INSERT arm (SQL MERGE semantics), never silently vanishes."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sql_surface import (
+        execute_dml,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(50)
+    create_table(spark, root, base)
+    keys = [r.o_orderkey for r in base.select("o_orderkey").collect()]
+    matched_del = base.filter(
+        F.col("o_orderkey") == keys[0]
+    ).withColumn("is_del", F.lit(1))
+    unmatched_del = (
+        base.filter(F.col("o_orderkey") == keys[1])
+        .withColumn("o_orderkey", F.col("o_orderkey") + 70000000)
+        .withColumn("is_del", F.lit(1))
+    )
+    matched_del.unionByName(unmatched_del).createOrReplaceTempView(
+        "mi_edge_src"
+    )
+    execute_dml(
+        spark,
+        root,
+        "MERGE INTO t USING mi_edge_src "
+        "ON t.o_orderkey = mi_edge_src.o_orderkey "
+        "WHEN MATCHED AND mi_edge_src.is_del = 1 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        key="o_orderkey",
+    )
+    got = {
+        r.o_orderkey
+        for r in read_table(spark, root)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert keys[0] not in got  # matched delete applied
+    assert keys[1] + 70000000 in got  # unmatched is_del row INSERTED
+    assert len(got) == 50
+
+
+def test_update_recomputes_generated_and_refuses_set(spark, tmp_path):
+    """Review fix: MoR UPDATE cascades generated columns when a
+    dependency changes, and the SQL surface refuses SET on a
+    generated column."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sql_surface import (
+        execute_dml,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(
+        spark,
+        root,
+        _base(spark).limit(80),
+        schema_meta={
+            "generated": {
+                "price_bucket": "CAST(floor(price / 100.0) AS BIGINT)"
+            }
+        },
+    )
+    execute_dml(
+        spark,
+        root,
+        "UPDATE t SET price = price * 200 WHERE o_orderkey % 2 = 0",
+        key="o_orderkey",
+    )
+    rows = read_table(spark, root).collect()
+    assert len(rows) == 80
+    assert all(r.price_bucket == int(r.price // 100) for r in rows)
+    with pytest.raises(ValueError, match="generated column"):
+        execute_dml(
+            spark,
+            root,
+            "UPDATE t SET price_bucket = 0 WHERE o_orderkey % 2 = 0",
+            key="o_orderkey",
+        )
+
+
+def test_mor_update_preserves_row_ids(spark, tmp_path):
+    """Review fix: the MoR DV UPDATE path works on a row-tracked
+    table and the post-image keeps the replaced row's id."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        update_table,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(
+        spark,
+        root,
+        _base(spark).limit(60),
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    ids0 = {
+        r.o_orderkey: r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .select("o_orderkey", "_row_id")
+        .collect()
+    }
+    post = (
+        read_table(spark, root)
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price", F.col("price") * 3)
+    )
+    update_table(spark, root, post, "o_orderkey")
+    after = {
+        r.o_orderkey: (r._row_id, r.price)
+        for r in read_table(spark, root, with_row_ids=True).collect()
+    }
+    assert len(after) == 60
+    for k, (rid, _) in after.items():
+        assert rid == ids0[k], "MoR update changed a row id"
+
+
+def test_overwrite_partition_row_tracked_fresh_ids(spark, tmp_path):
+    """A partition restatement on a row-tracked table draws FRESH ids
+    (delete+insert semantics) and never collides with live ids."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        create_table_partitioned,
+        overwrite_partition,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(90).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("bigint")
+    )
+    create_table_partitioned(
+        spark,
+        root,
+        base,
+        ["bucket"],
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    keep_ids = {
+        r._row_id
+        for r in read_table(spark, root, with_row_ids=True)
+        .filter("bucket = 1")
+        .select("_row_id")
+        .collect()
+    }
+    restated = (
+        read_table(spark, root)
+        .filter("bucket = 0")
+        .withColumn("price", F.lit(9.99))
+    )
+    overwrite_partition(spark, root, restated, {"bucket": 0})
+    got = read_table(spark, root, with_row_ids=True)
+    assert got.filter(F.col("_row_id").isNull()).count() == 0
+    new_ids = {
+        r._row_id
+        for r in got.filter("bucket = 0").select("_row_id").collect()
+    }
+    assert not (new_ids & keep_ids)
+    assert (
+        got.select(F.countDistinct("_row_id").alias("d")).collect()[0].d
+        == got.count()
+    )

@@ -170,6 +170,12 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         # LIMIT-1 collect over the grouped update batch — one row,
         # bounded by the limit (the batch itself stays distributed)
         "update_table",
+        # _assign_identity (round 10): the per-bucket counts of an
+        # identity assignment — ≤ `buckets` rows, re-entering the
+        # plan as a LITERAL offset map so the write job scans the
+        # batch exactly once (a broadcast join of the offsets frame
+        # would recompute the counts subtree inside the write)
+        "_assign_identity",
     },
     # Inverted-index serve (text/searchindex.py): the query terms'
     # bucket ids — |terms| rows, evaluated through Spark so the hash
