@@ -879,16 +879,20 @@ def _assign_identity(
     pairs: list = []
     for b in sorted(offs):
         pairs.extend([F.lit(int(b)), F.lit(int(offs[b]))])
-    omap = F.create_map(*pairs) if pairs else F.create_map()
+    off_expr = (
+        F.coalesce(
+            F.create_map(*pairs)[F.col("_idb")], F.lit(0)
+        )
+        if pairs
+        else F.lit(0)  # empty batch: untyped map() would not analyze
+    )
     win = Window.partitionBy("_idb").orderBy(
         *[F.col(c) for c in order]
     )
     out = df.withColumn(
         col,
         (
-            F.lit(high)
-            + F.coalesce(omap[F.col("_idb")], F.lit(0))
-            + F.row_number().over(win)
+            F.lit(high) + off_expr + F.row_number().over(win)
         ).cast("bigint"),
     ).drop("_idb")
     return out, int(acc)
@@ -2226,7 +2230,10 @@ def append_table_partitioned(
 
 
 def vacuum(
-    root: str, keep_last: int = 2, orphan_grace: float | None = None
+    root: str,
+    keep_last: int = 2,
+    orphan_grace: float | None = None,
+    retain_seconds: float | None = None,
 ) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
     older ones and every data AND change file only they referenced
@@ -2244,9 +2251,21 @@ def vacuum(
     files younger than it (an in-flight writer's staging output is
     uuid-named and unreferenced until its commit lands) — Delta's
     VACUUM retention logic, defaulting to off so plain history
-    retirement stays cheap."""
+    retirement stays cheap.
+
+    ``retain_seconds`` is TIME-BASED retention (Delta's ``VACUUM ...
+    RETAIN n HOURS`` / Iceberg's expire_snapshots older_than): every
+    version committed within the window is retained IN ADDITION to
+    the newest ``keep_last`` — an operator expresses "keep a week of
+    time travel" directly instead of guessing a version count against
+    an unknown commit rate."""
     vs = list_versions(root)
     keep = set(vs[-keep_last:])
+    if retain_seconds is not None:
+        cutoff = time.time() - retain_seconds
+        for v in vs:
+            if read_manifest(root, v)["ts"] >= cutoff:
+                keep.add(v)
     # TAGS protect their versions (round 10 — Iceberg tag retention):
     # "audit-2026Q3" stays readable however far the head moves, until
     # the tag itself is deleted

@@ -4522,3 +4522,75 @@ def test_overwrite_partition_row_tracked_fresh_ids(spark, tmp_path):
         got.select(F.countDistinct("_row_id").alias("d")).collect()[0].d
         == got.count()
     )
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """VACUUM RETAIN: versions committed inside the window survive
+    past keep_last; outside it, version-count retention applies
+    unchanged."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(60)
+    create_table(spark, root, base.filter(F.col("o_orderkey") % 3 == 0))
+    append_table(spark, root, base.filter(F.col("o_orderkey") % 3 == 1))
+    append_table(spark, root, base.filter(F.col("o_orderkey") % 3 == 2))
+    # all three commits happened "just now": a 1-hour window keeps
+    # every version even though keep_last=1 would retire two
+    vacuum(root, keep_last=1, retain_seconds=3600)
+    assert list_versions(root) == [1, 2, 3]
+    assert read_table(spark, root, version=1).count() > 0
+    # a zero-second window degrades to pure version-count retention
+    vacuum(root, keep_last=1, retain_seconds=0)
+    assert list_versions(root) == [3]
+
+
+def test_streaming_ingest_into_row_tracked_table(spark, tmp_path):
+    """Exactly-once streaming ingest composes with row tracking: each
+    micro-batch draws a fresh id block, a REPLAYED batch no-ops
+    before assignment (ids never double-draw), and the final table
+    has dense distinct ids."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(90)
+    create_table(
+        spark,
+        root,
+        base.limit(0),
+        schema_meta={
+            "identity": {
+                "col": "_row_id",
+                "order": ["o_orderkey"],
+                "buckets": 16,
+                "high": 0,
+                "hidden": True,
+            }
+        },
+    )
+    slices = [
+        base.filter(F.col("o_orderkey") % 3 == s) for s in range(3)
+    ]
+    for bid, sl in enumerate(slices):
+        append_table(spark, root, sl, txn_app="ingest", txn_version=bid)
+    high_before = read_manifest(root)["schema_meta"]["identity"]["high"]
+    # at-least-once delivery: batch 1 replays — must no-op BEFORE any
+    # id is drawn, or the watermark would gap
+    append_table(spark, root, slices[1], txn_app="ingest", txn_version=1)
+    assert (
+        read_manifest(root)["schema_meta"]["identity"]["high"]
+        == high_before
+    )
+    got = read_table(spark, root, with_row_ids=True)
+    n = got.count()
+    ids = sorted(r._row_id for r in got.select("_row_id").collect())
+    assert ids == list(range(1, n + 1))
+    assert n == high_before
