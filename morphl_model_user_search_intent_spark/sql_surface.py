@@ -911,3 +911,119 @@ def q_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ensure_merge_into_exercise(spark, sf_dir)
     return read_table(spark, root)
+
+
+def execute_utility(
+    spark: SparkSession, root: str, stmt: str
+) -> "int | DataFrame":
+    """Execute one maintenance / DDL-utility statement against the
+    ACID table at ``root`` — the statement half of Delta's utility
+    surface, routed onto the library ops so every protocol guarantee
+    applies identically.  Returns the committed version (or the
+    result DataFrame for DESCRIBE HISTORY).  Supported:
+
+    - ``ALTER TABLE t ADD CONSTRAINT <name> CHECK (<pred>)``
+    - ``ALTER TABLE t DROP CONSTRAINT <name>``
+    - ``ALTER TABLE t ALTER COLUMN <c> SET DEFAULT <expr>``
+    - ``ALTER TABLE t ALTER COLUMN <c> DROP DEFAULT``
+    - ``ALTER TABLE t RENAME COLUMN <a> TO <b>``
+    - ``ALTER TABLE t DROP COLUMN <c>``
+    - ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    - ``VACUUM t [RETAIN <n> HOURS]``
+    - ``RESTORE TABLE t TO VERSION AS OF <n>``
+    - ``DESCRIBE HISTORY t``
+
+    Anything else raises ``ValueError`` — loud, never silently
+    misapplied.  (``t`` is a label; the target is always ``root``.)"""
+    import re
+
+    from .sources.acid import (
+        add_constraint,
+        describe_history,
+        drop_column,
+        drop_column_default,
+        drop_constraint,
+        latest_version,
+        optimize_table,
+        optimize_table_zorder,
+        rename_column,
+        restore_table,
+        set_column_default,
+        vacuum,
+    )
+
+    s = stmt.strip().rstrip(";").strip()
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"CHECK\s*\((.*)\)\s*$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return add_constraint(root, m.group(1), m.group(2).strip())
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+DROP\s+CONSTRAINT\s+(\w+)\s*$", s, re.I
+    )
+    if m:
+        return drop_constraint(root, m.group(1))
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        r"SET\s+DEFAULT\s+(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return set_column_default(
+            spark, root, m.group(1), m.group(2).strip()
+        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        r"DROP\s+DEFAULT\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return drop_column_default(root, m.group(1))
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return rename_column(spark, root, m.group(1), m.group(2))
+    m = re.match(
+        r"ALTER\s+TABLE\s+\S+\s+DROP\s+COLUMN\s+(\w+)\s*$", s, re.I
+    )
+    if m:
+        return drop_column(spark, root, m.group(1))
+    m = re.match(
+        r"OPTIMIZE\s+\S+\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", s, re.I
+    )
+    if m:
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        return optimize_table_zorder(spark, root, cols)
+    if re.match(r"OPTIMIZE\s+\S+\s*$", s, re.I):
+        return optimize_table(spark, root)
+    m = re.match(
+        r"VACUUM\s+\S+(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$", s, re.I
+    )
+    if m:
+        retain = (
+            float(m.group(1)) * 3600 if m.group(1) is not None else None
+        )
+        vacuum(root, retain_seconds=retain)
+        return latest_version(root)
+    m = re.match(
+        r"RESTORE\s+TABLE\s+\S+\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        return restore_table(spark, root, int(m.group(1)))
+    if re.match(r"DESCRIBE\s+HISTORY\s+\S+\s*$", s, re.I):
+        return describe_history(spark, root)
+    raise ValueError(
+        f"unsupported utility statement (see execute_utility "
+        f"docstring): {stmt[:120]!r}"
+    )

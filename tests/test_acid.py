@@ -4594,3 +4594,71 @@ def test_streaming_ingest_into_row_tracked_table(spark, tmp_path):
     ids = sorted(r._row_id for r in got.select("_row_id").collect())
     assert ids == list(range(1, n + 1))
     assert n == high_before
+
+
+def test_execute_utility_statement_surface(spark, tmp_path):
+    """The utility-statement executor routes onto the library ops:
+    constraints gate writes, defaults declare/drop, rename/drop
+    column, OPTIMIZE compacts, VACUUM RETAIN keeps the window,
+    RESTORE rolls back, DESCRIBE HISTORY returns the ledger."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        ConstraintViolation,
+        append_table,
+    )
+    from morphl_model_user_search_intent_spark.sql_surface import (
+        execute_utility,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(100)
+    create_table(spark, root, base)
+    execute_utility(
+        spark, root,
+        "ALTER TABLE t ADD CONSTRAINT pos CHECK (price >= 0)",
+    )
+    with pytest.raises(ConstraintViolation):
+        append_table(
+            spark, root,
+            base.limit(2).withColumn("price", F.lit(-1.0)),
+        )
+    execute_utility(spark, root, "ALTER TABLE t DROP CONSTRAINT pos")
+    execute_utility(
+        spark, root,
+        "ALTER TABLE t ALTER COLUMN o_orderpriority SET DEFAULT 'X'",
+    )
+    append_table(
+        spark, root,
+        base.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 80000000)
+        .drop("o_orderpriority"),
+    )
+    assert (
+        read_table(spark, root)
+        .filter("o_orderpriority = 'X'")
+        .count()
+        == 3
+    )
+    execute_utility(
+        spark, root,
+        "ALTER TABLE t ALTER COLUMN o_orderpriority DROP DEFAULT",
+    )
+    v_opt = execute_utility(spark, root, "OPTIMIZE t")
+    assert read_manifest(root, v_opt)["op"] == "optimize"
+    execute_utility(
+        spark, root,
+        "ALTER TABLE t RENAME COLUMN o_orderpriority TO prio",
+    )
+    assert "prio" in read_table(spark, root).columns
+    execute_utility(spark, root, "VACUUM t RETAIN 1 HOURS")
+    assert len(list_versions(root)) >= 2  # window keeps everything
+    hist = execute_utility(spark, root, "DESCRIBE HISTORY t")
+    assert hist.count() == len(list_versions(root))
+    v1_rows = 100
+    execute_utility(
+        spark, root, f"RESTORE TABLE t TO VERSION AS OF 1"
+    )
+    assert read_table(spark, root).count() == v1_rows
+    with pytest.raises(ValueError, match="unsupported utility"):
+        execute_utility(spark, root, "ANALYZE TABLE t")
