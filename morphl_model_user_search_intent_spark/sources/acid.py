@@ -6995,12 +6995,6 @@ def add_generated_column(
     for _ in range(max_retries):
         parent = latest_version(root)
         m = read_manifest(root, parent)
-        if m.get("partition_cols"):
-            raise ValueError(
-                "generated-column backfill on a partitioned table is "
-                "not wired — declare generated columns at creation "
-                "for partitioned layouts"
-            )
         snap = read_table(spark, root, version=parent,
                           with_row_ids=True)
         if col in snap.columns:
@@ -7013,33 +7007,74 @@ def add_generated_column(
         if cm is not None:
             cm_out = _extend_colmap(cm, [col])
             out = _select_physical(cm_out, out)
-        files = _write_files(out.coalesce(target_files), root)
         try:
-            return commit(
-                root,
-                files,
-                f"add-generated:{col}",
-                parent=parent,
-                colmap=cm_out,
-                schema_meta=sm,
-                metrics={
-                    "n_added": len(files),
-                    "n_removed": (
-                        dict.get(m, "nfiles")
-                        if dict.get(m, "nfiles") is not None
-                        else len(m["files"])
-                    ),
-                },
+            return _backfill_commit(
+                spark, root, m, parent, out,
+                f"add-generated:{col}", cm_out, sm, target_files,
             )
         except CommitConflict:
-            for f in files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            continue  # files reclaimed by _backfill_commit
     raise CommitConflict(
         f"add_generated_column lost {max_retries} races in {root}"
     )
+
+
+def _backfill_commit(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    parent: int,
+    out: DataFrame,
+    op: str,
+    cm_out,
+    sm: dict,
+    target_files: int,
+) -> int:
+    """Commit ``out`` (physical frame) as the FULL post-state of a
+    backfill rewrite, preserving the table's layout: partitioned
+    tables rewrite hive-partitioned with partition values and stats
+    recorded (hidden transforms recomputed); flat tables coalesce to
+    ``target_files``.  Any deletion-vector backlog folds in (the
+    rewrite read through the mask, the commit carries no DV list).
+    On :class:`CommitConflict` the staged files are reclaimed and the
+    conflict re-raised for the caller's retry loop."""
+    pcols = m.get("partition_cols")
+    if pcols:
+        tr = m.get("transforms")
+        files, parts = _write_files_partitioned(
+            out, root, pcols,
+            exprs=_transform_exprs(tr) if tr else None,
+        )
+    else:
+        parts = None
+        files = _write_files(out.coalesce(target_files), root)
+    try:
+        return commit(
+            root,
+            files,
+            op,
+            parent=parent,
+            partition_cols=pcols,
+            partitions=parts,
+            stats=commit_stats(root, files, []) if pcols else None,
+            colmap=cm_out,
+            schema_meta=sm,
+            metrics={
+                "n_added": len(files),
+                "n_removed": (
+                    dict.get(m, "nfiles")
+                    if dict.get(m, "nfiles") is not None
+                    else len(m["files"])
+                ),
+            },
+        )
+    except CommitConflict:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
 
 
 def enable_row_tracking(
@@ -7065,12 +7100,6 @@ def enable_row_tracking(
     for _ in range(max_retries):
         parent = latest_version(root)
         m = read_manifest(root, parent)
-        if m.get("partition_cols"):
-            raise ValueError(
-                "row-tracking backfill on a partitioned table is not "
-                "wired — enable it at creation for partitioned "
-                "layouts"
-            )
         if (m.get("schema_meta") or {}).get("identity"):
             raise ValueError(
                 f"table already has an identity/row-id column in "
@@ -7091,30 +7120,13 @@ def enable_row_tracking(
         if cm is not None:
             cm_out = _extend_colmap(cm, [col])
             out = _select_physical(cm_out, out)
-        files = _write_files(out.coalesce(target_files), root)
         try:
-            return commit(
-                root,
-                files,
-                "enable-row-tracking",
-                parent=parent,
-                colmap=cm_out,
-                schema_meta=sm,
-                metrics={
-                    "n_added": len(files),
-                    "n_removed": (
-                        dict.get(m, "nfiles")
-                        if dict.get(m, "nfiles") is not None
-                        else len(m["files"])
-                    ),
-                },
+            return _backfill_commit(
+                spark, root, m, parent, out,
+                "enable-row-tracking", cm_out, sm, target_files,
             )
         except CommitConflict:
-            for f in files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            continue  # files reclaimed by _backfill_commit
     raise CommitConflict(
         f"enable_row_tracking lost {max_retries} races in {root}"
     )

@@ -4662,3 +4662,48 @@ def test_execute_utility_statement_surface(spark, tmp_path):
     assert read_table(spark, root).count() == v1_rows
     with pytest.raises(ValueError, match="unsupported utility"):
         execute_utility(spark, root, "ANALYZE TABLE t")
+
+
+def test_partitioned_backfills_generated_and_row_tracking(
+    spark, tmp_path
+):
+    """Generated-column and row-tracking backfills work on POPULATED
+    partitioned tables: the rewrite preserves the hive layout (pruning
+    still works) and later partitioned appends keep computing."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        add_generated_column,
+        append_table_partitioned,
+        create_table_partitioned,
+        enable_row_tracking,
+        resolve_files,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(120).withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("bigint")
+    )
+    create_table_partitioned(spark, root, base, ["bucket"])
+    add_generated_column(
+        spark, root, "pb", "CAST(floor(price / 50.0) AS BIGINT)"
+    )
+    enable_row_tracking(spark, root, order=["o_orderkey"])
+    # layout preserved: partition pruning resolves a strict subset
+    m = read_manifest(root)
+    pruned = resolve_files(m, {"bucket": "1"})
+    assert 0 < len(pruned) < (
+        dict.get(m, "nfiles") or len(m["files"])
+    )
+    append_table_partitioned(
+        spark,
+        root,
+        base.limit(10)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 60000000)
+        .drop("pb"),
+    )
+    got = read_table(spark, root, with_row_ids=True)
+    rows = got.collect()
+    assert len(rows) == 130
+    assert all(r.pb == int(r.price // 50) for r in rows)
+    assert len({r._row_id for r in rows}) == 130
