@@ -5928,6 +5928,7 @@ def update_table(
     updates: DataFrame,
     on: str,
     max_retries: int = 3,
+    cdc: bool = False,
 ) -> int:
     """MERGE-ON-READ UPDATE via deletion vectors (round 9) — the
     update half of the MoR story next to :func:`delete_from_table`:
@@ -6014,6 +6015,28 @@ def update_table(
         _validate_constraints(matched, root)
         new_dv = _write_files(dv_rows, root, subdir="dv")
         new_files = _write_files(matched, root)
+        change_files = None
+        if cdc:
+            # write-side change feed for the MoR update (round 10 —
+            # completes the CDC matrix next to merge and DV-delete):
+            # pre-images are the matched keys' CURRENT rows (exactly
+            # what the new tombstones mask), post-images are the
+            # written rows; both fall out of relations already in
+            # hand, so the marginal cost is one changed-rows-sized
+            # write published atomically with the commit
+            pre = (
+                base.join(keys, on_p, "semi")
+                .drop("_file")
+                .withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            post = matched.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            change_files = _write_files(
+                pre.unionByName(post), root, subdir="change"
+            )
         try:
             # O(update batch) commit (round 10): carried chunks keep
             # their partition values/stats; only the post-image files
@@ -6025,9 +6048,10 @@ def update_table(
                 added=new_files,
                 dv_files=m.get("dv_files", []) + new_dv,
                 dv_key=on_p,
+                change_files=change_files,
             )
         except CommitConflict:
-            for f in new_dv + new_files:
+            for f in new_dv + new_files + (change_files or []):
                 try:
                     os.remove(f)
                 except OSError:
@@ -6067,6 +6091,7 @@ def ensure_update_mor_exercise(
             (F.col("price") * 1.1).alias("price"),
         ),
         on="o_orderkey",
+        cdc=True,
     )
     with open(ready, "w") as fh:
         fh.write(note)
@@ -7457,3 +7482,33 @@ def q_table_row_tracking(
         "o_orderpriority",
         "price",
     )
+
+
+@register(
+    "q_table_cdc_update",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'update_preimage' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'TOUCHED',
+           CAST(CAST(o_totalprice AS DOUBLE) * 1.1 AS DOUBLE),
+           'update_postimage'
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_table_cdc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED of a MERGE-ON-READ UPDATE (round 10 — completes
+    the write-side CDC matrix: merge, DV delete, and now DV update
+    all publish their row-level feed atomically with the commit).
+    The pre-images are exactly the rows the commit's tombstones mask,
+    the post-images exactly the rows it appends — so a reader tailing
+    the feed can maintain a downstream mirror without ever diffing
+    snapshots, even though the update itself rewrote zero data files.
+    The oracle states both images' closed form; a missing pre-image,
+    doubled post-image, or mis-tagged row breaks the hash."""
+    root = ensure_update_mor_exercise(spark, sf_dir)
+    return read_changes(
+        spark, root, version=2, key="o_orderkey"
+    ).select("o_orderkey", "o_orderpriority", "price", "_change_type")
