@@ -841,6 +841,8 @@ def _assign_identity(
     high: int,
     order: list[str],
     buckets: int,
+    start: int = 1,
+    step: int = 1,
 ) -> tuple[DataFrame, int]:
     """Assign ``col`` = ``high`` + row_number over the DETERMINISTIC
     total order (order[0] % buckets, *order) — equivalently SQL's
@@ -889,11 +891,15 @@ def _assign_identity(
     win = Window.partitionBy("_idb").orderBy(
         *[F.col(c) for c in order]
     )
+    # GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k):
+    # `high` counts assigned ids (the sequence position), the value
+    # is start + step*(position-1) — defaults 1/1 give dense 1..n
+    seq = F.lit(high) + off_expr + F.row_number().over(win)
     out = df.withColumn(
         col,
-        (
-            F.lit(high) + off_expr + F.row_number().over(win)
-        ).cast("bigint"),
+        (F.lit(start) + F.lit(step) * (seq - F.lit(1))).cast(
+            "bigint"
+        ),
     ).drop("_idb")
     return out, int(acc)
 
@@ -944,6 +950,8 @@ def _apply_write_meta(
                 int(ident.get("high", 0)),
                 list(ident["order"]),
                 int(ident.get("buckets", 64)),
+                start=int(ident.get("start", 1)),
+                step=int(ident.get("step", 1)),
             )
             sm_out["identity"]["high"] = int(
                 ident.get("high", 0)
@@ -1783,6 +1791,8 @@ def merge_table(
                     int(ident.get("high", 0)),
                     list(ident["order"]),
                     int(ident.get("buckets", 64)),
+                    start=int(ident.get("start", 1)),
+                    step=int(ident.get("step", 1)),
                 )
                 if n_new:
                     upserts = kept.unionByName(ins)
@@ -3895,6 +3905,8 @@ def merge_table_partitioned(
                     int(ident.get("high", 0)),
                     list(ident["order"]),
                     int(ident.get("buckets", 64)),
+                    start=int(ident.get("start", 1)),
+                    step=int(ident.get("step", 1)),
                 )
                 if n_new:
                     upserts = (
@@ -5682,6 +5694,11 @@ def rename_column(
                 f"column {old!r} is referenced by CHECK constraint "
                 f"{cname!r} ({pred}); drop the constraint first"
             )
+    smref = _schema_meta_references(m.get("schema_meta"), old)
+    if smref:
+        raise ValueError(
+            f"{smref}; drop the feature declaration before renaming"
+        )
     cm = json.loads(json.dumps(cm))  # private copy
     for e in cm["cols"]:
         if e["name"] == old:
@@ -5722,6 +5739,12 @@ def drop_column(spark: SparkSession, root: str, name: str) -> int:
                 f"column {name!r} is referenced by CHECK constraint "
                 f"{cname!r} ({pred}); drop the constraint first"
             )
+    smref = _schema_meta_references(m.get("schema_meta"), name)
+    if smref:
+        raise ValueError(
+            f"{smref}; drop the feature declaration before dropping "
+            "the column"
+        )
     cm = json.loads(json.dumps(cm))
     cm["cols"] = [e for e in cm["cols"] if e["name"] != name]
     cm["retired"] = sorted(set(cm.get("retired", [])) | {phys})
@@ -7512,3 +7535,44 @@ def q_table_cdc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(
         spark, root, version=2, key="o_orderkey"
     ).select("o_orderkey", "o_orderpriority", "price", "_change_type")
+
+
+def _schema_meta_references(sm: dict | None, column: str) -> str | None:
+    """If the table's write-side schema features reference ``column``
+    — as a defaulted/generated column name, inside a default/generated
+    EXPRESSION, as the identity column, or as an identity ORDER key —
+    return a human-readable description of the binding, else None.
+    Rename/drop must refuse such columns (round-10 guard, the same
+    token rule as CHECK constraints): the expressions bind by name,
+    so a rename would silently stop them binding and a drop would
+    make every later write fail."""
+    if not sm:
+        return None
+    for c in sm.get("defaults") or {}:
+        if c == column:
+            return f"column {column!r} has a declared DEFAULT"
+    for c, expr in (sm.get("defaults") or {}).items():
+        if _pred_references(expr, column):
+            return (
+                f"column {column!r} is referenced by the DEFAULT of "
+                f"{c!r} ({expr})"
+            )
+    for c in sm.get("generated") or {}:
+        if c == column:
+            return f"column {column!r} is a GENERATED column"
+    for c, expr in (sm.get("generated") or {}).items():
+        if _pred_references(expr, column):
+            return (
+                f"column {column!r} is referenced by the expression "
+                f"of generated column {c!r} ({expr})"
+            )
+    ident = sm.get("identity")
+    if ident is not None:
+        if ident["col"] == column:
+            return f"column {column!r} is the identity/row-id column"
+        if column in ident.get("order", []):
+            return (
+                f"column {column!r} is an identity assignment ORDER "
+                "key"
+            )
+    return None

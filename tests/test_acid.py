@@ -4707,3 +4707,66 @@ def test_partitioned_backfills_generated_and_row_tracking(
     assert len(rows) == 130
     assert all(r.pb == int(r.price // 50) for r in rows)
     assert len({r._row_id for r in rows}) == 130
+
+
+def test_identity_start_step_and_feature_binding_guards(
+    spark, tmp_path
+):
+    """START WITH / INCREMENT BY shapes the identity values (the
+    watermark still counts positions), and rename/drop refuse any
+    column bound into the write-side features — as a name, inside an
+    expression, or as an identity order key."""
+    import pyspark.sql.functions as F
+
+    from morphl_model_user_search_intent_spark.sources.acid import (
+        append_table,
+        drop_column,
+        drop_column_default,
+        rename_column,
+        set_column_default,
+    )
+
+    root = str(tmp_path / "t")
+    base = _base(spark).limit(40)
+    create_table(
+        spark,
+        root,
+        base.limit(25),
+        schema_meta={
+            "identity": {
+                "col": "sk",
+                "order": ["o_orderkey"],
+                "buckets": 8,
+                "high": 0,
+                "start": 100,
+                "step": 5,
+            },
+            "generated": {
+                "pb": "CAST(floor(price / 100.0) AS BIGINT)"
+            },
+        },
+    )
+    append_table(spark, root, base.subtract(base.limit(25)))
+    got = read_table(spark, root)
+    n = got.count()
+    sks = sorted(r.sk for r in got.select("sk").collect())
+    assert sks == [100 + 5 * i for i in range(n)]
+    assert (
+        read_manifest(root)["schema_meta"]["identity"]["high"] == n
+    )
+    # binding guards: identity col / order key / generated name /
+    # generated dependency all refuse rename and drop
+    with pytest.raises(ValueError, match="identity/row-id column"):
+        rename_column(spark, root, "sk", "sk2")
+    with pytest.raises(ValueError, match="ORDER"):
+        rename_column(spark, root, "o_orderkey", "ok")
+    with pytest.raises(ValueError, match="GENERATED column"):
+        drop_column(spark, root, "pb")
+    with pytest.raises(ValueError, match="referenced by the expression"):
+        rename_column(spark, root, "price", "amount")
+    set_column_default(spark, root, "o_orderpriority", "'D'")
+    with pytest.raises(ValueError, match="declared DEFAULT"):
+        drop_column(spark, root, "o_orderpriority")
+    drop_column_default(root, "o_orderpriority")
+    rename_column(spark, root, "o_orderpriority", "prio")
+    assert "prio" in read_table(spark, root).columns
