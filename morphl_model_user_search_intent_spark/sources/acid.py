@@ -420,6 +420,7 @@ def commit(
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
     schema_meta: dict | None | object = _INHERIT,
+    bloom: dict | None | object = _INHERIT,
     metrics: dict | None = None,
 ) -> int:
     """Publish version ``parent+1`` referencing ``files``.  Atomic and
@@ -462,7 +463,7 @@ def commit(
     _small_blocks(
         manifest, root, parent, txn, change_files, partition_cols,
         dv_files, dv_key, colmap, constraints, transforms,
-        schema_meta,
+        schema_meta, bloom,
     )
     return _publish(root, v, manifest)
 
@@ -480,6 +481,7 @@ def _small_blocks(
     constraints,
     transforms,
     schema_meta=_INHERIT,
+    bloom=_INHERIT,
 ) -> None:
     """Attach the SMALL metadata blocks — everything except the
     chunked per-file state — shared by :func:`commit` and
@@ -506,6 +508,7 @@ def _small_blocks(
         or constraints is _INHERIT
         or transforms is _INHERIT
         or schema_meta is _INHERIT
+        or bloom is _INHERIT
     ):
         # column mapping and CHECK constraints (round 9) survive
         # EVERY commit by default: a writer that forgot to thread
@@ -539,6 +542,8 @@ def _small_blocks(
             transforms = pm.get("transforms") if pm else None
         if schema_meta is _INHERIT:
             schema_meta = pm.get("schema_meta") if pm else None
+        if bloom is _INHERIT:
+            bloom = pm.get("bloom") if pm else None
     if colmap is not None:
         manifest["colmap"] = colmap
     if constraints is not None:
@@ -559,6 +564,15 @@ def _small_blocks(
         # that forgot to thread it would silently stop assigning
         # stable row ids or drop declared defaults.
         manifest["schema_meta"] = schema_meta
+    if bloom is not None:
+        # BLOOM INDEX pointer (round 10 — Delta's bloom filter
+        # index): {"col", "fpp", "files"} naming per-file bloom
+        # sidecar parquet under bloom/.  Inherited like the colmap;
+        # lossless by construction — a data file with no bloom row
+        # (written after the build, or rewritten by OPTIMIZE) is
+        # always kept by the probe, so a stale index degrades to
+        # fewer skips, never wrong results.
+        manifest["bloom"] = bloom
     if dv_files is not None:
         # DELETION VECTORS (round 8): merge-on-read DELETE sidecars —
         # (_file basename, key) tombstone rows a snapshot read
@@ -626,6 +640,7 @@ def commit_delta(
     constraints: dict | None | object = _INHERIT,
     transforms: list | None | object = _INHERIT,
     schema_meta: dict | None | object = _INHERIT,
+    bloom: dict | None | object = _INHERIT,
     metrics: dict | None = None,
     parent: int | None = None,
 ) -> int:
@@ -804,7 +819,7 @@ def commit_delta(
     _small_blocks(
         manifest, root, parent, txn, change_files, partition_cols,
         dv_files, dv_key, colmap, constraints, transforms,
-        schema_meta,
+        schema_meta, bloom,
     )
     return _publish(root, v, manifest)
 
@@ -2304,15 +2319,18 @@ def vacuum(
             referenced.update(bm["files"])
             referenced.update(bm.get("change_files", []))
             referenced.update(bm.get("dv_files", []))
+            referenced.update((bm.get("bloom") or {}).get("files", []))
     for v in keep:
         m = read_manifest(root, v)
         referenced.update(m["files"])
         # a retained version's CDC files are part of its readable
         # surface (read_changes) — protected like its data files;
         # deletion-vector sidecars are part of its CORRECTNESS (an
-        # unmasked read resurrects deleted rows) — protected likewise
+        # unmasked read resurrects deleted rows) — protected likewise;
+        # bloom-index sidecars are part of its lookup performance
         referenced.update(m.get("change_files", []))
         referenced.update(m.get("dv_files", []))
+        referenced.update((m.get("bloom") or {}).get("files", []))
         ref_chunks.update(d["id"] for d in dict.get(m, "chunks", ()))
     removed = []
     dead_chunks: set[str] = set()
@@ -2324,6 +2342,7 @@ def vacuum(
             m["files"]
             + m.get("change_files", [])
             + m.get("dv_files", [])
+            + (m.get("bloom") or {}).get("files", [])
         ):
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
@@ -2346,7 +2365,7 @@ def vacuum(
     if orphan_grace is not None:
         cutoff = time.time() - orphan_grace
         ref_names = {os.path.basename(f) for f in referenced}
-        for sub in ("data", "change", "dv"):
+        for sub in ("data", "change", "dv", "bloom"):
             d = os.path.join(root, sub)
             if not os.path.isdir(d):
                 continue
@@ -7576,3 +7595,263 @@ def _schema_meta_references(sm: dict | None, column: str) -> str | None:
                 "key"
             )
     return None
+
+
+# ---- bloom filter index: point-lookup file skipping (round 10) ------
+#
+# Delta's bloom filter index on this protocol: zone maps (min/max)
+# skip beautifully on clustered/sorted columns but are useless for a
+# point lookup on a high-cardinality key scattered uniformly across
+# files — every file's [min, max] straddles every key.  A per-file
+# bloom filter answers "might this file contain k?" with a bounded
+# false-positive rate, so an id-lookup on a 100 TB table opens the
+# handful of files that can match instead of all of them.
+#
+# Layout: the bitsets are SIDECAR parquet under bloom/ (one row per
+# data file: basename, m, k, bits) — at 1 MB-ish per large file they
+# must never live in the manifest; the manifest carries only the
+# pointer block {"col", "fpp", "files"}.  The probe is a DISTRIBUTED
+# scan of the sidecars (cost ∝ total bloom bytes, orders of magnitude
+# under the data), collecting only the surviving basenames (bounded
+# by true matches + false positives).  Lossless by construction: a
+# data file with no bloom row — appended after the build, or
+# rewritten by OPTIMIZE under a new uuid — is always kept.
+#
+# Hashing: one md5 per row split into two 64-bit halves, combined by
+# Kirsch–Mitzenmacher double hashing (h1 + i*h2 mod m) into k
+# positions — byte-identical between the numpy build kernel and the
+# pure-Python probe, stable across sessions and platforms.
+
+
+def _bloom_geometry(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits rounded to a word, k hashes) for n keys at ``fpp``."""
+    import math
+
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hash2(val: str) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(val.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → full cycle
+    return h1, h2
+
+
+def build_bloom_index(
+    spark: SparkSession, root: str, col: str, fpp: float = 0.01
+) -> int:
+    """Build (or rebuild) the table's bloom index on ``col`` — one
+    distributed pass over the snapshot grouping by physical file,
+    each group's Arrow batch folding its keys into a numpy bitset
+    sized for the group at ``fpp``; the bitsets land as sidecar
+    parquet and one metadata commit publishes the pointer block.
+    Rebuild after heavy OPTIMIZE churn to restore skipping (a stale
+    index is lossless but skips less — rewritten files carry fresh
+    uuids with no bloom rows)."""
+    import pandas as pd
+
+    m0 = read_manifest(root)
+    cm = m0.get("colmap")
+    col_p = _colmap_lookup(cm, col) if cm is not None else col
+    fpp_f = float(fpp)
+
+    def _fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        vals = pdf[col_p].astype(str)
+        m_bits, k = _bloom_geometry(len(vals), fpp_f)
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        for v in vals:
+            h1, h2 = _bloom_hash2(v)
+            for i in range(k):
+                pos = (h1 + i * h2) % m_bits
+                words[pos >> 6] |= np.uint64(1 << (pos & 63))
+        return pd.DataFrame(
+            {
+                "file": [pdf["_file"].iloc[0]],
+                "m": [m_bits],
+                "k": [k],
+                "bits": [words.tobytes()],
+            }
+        )
+
+    rows = (
+        spark.read.parquet(*m0["files"])
+        .withColumn("_file", _file_col())
+        .select("_file", col_p)
+        .groupBy("_file")
+        .applyInPandas(_fold, "file string, m long, k long, bits binary")
+    )
+    sidecars = _write_files(rows, root, subdir="bloom")
+    block = {"col": col_p, "fpp": fpp_f, "files": sorted(sidecars)}
+    for _ in range(5):
+        m = read_manifest(root)
+        try:
+            return _commit_metadata_only(
+                root, m, f"build-bloom:{col}", bloom=block
+            )
+        except CommitConflict:
+            continue
+    for f in sidecars:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    raise CommitConflict(f"bloom build lost 5 races in {root}")
+
+
+def lookup_table(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup through the bloom index: probe every file's
+    bitset for the requested keys (distributed over the sidecars),
+    read only files that are possible matches — plus every file the
+    index doesn't cover — and apply the exact residual filter.
+    Without an index on ``col`` this degrades to a plain filtered
+    snapshot read, so callers never branch."""
+    import pandas as pd
+
+    m = read_manifest(root, version)
+    cm = m.get("colmap")
+    col_p = _colmap_lookup(cm, col) if cm is not None else col
+    files = m["files"]
+    bl = m.get("bloom")
+    if bl and bl["col"] == col_p and bl.get("files"):
+        probes = [_bloom_hash2(str(v)) for v in values]
+
+        def _test(it):
+            import numpy as np
+
+            for pdf in it:
+                hits = []
+                for _, row in pdf.iterrows():
+                    words = np.frombuffer(row["bits"], dtype=np.uint64)
+                    m_bits, k = int(row["m"]), int(row["k"])
+                    hit = False
+                    for h1, h2 in probes:
+                        if all(
+                            words[p >> 6] & np.uint64(1 << (p & 63))
+                            for p in (
+                                (h1 + i * h2) % m_bits
+                                for i in range(k)
+                            )
+                        ):
+                            hit = True
+                            break
+                    hits.append(hit)
+                yield pd.DataFrame(
+                    {"file": pdf["file"], "hit": hits}
+                )
+
+        verdicts = (
+            spark.read.parquet(*bl["files"])
+            .mapInPandas(_test, "file string, hit boolean")
+            .collect()  # bounded: one verdict row per indexed FILE
+        )
+        covered = {r.file for r in verdicts}
+        survivors = {r.file for r in verdicts if r.hit}
+        files = [
+            f
+            for f in files
+            if os.path.basename(f) in survivors
+            or os.path.basename(f) not in covered  # uncovered: keep
+        ]
+    if not files:
+        base = spark.read.parquet(*m["files"]).limit(0)
+    else:
+        base = spark.read.parquet(*files)
+        dvf = m.get("dv_files")
+        if dvf:
+            key = m["dv_key"]
+            dv = spark.read.parquet(*dvf).select("_file", key)
+            base = (
+                base.withColumn("_file", _file_col())
+                .join(dv, ["_file", key], "anti")
+                .drop("_file")
+            )
+    base = _select_logical(cm, base)
+    ident = (m.get("schema_meta") or {}).get("identity")
+    if ident and ident.get("hidden") and ident["col"] in base.columns:
+        base = base.drop(ident["col"])
+    return base.filter(F.col(col).isin(values))
+
+
+def ensure_bloom_exercise(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (idempotent): orders projection across MANY small files
+    (so skipping is observable), bloom index on o_orderkey, plus one
+    post-index append (uncovered files must still be read)."""
+    from .formats import SCRATCH, _tag
+
+    configure(spark)
+    root = os.path.join(SCRATCH, f"acidtable-bloom-{_tag(sf_dir)}")
+    ready = os.path.join(root, "_READY_BLOOM")
+    note = f"acid-bloom {_orders_fingerprint(sf_dir)}"
+    try:
+        if open(ready).read().strip() == note:
+            return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        spark,
+        root,
+        base.filter(F.col("o_orderkey") % 50 != 0).repartition(
+            16, "o_orderkey"
+        ),
+    )
+    build_bloom_index(spark, root, "o_orderkey")
+    # the post-index append's files have no bloom rows — the probe
+    # must keep them unconditionally or lookups lose rows
+    append_table(spark, root, base.filter(F.col("o_orderkey") % 50 == 0))
+    with open(ready, "w") as fh:
+        fh.write(note)
+    return root
+
+
+@register(
+    "q_table_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 400 = 1 OR o_orderkey % 500 = 0
+    """,
+)
+def q_table_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEX POINT LOOKUP (round 10 — Delta's bloom filter
+    index): zone maps cannot skip a uniform high-cardinality key, so
+    the table carries per-file bloom sidecars and a lookup probes
+    them — distributed over the index, cost ∝ bloom bytes, never the
+    data — then reads only possible-match files plus every file the
+    index doesn't cover (the post-index append here).  The oracle is
+    the plain filter over the raw table, so a false-NEGATIVE
+    (skipping a file that held a key, the one failure a bloom must
+    never have) breaks the hash; the pytest pins that files were
+    actually skipped and that fpp holds on planted absent keys."""
+    root = ensure_bloom_exercise(spark, sf_dir)
+    keys = [
+        r[0]
+        for r in table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % 400 == 1)
+            | (F.col("o_orderkey") % 500 == 0)
+        )
+        .select("o_orderkey")
+        .collect()  # bounded: the lookup's own probe-key list
+    ]
+    return lookup_table(spark, root, "o_orderkey", keys)

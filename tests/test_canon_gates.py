@@ -176,6 +176,14 @@ _COLLECT_WHITELIST: dict[str, set[str]] = {
         # batch exactly once (a broadcast join of the offsets frame
         # would recompute the counts subtree inside the write)
         "_assign_identity",
+        # lookup_table (round 10): the bloom probe's per-FILE verdict
+        # rows — one row per indexed file (metadata scale, like the
+        # merge planners above); the sidecar scan itself runs
+        # distributed
+        "lookup_table",
+        # q_table_bloom_lookup: the exercise's own probe-key list (a
+        # point lookup's input IS a driver-provided key batch)
+        "q_table_bloom_lookup",
     },
     # Inverted-index serve (text/searchindex.py): the query terms'
     # bucket ids — |terms| rows, evaluated through Spark so the hash
