@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 
@@ -234,8 +234,21 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON suite (B10): extract a typed value from the JSON payload
-    and aggregate.  ``get_json_object`` stays JVM-side (no UDF)."""
-    ev = table(spark, sf_dir, "events")
+    and aggregate.  ``get_json_object`` stays JVM-side (no UDF).
+
+    Round-10 optimization (guide §2.5): the parse is the per-row cost
+    and the fixture scan is single-row-group (one task), so the whole
+    JSON parse serialized on one core (measured 0.265 s of a 0.286 s
+    query at sf0.1).  ``spread`` fans the parse out over the session's
+    shuffle parallelism when — and only when — the scan cannot
+    (no-op on splittable production layouts); the shuffle moves only
+    (event_type, props)."""
+    ev = spread(
+        table(spark, sf_dir, "events").select("event_type", "props"),
+        spark,
+        sf_dir,
+        "events",
+    )
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.withColumn("k", k).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -85,3 +85,61 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all 10 tables as a dict keyed by table name."""
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+# Per-table useful-split count, keyed by resolved file path.  Footer
+# metadata only (no data pages); a parquet row group is the atomic
+# unit of scan parallelism, so this is the number of tasks a scan of
+# the table can keep busy no matter how split-size confs are tuned.
+_SPLIT_CACHE: dict[str, int] = {}
+
+
+def scan_splits(sf_dir: str, name: str) -> int:
+    """Total parquet row groups across the table's file(s) — the scan's
+    maximum useful task count (Spark assigns a row group to the split
+    holding its midpoint; byte-range splits beyond that read nothing)."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    hit = _SPLIT_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:  # missing/odd footer — assume splittable enough
+        n = 1 << 20
+    _SPLIT_CACHE[path] = max(n, 1)
+    return _SPLIT_CACHE[path]
+
+
+def spread(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Parallelism floor for compute-bound work above an UNSPLITTABLE
+    scan (guide §2.5: "one huge unsplittable file … repartition
+    immediately after the read").
+
+    The fixture tables are single-row-group parquet, so every scan runs
+    exactly one useful task regardless of maxPartitionBytes /
+    openCostInBytes; per-row-expensive stages above it (JSON parse,
+    array dot products) serialize on one core.  When — and only when —
+    the table's useful split count is below the session's shuffle
+    parallelism, a round-robin repartition fans the downstream work
+    out.  On a production layout (many ≥128 MB row groups) the
+    condition is false and this is a plan no-op, so the exchange can
+    never become a scale-side regression.  Row-to-partition assignment
+    is deterministic under retries (sortBeforeRepartition, Spark's
+    default, stays on)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if scan_splits(sf_dir, name) * 2 <= n_part:
+        return df.repartition(n_part)
+    return df

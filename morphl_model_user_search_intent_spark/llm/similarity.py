@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 _N_QUERIES = 10
@@ -70,6 +70,17 @@ def _dot(a: str | Column, b: str | Column) -> Column:
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """:func:`_dot` as a parsed SQL string — the identical left-to-
+    right fold (same Catalyst tree, plan-diffed), built in ONE py4j
+    round trip instead of the ~30 a Python-lambda HOF chain costs."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -190,24 +201,33 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 10-query side broadcasts; candidates never shuffle until the
     tiny rank step.  Per-candidate cost is one fused dot product
     (norms precomputed once per side).
+
+    Round-10 optimizations: (a) the candidate side goes through
+    ``spread`` — the fixture scan is single-row-group, so all ~22k
+    interpreted HOF dot products ran on ONE core (0.130 s stage at
+    sf0.1); the round-robin exchange moves 2k narrow rows and fans the
+    fold out 32-way, and is a plan no-op on splittable production
+    layouts (guide §2.5).  (b) dot/norm expressions are built as
+    parsed SQL strings (plan-diffed identical to the Column/lambda
+    form, which cost ~0.1 s of py4j per build).
     """
-    e = _with_norm(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = f"SQRT({_sql_dot('embedding', 'embedding')})"
+    e = spread(base, spark, sf_dir, "embeddings").withColumn(
+        "norm", F.expr(norm)
     )
-    q = e.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    ).filter(F.col("qid") < _N_QUERIES)
-    cos = F.round(
-        _dot("qv", "embedding") / (F.col("qnorm") * F.col("norm")), 6
+    q = base.withColumn("norm", F.expr(norm)).selectExpr(
+        "vec_id AS qid", "embedding AS qv", "norm AS qnorm"
+    ).where(f"qid < {_N_QUERIES}")
+    cos = F.expr(
+        f"round({_sql_dot('qv', 'embedding')} / (qnorm * norm), 6)"
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
         e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
+        .where("vec_id != qid")
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),

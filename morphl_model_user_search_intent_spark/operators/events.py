@@ -142,31 +142,39 @@ def sessionize(ev: DataFrame) -> DataFrame:
     the plan discussion).  Prefer :func:`sessionize_auto` on inputs
     whose key distribution is unknown: this form serializes each
     user's whole history in one window partition."""
+    # Round-10 optimization: window expressions built as parsed SQL
+    # strings (single py4j round-trip each) — plan-diffed identical to
+    # the Column-by-Column form, results bit-identical.
     spark = ev.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ev = ev.repartition(n_part, "user_id")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
-        F.lag("ts").over(w)
-    )
-    new_session = (
-        F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(gap_us > 1800 * 1_000_000, 1)
-        .otherwise(0)
-    )
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    over = "PARTITION BY user_id ORDER BY ts, event_id"
     return (
-        ev.withColumn("new_session", new_session)
+        ev.withColumn(
+            "new_session",
+            F.expr(
+                f"CASE WHEN (lag(ts) OVER ({over})) IS NULL THEN 1"
+                f" WHEN (unix_micros(ts)"
+                f"       - unix_micros(lag(ts) OVER ({over})))"
+                f"      > 1800000000 THEN 1 ELSE 0 END"
+            ),
+        )
         .withColumn(
             "session_id",
-            F.sum("new_session").over(run).cast("bigint"),
+            F.expr(
+                f"CAST(sum(new_session) OVER ({over}"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " AS BIGINT)"
+            ),
         )
         .groupBy("user_id", "session_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.expr("COUNT(1)").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            lsum(units_nn("value", 100), 100, "session_value"),
+            F.expr(
+                "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0D"
+            ).alias("session_value"),
         )
     )
 
