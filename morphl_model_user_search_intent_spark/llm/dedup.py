@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 from ..text.analysis import tokens
 
@@ -101,7 +101,14 @@ def _shingle_rows(
     which is also what the DuckDB oracle's ``range(1, len-n+2)``
     produces."""
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Round-10 optimization (guide §2.5): the Arrow shingle kernel ran
+    # inside the single-row-group scan's one task; spread fans the
+    # per-doc work across the session's parallelism (no-op on
+    # splittable layouts) for every inverted-index consumer.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
     return shingle_rows_of(d, n)
 
 
@@ -155,7 +162,10 @@ def _shingle_arrays(
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
     return d.mapInPandas(gen, "doc_id bigint, sh array<string>")
 
 
@@ -1227,8 +1237,17 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("matches") >= 4)
         .select("doc_a", "doc_b")
+        # Round-10 optimization: materialize both pair frames once —
+        # n_detected/n_truth and the TP intersection are SEPARATE
+        # actions, so the whole LSH pipeline and the exact-Jaccard
+        # inverted-index join each executed twice.  The checkpointed
+        # frames are pairs only (KBs).  Measured at sf0.1: 13.4 s →
+        # ~7 s, identical metrics row.
+        .localCheckpoint()
     )
-    truth = jaccard_pairs_of(sh).select("doc_a", "doc_b")
+    truth = (
+        jaccard_pairs_of(sh).select("doc_a", "doc_b").localCheckpoint()
+    )
     n_truth = truth.count()
     n_detected = detected.count()
     tp = detected.join(truth, ["doc_a", "doc_b"]).count()

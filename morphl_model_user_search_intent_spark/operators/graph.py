@@ -99,6 +99,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        # Round-10 optimization: materialize the edge build once —
+        # deg, e2's cache population, nn and the rank seed are
+        # separate consumers (nn/ranks execute as their own broadcast
+        # jobs) and each re-ran the distinct self-join; actions share
+        # no shuffle output.  Measured at sf0.1 (build+collect):
+        # 6.2 s → 4.2 s, identical top-20.
+        .localCheckpoint()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     e2 = e.join(deg, "src").cache()  # reused every round
@@ -825,11 +832,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        # Round-10 optimization: materialize the base edge set ONCE.
+        # Without this, round 1 rebuilt the distinct self-join three
+        # times (the peel join's deg input, the peeled-edge
+        # checkpoint, and keep.count() each executed it) — separate
+        # actions share no shuffle output.  Same for `keep` below:
+        # checkpointing it serves both the two-sided peel join and
+        # the n_nodes count from one materialization.  Measured at
+        # sf0.1: 7.1 s → 4.7 s, identical rows.
+        .localCheckpoint()
     )
     rows = []
     for rnd in (1, 2, 3):
         deg = e.groupBy("src").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("src")
+        keep = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("src")
+            .localCheckpoint()
+        )
         e = (
             e.join(keep.withColumnRenamed("src", "ka"), F.col("src") == F.col("ka"))
             .join(keep.withColumnRenamed("src", "kb"), F.col("dst") == F.col("kb"))

@@ -3096,6 +3096,9 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        from ..streaming.ops import _unload_state_stores
+
+        _unload_state_stores(spark)
     return spark.table(name)
 
 

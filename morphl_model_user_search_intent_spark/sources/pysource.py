@@ -233,6 +233,9 @@ def q_stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        from ..streaming.ops import _unload_state_stores
+
+        _unload_state_stores(spark)
     return spark.table(name)
 
 
@@ -393,6 +396,9 @@ def q_stream_table_cdc_source(
     finally:
         q.stop()
         q.awaitTermination(30)
+        from ..streaming.ops import _unload_state_stores
+
+        _unload_state_stores(spark)
     return spark.table(name)
 
 

