@@ -101,14 +101,15 @@ def _shingle_rows(
     which is also what the DuckDB oracle's ``range(1, len-n+2)``
     produces."""
 
-    # Round-10 optimization (guide §2.5): the Arrow shingle kernel ran
-    # inside the single-row-group scan's one task; spread fans the
-    # per-doc work across the session's parallelism (no-op on
-    # splittable layouts) for every inverted-index consumer.
-    d = spread(
-        table(spark, sf_dir, "documents").select("doc_id", "text"),
-        spark, sf_dir, "documents",
-    )
+    # NOTE (round 10): deliberately NOT spread() here — measured A/B
+    # at sf0.01 and sf0.1, fanning the scan out before this kernel
+    # REGRESSES every _shingle_rows consumer (q_dedup_jaccard 2.8→3.4 s,
+    # q_dedup_clusters 1.7→2.5 s at sf0.01, minhash_portable 4.2→5.7 s):
+    # the exploded shingle rows are shuffled by the inverted-index
+    # self-join immediately after, so the extra exchange buys nothing
+    # the join's own exchange doesn't already provide.  _shingle_arrays
+    # (whose consumers keep per-doc arrays un-shuffled) keeps it.
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return shingle_rows_of(d, n)
 
 

@@ -3084,21 +3084,30 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from ..streaming.ops import (
+        _source_bytes,
+        _stream_shuffle_scope,
+        _unload_state_stores,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-        from ..streaming.ops import _unload_state_stores
 
-        _unload_state_stores(spark)
+    # adaptive state partitions sized to the change feed (4 groups of
+    # state — the session default opened one store per core per batch)
+    with _stream_shuffle_scope(
+        spark, _source_bytes(os.path.join(root, "change"))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+            _unload_state_stores(spark)
     return spark.table(name)
 
 

@@ -37,12 +37,21 @@ class _SynthReader(DataSourceReader):
         return [InputPartition(p) for p in range(N_PARTS)]
 
     def read(self, partition):
+        # one vectorized Arrow batch per partition (round 10, guide
+        # §4.2) — same rows the per-index tuple loop produced
+        import numpy as np
+        import pyarrow as pa
+
         p = partition.value
         lo = p * N_ROWS // N_PARTS
         hi = (p + 1) * N_ROWS // N_PARTS
-        for i in range(lo, hi):
-            h = (i * 2654435761) % 4294967296
-            yield (i, GROUPS[i % 5], h)
+        i = np.arange(lo, hi, dtype=np.int64)
+        h = (i * 2654435761) % 4294967296
+        grp = np.asarray(GROUPS, dtype=object)[i % 5]
+        yield pa.record_batch(
+            [pa.array(i), pa.array(grp, type=pa.string()), pa.array(h)],
+            names=["i", "grp", "h"],
+        )
 
 
 class SyntheticEventsSource(DataSource):
@@ -222,20 +231,23 @@ def q_stream_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot only the first prefetched batch as "available";
     # processAllAvailable() drains until read() stops advancing the
     # offset (the source runs dry after N_STREAM_BATCHES).
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-        from ..streaming.ops import _unload_state_stores
+    from ..streaming.ops import _stream_shuffle_scope, _unload_state_stores
 
-        _unload_state_stores(spark)
+    # ~32 B/row synthetic source: the adaptive scope floors at 2 state
+    # partitions instead of one-per-core × 10 micro-batches
+    with _stream_shuffle_scope(spark, _TOTAL_STREAM_ROWS * 32):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+            _unload_state_stores(spark)
     return spark.table(name)
 
 
@@ -291,8 +303,9 @@ class _TableChangesStreamReader(DataSourceStreamReader):
                 "o_orderkey", "o_orderpriority", "price", "_change_type"
             ],
         )
-        for row in zip(*(t.column(c).to_pylist() for c in t.column_names)):
-            yield row
+        # Arrow fast path (round 10, guide §4): whole RecordBatches to
+        # the JVM instead of per-row pickled tuples
+        yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -385,20 +398,27 @@ def q_stream_table_cdc_source(
             "total_price"
         ),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
+    from ..streaming.ops import (
+        _source_bytes,
+        _stream_shuffle_scope,
+        _unload_state_stores,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-        from ..streaming.ops import _unload_state_stores
 
-        _unload_state_stores(spark)
+    # feed size ∝ the table's change files under root — the adaptive
+    # scope sizes the 5-key complete-mode agg's state partitions to it
+    with _stream_shuffle_scope(spark, _source_bytes(root)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+            _unload_state_stores(spark)
     return spark.table(name)
 
 
@@ -566,6 +586,17 @@ class _AcidTableReader(DataSourceReader):
                 )
         cols = proj if proj is not None else list(t.column_names)
         have = set(t.column_names)
+        if all(c in have for c in cols):
+            # Arrow fast path (round 10, guide §4): hand the JVM whole
+            # RecordBatches instead of per-row pickled tuples — the
+            # Python DataSource API accepts either, and the row path
+            # was the dominant cost of the 100k-row scan.
+            import pyarrow as pa
+
+            yield from pa.table(
+                [t.column(c) for c in cols], names=list(cols)
+            ).to_batches()
+            return
         series = [
             t.column(c).to_pylist()
             if c in have

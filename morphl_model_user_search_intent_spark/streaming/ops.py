@@ -143,8 +143,115 @@ def _staged_four_files(spark: SparkSession, sf_dir: str) -> str:
     return final
 
 
+def _source_bytes(path: str) -> int:
+    """Total bytes of a fixture file or staged directory (symlinks
+    followed — the staged dirs are symlink farms over the fixture)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path, followlinks=True):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def _adaptive_stream_partitions(spark: SparkSession, nbytes: int) -> int:
+    """Scale-adaptive shuffle/state partition count for a stream about
+    to start (round-10 optimization, guide §2 "make partitioning
+    scale-adaptive ... rather than a constant tuned for either local
+    mode or the cluster").
+
+    Stateful streaming operators pin their state partitioning to
+    ``spark.sql.shuffle.partitions`` at query start and AQE never
+    coalesces it, so the session default (≈ cores) makes every
+    micro-batch open/commit that many RocksDB stores PER STATEFUL
+    OPERATOR (a stream-stream join holds 4 per partition) regardless
+    of state size — pure fixed cost when the keyed state is small.
+    Deriving the count from the source's size keeps tiny streams on a
+    handful of stores while a 100 TB/day source (the formula's
+    numerator) rides the cap, which a production cluster sets to its
+    real parallelism.  Env overrides: SPARK_STREAM_STATE_PARTITIONS
+    pins the count; SPARK_STREAM_STATE_BYTES_PER_PART (default 32 MiB)
+    tunes the per-partition target.
+    """
+    import os
+
+    ov = os.environ.get("SPARK_STREAM_STATE_PARTITIONS")
+    if ov:
+        return max(1, int(ov))
+    per = int(
+        os.environ.get("SPARK_STREAM_STATE_BYTES_PER_PART", str(32 << 20))
+    )
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cap = 32
+    return max(2, min(cap, (nbytes + per - 1) // per))
+
+
+class _stream_shuffle_scope:
+    """Context manager: set ``spark.sql.shuffle.partitions`` for the
+    duration of one stream's start→drain, restore afterwards.  The
+    conf is read once at streaming-query start, so the scope only
+    needs to cover ``.start()``; restoring immediately after the drain
+    keeps every batch query on the session's normal parallelism."""
+
+    def __init__(self, spark: SparkSession, nbytes: int | None) -> None:
+        self._spark = spark
+        self._n = (
+            _adaptive_stream_partitions(spark, nbytes)
+            if nbytes is not None
+            else None
+        )
+        self._old: str | None = None
+
+    def __enter__(self) -> "_stream_shuffle_scope":
+        if self._n is not None:
+            try:
+                self._old = self._spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(self._n)
+                )
+            except Exception:
+                self._old = None
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._old is not None:
+            try:
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", self._old
+                )
+            except Exception:
+                pass
+
+
+def _events_bytes(sf_dir: str) -> int | None:
+    """Size of the events fixture under ``sf_dir`` (every
+    _run_to_memory-drained stream reads a re-staging of it)."""
+    import os
+
+    if not sf_dir:
+        return None
+    return _source_bytes(os.path.join(sf_dir, "events.parquet")) or None
+
+
 def _run_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append", sf_dir: str = ""
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    sf_dir: str = "",
+    adaptive: bool = True,
 ) -> DataFrame:
     """Drain ``df`` into a memory sink and return the sink table.
 
@@ -202,19 +309,22 @@ def _run_to_memory(
             r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
         )
         name = f"{name}_{tag}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-        _unload_state_stores(spark)
+    with _stream_shuffle_scope(
+        spark, _events_bytes(sf_dir) if adaptive else None
+    ):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+            _unload_state_stores(spark)
     return spark.table(name)
 
 
@@ -470,7 +580,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "stream_stateful_sink", "update", sf_dir)
+    # adaptive=False: per-key work here is PYTHON-executed
+    # (applyInPandasWithState) — A/B at sf0.1 shows worker parallelism,
+    # not store-open overhead, bounds this query (32 parts 2.2 s,
+    # 2 parts 3.2 s), the opposite of the JVM-stateful streams
+    return _run_to_memory(
+        out, "stream_stateful_sink", "update", sf_dir, adaptive=False
+    )
 
 
 def tws_available() -> bool:
@@ -608,8 +724,15 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputMode="Update",
                 timeMode="None",
             )
+            # adaptive=False: the TWS state server is a per-partition
+            # Python worker; A/B at sf0.1 is monotone in partitions
+            # (32→9.1 s, 8→10.6, 4→12.8, 2→16.5) — keep parallelism
             res = _run_to_memory(
-                out, "stream_stateful_tws_sink", "update", sf_dir
+                out,
+                "stream_stateful_tws_sink",
+                "update",
+                sf_dir,
+                adaptive=False,
             )
             # Only a DRAINED stream proves the TWS path ran; claiming
             # it before the run (as rounds 4–5 did) mislabels the API
@@ -647,7 +770,7 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(
-        out, "stream_stateful_tws_sink", "update", sf_dir
+        out, "stream_stateful_tws_sink", "update", sf_dir, adaptive=False
     )
 
 
@@ -682,18 +805,19 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def refresh_serving_table(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(refresh_serving_table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-        _unload_state_stores(spark)
+    with _stream_shuffle_scope(spark, _events_bytes(sf_dir)):
+        q = (
+            agg.writeStream.foreachBatch(refresh_serving_table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+            _unload_state_stores(spark)
     return spark.read.parquet(out_dir)
 
 
@@ -942,14 +1066,15 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = hashed.groupBy("seed", "cc").count()
     qname = f"cm_cells_{tag.replace('.', '_')}"
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_scope(spark, _events_bytes(sf_dir)):
+        q = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sketch = spark.table(qname)
     probe_ids = [(str(i),) for i in (1, 2, 3, 4, 5)]
     probes = spark.createDataFrame(probe_ids, "uid string").select(

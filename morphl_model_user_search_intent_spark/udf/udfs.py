@@ -195,21 +195,25 @@ def q_udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # applyInPandas (not mapInPandas): guarantees each user's full
         # history arrives in ONE frame — an Arrow batch boundary can
         # never split a group, which matters at any scale.
+        import numpy as np
+
         user_id = int(pdf["user_id"].iloc[0])
-        ts = pdf["ts"].sort_values().reset_index(drop=True)
-        lo = ts.searchsorted(ts - pd.Timedelta(hours=1), side="left")
-        out = []
-        for i in range(len(ts)):
-            n = i - int(lo[i]) + 1
-            # peers: tied timestamps after i are in the RANGE frame
-            j = i + 1
-            while j < len(ts) and ts[j] == ts[i]:
-                n += 1
-                j += 1
-            if n >= 2:
-                out.append((user_id, ts[int(lo[i])], ts[i], int(n)))
+        tsv = np.sort(pdf["ts"].to_numpy())
+        # RANGE-frame count = rows with ts in [ts_i − 1 h, ts_i], peers
+        # included on both ends: hi − lo with two vectorized
+        # searchsorted passes (the previous per-row loop + inner peer
+        # walk computed exactly i − lo + 1 + trailing peers = hi − lo).
+        lo = np.searchsorted(tsv, tsv - np.timedelta64(1, "h"), side="left")
+        hi = np.searchsorted(tsv, tsv, side="right")
+        n = hi - lo
+        keep = n >= 2
         return pd.DataFrame(
-            out, columns=["user_id", "burst_start", "burst_end", "n"]
+            {
+                "user_id": np.full(int(keep.sum()), user_id, dtype="int64"),
+                "burst_start": tsv[lo[keep]],
+                "burst_end": tsv[keep],
+                "n": n[keep].astype("int32"),
+            }
         )
 
     ev = table(spark, sf_dir, "events")

@@ -724,9 +724,15 @@ def test_table_changes_stream_reader_offset_contract(spark):
     assert last["version"] == latest_version(root) >= 4  # 3 cdc merges
 
     def drain(start, end):
+        # read() yields Arrow RecordBatches (round-10 fast path) —
+        # flatten to row tuples, which is what Spark's Arrow ingest
+        # does on the JVM side
         rows = []
         for p in r.partitions(start, end):
-            rows.extend(r.read(p))
+            for batch in r.read(p):
+                rows.extend(
+                    zip(*(c.to_pylist() for c in batch.columns))
+                )
         return sorted(rows)
 
     full = drain({"version": 1}, last)
