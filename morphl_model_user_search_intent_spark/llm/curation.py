@@ -191,23 +191,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("dst_lbl").alias("nmin"))
         )
+        # Round-10 optimization: carry the did-it-change flag INSIDE
+        # the per-round frame — the convergence check previously
+        # re-joined new labels against old ones, a whole extra
+        # join+count job per round on top of the checkpoint
+        # materialization (measured at sf0.1: 11.6 → 10.0 s warm for
+        # the full query, identical keep-list).
+        new_lbl = F.least("lbl", F.coalesce("nmin", "lbl"))
         new_labels = (
             labels.join(neigh_min.toDF("node", "nmin"), "node", "left")
             .select(
                 "node",
-                F.least(
-                    "lbl", F.coalesce("nmin", "lbl")
-                ).alias("lbl"),
+                new_lbl.alias("new"),
+                (new_lbl != F.col("lbl")).alias("chg"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.toDF("node", "new")
-            .join(labels, "node")
-            .filter(F.col("new") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", F.col("new").alias("lbl"))
         if changed == 0:
             break
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
