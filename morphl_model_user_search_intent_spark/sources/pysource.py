@@ -462,6 +462,13 @@ class _AcidTableReader(DataSourceReader):
         pmap = m.get("partitions", {})
         cm = m.get("colmap")
         proj = None
+        lnames = None
+        if cm is not None:
+            # logical names in projection order: the Arrow fast path
+            # must label its batches with the LOGICAL schema Spark
+            # declared (physical at-write names differ on mapped
+            # tables; the old row-tuple path carried no names)
+            lnames = [e["name"] for e in cm["cols"]]
         if cm is not None:
             # logical projection plan for read(): physical columns in
             # logical order (a physical absent from an old file reads
@@ -507,15 +514,19 @@ class _AcidTableReader(DataSourceReader):
                 for c, v in self.pfilters.items()
                 if c not in vals
             ]
-            parts.append(InputPartition((f, dvf, key, residual, proj)))
-        return parts or [InputPartition((None, [], None, [], None))]
+            parts.append(
+                InputPartition((f, dvf, key, residual, proj, lnames))
+            )
+        return parts or [
+            InputPartition((None, [], None, [], None, None))
+        ]
 
     def read(self, partition):
         import os
 
         import pyarrow.parquet as pq
 
-        f, dvf, key, residual, proj = partition.value
+        f, dvf, key, residual, proj, lnames = partition.value
         if f is None:
             return
         t = pq.read_table(f)
@@ -594,7 +605,8 @@ class _AcidTableReader(DataSourceReader):
             import pyarrow as pa
 
             yield from pa.table(
-                [t.column(c) for c in cols], names=list(cols)
+                [t.column(c) for c in cols],
+                names=lnames if lnames is not None else list(cols),
             ).to_batches()
             return
         series = [
