@@ -961,12 +961,15 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     action, and every round's work is distributed.
 
     k-bound: the lazy plan references the previous state twice per
-    round (update + pick), so plan size grows 2^k over the CACHED
-    base — fine for the diverse-retrieval regime k ≲ 10-15 this
-    operator targets; for larger k, ``localCheckpoint`` the state
-    each round to reset lineage (same recurrence, k linear plans).
-    The oracle unrolls the same 5 rounds as chained CTEs.  All
-    cosines go through the established 6-dp fold parity.
+    round (update + pick), so an unchecked plan grows 2^k over the
+    base; since round 10 the state is ``localCheckpoint``-ed each
+    round (guide §5 — cut lineage when an intermediate is reused),
+    giving k LINEAR plans: each round's update scans the
+    materialized previous state once, and the k pick subplans are
+    TakeOrdered over in-memory RDDs.  Measured at sf0.1:
+    build 0.91 s → 0.09 s, warm collect 2.25 s → 0.94 s, identical
+    rows.  The oracle unrolls the same 5 rounds as chained CTEs.
+    All cosines go through the established 6-dp fold parity.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
@@ -990,7 +993,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the greatest() fold below.
             F.lit(-2.0).alias("ms"),
         )
-        .cache()
+        .localCheckpoint()
     )
     state = base
     picks = None
@@ -1031,6 +1034,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     ).alias("ms"),
                 )
+                .localCheckpoint()
             )
     return picks
 
@@ -1277,7 +1281,11 @@ def q_sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sgn"),
         )
     )
-    dims = emb.select(
+    # Round-10 optimization (guide §2.5): the explode → 16-plane
+    # product fan-out is per-row-expensive work above an unsplittable
+    # single-row-group scan; spread() fans it across the session's
+    # parallelism (plan no-op on production layouts).
+    dims = spread(emb, spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode("embedding").alias("d", "v")
     ).select(
         "vec_id",
@@ -1300,20 +1308,40 @@ def q_sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sig")
-    )
+        # Materialize once: the per-band equi-joins below reference
+        # the signature table four times (two bands × two sides); the
+        # checkpoint keeps the 16-plane projection a single pass.
+    ).localCheckpoint()
     a = sigs.select(
         F.col("vec_id").alias("va"), F.col("sig").alias("sa")
     )
     b = sigs.select(
         F.col("vec_id").alias("vb"), F.col("sig").alias("sb")
     )
-    cand = a.join(
-        b,
-        (F.col("va") < F.col("vb"))
-        & (
-            (F.col("sa") % 256 == F.col("sb") % 256)
-            | (F.floor(F.col("sa") / 256) == F.floor(F.col("sb") / 256))
-        ),
+    # Round-10 optimization (guide §3.1 "pick the join strategy
+    # deliberately"): the OR of the two band equalities is not
+    # equi-extractable, so Spark planned a BroadcastNestedLoopJoin —
+    # an all-pairs O(n²) predicate scan that defeats the whole point
+    # of banding.  Spelled as one hash equi-join PER BAND (the
+    # textbook LSH banded candidate generation) unioned and deduped,
+    # each join touches only same-bucket collisions.  The pair SET is
+    # identical: (sa, sb) are functions of (va, vb), so
+    # dropDuplicates on the pair key reproduces the OR-join's rows
+    # exactly.
+    lo = lambda c: F.col(c) % 256  # noqa: E731
+    hi = lambda c: F.floor(F.col(c) / 256)  # noqa: E731
+    cand = (
+        a.join(
+            b,
+            (F.col("va") < F.col("vb")) & (lo("sa") == lo("sb")),
+        )
+        .unionAll(
+            a.join(
+                b,
+                (F.col("va") < F.col("vb")) & (hi("sa") == hi("sb")),
+            )
+        )
+        .dropDuplicates(["va", "vb"])
     )
     ham = cand.select(
         "va",
@@ -2409,8 +2437,15 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_nib_sql('qh', k)} * {_nib_sql('h', k)}"
         for k in range(1, _MAXSIM_DIMS + 1)
     )
+    # Round-10 optimization (guide §2.5 "repartition immediately after
+    # the read" for unsplittable inputs): the candidate-token side fans
+    # out into |corpus tokens| × |query tokens| md5-nibble dot
+    # evaluations — per-row-expensive work that otherwise serializes on
+    # the fixture's single-row-group documents scan.  spread() is a
+    # no-op on properly-sized production layouts.
+    cand = spread(t, spark, sf_dir, "documents")
     pairs = (
-        t.join(F.broadcast(q), F.col("doc_id") != F.col("qid"))
+        cand.join(F.broadcast(q), F.col("doc_id") != F.col("qid"))
         .withColumn(
             "cu",
             F.round(

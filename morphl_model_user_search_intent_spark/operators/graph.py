@@ -436,10 +436,11 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the last, so 3 unrolled CTE rounds in DuckDB reproduce
     the Spark loop bit-for-bit.  Each round is one shuffle join
     (labels⋈edges on the source key) + one count aggregate + one
-    per-node argmax (WindowGroupLimit bounds it); lineage is
+    per-node argmax (WindowGroupLimit bounds it); label lineage is
     localCheckpoint-truncated per round, the same bounded-round
-    discipline as PageRank above.  At 100 TB: hash-partition edges by
-    src once and every round reuses that exchange.
+    discipline as PageRank above.  Edges are hash-partitioned and
+    sorted by src once (cached), so every round's join reuses that
+    one exchange — the 100 TB posture, shipped since round 10.
     """
     li = table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -456,7 +457,23 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("t"),
         )
         .distinct()
-        .localCheckpoint()
+        # Round-10 optimization (guide §2.4): every round's
+        # labels⋈edges join keys on s, so hash-partition + sort the
+        # edge table by s ONCE and cache it — the per-round label
+        # localCheckpoints are eager actions, so round 1 materializes
+        # the cache and rounds 2-3 (and the final agg) plan against
+        # the known hashpartitioning(s)/sorted layout, skipping the
+        # edge-side Exchange and Sort.  A/B at sf0.1 (warm collect,
+        # idle local[32]): localCheckpoint 3.84-6.04 s / plain cache
+        # 4.21 s / this form 2.88-3.02 s, identical communities.
+        # (Repartitioning BEFORE the distinct measured 3.90 s — it
+        # ships the un-deduplicated pair set, losing the map-side
+        # partial dedup; deliberately not done.)
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "s"
+        )
+        .sortWithinPartitions("s")
+        .cache()
     )
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -839,7 +856,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # actions share no shuffle output.  Same for `keep` below:
         # checkpointing it serves both the two-sided peel join and
         # the n_nodes count from one materialization.  Measured at
-        # sf0.1: 7.1 s → 4.7 s, identical rows.
+        # sf0.1: 7.1 s → 4.7 s, identical rows.  (An alternating
+        # join-key scheme that pre-partitions the edge set and ends
+        # each round partitioned for the next — one big exchange per
+        # round instead of two — measured a wash, 5.02 ≈ 5.07 s: at
+        # this round count the per-round fixed job cost dominates the
+        # saved exchange.  Deliberately kept in this simpler form.)
         .localCheckpoint()
     )
     rows = []
