@@ -162,55 +162,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes them into clusters and picks survivors, singletons
     included).
 
-    Components via iterative min-label propagation over the edge set
-    only (same O(diameter)-round join/agg loop as q_dedup_clusters;
-    `localCheckpoint` truncates lineage each round).  At 100 TB the
+    Components via :func:`llm.dedup.cc_min_labels` — min-label
+    propagation WITH POINTER DOUBLING, O(log diameter) rounds (round
+    10: the plain min-label loop this key used before needed 17
+    rounds at sf0.1 — the τ=0.4 cosine graph contains a long chain —
+    at ~0.6 s/round ≈ 9 s of the query's 10 s; doubling closes the
+    same components in ≤6 rounds, identical keep-list by the
+    fixpoint argument in cc_min_labels' docstring).  At 100 TB the
     pair graph comes from the LSH path (q_sim_ann), not the O(n²)
     exact join used here for oracle parity — the component/keep-list
     machinery downstream is identical.
     """
+    from .dedup import cc_min_labels
     from .similarity import _blocked_pair_cosines
 
     pairs = (
         _blocked_pair_cosines(spark, sf_dir, _EMB_TAU)
         .filter(F.round("c", 6) >= _EMB_TAU)
         .select("va", "vb")
+        # materialize the O(n²) kernel ONCE: the symmetrizing union
+        # below references the pair frame twice, which would run the
+        # blocked-cosine pass twice inside cc_min_labels' checkpoint
+        .localCheckpoint()
     )
     edges = pairs.union(pairs.select("vb", "va")).toDF("src", "dst")
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-    )
-    for _ in range(50):  # diameter bound; fixture clusters close in ≤4
-        neigh_min = (
-            edges.join(
-                labels.toDF("dst", "dst_lbl"), "dst"
-            )
-            .groupBy("src")
-            .agg(F.min("dst_lbl").alias("nmin"))
-        )
-        # Round-10 optimization: carry the did-it-change flag INSIDE
-        # the per-round frame — the convergence check previously
-        # re-joined new labels against old ones, a whole extra
-        # join+count job per round on top of the checkpoint
-        # materialization (measured at sf0.1: 11.6 → 10.0 s warm for
-        # the full query, identical keep-list).
-        new_lbl = F.least("lbl", F.coalesce("nmin", "lbl"))
-        new_labels = (
-            labels.join(neigh_min.toDF("node", "nmin"), "node", "left")
-            .select(
-                "node",
-                new_lbl.alias("new"),
-                (new_lbl != F.col("lbl")).alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("node", F.col("new").alias("lbl"))
-        if changed == 0:
-            break
+    labels, _rounds = cc_min_labels(edges)
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
     return (
         ids.join(

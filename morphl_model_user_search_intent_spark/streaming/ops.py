@@ -1603,8 +1603,21 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        # Round-10 optimization (guide §2.5 "repartition immediately
+        # after the read" for unsplittable inputs): a 1-file micro-
+        # batch scans as ONE task, serializing the Python shingle
+        # kernel + md5/minhash mixing + partial agg on one core.  Fan
+        # the batch out only when its scan parallelism is below the
+        # session's cores (a production batch of many files/row-groups
+        # skips this); half the cores measured best (interleaved A/B
+        # at sf0.1: none 2.07 s, 8-way 1.63, 16-way 1.41, 32-way 1.78
+        # per quarter-corpus signature pass on local[32]).
+        new_docs = bdf.select("doc_id", "text")
+        _dp = spark.sparkContext.defaultParallelism
+        if new_docs.rdd.getNumPartitions() * 2 <= _dp:
+            new_docs = new_docs.repartition(max(4, _dp // 2))
         sig = _portable_sig(
-            spark, shingle_rows_of(bdf.select("doc_id", "text"))
+            spark, shingle_rows_of(new_docs)
         ).localCheckpoint()
         bands = bands_of(sig)
         new_b = bands.select(
@@ -2305,9 +2318,14 @@ def q_stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold_batch(batch_df, batch_id: int) -> None:
-        append_text_index(
-            spark, root, batch_df.select("doc_id", "text")
-        )
+        # Fan a 1-file micro-batch out before the tokenize→explode→
+        # partial-agg chain (all pre-exchange, so otherwise one task;
+        # same rule as q_stream_neardup's signature pass, guide §2.5)
+        new_docs = batch_df.select("doc_id", "text")
+        _dp = spark.sparkContext.defaultParallelism
+        if new_docs.rdd.getNumPartitions() * 2 <= _dp:
+            new_docs = new_docs.repartition(max(4, _dp // 2))
+        append_text_index(spark, root, new_docs)
 
     # adaptive scope (A/B at sf0.1: 5.9 → 5.1 s): the per-batch index
     # fold shuffles a quarter-corpus posting list — see q_stream_neardup

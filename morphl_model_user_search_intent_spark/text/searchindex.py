@@ -123,9 +123,15 @@ def append_text_index(
     files untouched), docstats appends.  Global stats are derived at
     serve, so the fold is exact the moment the files land."""
     postings, docstats = _postings_and_stats(delta)
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(root, "postings")
-    )
+    # Round-10 (guide §6 "aim for fewer, larger output files"):
+    # cluster postings by their bucket before the partitioned write —
+    # without this every write task holds rows of MANY buckets and the
+    # fold emits tasks×buckets tiny files; clustered, each touched
+    # bucket gains exactly one file per fold, which is also what keeps
+    # the serve-side file count (and compaction debt) linear in folds.
+    postings.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(root, "postings"))
     docstats.write.mode("append").parquet(
         os.path.join(root, "docstats")
     )
