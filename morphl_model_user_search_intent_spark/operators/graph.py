@@ -562,9 +562,18 @@ def q_graph_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization).
     """
     li = table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # Round-10 (guide §5, the kcore/pagerank fix): the distinct edge
+    # base feeds the self-join's two sides AND the per-order weight
+    # aggregate — the weight subtree shares no exchange with the join
+    # sides, so the 600k-row distinct ran twice.  One eager
+    # localCheckpoint materializes it once for all three consumers.
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     deg = edges.groupBy("o").agg(F.count("*").cast("bigint").alias("d"))
     w = deg.filter(F.col("d") >= 2).select(
         "o",
@@ -644,9 +653,15 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.  TakeOrdered, no global sort materialization.
     """
     li = table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # Round-10: same materialize-once as q_graph_adamic — the degree
+    # subtree re-ran the distinct alongside the self-join sides.
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     pdeg = edges.groupBy("p").agg(F.count("*").cast("bigint").alias("dp"))
     a = edges.alias("a")
     b = edges.alias("b")

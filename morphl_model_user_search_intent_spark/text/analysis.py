@@ -1375,15 +1375,30 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (vocabulary-bounded state); the PMI expression divides
     exact integer counts under identical IEEE order (ln ulp → 6-dp
     round), and the support floor keeps the ranked output stable.
+
+    Round-10 optimization (guide §2.4 "don't recompute what you can
+    reuse", §2.5 unsplittable scan): the plan consumed ``uni`` from
+    THREE independent subtrees (the ``tot`` aggregate plus the two
+    per-side broadcasts) and ``bi`` from two — broadcast subtrees
+    execute as separate jobs, so the corpus was re-tokenized up to
+    five times, each time serialized on the single-row-group scan's
+    one core.  ``spread`` fans the explode out and one eager
+    ``localCheckpoint`` per count table materializes each exactly
+    once.  Measured at sf0.1: noop-sink 3.7 s → ~0.9 s, identical
+    top-20.
     """
     from pyspark.sql import Window as W  # noqa: F401  (module norm)
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(
+        table(spark, sf_dir, "documents").select("text"),
+        spark, sf_dir, "documents",
+    )
     t = tokens()
     uni = (
         d.select(F.explode(t).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint()
     )
     bigram = F.transform(
         F.sequence(F.lit(0), F.size(t) - 2),
@@ -1395,6 +1410,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(bigram).alias("b"))
         .groupBy("b")
         .agg(F.count("*").cast("double").alias("n_ab"))
+        .localCheckpoint()
     )
     tot = (
         uni.agg(F.sum("n").alias("n_uni"))
@@ -3015,9 +3031,12 @@ def q_text_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens()).alias("word")
     ).localCheckpoint()
+    # dl feeds three independent subtrees (the stats broadcast plus
+    # one shuffle join per BM25 pass) — materialize the corpus-sized
+    # groupBy once as well (round-10, same guide §2.4 reasoning)
     dl = toks.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("len")
-    )
+    ).localCheckpoint()
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("len") / F.count("*")).alias("avglen"),
