@@ -425,7 +425,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is high for the planted ≥0.95-Jaccard pairs (verified in
     tests).
     """
-    d = table(spark, sf_dir, "documents")
+    # Round-10 (guide §2.5): the explode + 64 conditional partial sums
+    # are the per-row cost and ran on the unsplittable scan's single
+    # task — spread fans the tokenize/vote pass across the session's
+    # cores (no-op on splittable production layouts).
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents",
+    )
     # votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
     # Explode tokens and hash ONCE per token, then take 64 conditional
     # sums in a single hash aggregate — all whole-stage codegen.  (A
@@ -434,59 +441,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select(
         "doc_id", F.explode(tokens()).alias("w")
     ).withColumn("h", F.xxhash64("w"))
+    # (batch-1 discipline: the 64 aggregate terms are built as parsed
+    # SQL strings — one py4j round trip instead of ~200 Column calls)
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(64)
         ]
     )
-    bits = F.array(*[(F.col(f"v{b}") > 0).cast("int") for b in range(64)])
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda band: F.aggregate(
-            F.sequence(F.lit(0), F.lit(15)),
-            F.lit(0),
-            lambda acc, i: acc * 2
-            + F.element_at(F.col("bits"), band * 16 + i + 1),
-        ),
+    # Round-10 (guide §2.3 "narrower types", §1.2 per-task work): the
+    # 64 majority bits pack into ONE BIGINT — the candidate join then
+    # carries 8 bytes per side instead of a 64-int array, band keys
+    # are shift/mask codegen, and the per-pair Hamming distance is
+    # bit_count(sig_a ^ sig_b) in whole-stage codegen rather than an
+    # interpreted 64-element zip_with fold over ~230k candidate pairs
+    # (measured the dominant term at sf0.1: noop 4.3 s → 0.9 s).
+    # Candidacy and distances are bit-identical: sharing a band's 16
+    # bits is encoding-independent, and popcount(xor) ≡ Σ|bit diffs|.
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), {b}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
+        )
+    )
+    band_sigs = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(sig, {band * 16}) & CAST(65535 AS BIGINT)"
+            for band in range(4)
+        )
+        + ")"
     )
     docs = (
-        votes.withColumn("bits", bits)
-        .withColumn("band_sigs", bands)
-        .select("doc_id", "bits", "band_sigs")
+        votes.withColumn("sig", sig)
+        .withColumn("band_sigs", band_sigs)
+        .select("doc_id", "sig", "band_sigs")
     )
     exploded = docs.select(
         "doc_id",
-        "bits",
-        F.posexplode("band_sigs").alias("band", "sig"),
+        "sig",
+        F.posexplode("band_sigs").alias("band", "bsig"),
     )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("bits").alias("bits_a"),
+        F.col("sig").alias("sig_a"),
         "band",
-        "sig",
+        "bsig",
     )
     b = exploded.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("bits").alias("bits_b"),
+        F.col("sig").alias("sig_b"),
         "band",
-        "sig",
-    )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+        "bsig",
     )
     return (
-        a.join(b, ["band", "sig"])
+        a.join(b, ["band", "bsig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)")
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= 8)
     )
 
@@ -655,7 +679,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the acceptance predicate differs, so the two operators
     share their scale story — and their costs — exactly.
     """
-    sh = _shingle_rows(spark, sf_dir)
+    # Round-10 (guide §2.4): the size aggregate is a broadcast subtree
+    # that re-ran the Python shingle kernel alongside the self-join
+    # sides — checkpoint the shingle frame once for all three
+    # consumers (same move as q_dedup_minhash_portable's sh/sig).
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
