@@ -4301,19 +4301,28 @@ def q_orders_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # Round-10 (guide §2.3 "aggregate before you shuffle"): the
+    # earliest ship date is per-ORDERKEY state, so take the min on
+    # the lineitem side BEFORE the join — the exchange then carries
+    # one map-side-combined (key, date) row per order instead of
+    # every lineitem row, and the join's 1:N fan-out disappears.
+    # min-over-joined-rows ≡ min-per-key for a 1:N key join, so the
+    # latency rows are bit-identical.
+    first = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
     lat = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
+        o.select(
             "o_orderkey",
             "o_orderpriority",
             F.col("o_orderdate").cast("date").alias("od"),
         )
-        .agg(
-            F.datediff(
-                F.min(F.col("l_shipdate").cast("date")), F.col("od")
-            )
+        .join(first, "o_orderkey")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("od"))
             .cast("bigint")
-            .alias("days_to_first_ship")
+            .alias("days_to_first_ship"),
         )
     )
     return lat.groupBy("o_orderpriority").agg(
