@@ -145,12 +145,8 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy("h", "s")).alias("rn"),
         ).filter(F.col("rn") <= _K)
 
-    # Round-10 (guide §2.4): each sketch feeds THREE independent
-    # subtrees (its θ aggregate, the union, the intersect), and each
-    # reference re-ran the distinct + bottom-k window.  The sketches
-    # are k rows by construction — checkpoint each once.
-    sa = sketch(F.col("d") <= 19).select("h").localCheckpoint()
-    sb = sketch(F.col("d") >= 9).select("h").localCheckpoint()
+    sa = sketch(F.col("d") <= 19).select("h")
+    sb = sketch(F.col("d") >= 9).select("h")
 
     def theta(sk):
         return sk.agg(
