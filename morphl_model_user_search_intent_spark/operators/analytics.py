@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, lsum, units
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 
@@ -2361,14 +2361,23 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity discipline) with the group medians broadcast back between
     them; the final count is one conditional aggregate.  At 100 TB
     each pass is a partial-aggregated shuffle on the group key —
-    medians per group, never a global sort.
+    medians per group, never a global sort.  The percentile partials
+    build per-partition value maps, so the unsplittable single-row-
+    group fixture scan would otherwise serialize every map build on
+    one core — ``spread`` fans it out (a plan no-op on splittable
+    production layouts).
     """
     li = table(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("bigint")
-        .alias("cents"),
+    base = spread(
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        spark,
+        sf_dir,
+        "lineitem",
     )
     med = base.groupBy("l_returnflag").agg(
         F.percentile("cents", 0.5).alias("med_cents")

@@ -398,10 +398,17 @@ def q_quality_expectations(
             (F.col("n_violations") == 0).alias("pass"),
         )
 
-    viol = lambda cond: F.sum(cond.cast("bigint"))  # noqa: E731
+    # coalesce keeps the pre-round-10 .count() semantics on an EMPTY
+    # table: SUM over zero rows is NULL, a count of violations is 0
+    viol = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(cond.cast("bigint")), F.lit(0)
+    )
     # both orders checks from ONE pass over orders: aggregate once,
     # explode into the two report rows (a second reference to the
-    # 1-row aggregate would re-run the scan as its own subtree)
+    # 1-row aggregate would re-run the scan as its own subtree).
+    # n_dup's count(*) − countDistinct assumes non-null o_orderkey
+    # (countDistinct skips NULLs); TPC-H pins o_orderkey NOT NULL, so
+    # the uniqueness check's contract is a non-null key column.
     orders_checks = (
         o.agg(
             F.count("*").alias("n_checked"),

@@ -225,7 +225,10 @@ def _bursts_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     Per user this is exactly ``np.searchsorted(tsv, tsv - 1h, 'left')``
     / ``(tsv, tsv, 'right')`` of the original per-group kernel."""
     uid = pdf["user_id"].to_numpy()
-    ts = pdf["ts"].to_numpy()  # datetime64[ns], sorted within user
+    # Normalize to ns explicitly: newer pandas/pyarrow may hand Arrow
+    # timestamps through as datetime64[us], and a raw int64 view of
+    # that would silently make the 1-hour window 1000× too large.
+    ts = pdf["ts"].to_numpy().astype("datetime64[ns]")
     t = ts.view("int64")
     hour = 3_600_000_000_000  # 1 h in ns
     bounds = _group_bounds(uid)
@@ -752,9 +755,11 @@ def q_udf_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group dwarfed the greedy chain itself.  The same exchange +
     partition-local (user_id, t) sort now feeds a ``mapInPandas``
     kernel that advances ALL of its users' cooldown chains in
-    lock-step rounds of one vectorized ``searchsorted`` each (the
-    chain for one user has ≤ ceil(activity-span / 6 h) kept events,
-    so rounds are bounded and each round is O(active users · log n)).
+    lock-step rounds — one ``searchsorted`` per still-active user per
+    round over that user's slice (the chain for one user has ≤
+    ceil(activity-span / 6 h) kept events, so rounds are bounded,
+    each round is O(active users · log n), and total work stays
+    linear in kept events).
     Greedy semantics are unchanged: round r keeps, for every user
     still active, the first event ≥ last-kept + 6 h — exactly the
     per-row loop's decisions, and the oracle's recursive CTE.
