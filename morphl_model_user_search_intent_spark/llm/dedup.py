@@ -1141,8 +1141,13 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered only for the reported top-k.  Total ordering
     (n_docs, ngram) makes the LIMIT boundary deterministic.
     """
-    d = table(spark, sf_dir, "documents")
-    t = tokens()
+    # Round-11: tokenize hoisted into its own projection — the split
+    # inside the transform lambda re-evaluated per element (O(k²) per
+    # doc).  Measured 2.3 → 1.25 s at sf0.1, identical top-20.
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    t = F.col("toks")
     sh = d.select(
         "doc_id",
         F.explode(
@@ -1429,8 +1434,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node; the shingle-grouping formulation is its
     shuffle-native equivalent.
     """
-    d = table(spark, sf_dir, "documents")
-    t = tokens()
+    # Round-11: tokenize hoisted into its own projection (the split
+    # inside the lambda re-evaluated per element, O(k²) per doc).
+    # Measured 3.1 → 1.66 s at sf0.1, identical top-20.
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    t = F.col("toks")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 7),

@@ -142,8 +142,15 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     an index sequence (JVM-side; the MLlib NGram stage is the
     rows-only twin in ml/pipeline.py).
     """
-    d = table(spark, sf_dir, "documents")
-    t = tokens()
+    # Round-11: hoist the tokenize into its own projection — a
+    # ``tokens()`` expression referenced inside the transform lambda
+    # is re-evaluated per element (the split is O(k), so bigram
+    # construction was O(k²) per doc).  Measured 3.3 → 0.64 s at
+    # sf0.1, identical top-20.
+    d = table(spark, sf_dir, "documents").select(
+        tokens().alias("toks")
+    )
+    t = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(

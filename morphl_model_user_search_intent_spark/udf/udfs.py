@@ -416,8 +416,13 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming (no shuffle added).  The oracle is expressible only
     because the fixture's props carry exactly one key ('k'); the
     operator itself handles any object.
+
+    Round-11 (guide §2.5): the per-row Python parse is exactly the
+    "per-row-expensive work above an unsplittable scan" case —
+    ``spread`` fans the LATERAL's Python workers out (no-op on
+    splittable layouts; measured 1.55 → 0.57 s at sf0.1).
     """
-    from ..io import table as load_table
+    from ..io import spread, table as load_table
 
     @F.udtf(returnType="key string, val bigint")
     class ParseProps:
@@ -428,9 +433,9 @@ def q_udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (k, int(v))
 
     spark.udtf.register("parse_props", ParseProps)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "events_for_udtf"
-    )
+    spread(
+        load_table(spark, sf_dir, "events"), spark, sf_dir, "events"
+    ).createOrReplaceTempView("events_for_udtf")
     return spark.sql(
         """
         SELECT e.event_id, p.key, p.val
