@@ -1642,6 +1642,20 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cand = within.distinct()
             all_sig = sig
+        # Round-11 (guide §3.2, the q_dedup_minhash_portable move):
+        # the agreement join only needs signatures of docs that
+        # appear in a candidate pair, so restrict the sig relation to
+        # the (small) collision set first — verify cost becomes
+        # ∝ collisions instead of ∝ corpus-so-far, the shape the
+        # docstring promises ("the join touches the BATCH plus the
+        # collision set — never the corpus").
+        cand = cand.localCheckpoint()
+        cdocs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        all_sig = all_sig.join(F.broadcast(cdocs), "doc_id", "leftsemi")
         sa = all_sig.select(
             F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mha")
         )
