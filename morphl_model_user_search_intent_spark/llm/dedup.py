@@ -1305,11 +1305,14 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_box: list = []
 
     def _truth() -> None:
-        truth_box.append(
-            jaccard_pairs_of(sh)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
+        try:
+            truth_box.append(
+                jaccard_pairs_of(sh)
+                .select("doc_a", "doc_b")
+                .localCheckpoint()
+            )
+        except BaseException as exc:  # re-raised on the main thread
+            truth_box.append(exc)
 
     truth_thread = pyspark.InheritableThread(
         target=_truth, session=spark
@@ -1361,6 +1364,8 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     truth_thread.join()
+    if isinstance(truth_box[0], BaseException):
+        raise truth_box[0]
     truth = truth_box[0]
     n_truth = truth.count()
     n_detected = detected.count()
